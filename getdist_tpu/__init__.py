@@ -1,0 +1,103 @@
+"""getdist_tpu — TPU-native MCMC sample analysis.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of GetDist
+(reference: cmbant/getdist v1.7.7): weighted chain statistics, FFT-convolved
+kernel density estimation with automatic Botev Improved-Sheather-Jones
+bandwidths, boundary/multiplicative-bias corrections, convergence
+diagnostics, LaTeX result tables, and publication plotting.
+
+Device-side core: ``getdist_tpu.ops`` (jit/vmap kernels) and
+``getdist_tpu.parallel`` (mesh sharding / collectives). Host-side layers
+(file formats, settings, tables, plots, CLI, GUI) are getdist-compatible.
+
+Reference layer map: see SURVEY.md at the repo root; package config mirrors
+the reference's ``getdist/__init__.py:26-67``.
+"""
+
+import logging
+import os
+
+__version__ = "0.1.0"
+__author__ = "getdist_tpu developers"
+
+# ---------------------------------------------------------------------------
+# Package configuration (mirrors reference getdist/__init__.py:26-67:
+# config.ini / env-var driven cache dir, default grid root, output dirs).
+# ---------------------------------------------------------------------------
+
+
+def _get_cache_dir():
+    if os.name == "nt":
+        base = os.environ.get("LOCALAPPDATA") or os.path.join(os.path.expanduser("~"), "AppData", "Local")
+    else:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "getdist_tpu_cache")
+
+
+def make_cache_dir():
+    """Create (if needed) and return the analysis cache directory, or None on failure."""
+    if not cache_dir:
+        return None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        return cache_dir
+    except OSError:
+        return None
+
+
+_config_file = os.environ.get("GETDIST_TPU_CONFIG") or os.path.join(os.path.dirname(__file__), "config.ini")
+
+default_grid_root = None
+output_base_dir = None
+cache_dir = _get_cache_dir()
+default_plot_output = "pdf"
+loglevel = None
+
+if os.path.exists(_config_file):
+    from getdist_tpu.inifile import IniFile
+
+    _ini = IniFile(_config_file)
+    default_grid_root = _ini.string("default_grid_root", "") or None
+    output_base_dir = _ini.string("output_base_dir", "") or None
+    cache_dir = _ini.string("cache_dir", "") or cache_dir
+    default_plot_output = _ini.string("default_plot_output", default_plot_output)
+    loglevel = _ini.string("logging", "") or None
+
+
+def set_logging(log_level):
+    """Configure package logging (mirrors reference getdist/__init__.py:20-23)."""
+    logging.basicConfig(level=log_level)
+
+
+if loglevel:
+    set_logging(loglevel)
+
+distparam_template = os.path.join(os.path.dirname(__file__), "distparam_template.ini")
+default_getdist_settings = os.path.join(os.path.dirname(__file__), "analysis_defaults.ini")
+
+# Convenience API re-exports (lazy to keep bare import cheap and to avoid
+# importing jax before the caller has a chance to configure platforms/x64).
+_LAZY_EXPORTS = {
+    "MCSamples": "getdist_tpu.mcsamples",
+    "loadMCSamples": "getdist_tpu.mcsamples",
+    "loadCobayaSamples": "getdist_tpu.cobaya_interface",
+    "MCSamplesFromCobaya": "getdist_tpu.cobaya_interface",
+    "chains": "getdist_tpu.chains",
+    "IniFile": "getdist_tpu.inifile",
+    "ParamInfo": "getdist_tpu.paramnames",
+    "ParamNames": "getdist_tpu.paramnames",
+    "get_single_plotter": "getdist_tpu.plots",
+    "get_subplot_plotter": "getdist_tpu.plots",
+}
+
+
+def __getattr__(name):
+    mod = _LAZY_EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'getdist_tpu' has no attribute {name!r}")
+    import importlib
+
+    module = importlib.import_module(mod)
+    if name == "chains":
+        return module
+    return getattr(module, name)

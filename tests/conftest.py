@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh in float64.
+
+The parity suite compares against the reference implementation (read-only
+mount at /root/reference) in double precision; TPU-speed behavior is
+exercised by bench.py on real hardware instead.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+REFERENCE_PATH = "/root/reference"
+
+
+def has_reference():
+    return os.path.isdir(os.path.join(REFERENCE_PATH, "getdist"))
+
+
+if has_reference() and REFERENCE_PATH not in sys.path:
+    # Reference getdist, used purely as a numerical oracle in parity tests.
+    sys.path.append(REFERENCE_PATH)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def reference_getdist():
+    if not has_reference():
+        pytest.skip("reference getdist not available")
+    import getdist as reference
+
+    return reference
