@@ -1,0 +1,123 @@
+"""Hard prior bounds (host-side metadata).
+
+Implements the ``.ranges``/``.bounds`` text format of the reference
+(``getdist/parampriors.py``): one line per parameter,
+``name lower upper [periodic]`` where ``N`` means unbounded, plus Cobaya
+``.yaml`` extraction. Bounds feed the device KDE pipelines as static
+boundary-correction flags and clip limits.
+"""
+
+import os
+
+import numpy as np
+
+__all__ = ["ParamBounds"]
+
+
+class ParamBounds:
+    """Lower/upper limits per parameter name; None/'N' = unbounded.
+
+    :ivar names: parameter names in load order
+    :ivar lower: dict name -> lower bound (absent if unbounded)
+    :ivar upper: dict name -> upper bound (absent if unbounded)
+    :ivar periodic: set of periodic parameter names
+    """
+
+    def __init__(self, fileName=None):
+        self.names = []
+        self.lower = {}
+        self.upper = {}
+        self.periodic = set()
+        if fileName is not None:
+            self.loadFromFile(fileName)
+
+    def loadFromFile(self, fileName):
+        """Load from ``.ranges``/``.bounds`` text or Cobaya ``.yaml``."""
+        self.filenameLoadedFrom = os.path.split(fileName)[1]
+        ext = os.path.splitext(fileName)[-1]
+        if ext in (".ranges", ".bounds"):
+            with open(fileName, encoding="utf-8-sig") as handle:
+                for line in handle:
+                    fields = line.split()
+                    if len(fields) in (3, 4):
+                        self.setRange(fields[0], fields[1:])
+        elif ext in (".yaml", ".yml"):
+            from getdist_tpu.cobaya_interface import get_info_params, get_range
+
+            for p, info in get_info_params(fileName).items():
+                self.setRange(p, get_range(info))
+        else:
+            raise ValueError(f"ParamBounds must load from .bounds, .ranges or .yaml/.yml, not {fileName}")
+
+    def setRange(self, name, strings):
+        """Set bounds from a (lower, upper[, periodic]) tuple of strings or
+        numbers; 'N'/None/inf mean unbounded."""
+        if strings[0] is None and strings[1] is None:
+            return
+        self._require_name(name)
+        if strings[0] != "N" and strings[0] is not None and strings[0] != -np.inf:
+            self.lower[name] = float(strings[0])
+        if strings[1] != "N" and strings[1] is not None and strings[1] != np.inf:
+            self.upper[name] = float(strings[1])
+        if len(strings) > 2:
+            flag = strings[2]
+            if flag is True or (isinstance(flag, str) and flag.upper() in ("T", "TRUE", "PERIODIC")):
+                if name not in self.upper or name not in self.lower:
+                    raise ValueError(f"Periodic parameter must have lower and upper bound: {name}")
+                self.periodic.add(name)
+            elif flag is not False and (not isinstance(flag, str) or flag.upper() not in ("F", "FALSE")):
+                raise ValueError(f"Unknown value for periodic range settings for param {name}: {flag}")
+        if name not in self.names:
+            self.names.append(name)
+
+    def setFixed(self, name, value):
+        self.setRange(name, (value, value))
+
+    @staticmethod
+    def _require_name(name):
+        if not isinstance(name, str):
+            raise ValueError(f"parameter name must be a string, got {type(name)}: {name}")
+
+    def getLower(self, name):
+        """Lower limit for name, or None."""
+        self._require_name(name)
+        return self.lower.get(name)
+
+    def getUpper(self, name):
+        """Upper limit for name, or None."""
+        self._require_name(name)
+        return self.upper.get(name)
+
+    def fixedValue(self, name):
+        """The fixed value if lower == upper, else None."""
+        low = self.lower.get(name)
+        if low is not None and self.upper.get(name) == low:
+            return low
+        return None
+
+    def fixedValueDict(self):
+        """Dict of all parameters pinned to a single value."""
+        out = {}
+        for name in self.names:
+            value = self.fixedValue(name)
+            if value is not None:
+                out[name] = value
+        return out
+
+    def __str__(self):
+        lines = []
+        for name in self.names:
+            low = self.lower.get(name)
+            high = self.upper.get(name)
+            lim1 = "%15.7E" % low if low is not None else "    N"
+            lim2 = "%15.7E" % high if high is not None else "    N"
+            if name in self.periodic:
+                lines.append("%22s%17s%17s%10s" % (name, lim1, lim2, "periodic"))
+            else:
+                lines.append("%22s%17s%17s" % (name, lim1, lim2))
+        return "\n".join(lines) + ("\n" if lines else "")
+
+    def saveToFile(self, fileName):
+        """Write the plain-text ranges format."""
+        with open(fileName, "w", encoding="utf-8") as handle:
+            handle.write(str(self))
