@@ -1090,12 +1090,22 @@ class Chains(WeightedSamples):
         if chainlist is None:
             chainlist = self.getSeparateChains()
         nparam = nparam or self.paramNames.numNonDerived()
-        chain_means = np.array([chain.getMeans()[:nparam] for chain in chainlist])
-        chain_covs = np.array([chain.getCov(nparam) for chain in chainlist])
-        result = _stats.gelman_rubin_eigenvalues(
-            jnp.asarray(chain_means), jnp.asarray(chain_covs), jnp.asarray(self.getMeans()[:nparam])
-        )
-        return None if result is None else np.asarray(result)
+        # Per-chain moments are device reductions; the (p, p) eigen-solve is
+        # tiny and runs on host with numpy for bit-stable diagnostics text.
+        means = self.getMeans()[:nparam]
+        meanscov = np.zeros((nparam, nparam))
+        meancov = np.zeros((nparam, nparam))
+        for chain in chainlist:
+            diff = chain.getMeans()[:nparam] - means
+            meanscov += np.outer(diff, diff)
+            meancov += chain.getCov(nparam)
+        meanscov /= len(chainlist) - 1
+        meancov /= len(chainlist)
+        w, U = np.linalg.eigh(meancov)
+        if np.min(w) > 0:
+            U /= np.sqrt(w)
+            return np.linalg.eigvalsh(U.T @ meanscov @ U)
+        return None
 
     def getGelmanRubin(self, nparam=None, chainlist=None):
         """Worst-eigenvalue R-1 statistic (should be << 1 when converged)."""

@@ -1,0 +1,890 @@
+"""Result types and LaTeX table generation (host-side).
+
+Behavior-compatible with the reference ``getdist/types.py``: the
+Decimal-exact significant-figure engine, ±limit merging
+(``x^{+a}_{-b}`` vs ``x \\pm a``), chi-squared special cases, one-tail
+``<``/``>`` forms, σ-shift annotations, three table formatters, the
+multi-column ResultTable with latex→PNG rendering, and the parsers/writers
+for ``.minimum``/``.bestfit``, ``.margestats``, ``.likestats`` and
+``.converge`` files. Output strings are regression-tested to the character
+against the reference.
+"""
+
+import decimal
+import os
+import tempfile
+from io import BytesIO
+from types import MappingProxyType
+
+import numpy as np
+
+from getdist_tpu.paramnames import ParamInfo, ParamList, makeList
+
+empty_dict = MappingProxyType({})
+
+# |exponent| above which scientific notation kicks in
+_sci_tolerance = 4
+
+
+class TextFile:
+    def __init__(self, lines=None):
+        if isinstance(lines, str):
+            lines = [lines]
+        self.lines = lines or []
+
+    def write(self, outfile):
+        with open(outfile, "w", encoding="utf-8") as f:
+            f.write("\n".join(self.lines))
+
+
+def texEscapeText(string):
+    return string.replace("_", "{\\textunderscore}")
+
+
+def times_ten_power(exponent):
+    return r"\cdot 10^{%d}" % exponent
+
+
+def float_to_decimal(f):
+    """Exact float -> Decimal conversion (no precision loss)."""
+    n, d = f.as_integer_ratio()
+    numerator, denominator = decimal.Decimal(n), decimal.Decimal(d)
+    ctx = decimal.Context(prec=60)
+    result = ctx.divide(numerator, denominator)
+    while ctx.flags[decimal.Inexact]:
+        ctx.flags[decimal.Inexact] = False
+        ctx.prec *= 2
+        result = ctx.divide(numerator, denominator)
+    return result
+
+
+def numberFigs(number, sigfig, sci=False):
+    """Format a number to ``sigfig`` significant figures using exact
+    Decimal arithmetic; with ``sci`` returns (mantissa_str, exponent)
+    switching to scientific form beyond 10^±4 (reference
+    ``types.py:50-92``)."""
+    assert sigfig > 0
+    try:
+        d = decimal.Decimal(number)
+    except TypeError:
+        d = float_to_decimal(float(number))
+    if sci:
+        exponent = d.adjusted()
+        if abs(exponent) > _sci_tolerance:
+            d = decimal.getcontext().multiply(d, float_to_decimal(10.0**-exponent))
+        else:
+            exponent = 0
+    sign, digits = d.as_tuple()[0:2]
+    if len(digits) < sigfig:
+        digits = list(digits)
+        digits.extend([0] * (sigfig - len(digits)))
+    shift = d.adjusted()
+    result = int("".join(map(str, digits[:sigfig])))
+    if len(digits) > sigfig and digits[sigfig] >= 5:
+        result += 1
+    result = list(str(result))
+    # rounding may change the digit count; track it in the shift
+    shift += len(result) - sigfig
+    result = result[:sigfig]
+    if shift >= sigfig - 1:
+        result += ["0"] * (shift - sigfig + 1)
+    elif 0 <= shift:
+        result.insert(shift + 1, ".")
+    else:
+        result = ["0."] + ["0"] * (-shift - 1) + result
+    if sign:
+        result.insert(0, "-")
+    if sci:
+        return "".join(result), exponent
+    return "".join(result)
+
+
+class NumberFormatter:
+    """Significant-figure policy for values and their ± errors."""
+
+    def __init__(self, sig_figs=4, separate_limit_tol=0.1, err_sf=2):
+        self.sig_figs = sig_figs
+        self.separate_limit_tol = separate_limit_tol
+        self.err_sf = err_sf
+
+    def namesigFigs(self, value, limplus, limminus, wantSign=True, sci=False):
+        """Format value and the two limits with consistent decimal places
+        (reference ``types.py:102-141``)."""
+        frac = limplus / (abs(value) + limplus)
+        sf = self.sig_figs
+        if frac > 0.1 and 100 > value >= 20:
+            sf = 2
+        elif frac > 0.01 and value < 1000:
+            sf = 3
+        err_sf = self.err_sf
+        if value >= 20 and frac > 0.1 and limplus >= 2:
+            err_sf = 1
+        exponent = 0
+        if sci:
+            # probe the exponent from the largest-magnitude end of the range
+            if exponent := self.formatNumber(max(abs(value - limminus), abs(value + limplus)), sci=True)[1]:
+                value, limplus, limminus = (
+                    decimal.getcontext().multiply(float_to_decimal(lim), float_to_decimal(10.0**-exponent))
+                    for lim in [value, limplus, limminus]
+                )
+        plus_str = self.formatNumber(limplus, err_sf, wantSign)
+        minus_str = self.formatNumber(limminus, err_sf, wantSign)
+        res = self.formatNumber(value, sf)
+        maxdp = max(self.decimal_places(plus_str), self.decimal_places(minus_str))
+        while maxdp < self.decimal_places(res):
+            sf -= 1
+            if sf == 0:
+                res = ("%." + str(maxdp) + "f") % value
+                if float(res) == 0.0:
+                    res = ("%." + str(maxdp) + "f") % 0
+                break
+            res = self.formatNumber(value, sf)
+        while self.decimal_places(plus_str) > self.decimal_places(res):
+            sf += 1
+            res = self.formatNumber(value, sf)
+        if sci:
+            return res, plus_str, minus_str, exponent
+        return res, plus_str, minus_str
+
+    def formatNumber(self, value, sig_figs=None, wantSign=False, sci=False):
+        sf = self.sig_figs if sig_figs is None else sig_figs
+        s = numberFigs(value, sf, sci=sci)
+        if sci:
+            s, exponent = s
+        if wantSign:
+            if s[0] != "-" and float(s) < 0:
+                s = "-" + s
+            if float(s) > 0:
+                s = "+" + s
+        if sci:
+            return s, exponent
+        return s
+
+    def decimal_places(self, s):
+        i = s.find(".")
+        return len(s) - i - 1 if i > 0 else 0
+
+    def plusMinusLimit(self, limit, upper, lower):
+        return limit != 1 or abs(abs(upper / lower) - 1) > self.separate_limit_tol
+
+
+class TableFormatter:
+    """Lined latex table style."""
+
+    def __init__(self):
+        self.border = "|"
+        self.endofrow = "\\\\"
+        self.hline = "\\hline"
+        self.paramText = "Parameter"
+        self.aboveTitles = self.hline
+        self.majorDividor = "|"
+        self.minorDividor = "|"
+        self.colDividor = "||"
+        self.belowTitles = ""
+        self.headerWrapper = " %s"
+        self.noConstraint = "---"
+        self.spacer = " "
+        self.colSeparator = self.spacer + "&" + self.spacer
+        self.numberFormatter = NumberFormatter()
+
+    def getLine(self, position=None):
+        if position is not None and hasattr(self, position):
+            return getattr(self, position)
+        return self.hline
+
+    def belowTitleLine(self, colsPerParam, numResults=None):
+        return self.getLine("belowTitles")
+
+    def startTable(self, ncol, colsPerResult, numResults):
+        part = self.majorDividor + (" c" + self.minorDividor) * (colsPerResult - 1) + " c"
+        return (
+            "\\begin{tabular} {"
+            + self.border
+            + " l "
+            + part * numResults
+            + (self.colDividor + " l " + part * numResults) * (ncol - 1)
+            + self.border
+            + "}"
+        )
+
+    def endTable(self):
+        return "\\end{tabular}"
+
+    def titleSubColumn(self, colsPerResult, title):
+        return (
+            " \\multicolumn{"
+            + str(colsPerResult)
+            + "}{"
+            + self.majorDividor
+            + "c"
+            + self.majorDividor
+            + "}{"
+            + self.formatTitle(title)
+            + "}"
+        )
+
+    def formatTitle(self, title):
+        return "\\bf " + texEscapeText(title)
+
+    def texEquation(self, txt):
+        if txt and txt[0] != "$":
+            return "$" + txt + "$"
+        return txt
+
+    def textAsColumn(self, txt, latex=False, separator=False, bold=False):
+        wid = len(txt)
+        if latex:
+            wid += 2
+            if bold:
+                wid += 11
+        res = txt + self.spacer * max(0, 28 - wid)
+        if latex:
+            res = self.texEquation(res)
+            if bold:
+                res = "{\\boldmath" + res + "}"
+        if separator:
+            res += self.colSeparator
+        return res
+
+
+class OpenTableFormatter(TableFormatter):
+    """Open (no side borders) latex table style."""
+
+    def __init__(self):
+        super().__init__()
+        self.border = ""
+        self.aboveTitles = (
+            r"\noalign{\vskip 3pt}" + self.hline + r"\noalign{\vskip 1.5pt}" + self.hline + r"\noalign{\vskip 5pt}"
+        )
+        self.belowTitles = r"\noalign{\vskip 3pt}" + self.hline
+        self.aboveHeader = ""
+        self.belowHeader = self.hline
+        self.minorDividor = ""
+        self.belowFinalRow = ""
+
+    def titleSubColumn(self, colsPerResult, title):
+        return " \\multicolumn{" + str(colsPerResult) + "}{" + "c" + "}{" + self.formatTitle(title) + "}"
+
+
+class NoLineTableFormatter(OpenTableFormatter):
+    """Minimal-rule latex table style (the default)."""
+
+    def __init__(self):
+        super().__init__()
+        self.aboveHeader = ""
+        self.minorDividor = ""
+        self.majorDividor = ""
+        self.belowFinalRow = self.hline
+        self.belowBlockRow = self.hline
+        self.colDividor = "|"
+        self.hline = ""
+
+    def belowTitleLine(self, colsPerParam, numResults=None):
+        return r"\noalign{\vskip 3pt}\cline{2-" + str(colsPerParam * numResults + 1) + r"}\noalign{\vskip 3pt}"
+
+
+class ResultTable:
+    """A latex table of parameter statistics (multi-column, multi-result)."""
+
+    def __init__(
+        self,
+        ncol,
+        results,
+        limit=2,
+        tableParamNames=None,
+        titles=None,
+        formatter=None,
+        numFormatter=None,
+        blockEndParams=None,
+        paramList=None,
+        refResults=None,
+        shiftSigma_indep=False,
+        shiftSigma_subset=False,
+    ):
+        """
+        :param ncol: number of columns
+        :param results: MargeStats/BestFit instance(s) (or objects exposing
+            getMargeStats, e.g. MCSamples)
+        :param limit: which stored limit to show (1 = 68%, 2 = 95% ...)
+        :param tableParamNames: ParamNames restricting rows
+        :param titles: per-result column titles
+        :param formatter: a TableFormatter instance
+        :param numFormatter: a NumberFormatter instance
+        :param blockEndParams: parameter names ending visual blocks
+        :param paramList: parameter name strings to include
+        :param refResults: reference MargeStats for σ-shift annotations
+        :param shiftSigma_indep: show shifts assuming independent data
+        :param shiftSigma_subset: show shifts assuming nested data
+        """
+        results = list(makeList(results))
+        for i, res in enumerate(results):
+            if (getMargeStats := getattr(res, "getMargeStats", None)) is not None:
+                results[i] = getMargeStats()
+        self.lines = []
+        self.format = formatter if formatter is not None else NoLineTableFormatter()
+        self.ncol = ncol
+        self.tableParamNames = tableParamNames if tableParamNames is not None else results[0]
+        if paramList is not None:
+            self.tableParamNames = self.tableParamNames.filteredCopy(paramList)
+        if numFormatter is not None:
+            self.format.numFormatter = numFormatter
+
+        self.results = results
+        self.boldBaseParameters = True
+        self.colsPerResult = len(results[0].getColumnLabels(limit))
+        self.colsPerParam = len(results) * self.colsPerResult
+        self.limit = limit
+        self.refResults = refResults
+        self.shiftSigma_indep = shiftSigma_indep
+        self.shiftSigma_subset = shiftSigma_subset
+
+        nparams = self.tableParamNames.numParams()
+        numrow = nparams // ncol
+        if nparams % ncol != 0:
+            numrow += 1
+        rows = [[par] for par in self.tableParamNames.names[0:numrow]]
+        for col in range(1, ncol):
+            for i in range(numrow * col, min(numrow * (col + 1), nparams)):
+                rows[i - numrow * col].append(self.tableParamNames.names[i])
+
+        self.lines.append(self.format.startTable(ncol, self.colsPerResult, len(results)))
+        if titles is not None:
+            self.addTitlesRow(titles)
+        self.addHeaderRow()
+        for row in rows[:-1]:
+            self.addFullTableRow(row)
+            if ncol == 1 and blockEndParams is not None and row[0].name in blockEndParams:
+                self.addLine("belowBlockRow")
+            else:
+                self.addLine("belowRow")
+        self.addFullTableRow(rows[-1])
+        self.addLine("belowFinalRow")
+        self.endTable()
+
+    def addFullTableRow(self, row):
+        txt = self.format.colSeparator.join(self.paramLabelColumn(param) + self.paramResultsTex(param) for param in row)
+        if not self.ncol == len(row):
+            txt += self.format.colSeparator * ((1 + self.colsPerParam) * (self.ncol - len(row)))
+        self.lines.append(txt + self.format.endofrow)
+
+    def addLine(self, position):
+        if self.format.getLine(position) is None:
+            return self.lines
+        return self.lines.append(self.format.getLine(position))
+
+    def addTitlesRow(self, titles):
+        self.addLine("aboveTitles")
+        cols = [self.format.titleSubColumn(1, "")]
+        cols += [self.format.titleSubColumn(self.colsPerResult, title) for title in titles]
+        self.lines.append(self.format.colSeparator.join(cols * self.ncol) + self.format.endofrow)
+        belowTitleLine = self.format.belowTitleLine(self.colsPerResult, self.colsPerParam // self.colsPerResult)
+        if belowTitleLine:
+            self.lines.append(belowTitleLine)
+
+    def addHeaderRow(self):
+        self.addLine("aboveHeader")
+        cols = [self.format.headerWrapper % self.format.paramText]
+        for result in self.results:
+            cols += [self.format.headerWrapper % s for s in result.getColumnLabels(self.limit)]
+        self.lines.append(self.format.colSeparator.join(cols * self.ncol) + self.format.endofrow)
+        self.addLine("belowHeader")
+
+    def paramResultsTex(self, param):
+        return self.format.colSeparator.join(self.paramResultTex(result, param) for result in self.results)
+
+    def paramResultTex(self, result, p):
+        values = result.texValues(
+            self.format,
+            p,
+            self.limit,
+            self.refResults,
+            shiftSigma_subset=self.shiftSigma_subset,
+            shiftSigma_indep=self.shiftSigma_indep,
+        )
+        if values is not None:
+            if len(values) > 1:
+                txt = self.format.textAsColumn(values[1], True, separator=True)
+            else:
+                txt = ""
+            txt += self.format.textAsColumn(values[0], values[0] != self.format.noConstraint)
+            return txt
+        return self.format.textAsColumn("") * len(result.getColumnLabels(self.limit))
+
+    def paramLabelColumn(self, param):
+        return self.format.textAsColumn(param.getLabel(), True, separator=True, bold=not param.isDerived)
+
+    def endTable(self):
+        self.lines.append(self.format.endTable())
+
+    def tableTex(self, document=False, latex_preamble=None, packages=("amsmath", "amssymb", "bm")):
+        """Latex string for the table (full document if requested)."""
+        if document:
+            lines = [r"\documentclass{article}", r"\pagestyle{empty}"]
+            for package in packages:
+                lines.append(r"\usepackage{%s}" % package)
+            lines.append("\\renewcommand{\\arraystretch}{1.5}")
+            if latex_preamble:
+                lines.append(latex_preamble)
+            lines.append("\\begin{document}")
+            lines += self.lines
+            lines.append("\\end{document}")
+        else:
+            lines = self.lines
+        return "\n".join(lines)
+
+    def write(self, fname, **kwargs):
+        """Write the latex to a file."""
+        TextFile(self.tableTex(**kwargs)).write(fname)
+
+    def tablePNG(self, dpi=None, latex_preamble=None, filename=None, bytesIO=False):
+        """Render the table to PNG via latex + dvipng (requires latex)."""
+        import subprocess
+
+        texfile = tempfile.mktemp(suffix=".tex")
+        self.write(texfile, document=True, latex_preamble=latex_preamble)
+        basefile = os.path.splitext(texfile)[0]
+        outfile = filename or basefile + ".png"
+        old_pwd = os.getcwd()
+
+        def runCommand(command):
+            creationflags = 0
+            if os.name == "nt":
+                creationflags = subprocess.CREATE_NO_WINDOW
+            try:
+                subprocess.run(
+                    command,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    creationflags=creationflags,
+                    check=True,
+                )
+            except FileNotFoundError:
+                cmd_name = command[0] if command else "Command"
+                error_msg = f"Command not found: {cmd_name}"
+                if cmd_name == "latex":
+                    error_msg += (
+                        "\nLaTeX must be installed to generate tables. "
+                        "Please install a TeX distribution like TeX Live, MiKTeX, or MacTeX."
+                    )
+                elif cmd_name == "dvipng":
+                    error_msg += (
+                        "\ndvipng must be installed to generate PNG images. "
+                        "It is included in most LaTeX distributions."
+                    )
+                raise FileNotFoundError(error_msg)
+
+        try:
+            os.chdir(os.path.dirname(texfile))
+            runCommand(["latex", texfile])
+            cmd = ["dvipng"]
+            if dpi:
+                cmd.extend(["-D", str(dpi)])
+            cmd.extend(["-T", "tight", "-x", "1000", "-z", "9", "--truecolor", "-o", outfile, basefile + ".dvi"])
+            runCommand(cmd)
+        finally:
+            for f in [basefile + ext for ext in (".tex", ".dvi", ".aux", ".log")]:
+                if os.path.isfile(f):
+                    os.remove(f)
+            os.chdir(old_pwd)
+        if bytesIO:
+            with open(outfile, "rb") as f:
+                result = BytesIO(f.read())
+            os.remove(outfile)
+            result.seek(0)
+            return result
+        return outfile
+
+
+class ParamResults(ParamList):
+    """Base for sets of per-parameter results (self.names holds ParamInfo
+    objects carrying result attributes)."""
+
+
+class LikelihoodChi2:
+    name: str
+    tag: str
+    chisq: float
+
+
+class BestFit(ParamResults):
+    """Result of a likelihood minimization, parsed from CosmoMC/Cobaya
+    .minimum or .bestfit text (incl. per-likelihood chi2 blocks)."""
+
+    def __init__(self, fileName=None, setParamNameFile=None, want_fixed=False, max_posterior=True):
+        """
+        :param fileName: .minimum-format text file
+        :param setParamNameFile: .paramnames file overriding labels
+        :param want_fixed: include non-varying parameters
+        :param max_posterior: True for .minimum, False for .bestfit
+        """
+        super().__init__()
+        self.max_posterior = max_posterior
+        if fileName is not None:
+            self.loadFromFile(fileName, want_fixed=want_fixed)
+        if setParamNameFile is not None:
+            self.setLabelsFromParamNames(setParamNameFile)
+
+    def getColumnLabels(self, **_kwargs):
+        return ["Best fit"]
+
+    def loadFromFile(self, filename, want_fixed=False):
+        textFileLines = self.fileList(filename)
+        first = textFileLines[0].strip().split("=")
+        if first[0].strip() == "weight":
+            self.weight = float(first[1].strip())
+            del textFileLines[0]
+            first = textFileLines[0].strip().split("=")
+        if first[0].strip() != "-log(Like)":
+            raise Exception("Error in format of parameter (best fit) file")
+        self.logLike = float(first[1].strip())
+        isFixed = False
+        isDerived = False
+        self.chiSquareds = []
+        chunks = 0
+        if len(textFileLines[1].strip()) > 0:
+            del textFileLines[1]  # chi-sq line variant
+        for ix in range(2, len(textFileLines)):
+            line = textFileLines[ix]
+            if len(line.strip()) == 0:
+                chunks += 1
+                isFixed = not isFixed
+                isDerived = True
+                if chunks == 3:
+                    if ix + 2 >= len(textFileLines):
+                        break
+                    for likePart in textFileLines[ix + 2 :]:
+                        if len(likePart.strip()) != 0:
+                            (chisq, name) = [s.strip() for s in likePart.split(None, 2)][1:]
+                            name = [s.strip() for s in name.split(":", 1)]
+                            if len(name) > 1:
+                                (kind, name) = name
+                            else:
+                                kind = ""
+                            chi2 = LikelihoodChi2()
+                            if "=" in name:
+                                chi2.tag, chi2.name = (s.strip() for s in name.split("="))
+                            else:
+                                chi2.tag, chi2.name = None, name
+                            chi2.chisq = float(chisq)
+                            self.chiSquareds.append((kind, chi2))
+                    break
+                continue
+            if not isFixed or want_fixed:
+                param = ParamInfo()
+                param.isFixed = isFixed
+                param.isDerived = isDerived
+                (param.number, param.best_fit, param.name, param.label) = (s.strip() for s in line.split(None, 3))
+                param.number = int(param.number)
+                param.best_fit = float(param.best_fit)
+                self.names.append(param)
+
+    def sortedChiSquareds(self):
+        likes = dict()
+        for kind, val in self.chiSquareds:
+            likes.setdefault(kind, []).append(val)
+        return sorted(iter(likes.items()))
+
+    def chiSquareForKindName(self, kind, name):
+        for akind, val in self.chiSquareds:
+            if akind == kind and val.name == name:
+                return val.chisq
+        return None
+
+    def texValues(self, formatter, p, **_kwargs):
+        param = self.parWithName(p.name)
+        if param is not None:
+            return [formatter.numberFormatter.formatNumber(param.best_fit)]
+        return None
+
+    def getParamDict(self, include_derived=True):
+        res = dict()
+        for name in self.names:
+            if include_derived or not name.isDerived:
+                res[name.name] = name.best_fit
+        res["weight"] = 1
+        res["loglike"] = self.logLike
+        return res
+
+
+class ParamLimit:
+    """One marginalized limit: lower/upper bounds plus the tail type.
+
+    :ivar lower: lower limit
+    :ivar upper: upper limit
+    :ivar twotail: True for a two-tail limit
+    :ivar onetail_upper: True for a one-tail upper limit
+    :ivar onetail_lower: True for a one-tail lower limit
+    """
+
+    def __init__(self, minmax, tag="two"):
+        """
+        :param minmax: [min, max] values (None if unbounded)
+        :param tag: 'two' | '>' | '<' | 'none'
+        """
+        self.lower = minmax[0]
+        self.upper = minmax[1]
+        self.twotail = tag == "two"
+        self.onetail_upper = tag == ">"
+        self.onetail_lower = tag == "<"
+
+    def limitTag(self):
+        """Short tag: 'two', '>', '<' or 'none'."""
+        if self.twotail:
+            return "two"
+        if self.onetail_upper:
+            return ">"
+        if self.onetail_lower:
+            return "<"
+        return "none"
+
+    def limitType(self):
+        """Human-readable limit type description."""
+        if self.twotail:
+            return "two tail"
+        if self.onetail_upper:
+            return "one tail upper limit"
+        if self.onetail_lower:
+            return "one tail lower limit"
+        return "none"
+
+    def __str__(self):
+        return f"{self.lower:g} {self.upper:g} {self.limitTag()}"
+
+
+class MargeStats(ParamResults):
+    """Marginalized 1D statistics per parameter (mean, err, limits list);
+    round-trips the .margestats text format."""
+
+    def loadFromFile(self, filename):
+        """Parse a .margestats file."""
+        textFileLines = self.fileList(filename)
+        lims = textFileLines[0].split(":")[1]
+        self.limits = [float(s.strip()) for s in lims.split(";")]
+        self.hasBestFit = False
+        for line in textFileLines[3:]:
+            if len(line.strip()) == 0:
+                break
+            param = ParamInfo()
+            items = [s.strip() for s in line.split(None, len(self.limits) * 3 + 3)]
+            param.name = items[0]
+            if param.name[-1] == "*":
+                param.isDerived = True
+                param.name = param.name[:-1]
+            param.mean = float(items[1])
+            param.err = float(items[2])
+            param.label = items[-1]
+            param.limits = []
+            for i in range(len(self.limits)):
+                param.limits.append(ParamLimit([float(s) for s in items[3 + i * 3 : 5 + i * 3]], items[5 + i * 3]))
+            self.names.append(param)
+
+    def headerLine(self, inc_limits=False):
+        parForm = self.parFormat()
+        text = parForm % "parameter" + "  "
+        text += "%-15s" % "mean"
+        text += "%-15s" % "sddev"
+        for j, limit in enumerate(self.limits):
+            if inc_limits:
+                tag = "_%.0f%%" % (limit * 100)
+                limtxt = "type"
+            else:
+                tag = str(j + 1)
+                limtxt = "limit" + tag
+            text += "%-15s" % ("lower" + tag)
+            text += "%-15s" % ("upper" + tag)
+            text += "%-7s" % limtxt
+        return text, parForm
+
+    def __str__(self):
+        contours_str = "; ".join([str(c) for c in self.limits])
+        header, parForm = self.headerLine()
+        text = "Marginalized limits: %s\n\n" % contours_str
+        text += header
+        text += "\n"
+        for j, par in enumerate(self.names):
+            text += parForm % (self.name(j, True))
+            text += f"{par.mean:15.7E}{par.err:15.7E}"
+            for lim in par.limits:
+                text += "%15.7E%15.7E  %-5s" % (lim.lower, lim.upper, lim.limitTag())
+            text += "   %s\n" % par.label
+        return text
+
+    def saveAsText(self, filename):
+        """Write the .margestats text format."""
+        with open(filename, "w", encoding="utf-8") as f:
+            f.write(str(self))
+
+    def addBestFit(self, bf):
+        self.hasBestFit = True
+        self.logLike = bf.logLike
+        # drop parameters absent from the best fit
+        self.names = [x for x in self.names if bf.parWithName(x.name) is not None]
+        for par in self.names:
+            param = bf.parWithName(par.name)
+            par.best_fit = param.best_fit
+            par.isDerived = param.isDerived
+
+    def limitText(self, limit):
+        txt = str(round(self.limits[limit - 1] * 100.0))
+        if txt.endswith(".0"):
+            txt = txt.split(".")[0]
+        return txt
+
+    def getColumnLabels(self, limit=2):
+        res = ["Best fit"] if self.hasBestFit else []
+        return res + [self.limitText(limit) + "\\% limits"]
+
+    def texValues(self, formatter, p, limit=2, refResults=None, shiftSigma_indep=False, shiftSigma_subset=False):
+        """Tex snippet(s) for one parameter's constraint (reference
+        ``types.py:824-897``): ±limit merging, chi2 special case, one-tail
+        forms, sci-notation wrapping, σ-shift annotations, best fit."""
+        param = self.parWithName(p if not isinstance(p, ParamInfo) else p.name)
+        if param is None:
+            return None
+        lim = param.limits[limit - 1]
+        sf = 3
+        if param.name.startswith("chi2"):
+            # chi2 is very skewed for low dof: always mean ± sigma or dof
+            res, sigma, _ = formatter.numberFormatter.namesigFigs(
+                param.mean, param.err, param.err, wantSign=False, sci=False
+            )
+            if limit == 1:
+                res += r"\pm " + sigma
+            else:
+                res += r"\,({\nu\rm{:}\,%.1f})" % (param.err**2 / 2)
+        elif lim.twotail:
+            if not formatter.numberFormatter.plusMinusLimit(limit, lim.upper - param.mean, lim.lower - param.mean):
+                res, plus_str, _, exponent = formatter.numberFormatter.namesigFigs(
+                    param.mean, param.err, param.err, wantSign=False, sci=True
+                )
+                res += r"\pm " + plus_str
+            else:
+                res, plus_str, minus_str, exponent = formatter.numberFormatter.namesigFigs(
+                    param.mean, lim.upper - param.mean, lim.lower - param.mean, sci=True
+                )
+                res += "^{" + plus_str + "}_{" + minus_str + "}"
+            if exponent:
+                res = r"\left(\,%s\,\right)" % res + times_ten_power(exponent)
+        elif lim.onetail_upper:
+            res, exponent = formatter.numberFormatter.formatNumber(lim.upper, sf, sci=True)
+            res = "< " + res
+            if exponent:
+                res += times_ten_power(exponent)
+        elif lim.onetail_lower:
+            res, exponent = formatter.numberFormatter.formatNumber(lim.lower, sf, sci=True)
+            res = "> " + res
+            if exponent:
+                res += times_ten_power(exponent)
+        else:
+            res = formatter.noConstraint
+        if refResults is not None and res != formatter.noConstraint:
+            refVal = refResults.parWithName(param.name)
+            if refVal is not None:
+                delta = param.mean - refVal.mean
+                if shiftSigma_indep or shiftSigma_subset:
+                    res += r"\quad("
+                    if shiftSigma_subset:
+                        subset_sigma = np.sqrt(abs(param.err**2 - refVal.err**2))
+                        res += "%+.1f \\sigma_s" % (delta / max(subset_sigma, refVal.err / 20))
+                    if shiftSigma_indep:
+                        indep_sigma = np.sqrt(param.err**2 + refVal.err**2)
+                        res += ", %+.1f \\sigma_i" % (delta / indep_sigma)
+                    res += ")"
+                else:
+                    res += r"\quad(%+.1f \sigma)" % (delta / refVal.err)
+        if self.hasBestFit:
+            rangew = (lim.upper - lim.lower) / 10
+            bestfit, _, _, exponent = formatter.numberFormatter.namesigFigs(param.best_fit, rangew, -rangew, sci=True)
+            if exponent:
+                bestfit += times_ten_power(exponent)
+            return [res, bestfit]
+        return [res]
+
+
+class LikeStats(ParamResults):
+    """Posterior statistics: best-fit sample, likelihood moments, and
+    per-parameter extrema of the N-D confidence regions."""
+
+    def loadFromFile(self, filename):
+        """Parse the summary block of a .likestats file."""
+        textFileLines = self.fileList(filename)
+        results = dict()
+        for line in textFileLines:
+            if len(line.strip()) == 0:
+                break
+            name, value = (x.strip() for x in line.split("="))
+            results[name] = float(value)
+        self.logLike_sample = results.get("Best fit sample -log(Like)")
+        self.logMeanInvLike = results.get("Ln(mean 1/like)")
+        self.meanLogLike = results.get("mean(-Ln(like))")
+        self.logMeanLike = results.get("-Ln(mean like)")
+        self.complexity = results.get("complexity")
+        twiceVarLogLike = results.get("2*Var(Ln(like))")
+        self.varLogLike = 0.5 * twiceVarLogLike if twiceVarLogLike is not None else None
+
+    def likeSummary(self):
+        text = "Best fit sample -log(Like) = %f\n" % self.logLike_sample
+        if self.logMeanInvLike:
+            text += "Ln(mean 1/like) = %f\n" % self.logMeanInvLike
+        text += "mean(-Ln(like)) = %f\n" % self.meanLogLike
+        text += "-Ln(mean like)  = %f\n" % self.logMeanLike
+        text += "2*Var(Ln(like)) = %f\n" % (self.varLogLike * 2.0)
+        return text
+
+    def headerLine(self):
+        return self.parFormat() % "parameter" + "  bestfit        lower1         upper1         lower2         upper2\n"
+
+    def __str__(self):
+        text = self.likeSummary()
+        parForm = self.parFormat()
+        if len(self.names):
+            text += "\n"
+            text += self.headerLine()
+            for j, par in enumerate(self.names):
+                if par.ND_limit_bot.size < 2:
+                    raise Exception("Likestats output assumes at least two contour levels")
+                text += parForm % (self.name(j, True))
+                text += (
+                    f"{par.bestfit_sample:15.7E}{par.ND_limit_bot[0]:15.7E}{par.ND_limit_top[0]:15.7E}"
+                    f"{par.ND_limit_bot[1]:15.7E}{par.ND_limit_top[1]:15.7E}   {par.label}\n"
+                )
+        return text
+
+    def saveAsText(self, filename):
+        """Write the .likestats text format."""
+        with open(filename, "w", encoding="utf-8") as f:
+            f.write(str(self))
+
+
+class ConvergeStats(ParamResults):
+    """Parser for .converge files (R-1 eigenvalues, autocorrelation table)."""
+
+    def loadFromFile(self, filename):
+        try:
+            textFileLines = self.fileList(filename)
+            self.R_eigs = []
+            for i in range(len(textFileLines)):
+                if textFileLines[i].find("var(mean)") >= 0:
+                    for line in textFileLines[i + 1 :]:
+                        if len(line.strip()) == 0:
+                            break
+                        try:
+                            self.R_eigs.append(line.split()[1])
+                        except Exception:
+                            self.R_eigs.append("1e30")
+                elif "Parameter auto-correlations" in textFileLines[i]:
+                    self.auto_correlation_steps = [int(s) for s in textFileLines[i + 2].split()]
+                    self.auto_correlations = []
+                    self.auto_correlation_pars = []
+                    for line in textFileLines[i + 3 :]:
+                        if len(line.strip()) == 0:
+                            break
+                        items = line.split(None, len(self.auto_correlation_steps) + 1)
+                        self.auto_correlation_pars.append(items[0])
+                        self.auto_correlations.append([float(s) for s in items[1:-1]])
+        except Exception:
+            print("Error reading: " + filename)
+            raise
+
+    def worstR(self, default=None):
+        return self.R_eigs[len(self.R_eigs) - 1] if self.R_eigs else default
