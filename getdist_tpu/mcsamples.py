@@ -1675,10 +1675,14 @@ class MCSamples(Chains):
             os.remove(ini_name)
 
     def saveChainsAsText(self, root, make_dirs=False, properties=None):
-        """Save each chain as text plus metadata sidecars."""
-        chain_list = self.getSeparateChains() if self.chains is None else self.chains
-        for i, chain in enumerate(chain_list):
-            chain.saveAsText(root, i, make_dirs)
+        """Save each chain as text plus metadata sidecars (single-chain
+        samples fall back to one unnumbered chain file)."""
+        if self.chains is None and self.chain_offsets is None:
+            super(Chains, self).saveAsText(root, None, make_dirs)
+        else:
+            chain_list = self.getSeparateChains() if self.chains is None else self.chains
+            for i, chain in enumerate(chain_list):
+                chain.saveAsText(root, i, make_dirs)
         self.saveTextMetadata(root, properties)
 
     # -- PCA ----------------------------------------------------------------------

@@ -1,0 +1,585 @@
+"""Fused all-params / all-pairs KDE pipeline (the TPU benchmark kernel).
+
+This is the speed path for the BASELINE workload: all 1D and all-pairs 2D
+marginalized densities of a p-parameter, N-sample weighted chain in a single
+jitted program, vmapped over parameters/pairs, with zero host round trips.
+
+Design (driven by measured v5e characteristics, scripts/probe_timing.py):
+
+* **Binning is one-hot MXU matmuls, not scatter.** XLA scatter-add costs
+  ~7 ms per 1M updates on v5e (~3 s for 435 pairs); a (256, N) x (N, 256)
+  bf16 one-hot contraction hits the MXU at near peak and is *exact* for
+  integer-valued weights (integers < 2^24 accumulate exactly in f32).
+* **No sorts.** Quantiles come from fine-histogram cumulative sums
+  (sorts cost ~4 ms per 1M column); contour levels use bisection on the
+  water level instead of sort+cumsum.
+* **Bandwidths run fully jitted**: the Botev ISJ fixed point is solved by
+  lax.while_loop bisection per parameter (vmapped); the 2D plug-in uses the
+  same psi-functional recursion (static depth, unrolled) with diagonal
+  bandwidths and sample-correlation kernels.
+* **Convolutions are batched rFFTs** over (pairs, pad, pad) grids.
+
+Differences from the parity path (``mcsamples.get*DensityGridData``), all
+at the sub-percent density level and documented here: histogram-based
+quantiles for range estimation (vs exact sample quantiles), a fixed
+log-spaced lag grid for the KDE N_eff estimate (vs adaptive stepping), no
+TNC AMISE correlation optimization (kernel correlation taken from the
+sample correlation, as the reference itself does for high-correlation
+pairs), one shared fine grid size (no corr-adaptive rebinning), and
+boundary correction applied at order 0 in the batch (order-1 pairs can be
+recomputed via the parity path). Accuracy against the parity path is
+regression-tested in tests/test_batched.py.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from getdist_tpu.ops.fft import dct
+
+__all__ = [
+    "prepare_chain",
+    "all_1d_densities",
+    "all_2d_densities",
+    "triangle_densities",
+]
+
+_ROOT_PI = np.sqrt(np.pi)
+_PI_SQ = np.pi**2
+_ISJ_LMAX = 7
+# stage constants for the 1D ISJ recursion, j = lmax-1 .. 2
+_ISJ_CONSTS = tuple(
+    (1 + 0.5 ** (j + 0.5)) / 3 * np.prod(np.arange(1, 2 * j, 2)) / (_ROOT_PI / np.sqrt(2.0))
+    for j in range(_ISJ_LMAX - 1, 1, -1)
+)
+# 2D even-order kernel constants K[j] = phi^(2j)(0)
+_K_EVEN = tuple(
+    [1 / np.sqrt(2 * np.pi)] + [(-1) ** j * np.prod(np.arange(1, 2 * j, 2)) / np.sqrt(2 * np.pi) for j in range(1, 5)]
+)
+
+
+# ---------------------------------------------------------------------------
+# histogram building blocks (MXU one-hot contractions)
+# ---------------------------------------------------------------------------
+
+
+def _onehot_hist_1d(ix, weights, nbins, block=131072):
+    """Weighted histogram of one index column via blocked one-hot matmul.
+
+    ix: (N,) int32 in [0, nbins); returns (nbins,) f32. Exact for integer
+    weights (bf16 one-hot entries are 0/1; products accumulate in f32).
+    """
+    n = ix.shape[0]
+    block = min(block, n)
+    nblk = n // block
+    rem = n - nblk * block
+
+    def block_hist(k):
+        s = k * block
+        sub = jax.lax.dynamic_slice(ix, (s,), (block,))
+        wb = jax.lax.dynamic_slice(weights, (s,), (block,)).astype(jnp.bfloat16)
+        oh = jax.nn.one_hot(sub, nbins, dtype=jnp.bfloat16)
+        return jax.lax.dot_general(wb[None, :], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)[0]
+
+    # map+sum (not a scan carry) so the reduction stays shard_map-friendly
+    hist = jnp.sum(jax.lax.map(block_hist, jnp.arange(nblk)), axis=0)
+    if rem:
+        oh = jax.nn.one_hot(ix[nblk * block :], nbins, dtype=jnp.bfloat16)
+        wb = weights[nblk * block :].astype(jnp.bfloat16)
+        hist = hist + jax.lax.dot_general(
+            wb[None, :], oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )[0]
+    return hist
+
+
+def _pair_hist_256(ix_a, ix_b, weights, block=65536):
+    """(256, 256) weighted 2D histogram (rows = b, cols = a) via blocked
+    one-hot bf16 matmuls: H = (onehot_b * w)^T @ onehot_a."""
+    n = ix_a.shape[0]
+    block = min(block, n)
+    nblk = n // block
+
+    def block_hist(k):
+        s = k * block
+        aa = jax.lax.dynamic_slice(ix_a, (s,), (block,))
+        bb = jax.lax.dynamic_slice(ix_b, (s,), (block,))
+        wb = jax.lax.dynamic_slice(weights, (s,), (block,)).astype(jnp.bfloat16)
+        oa = jax.nn.one_hot(aa, 256, dtype=jnp.bfloat16)
+        ob = jax.nn.one_hot(bb, 256, dtype=jnp.bfloat16) * wb[:, None]
+        return jax.lax.dot_general(ob, oa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    hist = jnp.sum(jax.lax.map(block_hist, jnp.arange(nblk)), axis=0)
+    rem = n - nblk * block
+    if rem:
+        oa = jax.nn.one_hot(ix_a[nblk * block :], 256, dtype=jnp.bfloat16)
+        ob = jax.nn.one_hot(ix_b[nblk * block :], 256, dtype=jnp.bfloat16) * weights[nblk * block :].astype(
+            jnp.bfloat16
+        )[:, None]
+        hist = hist + jax.lax.dot_general(ob, oa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# range / N_eff estimation
+# ---------------------------------------------------------------------------
+
+_QBINS = 4096  # histogram resolution for quantile estimation
+
+
+def _quantiles_from_hist(hist, edges_lo, width, probs):
+    """Approximate weighted quantiles from a fine histogram: linear
+    interpolation on the cumulative mass. probs: (Q,). Returns (Q,)."""
+    cum = jnp.cumsum(hist)
+    norm = cum[-1]
+    targets = probs * norm
+    ix = jnp.clip(jnp.searchsorted(cum, targets), 0, _QBINS - 1)
+    prev = jnp.where(ix > 0, cum[jnp.maximum(ix - 1, 0)], 0.0)
+    frac = jnp.where(hist[ix] > 0, (targets - prev) / jnp.maximum(hist[ix], 1e-30), 0.0)
+    return edges_lo + (ix + frac) * width
+
+
+def _lag_grid(n, max_lag=4096, num=24):
+    """Static log-spaced lag grid for the N_eff estimator."""
+    ks = np.unique(np.geomspace(1, min(max_lag, max(n // 10, 2)), num).astype(np.int64))
+    return tuple(int(k) for k in ks)
+
+
+def _neff_kde_batch(values, weights, sigmas, lags):
+    """Gaussian-KDE effective sample numbers for all parameters.
+
+    Approximates the reference estimator (``chains.py:477-574``) on a fixed
+    log-spaced lag grid: corr_k pair sums with an uncorrelated baseline,
+    trapezoid-integrated over lags until the first drop below
+    min_corr * corr0 (masked, so fully vectorized). The lag loop runs as a
+    single lax.map body with a traced roll shift (an unrolled python loop
+    here costs minutes of XLA compile time).
+    values: (P, N), sigmas: (P,) fiducial scales. Returns (P,).
+    """
+    n = values.shape[1]
+    min_corr = 0.05
+    kernel_std = sigmas * 0.2  # h = 0.2 fiducial kernel fraction
+    inv2 = 1.0 / (4.0 * kernel_std**2)
+
+    def corr_at(k):
+        shifted = jnp.roll(values, -k, axis=1)
+        w_shift = jnp.roll(weights, -k)
+        valid = (jnp.arange(n) < n - k)[None, :]
+        diff2 = (values - shifted) ** 2 * inv2[:, None]
+        return jnp.sum(jnp.where(valid, jnp.exp(-diff2) * weights[None, :] * w_shift[None, :], 0.0), axis=1)
+
+    # uncorrelated baseline from 3 lags near n//2
+    base = n // 2
+    base_lags = jnp.asarray(np.array([base, base + 1, base + 2], np.int32))
+    uncorr = jnp.sum(jax.lax.map(corr_at, base_lags), axis=0)
+    nav = 3 * n - (3 * base + 3)
+    uncorr_term = uncorr / nav
+
+    corr0 = jnp.sum(weights * weights)
+    lags_arr = jnp.asarray(np.array(lags, np.int32))
+    corr_k = jax.lax.map(corr_at, lags_arr)  # (L, P)
+    corr_k = corr_k - (n - lags_arr[:, None]) * uncorr_term[None, :]
+    threshold = min_corr * corr0
+    alive = jnp.cumprod(corr_k >= threshold, axis=0).astype(corr_k.dtype)  # stop at first drop
+    contrib = corr_k * alive
+    # trapezoid over the (uneven) lag grid
+    steps = np.diff(np.concatenate([[0], np.asarray(lags)])).astype(np.float64)
+    weights_lag = jnp.asarray((steps + np.append(np.diff(np.asarray(lags)), 0)) / 2.0)
+    total = corr0 + 2.0 * jnp.sum(contrib * weights_lag[:, None], axis=0)
+    norm = jnp.sum(weights)
+    return norm**2 / total
+
+
+# ---------------------------------------------------------------------------
+# ISJ bandwidths (jitted)
+# ---------------------------------------------------------------------------
+
+
+def _isj_gamma(h2_pi2, big_i, log_i, a2, neff):
+    """gamma functional chain of the 1D ISJ fixed point (vectorized over
+    the DCT modes); h2_pi2 = pi^2 h^2."""
+    f = 2 * np.pi ** (2 * _ISJ_LMAX) * jnp.dot(a2, jnp.exp(_ISJ_LMAX * log_i - big_i * h2_pi2))
+    for j, const in zip(range(_ISJ_LMAX - 1, 1, -1), _ISJ_CONSTS):
+        t_j = (const / neff / f) ** (2 / (3.0 + 2 * j))
+        f = 2 * np.pi ** (2 * j) * jnp.dot(a2, jnp.exp(j * log_i - big_i * (_PI_SQ * t_j)))
+    return f
+
+
+def _isj_bandwidth_1d(bins, neff):
+    """Jitted ISJ bandwidth (fraction of bin range) by bisection on
+    f(h) = h - (2 N sqrt(pi) gamma(h))^{-1/5}. Returns (h, ok)."""
+    nb = bins.shape[0]
+    big_i = (jnp.arange(1, nb, dtype=bins.dtype)) ** 2
+    log_i = jnp.log(big_i)
+    a = dct(bins / jnp.sum(bins))
+    a2 = (a[1:] / 2) ** 2
+
+    def residual(h):
+        f = _isj_gamma(_PI_SQ * h**2, big_i, log_i, a2, neff)
+        return h - (2 * neff * _ROOT_PI * f) ** (-1.0 / 5)
+
+    n_scale = neff ** (-1.0 / 5)
+    # bracket the root around the rule-of-thumb start
+    lo = 0.019 * n_scale
+    hi = 0.6
+    f_lo = residual(lo)
+    f_hi = residual(hi)
+    ok = (f_lo < 0) & (f_hi > 0)
+
+    def body(state):
+        lo_, hi_, _ = state
+        mid = 0.5 * (lo_ + hi_)
+        f_mid = residual(mid)
+        new_lo = jnp.where(f_mid < 0, mid, lo_)
+        new_hi = jnp.where(f_mid < 0, hi_, mid)
+        return new_lo, new_hi, f_mid
+
+    def cond(state):
+        lo_, hi_, _ = state
+        return (hi_ - lo_) > 1e-7 * n_scale
+
+    lo_f, hi_f, _ = jax.lax.while_loop(cond, body, (lo, hi, f_lo))
+    h = 0.5 * (lo_f + hi_f)
+    # fallback: 1.06 sigma-ish rule handled by caller when not ok
+    return h, ok
+
+
+def _psi_2d(s0, s1, time, big_i, log_i, a2):
+    w = -big_i * (_PI_SQ * time)
+    wx = jnp.exp(w + log_i * s0)
+    wy = jnp.exp(w + log_i * s1)
+    return (-1) ** (s0 + s1) * wy @ a2 @ wx * np.pi ** (2 * (s0 + s1)) / 4
+
+
+def _func2d(s0, s1, t, big_i, log_i, a2, neff):
+    """Static-depth unrolled 2D plug-in recursion (reference
+    ``kde_bandwidth.py:188-196``)."""
+    sums = s0 + s1
+    if sums <= 4:
+        sum_func = _func2d(s0 + 1, s1, t, big_i, log_i, a2, neff) + _func2d(s0, s1 + 1, t, big_i, log_i, a2, neff)
+        const = (1 + 0.5 ** (sums + 1)) / 3
+        time = (-2 * const * _K_EVEN[s0] * _K_EVEN[s1] / neff / sum_func) ** (1.0 / (2 + sums))
+        return _psi_2d(s0, s1, time, big_i, log_i, a2)
+    return _psi_2d(s0, s1, t, big_i, log_i, a2)
+
+
+def _isj_bandwidth_2d(hist, neff):
+    """Jitted 2D ISJ diagonal bandwidths (fractions of the bin ranges):
+    t* by bisection on the 2D fixed point, then the closed-form (hx, hy).
+    Returns (hx, hy, ok)."""
+    size = hist.shape[0]
+    big_i = (jnp.arange(1, size, dtype=hist.dtype)) ** 2
+    log_i = jnp.log(big_i)
+    a2 = dct(dct(hist / jnp.sum(hist), axis=0), axis=1)[1:, 1:] ** 2
+
+    def fixed_point(t):
+        sum_func = (
+            _func2d(0, 2, t, big_i, log_i, a2, neff)
+            + _func2d(2, 0, t, big_i, log_i, a2, neff)
+            + 2 * _func2d(1, 1, t, big_i, log_i, a2, neff)
+        )
+        time = (2 * np.pi * neff * sum_func) ** (-1.0 / 3)
+        return (t - time) / time
+
+    lo, hi = 1e-8, 0.1
+    f_lo = fixed_point(lo)
+    f_hi = fixed_point(hi)
+    ok = (f_lo < 0) & (f_hi > 0)
+
+    def body(state):
+        lo_, hi_ = state
+        mid = 0.5 * (lo_ + hi_)
+        f_mid = fixed_point(mid)
+        return jnp.where(f_mid < 0, mid, lo_), jnp.where(f_mid < 0, hi_, mid)
+
+    lo_f, hi_f = jax.lax.while_loop(lambda st: (st[1] - st[0]) > 1e-6, body, (lo, hi))
+    t_star = 0.5 * (lo_f + hi_f)
+
+    p_02 = _func2d(0, 2, t_star, big_i, log_i, a2, neff)
+    p_20 = _func2d(2, 0, t_star, big_i, log_i, a2, neff)
+    p_11 = _func2d(1, 1, t_star, big_i, log_i, a2, neff)
+    denom = 4 * np.pi * neff * (p_11 + jnp.sqrt(p_20 * p_02))
+    h_x = (p_02 ** (3.0 / 4) / (denom * p_20 ** (3.0 / 4))) ** (1.0 / 6)
+    h_y = (p_20 ** (3.0 / 4) / (denom * p_02 ** (3.0 / 4))) ** (1.0 / 6)
+    ok = ok & jnp.isfinite(h_x) & jnp.isfinite(h_y) & (h_x > 0) & (h_y > 0)
+    return h_x, h_y, ok
+
+
+# ---------------------------------------------------------------------------
+# convolution + normalization
+# ---------------------------------------------------------------------------
+
+
+def _gauss_kernel_2d(rx, ry, corr, winw, dtype):
+    """Anisotropic correlated Gaussian window on a fixed (2*winw+1)^2 grid,
+    zeroed outside the per-pair effective support (2.5 * max(rx, ry))."""
+    idx = jnp.arange(-winw, winw + 1, dtype=dtype)
+    iy = idx[:, None]
+    ix = idx[None, :]
+    det = (rx * ry) ** 2 * (1 - corr**2)
+    # inverse of [[ry^2, rx ry c], [rx ry c, rx^2]] (y-major, reference mcsamples.py:1864)
+    c00 = rx**2 / det
+    c11 = ry**2 / det
+    c01 = -rx * ry * corr / det
+    q = iy**2 * c00 + ix**2 * c11 + 2 * c01 * iy * ix
+    support = jnp.maximum(rx, ry) * 2.5
+    win = jnp.exp(-q / 2) * ((jnp.abs(iy) <= support) & (jnp.abs(ix) <= support))
+    return win / jnp.sum(win)
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _conv2d_same_batch(grids, kernels, pad):
+    """Batched 'same' linear convolution via rFFT: grids (K, n, n),
+    kernels (K, m, m) centered; pad >= n + m//2 guarantees no wrap."""
+    n = grids.shape[-1]
+    m = kernels.shape[-1]
+    gf = jnp.fft.rfftn(grids, (pad, pad), axes=(1, 2))
+    kf = jnp.fft.rfftn(kernels, (pad, pad), axes=(1, 2))
+    full = jnp.fft.irfftn(gf * kf, (pad, pad), axes=(1, 2))
+    start = (m - 1) // 2
+    return jax.lax.dynamic_slice(full, (0, start, start), (grids.shape[0], n, n))
+
+
+def _contour_levels_batch(grids, contours, iters=40):
+    """Water-level contour levels by bisection (replaces sort+cumsum):
+    find t per (grid, contour) with sum(P[P > t]) = contour * total, using
+    the reference's half-weighted edges."""
+    shaped = grids
+    edge_weight = jnp.ones(shaped.shape[-2:])
+    edge_weight = edge_weight.at[0, :].mul(0.5).at[-1, :].mul(0.5)
+    edge_weight = edge_weight.at[:, 0].mul(0.5).at[:, -1].mul(0.5)
+    weighted = shaped * edge_weight[None, :, :]
+    norms = jnp.sum(weighted, axis=(1, 2))
+    targets = contours[None, :] * norms[:, None]  # (K, C)
+    lo = jnp.zeros_like(targets)
+    hi = jnp.max(shaped, axis=(1, 2))[:, None] * jnp.ones_like(targets)
+
+    def body(_, state):
+        lo_, hi_ = state
+        mid = 0.5 * (lo_ + hi_)
+        # mass enclosed above level mid
+        mass = jnp.sum(
+            jnp.where(shaped[:, None, :, :] > mid[:, :, None, None], weighted[:, None, :, :], 0.0), axis=(2, 3)
+        )
+        too_much = mass > targets
+        return jnp.where(too_much, mid, lo_), jnp.where(too_much, hi_, mid)
+
+    lo_f, hi_f = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo_f + hi_f)
+
+
+# ---------------------------------------------------------------------------
+# the fused pipelines
+# ---------------------------------------------------------------------------
+
+
+def prepare_chain(samples, weights, dtype=jnp.float32):
+    """Move a chain to device: samples (N, P), weights (N,)."""
+    return jnp.asarray(samples, dtype=dtype), jnp.asarray(weights, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order"))
+def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
+    """All marginalized 1D densities in one program.
+
+    Returns dict with 'x' (P, fine_bins) grids, 'P' (P, fine_bins)
+    peak-normalized densities, 'neff' (P,), 'bandwidth' (P,) in parameter
+    units. Pipeline per parameter (all vmapped): histogram-quantile ranges
+    -> one-hot binning -> ISJ bandwidth (bisection) with rule-of-thumb
+    fallback -> FFT Gaussian convolution -> multiplicative bias correction
+    -> peak normalization.
+    """
+    n, p = samples.shape
+    cols = samples.T  # (P, N)
+    norm = jnp.sum(weights)
+    means = cols @ weights / norm
+    variances = (cols - means[:, None]) ** 2 @ weights / norm
+    sigmas = jnp.sqrt(variances)
+
+    # ranges from histogram quantiles
+    mins = jnp.min(cols, axis=1)
+    maxs = jnp.max(cols, axis=1)
+    spans = maxs - mins
+    qwidth = spans / _QBINS
+
+    def qhist(col, lo, width):
+        ix = jnp.clip(((col - lo) / width).astype(jnp.int32), 0, _QBINS - 1)
+        return _onehot_hist_1d(ix, weights, _QBINS)
+
+    qhists = jax.vmap(qhist)(cols, mins, qwidth)
+    range_conf = 0.001
+    probs = jnp.array([range_conf, 1 - range_conf])
+    quants = jax.vmap(_quantiles_from_hist, in_axes=(0, 0, 0, None))(qhists, mins, qwidth, probs)
+    # pad ranges as the reference does for unbounded parameters
+    smooth_est = sigmas * 0.4
+    range_min = quants[:, 0] - smooth_est * 2
+    range_max = quants[:, 1] + smooth_est * 2
+    binmin = jnp.minimum(mins, range_min) - (range_max - range_min) * 0.1
+    binmax = jnp.maximum(maxs, range_max) + (range_max - range_min) * 0.1
+    fine_width = (binmax - binmin) / (fine_bins - 1)
+
+    def fine_hist(col, lo, width):
+        ix = jnp.clip((((col - lo) / width) + 0.5).astype(jnp.int32), 0, fine_bins - 1)
+        return _onehot_hist_1d(ix, weights, fine_bins)
+
+    bins = jax.vmap(fine_hist)(cols, binmin, fine_width)  # (P, fine_bins)
+
+    # N_eff and ISJ bandwidths
+    neff = _neff_kde_batch(cols, weights, sigmas, _lag_grid(n))
+    h_frac, ok = jax.vmap(_isj_bandwidth_1d)(bins, neff)
+    fallback = 1.06 * sigmas * neff ** (-1.0 / 5) / (binmax - binmin)
+    h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
+    if mult_bias_order:
+        h_frac = h_frac * neff ** (1.0 / 5 - 1.0 / (4 * mult_bias_order + 5))
+    # kernel sigma in bin units (h is a fraction of the bin range)
+    smooth_bins = jnp.clip(h_frac * fine_bins, 1.0, fine_bins // 2)
+
+    # Gaussian convolution via frequency-domain multiplier (periodic pad is
+    # safe: grids have 10% empty borders)
+    pad = int(2 ** np.ceil(np.log2(fine_bins * 1.25)))
+    k = jnp.arange(pad // 2 + 1, dtype=samples.dtype)
+
+    def smooth(b, sigma_bins):
+        mult = jnp.exp(-2.0 * (np.pi * sigma_bins / pad) ** 2 * k**2)
+        spec = jnp.fft.rfft(b, pad)
+        return jnp.fft.irfft(spec * mult, pad)[:fine_bins]
+
+    conv = jax.vmap(smooth)(bins, smooth_bins)
+
+    if mult_bias_order:
+        for _ in range(mult_bias_order):
+            prob1 = jnp.where(conv <= 0, 1.0, conv)
+            flattened = bins / prob1
+            conv = conv * jax.vmap(smooth)(flattened, smooth_bins)
+
+    peak = jnp.max(conv, axis=1)
+    density = conv / peak[:, None]
+    x = binmin[:, None] + fine_width[:, None] * jnp.arange(fine_bins)[None, :]
+    return {
+        "x": x,
+        "P": density,
+        "neff": neff,
+        "bandwidth": h_frac * (binmax - binmin),
+        "sigma": sigmas,
+        "mean": means,
+        "range": (binmin, binmax),
+    }
+
+
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw"))
+def all_2d_densities(
+    samples,
+    weights,
+    pair_a,
+    pair_b,
+    neff,
+    binmin,
+    binmax,
+    contours,
+    fine_bins=256,
+    mult_bias_order=1,
+    winw=30,
+):
+    """All-pairs marginalized 2D densities in one program.
+
+    pair_a/pair_b: (K,) int32 parameter indices per pair; binmin/binmax:
+    (P,) fine ranges from :func:`all_1d_densities`; neff: (P,). Returns
+    dict with 'P' (K, 256, 256) peak-normalized densities (rows = y = b),
+    'contours' (K, C) water levels, and the per-pair kernel parameters.
+    Pipeline: one-hot MXU binning -> 2D ISJ diagonal bandwidths (bisection)
+    with plug-in fallback -> correlated Gaussian kernel (sample correlation,
+    clipped) -> batched FFT convolution -> analytic edge normalization ->
+    multiplicative bias iteration -> contour levels by bisection.
+    """
+    n, p = samples.shape
+    cols = samples.T
+    norm = jnp.sum(weights)
+    means = cols @ weights / norm
+    diffs = cols - means[:, None]
+    cov = (diffs * weights[None, :]) @ diffs.T / norm
+    sd = jnp.sqrt(jnp.diagonal(cov))
+    corr_mat = cov / jnp.outer(sd, sd)
+
+    fine_width = (binmax - binmin) / (fine_bins - 1)
+
+    def fine_ix(col, lo, width):
+        return jnp.clip((((col - lo) / width) + 0.5).astype(jnp.int32), 0, fine_bins - 1)
+
+    ix_all = jax.vmap(fine_ix)(cols, binmin, fine_width)  # (P, N) int32
+
+    def pair_hist(ab):
+        return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights)
+
+    hists = jax.lax.map(pair_hist, (pair_a, pair_b))  # (K, 256, 256)
+
+    pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
+    hx, hy, ok = jax.lax.map(lambda args: _isj_bandwidth_2d(args[0], args[1]), (hists, pair_neff))
+    # plug-in fallback widths (fractions of the bin range)
+    fb_x = (sd[pair_a] / (binmax - binmin)[pair_a]) / pair_neff ** (1.0 / 6)
+    fb_y = (sd[pair_b] / (binmax - binmin)[pair_b]) / pair_neff ** (1.0 / 6)
+    # reject overshoots as the reference fallback rules do
+    good = ok & (hx < 4 * fb_x) & (hy < 4 * fb_y)
+    hx = jnp.where(good, hx, fb_x)
+    hy = jnp.where(good, hy, fb_y)
+    if mult_bias_order:
+        scale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_order)))
+        hx = hx * scale
+        hy = hy * scale
+    # kernel correlation: sample correlation, zeroed when weak, clipped
+    c = corr_mat[pair_a, pair_b]
+    c = jnp.where(jnp.abs(c) < 0.1, 0.0, jnp.clip(c, -0.99, 0.99))
+
+    rx = jnp.clip(hx * fine_bins, 0.8, winw / 2.5)  # bin units
+    ry = jnp.clip(hy * fine_bins, 0.8, winw / 2.5)
+
+    kernels = jax.vmap(lambda a, b, cc: _gauss_kernel_2d(a, b, cc, winw, samples.dtype))(rx, ry, c)
+
+    pad = 1 << int(np.ceil(np.log2(fine_bins + 2 * winw)))
+    smoothed = _conv2d_same_batch(hists, kernels, pad)
+
+    # Multiplicative bias iteration. The reference additionally divides by
+    # an edge-normalization mask a00 (= 1 except within winw of the array
+    # edges); grids here carry 10% empty borders so the affected cells hold
+    # negligible mass — the deviation is quantified in tests/test_batched.py.
+    if mult_bias_order:
+        for _ in range(mult_bias_order):
+            maxes = jnp.max(smoothed, axis=(1, 2), keepdims=True)
+            flat = jnp.where(smoothed > maxes * 1e-8, hists / jnp.where(smoothed == 0, 1.0, smoothed), hists)
+            smoothed = smoothed * _conv2d_same_batch(flat, kernels, pad)
+
+    peak = jnp.max(smoothed, axis=(1, 2), keepdims=True)
+    density = smoothed / peak
+    levels = _contour_levels_batch(density, contours)
+    return {
+        "P": density,
+        "contours": levels,
+        "rx": rx,
+        "ry": ry,
+        "corr": c,
+        "neff": pair_neff,
+    }
+
+
+def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256):
+    """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
+
+    Host-callable; runs the two fused programs and returns their outputs
+    (device arrays). This is the benchmark entry point.
+    """
+    samples, weights = prepare_chain(samples, weights)
+    p = samples.shape[1]
+    d1 = all_1d_densities(samples, weights)
+    pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
+    d2 = all_2d_densities(
+        samples,
+        weights,
+        jnp.asarray(pairs[:, 0]),
+        jnp.asarray(pairs[:, 1]),
+        d1["neff"],
+        d1["range"][0],
+        d1["range"][1],
+        jnp.asarray(np.array(contours, np.float32)),
+        fine_bins=fine_bins_2d,
+    )
+    return d1, d2

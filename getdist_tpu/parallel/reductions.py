@@ -1,0 +1,143 @@
+"""Sharded sample reductions under shard_map.
+
+Each device reduces its local sample shard to the small binned state
+(moments, 1D fine histograms, per-pair 2D histograms); one ``psum`` over
+the sample axis combines them. The collective payload is tiny — p^2 for
+moments, P x fine_bins and K x 256^2 for histograms — so communication
+rides ICI and is negligible next to the local one-hot matmuls.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from getdist_tpu.ops.batched import _onehot_hist_1d, _pair_hist_256, _gauss_kernel_2d, _conv2d_same_batch
+from getdist_tpu.parallel.mesh import SAMPLE_AXIS
+
+__all__ = ["sharded_moments", "sharded_hist_1d", "sharded_pair_hists", "sharded_triangle_step"]
+
+
+def sharded_moments(mesh, samples, weights):
+    """Global weighted (norm, means, cov) from sample-sharded arrays."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(SAMPLE_AXIS, None), P(SAMPLE_AXIS)),
+        out_specs=(P(), P(), P()),
+    )
+    def _local(s, w):
+        norm = jax.lax.psum(jnp.sum(w), SAMPLE_AXIS)
+        first = jax.lax.psum(w @ s, SAMPLE_AXIS)
+        means = first / norm
+        diffs = s - means
+        cov = jax.lax.psum((diffs * w[:, None]).T @ diffs, SAMPLE_AXIS) / norm
+        return norm, means, cov
+
+    return jax.jit(_local)(samples, weights)
+
+
+def sharded_hist_1d(mesh, ix, weights, nbins):
+    """Global weighted histograms for (P, N)-sharded index rows."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, SAMPLE_AXIS), P(SAMPLE_AXIS)),
+        out_specs=P(),
+    )
+    def _local(ix_shard, w_shard):
+        hists = jax.vmap(lambda row: _onehot_hist_1d(row, w_shard, nbins))(ix_shard)
+        return jax.lax.psum(hists, SAMPLE_AXIS)
+
+    return jax.jit(_local)(ix, weights)
+
+
+def sharded_pair_hists(mesh, ix, weights, pair_a, pair_b):
+    """Global (K, 256, 256) pair histograms from sharded index rows."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, SAMPLE_AXIS), P(SAMPLE_AXIS), P(), P()),
+        out_specs=P(),
+    )
+    def _local(ix_shard, w_shard, pa, pb):
+        def one(ab):
+            return _pair_hist_256(ix_shard[ab[0]], ix_shard[ab[1]], w_shard)
+
+        hists = jax.lax.map(one, (pa, pb))
+        return jax.lax.psum(hists, SAMPLE_AXIS)
+
+    return jax.jit(_local)(ix, weights, pair_a, pair_b)
+
+
+@partial(jax.jit, static_argnames=("mesh", "fine_bins", "winw"))
+def sharded_triangle_step(mesh, samples, weights, pair_a, pair_b, fine_bins=128, winw=12):
+    """One full multi-chip triangle-density step (the dry-run target).
+
+    Sample-sharded inputs -> per-shard range reduction (pmax/pmin), fine
+    binning with psum-combined histograms (1D and all pairs), then
+    replicated grid-local smoothing. Returns peak-normalized
+    (P, fine_bins) and (K, fine_bins, fine_bins) densities.
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(SAMPLE_AXIS, None), P(SAMPLE_AXIS), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def _step(s, w, pa, pb):
+        cols = s.T
+        # global ranges
+        mins = jax.lax.pmin(jnp.min(cols, axis=1), SAMPLE_AXIS)
+        maxs = jax.lax.pmax(jnp.max(cols, axis=1), SAMPLE_AXIS)
+        norm = jax.lax.psum(jnp.sum(w), SAMPLE_AXIS)
+        means = jax.lax.psum(cols @ w, SAMPLE_AXIS) / norm
+        variances = jax.lax.psum(((cols - means[:, None]) ** 2) @ w, SAMPLE_AXIS) / norm
+        sigmas = jnp.sqrt(variances)
+
+        span = maxs - mins
+        binmin = mins - 0.1 * span
+        binmax = maxs + 0.1 * span
+        width = (binmax - binmin) / (fine_bins - 1)
+        ix = jnp.clip(
+            (((cols - binmin[:, None]) / width[:, None]) + 0.5).astype(jnp.int32), 0, fine_bins - 1
+        )
+
+        hist1 = jax.vmap(lambda row: _onehot_hist_1d(row, w, fine_bins, block=1024))(ix)
+        hist1 = jax.lax.psum(hist1, SAMPLE_AXIS)
+
+        def one(ab):
+            # 256-wide helper reused at fine_bins<=256 via padding of indices
+            return _pair_hist_256(ix[ab[0]], ix[ab[1]], w, block=1024)[:fine_bins, :fine_bins]
+
+        hist2 = jax.lax.psum(jax.lax.map(one, (pa, pb)), SAMPLE_AXIS)
+
+        # replicated grid-local smoothing (rule-of-thumb bandwidths)
+        neff_proxy = norm**2 / jax.lax.psum(jnp.sum(w * w), SAMPLE_AXIS)
+        h1_bins = jnp.clip(1.06 * sigmas / span * neff_proxy ** (-0.2) * fine_bins, 1.0, fine_bins / 4)
+        k = jnp.arange(fine_bins + 1, dtype=s.dtype)
+
+        def smooth1(b, sig):
+            pad = 2 * fine_bins
+            mult = jnp.exp(-2.0 * (np.pi * sig / pad) ** 2 * jnp.arange(pad // 2 + 1, dtype=s.dtype) ** 2)
+            return jnp.fft.irfft(jnp.fft.rfft(b, pad) * mult, pad)[:fine_bins]
+
+        dens1 = jax.vmap(smooth1)(hist1, h1_bins)
+        dens1 = dens1 / jnp.max(dens1, axis=1, keepdims=True)
+
+        rx = jnp.clip(h1_bins[pa] * 0.8, 0.8, winw / 2.5)
+        ry = jnp.clip(h1_bins[pb] * 0.8, 0.8, winw / 2.5)
+        kernels = jax.vmap(lambda a, b: _gauss_kernel_2d(a, b, jnp.zeros(()), winw, s.dtype))(rx, ry)
+        pad2 = 1 << int(np.ceil(np.log2(fine_bins + 2 * winw)))
+        dens2 = _conv2d_same_batch(hist2, kernels, pad2)
+        dens2 = dens2 / jnp.max(dens2, axis=(1, 2), keepdims=True)
+        return dens1, dens2
+
+    return _step(samples, weights, pair_a, pair_b)

@@ -1,0 +1,114 @@
+"""Fused fast-path (ops.batched) accuracy vs the parity path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from getdist_tpu import chains as tchains
+from getdist_tpu.mcsamples import MCSamples
+from getdist_tpu.ops import batched
+
+tchains.print_load_details = False
+
+
+def make_chain(n=60000, p=4, seed=5):
+    rng = np.random.RandomState(seed)
+    cov = np.eye(p)
+    cov[0, 1] = cov[1, 0] = 0.6
+    steps = rng.multivariate_normal(np.zeros(p), cov, n)
+    x = np.empty((n, p))
+    x[0] = steps[0]
+    rho = 0.7
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + np.sqrt(1 - rho**2) * steps[i]
+    weights = rng.randint(1, 4, n).astype(np.float64)
+    return x, weights
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return make_chain()
+
+
+@pytest.fixture(scope="module")
+def fast(chain):
+    samples, weights = chain
+    return batched.triangle_densities(samples, weights)
+
+
+@pytest.fixture(scope="module")
+def parity(chain):
+    samples, weights = chain
+    return MCSamples(samples=samples.copy(), weights=weights.copy(), names=[f"p{i}" for i in range(samples.shape[1])])
+
+
+def test_1d_close_to_parity(fast, parity):
+    d1, _ = fast
+    P = np.asarray(d1["P"])
+    x = np.asarray(d1["x"])
+    for j, name in enumerate(parity.paramNames.list()):
+        ref = parity.get1DDensityGridData(name)
+        # evaluate reference density on the fast grid (ranges differ slightly
+        # due to histogram quantiles)
+        ref_on_grid = ref.Prob(x[j])
+        scale = np.max(ref_on_grid)
+        mask = ref_on_grid > 1e-4 * scale
+        err = np.max(np.abs(P[j][mask] - ref_on_grid[mask]) / scale)
+        assert err < 0.02, (name, err)
+
+
+def test_1d_neff_reasonable(fast, parity):
+    d1, _ = fast
+    neff = np.asarray(d1["neff"])
+    for j, name in enumerate(parity.paramNames.list()):
+        ref_neff = parity.getEffectiveSamplesGaussianKDE(j)
+        assert 0.5 < neff[j] / ref_neff < 2.0, (name, neff[j], ref_neff)
+
+
+def test_2d_close_to_parity(fast, parity):
+    _, d2 = fast
+    P = np.asarray(d2["P"])
+    names = parity.paramNames.list()
+    p = len(names)
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+    for k, (i, j) in enumerate(pairs):
+        ref = parity.get2DDensityGridData(names[i], names[j], get_density=True)
+        # compare at the reference's grid points via interpolation of ours
+        d1, _ = fast
+        binmin = np.asarray(d1["range"][0])
+        binmax = np.asarray(d1["range"][1])
+        xs = np.linspace(binmin[i], binmax[i], P.shape[2])
+        ys = np.linspace(binmin[j], binmax[j], P.shape[1])
+        from scipy.interpolate import RectBivariateSpline
+
+        mine = RectBivariateSpline(ys, xs, P[k])
+        # sample interior points of the reference grid
+        sel = slice(32, -32, 8)
+        ref_vals = ref.P[sel, sel]
+        yy = ref.y[sel]
+        xx = ref.x[sel]
+        mine_vals = mine(yy, xx)
+        scale = ref_vals.max()
+        mask = ref_vals > 1e-3
+        err = np.max(np.abs(mine_vals[mask] - ref_vals[mask]))
+        assert err < 0.08, ((names[i], names[j]), err)
+
+
+def test_contour_levels_sane(fast):
+    _, d2 = fast
+    levels = np.asarray(d2["contours"])
+    assert np.all(levels > 0) and np.all(levels < 1)
+    # 68% level above 95% level
+    assert np.all(levels[:, 0] > levels[:, 1])
+
+
+def test_contour_levels_match_sort_method(fast):
+    from getdist_tpu.densities import getContourLevels
+
+    _, d2 = fast
+    P = np.asarray(d2["P"])
+    levels = np.asarray(d2["contours"])
+    for k in [0, 3, 5]:
+        ref_levels = getContourLevels(P[k], (0.68, 0.95))
+        np.testing.assert_allclose(levels[k], ref_levels, rtol=0.02, atol=1e-4)

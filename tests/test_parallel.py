@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from getdist_tpu.parallel import (
+    make_mesh,
+    shard_samples,
+    sharded_moments,
+    sharded_hist_1d,
+    sharded_pair_hists,
+    sharded_triangle_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("need multiple (virtual) devices")
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def chain():
+    rng = np.random.RandomState(3)
+    n, p = 16384, 4
+    samples = rng.standard_normal((n, p))
+    samples[:, 1] += 0.5 * samples[:, 0]
+    weights = rng.randint(1, 4, n).astype(np.float64)
+    return samples, weights
+
+
+def test_sharded_moments(mesh, chain):
+    samples, weights = chain
+    dev_s, dev_w = shard_samples(mesh, samples, weights)
+    norm, means, cov = sharded_moments(mesh, dev_s, dev_w)
+    assert float(norm) == weights.sum()
+    expected_means = weights @ samples / weights.sum()
+    np.testing.assert_allclose(np.asarray(means), expected_means, rtol=1e-12)
+    diffs = samples - expected_means
+    expected_cov = (diffs * weights[:, None]).T @ diffs / weights.sum()
+    np.testing.assert_allclose(np.asarray(cov), expected_cov, rtol=1e-10)
+
+
+def test_sharded_hist_matches_local(mesh, chain):
+    samples, weights = chain
+    nbins = 64
+    lo = samples.min(axis=0)
+    hi = samples.max(axis=0)
+    ix = np.clip(((samples - lo) / (hi - lo) * (nbins - 1)).astype(np.int32), 0, nbins - 1).T
+    dev_ix = jax.device_put(jnp.asarray(ix), jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "samples")))
+    dev_w = jax.device_put(jnp.asarray(weights), jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("samples")))
+    hists = np.asarray(sharded_hist_1d(mesh, dev_ix, dev_w, nbins))
+    for j in range(ix.shape[0]):
+        np.testing.assert_allclose(hists[j], np.bincount(ix[j], weights=weights, minlength=nbins), rtol=1e-10)
+
+
+def test_sharded_pair_hists(mesh, chain):
+    samples, weights = chain
+    nbins = 256
+    lo = samples.min(axis=0)
+    hi = samples.max(axis=0)
+    ix = np.clip(((samples - lo) / (hi - lo) * (nbins - 1)).astype(np.int32), 0, nbins - 1).T
+    spec2 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "samples"))
+    spec1 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("samples"))
+    dev_ix = jax.device_put(jnp.asarray(ix), spec2)
+    dev_w = jax.device_put(jnp.asarray(weights), spec1)
+    pa = jnp.asarray([0, 0, 1])
+    pb = jnp.asarray([1, 2, 3])
+    hists = np.asarray(sharded_pair_hists(mesh, dev_ix, dev_w, pa, pb))
+    for k, (a, b) in enumerate([(0, 1), (0, 2), (1, 3)]):
+        expected = np.zeros((nbins, nbins))
+        np.add.at(expected, (ix[b], ix[a]), weights)
+        np.testing.assert_allclose(hists[k], expected, rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_triangle_step(mesh, chain):
+    samples, weights = chain
+    dev_s, dev_w = shard_samples(mesh, samples, weights)
+    pa = jnp.asarray([0, 0, 1])
+    pb = jnp.asarray([1, 2, 2])
+    d1, d2 = sharded_triangle_step(mesh, dev_s, dev_w, pa, pb)
+    d1 = np.asarray(d1)
+    d2 = np.asarray(d2)
+    assert d1.shape == (4, 128)
+    assert d2.shape == (3, 128, 128)
+    np.testing.assert_allclose(d1.max(axis=1), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(d2.max(axis=(1, 2)), 1.0, rtol=1e-6)
+    # peak near the true mean for the smooth gaussian marginals
+    peak_x = np.argmax(d1[0])
+    assert 40 < peak_x < 88
