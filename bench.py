@@ -49,6 +49,7 @@ def make_chain(n, p, seed=7):
 
 
 def run_ours(samples, weights, repeats=3):
+    print("# compiling + first run (cold start can take minutes on the axon tunnel)...", file=sys.stderr)
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def run_ours(samples, weights, repeats=3):
     # tunnel: force a host readback of data depending on everything)
     d1, d2 = full()
     sync = float(jnp.sum(d1["P"]) + jnp.sum(d2["P"]) + jnp.sum(d2["contours"]))
+    print("# compiled; timing warm runs", file=sys.stderr)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()

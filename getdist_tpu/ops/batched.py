@@ -94,6 +94,13 @@ def _onehot_hist_1d(ix, weights, nbins, block=131072):
     return hist
 
 
+def _onehot_hist_rows(ix_rows, weights, nbins, block=131072):
+    """Histograms for (P, N) index rows via lax.map over rows (a vmap of
+    the blocked inner map compiles pathologically slowly on XLA:TPU —
+    minutes vs seconds)."""
+    return jax.lax.map(lambda row: _onehot_hist_1d(row, weights, nbins, block=block), ix_rows)
+
+
 def _pair_hist_256(ix_a, ix_b, weights, block=65536):
     """(256, 256) weighted 2D histogram (rows = b, cols = a) via blocked
     one-hot bf16 matmuls: H = (onehot_b * w)^T @ onehot_a."""
@@ -125,7 +132,7 @@ def _pair_hist_256(ix_a, ix_b, weights, block=65536):
 # range / N_eff estimation
 # ---------------------------------------------------------------------------
 
-_QBINS = 4096  # histogram resolution for quantile estimation
+_QBINS = 1024  # histogram resolution for quantile estimation
 
 
 def _quantiles_from_hist(hist, edges_lo, width, probs):
@@ -403,11 +410,8 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     spans = maxs - mins
     qwidth = spans / _QBINS
 
-    def qhist(col, lo, width):
-        ix = jnp.clip(((col - lo) / width).astype(jnp.int32), 0, _QBINS - 1)
-        return _onehot_hist_1d(ix, weights, _QBINS)
-
-    qhists = jax.vmap(qhist)(cols, mins, qwidth)
+    qix = jnp.clip(((cols - mins[:, None]) / qwidth[:, None]).astype(jnp.int32), 0, _QBINS - 1)
+    qhists = _onehot_hist_rows(qix, weights, _QBINS)
     range_conf = 0.001
     probs = jnp.array([range_conf, 1 - range_conf])
     quants = jax.vmap(_quantiles_from_hist, in_axes=(0, 0, 0, None))(qhists, mins, qwidth, probs)
@@ -419,11 +423,10 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     binmax = jnp.maximum(maxs, range_max) + (range_max - range_min) * 0.1
     fine_width = (binmax - binmin) / (fine_bins - 1)
 
-    def fine_hist(col, lo, width):
-        ix = jnp.clip((((col - lo) / width) + 0.5).astype(jnp.int32), 0, fine_bins - 1)
-        return _onehot_hist_1d(ix, weights, fine_bins)
-
-    bins = jax.vmap(fine_hist)(cols, binmin, fine_width)  # (P, fine_bins)
+    fine_ix = jnp.clip(
+        (((cols - binmin[:, None]) / fine_width[:, None]) + 0.5).astype(jnp.int32), 0, fine_bins - 1
+    )
+    bins = _onehot_hist_rows(fine_ix, weights, fine_bins)  # (P, fine_bins)
 
     # N_eff and ISJ bandwidths
     neff = _neff_kde_batch(cols, weights, sigmas, _lag_grid(n))

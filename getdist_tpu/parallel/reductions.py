@@ -15,7 +15,13 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from getdist_tpu.ops.batched import _onehot_hist_1d, _pair_hist_256, _gauss_kernel_2d, _conv2d_same_batch
+from getdist_tpu.ops.batched import (
+    _conv2d_same_batch,
+    _gauss_kernel_2d,
+    _onehot_hist_1d,
+    _onehot_hist_rows,
+    _pair_hist_256,
+)
 from getdist_tpu.parallel.mesh import SAMPLE_AXIS
 
 __all__ = ["sharded_moments", "sharded_hist_1d", "sharded_pair_hists", "sharded_triangle_step"]
@@ -51,7 +57,7 @@ def sharded_hist_1d(mesh, ix, weights, nbins):
         out_specs=P(),
     )
     def _local(ix_shard, w_shard):
-        hists = jax.vmap(lambda row: _onehot_hist_1d(row, w_shard, nbins))(ix_shard)
+        hists = _onehot_hist_rows(ix_shard, w_shard, nbins)
         return jax.lax.psum(hists, SAMPLE_AXIS)
 
     return jax.jit(_local)(ix, weights)
@@ -110,7 +116,7 @@ def sharded_triangle_step(mesh, samples, weights, pair_a, pair_b, fine_bins=128,
             (((cols - binmin[:, None]) / width[:, None]) + 0.5).astype(jnp.int32), 0, fine_bins - 1
         )
 
-        hist1 = jax.vmap(lambda row: _onehot_hist_1d(row, w, fine_bins, block=1024))(ix)
+        hist1 = _onehot_hist_rows(ix, w, fine_bins, block=1024)
         hist1 = jax.lax.psum(hist1, SAMPLE_AXIS)
 
         def one(ab):

@@ -1,0 +1,86 @@
+"""End-to-end CLI test (reference GetDistFileTest model,
+getdist_test.py:59-100): run the batch script on simulated chains, check
+outputs and the "-Ln(mean like)" statistic, then execute an emitted plot
+script and check the figure file exists."""
+
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from getdist_tpu import chains as tchains
+from getdist_tpu.command_line import getdist_command, getdist_script, make_param_file
+from getdist_tpu.gaussian_mixtures import Mixture2D
+
+tchains.print_load_details = False
+
+
+@pytest.fixture(scope="module")
+def chain_dir(tmp_path_factory):
+    tempdir = tmp_path_factory.mktemp("cli_chains")
+    random_state = np.random.default_rng(10)
+    prob = Mixture2D([[-1, 0], [1, 0]], [(2 / 3, 2 / 3, 0), (2 / 3, 2 / 3, 0)], label="bimodal")
+    root = os.path.join(str(tempdir), "testchain")
+    for n in range(3):
+        mcsamples = prob.MCSamples(4000, logLikes=True, random_state=random_state)
+        mcsamples.saveAsText(root, chain_index=n)
+    return str(tempdir), root
+
+
+def test_cli_default_settings(chain_dir, tmp_path, monkeypatch):
+    tempdir, root = chain_dir
+    monkeypatch.chdir(tmp_path)
+    args = types.SimpleNamespace(ini_file=root, chain_root=None, ignore_rows=None, make_plots=False)
+    output = getdist_script(args, exit_on_error=False)
+    # reference anchor: "-Ln(mean like) = 2.31" (getdist_test.py:75)
+    assert "-Ln(mean like)  = 2.31" in output
+    assert os.path.exists(tmp_path / "testchain.margestats")
+    assert os.path.exists(tmp_path / "testchain.likestats")
+    assert os.path.exists(tmp_path / "testchain.covmat")
+    assert os.path.exists(tmp_path / "testchain.corr")
+    assert os.path.exists(tmp_path / "testchain.converge")
+
+
+def test_cli_param_file_and_plots(chain_dir, tmp_path, monkeypatch):
+    tempdir, root = chain_dir
+    monkeypatch.chdir(tmp_path)
+    make_param_file("testpars.ini", feedback=False)
+    from getdist_tpu.inifile import IniFile
+
+    ini = IniFile("testpars.ini")
+    ini.params.update(
+        {
+            "triangle_plot": "T",
+            "no_plots": "F",
+            "plot_2D_num": "1",
+            "plot1": "x y",
+            "num_3D_plots": "1",
+            "3D_plot1": "x y x",
+            "plot_ext": "py",
+            "out_dir": str(tmp_path),
+            "file_root": root,
+        }
+    )
+    ini.saveFile("testpars.ini")
+    args = types.SimpleNamespace(ini_file="testpars.ini", chain_root=root, ignore_rows=0.1, make_plots=False)
+    getdist_script(args, exit_on_error=False)
+    # plot scripts written
+    for tag in ["", "_2D", "_tri", "_3D"]:
+        assert os.path.exists(tmp_path / f"testchain{tag}.py"), tag
+    # executing the emitted triangle script produces the figure file
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("MPLBACKEND", "Agg")
+    result = subprocess.run(
+        [sys.executable, str(tmp_path / "testchain_tri.py")], capture_output=True, text=True, env=env, cwd=tmp_path
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert os.path.exists(tmp_path / "testchain_tri.pdf")
+
+
+def test_cli_version_flag(capsys):
+    with pytest.raises(SystemExit):
+        getdist_command(["--version"])
