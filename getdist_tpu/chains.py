@@ -117,7 +117,18 @@ def findChainFileRoot(chain_dir, root, search_subdirectories=True):
 
 
 def loadNumpyTxt(fname, skiprows=None):
-    """Load a numpy array from a whitespace-separated text file."""
+    """Load a numpy array from a whitespace-separated text file.
+
+    Uses the native multi-threaded parser (getdist_tpu._native) when
+    available, falling back to np.loadtxt (reference ``chains.py:115``)."""
+    try:
+        from getdist_tpu import _native
+
+        data = _native.load_chain_text(fname, skiprows or 0)
+        if data is not None:
+            return np.atleast_2d(data)
+    except Exception:
+        pass
     try:
         return np.atleast_2d(np.loadtxt(fname, skiprows=skiprows or 0))
     except ValueError:
