@@ -88,7 +88,14 @@ _LAZY_EXPORTS = {
     "ParamNames": "getdist_tpu.paramnames",
     "get_single_plotter": "getdist_tpu.plots",
     "get_subplot_plotter": "getdist_tpu.plots",
+    "ParamBounds": "getdist_tpu.parampriors",
+    "CovMat": "getdist_tpu.covmat",
+    "plots": "getdist_tpu.plots",
+    "types": "getdist_tpu.types",
+    "densities": "getdist_tpu.densities",
+    "gaussian_mixtures": "getdist_tpu.gaussian_mixtures",
 }
+_MODULE_EXPORTS = {"chains", "plots", "types", "densities", "gaussian_mixtures"}
 
 
 def __getattr__(name):
@@ -98,6 +105,6 @@ def __getattr__(name):
     import importlib
 
     module = importlib.import_module(mod)
-    if name == "chains":
+    if name in _MODULE_EXPORTS:
         return module
     return getattr(module, name)

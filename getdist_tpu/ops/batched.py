@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from getdist_tpu.ops.fft import dct
+from getdist_tpu.ops.fft import dct, next_fast_len
 
 __all__ = [
     "prepare_chain",
@@ -470,7 +470,7 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     }
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw"))
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas"))
 def all_2d_densities(
     samples,
     weights,
@@ -483,6 +483,7 @@ def all_2d_densities(
     fine_bins=256,
     mult_bias_order=1,
     winw=30,
+    use_pallas=False,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -511,13 +512,29 @@ def all_2d_densities(
 
     ix_all = jax.vmap(fine_ix)(cols, binmin, fine_width)  # (P, N) int32
 
-    def pair_hist(ab):
-        return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights)
+    if use_pallas and fine_bins == 256:
+        # VMEM-resident one-hot binning kernel: ~2x the XLA one-hot matmul
+        # (no HBM one-hot traffic); pad samples to the block size with
+        # zero-weight rows
+        from getdist_tpu.ops.pallas_kernels import pair_histograms
 
-    hists = jax.lax.map(pair_hist, (pair_a, pair_b))  # (K, 256, 256)
+        block = 4096
+        n_pad = (-n) % block
+        ix_t = jnp.pad(ix_all.T, ((0, n_pad), (0, 0)))
+        w_pad = jnp.pad(weights, (0, n_pad))
+        hists = pair_histograms(ix_t, w_pad, pair_a, pair_b, block=block)
+    else:
+
+        def pair_hist(ab):
+            return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights)
+
+        hists = jax.lax.map(pair_hist, (pair_a, pair_b))  # (K, 256, 256)
 
     pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
-    hx, hy, ok = jax.lax.map(lambda args: _isj_bandwidth_2d(args[0], args[1]), (hists, pair_neff))
+    # vmap (not lax.map): all pairs bisect in lockstep so each psi
+    # functional evaluates as one large batched contraction instead of 435
+    # latency-bound small matvecs
+    hx, hy, ok = jax.vmap(_isj_bandwidth_2d)(hists, pair_neff)
     # plug-in fallback widths (fractions of the bin range)
     fb_x = (sd[pair_a] / (binmax - binmin)[pair_a]) / pair_neff ** (1.0 / 6)
     fb_y = (sd[pair_b] / (binmax - binmin)[pair_b]) / pair_neff ** (1.0 / 6)
@@ -538,7 +555,7 @@ def all_2d_densities(
 
     kernels = jax.vmap(lambda a, b, cc: _gauss_kernel_2d(a, b, cc, winw, samples.dtype))(rx, ry, c)
 
-    pad = 1 << int(np.ceil(np.log2(fine_bins + 2 * winw)))
+    pad = next_fast_len(fine_bins + 2 * winw)
     smoothed = _conv2d_same_batch(hists, kernels, pad)
 
     # Multiplicative bias iteration. The reference additionally divides by
@@ -564,12 +581,15 @@ def all_2d_densities(
     }
 
 
-def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256):
+def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256, use_pallas=None):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
     Host-callable; runs the two fused programs and returns their outputs
-    (device arrays). This is the benchmark entry point.
+    (device arrays). This is the benchmark entry point. The Pallas binning
+    kernel is used automatically on TPU backends (use_pallas overrides).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
     d1 = all_1d_densities(samples, weights)
@@ -584,5 +604,6 @@ def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256
         d1["range"][1],
         jnp.asarray(np.array(contours, np.float32)),
         fine_bins=fine_bins_2d,
+        use_pallas=use_pallas,
     )
     return d1, d2
