@@ -56,6 +56,7 @@ def run_ours(samples, weights, repeats=3):
     from getdist_tpu.ops import batched
 
     dev_s, dev_w = batched.prepare_chain(samples, weights)
+    use_pallas = jax.default_backend() != "cpu"
     p = dev_s.shape[1]
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
     pa = jnp.asarray(pairs[:, 0])
@@ -65,7 +66,7 @@ def run_ours(samples, weights, repeats=3):
     def full():
         d1 = batched.all_1d_densities(dev_s, dev_w)
         d2 = batched.all_2d_densities(
-            dev_s, dev_w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], contours
+            dev_s, dev_w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], contours, use_pallas=use_pallas
         )
         return d1, d2
 

@@ -269,6 +269,16 @@ class WeightedSamples:
         self._device_cache = None
 
     # -- device bridge ---------------------------------------------------------
+    @staticmethod
+    def _device_stats_ok():
+        """Whether device statistics keep reference (f64) accuracy: true on
+        accelerators (f32 is the intended fast mode there) and on CPU when
+        x64 is enabled; on f32-only CPU configs we fall back to numpy so
+        results never silently degrade below the reference."""
+        import jax
+
+        return jax.config.jax_enable_x64 or jax.default_backend() != "cpu"
+
     def _dev(self):
         """Device-resident (samples, weights, loglikes) arrays, cached until
         the host copies mutate. This is the host->HBM boundary."""
@@ -309,6 +319,12 @@ class WeightedSamples:
     # -- moments -------------------------------------------------------------
     def setMeans(self):
         """Compute and cache weighted means (device matvec)."""
+        if not self._device_stats_ok():
+            self.means = self.weights.dot(self.samples) / self.norm
+            self.mean_loglike = (
+                float(self.weights.dot(self.loglikes) / self.norm) if self.loglikes is not None else None
+            )
+            return self.means
         dev_samples, dev_weights, dev_loglikes = self._dev()
         self.means = np.asarray(_stats.weighted_mean(dev_samples, dev_weights))
         if self.loglikes is not None:
@@ -329,8 +345,12 @@ class WeightedSamples:
         """Weighted parameter variances (cached; also sets sddev)."""
         if self.means is None:
             self.setMeans()
-        dev_samples, dev_weights, _ = self._dev()
-        self.vars = np.asarray(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(self.means)))
+        if not self._device_stats_ok():
+            diffs = self.samples - self.means
+            self.vars = self.weights.dot(diffs * diffs) / self.norm
+        else:
+            dev_samples, dev_weights, _ = self._dev()
+            self.vars = np.asarray(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(self.means)))
         self.sddev = np.sqrt(self.vars)
         return self.vars
 
@@ -399,6 +419,9 @@ class WeightedSamples:
         (all parameters by default). All-parameter case runs as a single
         device matmul."""
         if pars is None and where is None:
+            if not self._device_stats_ok():
+                diffs = self.samples - self.getMeans()
+                return (diffs * self.weights[:, None]).T @ diffs / self.norm
             dev_samples, dev_weights, _ = self._dev()
             return np.asarray(_stats.weighted_cov(dev_samples, dev_weights))
         diffs = self.mean_diffs(pars, where)

@@ -520,7 +520,7 @@ def all_2d_densities(
 
         block = 4096
         n_pad = (-n) % block
-        ix_t = jnp.pad(ix_all.T, ((0, n_pad), (0, 0)))
+        ix_t = jnp.pad(ix_all.T, ((0, n_pad), (0, 0))).astype(jnp.uint8)
         w_pad = jnp.pad(weights, (0, n_pad))
         hists = pair_histograms(ix_t, w_pad, pair_a, pair_b, block=block)
     else:

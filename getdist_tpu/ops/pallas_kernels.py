@@ -36,10 +36,13 @@ def _pair_hist_kernel(pair_a_ref, pair_b_ref, ix_ref, w_ref, out_ref):
     # select the pair's two index columns by masked reduction over the
     # (small) parameter axis — avoids dynamic lane slicing
     param_lane = jax.lax.broadcasted_iota(jnp.int32, (block, nparam), 1)
-    ix_block = ix_ref[...]
+    ix_block = ix_ref[...].astype(jnp.int32)
     col_a = jnp.sum(jnp.where(param_lane == pair_a_ref[k], ix_block, 0), axis=1)
     col_b = jnp.sum(jnp.where(param_lane == pair_b_ref[k], ix_block, 0), axis=1)
 
+    # compare -> astype is the Mosaic-friendly one-hot pattern (where() with
+    # scalar branches trips an i1 relayout bug); weight multiply is exact
+    # since each one-hot element is 0 or 1
     lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
     onehot_a = (col_a[:, None] == lanes).astype(jnp.bfloat16)
     onehot_b = (col_b[:, None] == lanes).astype(jnp.bfloat16)
@@ -53,10 +56,11 @@ def _pair_hist_kernel(pair_a_ref, pair_b_ref, ix_ref, w_ref, out_ref):
 def pair_histograms(ix_t, weights, pair_a, pair_b, block=4096, interpret=False):
     """(K, 256, 256) weighted 2D histograms for K parameter pairs.
 
-    ix_t: (N, P) int32 fine-bin indices in [0, 256) (samples-major);
-    weights: (N,); pair_a/pair_b: (K,) int32 parameter indices. Rows = b,
-    cols = a (matching ``_pair_hist_256``). N must be a multiple of
-    ``block`` (pad with zero-weight samples).
+    ix_t: (N, P) integer fine-bin indices in [0, 256) (samples-major; pass
+    uint8 to quarter the index HBM traffic); weights: (N,); pair_a/pair_b:
+    (K,) int32 parameter indices. Rows = b, cols = a (matching
+    ``_pair_hist_256``). N must be a multiple of ``block`` (pad with
+    zero-weight samples).
     """
     n, p = ix_t.shape
     k = pair_a.shape[0]
@@ -78,7 +82,7 @@ def pair_histograms(ix_t, weights, pair_a, pair_b, block=4096, interpret=False):
         out_shape=jax.ShapeDtypeStruct((k, 256, 256), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 256 * 256 * n * k,
-            bytes_accessed=(p * 4 + 4) * n * k + 4 * 256 * 256 * k,
+            bytes_accessed=(p * ix_t.dtype.itemsize + 4) * n * k + 4 * 256 * 256 * k,
             transcendentals=0,
         ),
         interpret=interpret,
