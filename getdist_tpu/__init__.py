@@ -69,6 +69,23 @@ def set_logging(log_level):
     logging.basicConfig(level=log_level)
 
 
+def get_defaults_file(name="analysis_defaults.ini"):
+    """Path of a packaged defaults ini (reference getdist/__init__.py:16-17)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+def get_config():
+    """The package config as an IniFile: $GETDIST_TPU_CONFIG or the packaged
+    config.ini, empty if neither exists (reference getdist/__init__.py:26-33)."""
+    from getdist_tpu.inifile import IniFile
+
+    return IniFile(_config_file) if os.path.exists(_config_file) else IniFile()
+
+
+# legacy-compatibility flag carried by the reference (getdist/__init__.py:63)
+use_plot_data = False
+
+
 if loglevel:
     set_logging(loglevel)
 
@@ -78,6 +95,7 @@ default_getdist_settings = os.path.join(os.path.dirname(__file__), "analysis_def
 # Convenience API re-exports (lazy to keep bare import cheap and to avoid
 # importing jax before the caller has a chance to configure platforms/x64).
 _LAZY_EXPORTS = {
+    "WeightedSamples": "getdist_tpu.chains",
     "MCSamples": "getdist_tpu.mcsamples",
     "loadMCSamples": "getdist_tpu.mcsamples",
     "loadCobayaSamples": "getdist_tpu.cobaya_interface",

@@ -339,6 +339,13 @@ def getdist_command(args=None):
         return getdist_script(args)
 
 
+def getdist_gui():
+    """Entry point launching the Qt desktop GUI (reference command_line.py:357-360)."""
+    from getdist_tpu.gui.mainwindow import run_gui
+
+    run_gui()
+
+
 def getdist_streamlit():
     """Entry point launching the streamlit web GUI."""
     import importlib.util
