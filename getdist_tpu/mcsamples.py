@@ -1283,7 +1283,9 @@ class MCSamples(Chains):
         flatixv = self._flattenValues(ixs, xsizes)
         if np.count_nonzero(np.asarray(ixs) - self._unflattenValues(flatixv, xsizes)) != 0:
             raise ValueError("flatten/unflatten inconsistent")
-        hist = np.asarray(
+        # np.array (not asarray): device arrays give read-only views, and the
+        # caller divides the histogram in place by the edge mask
+        hist = np.array(
             weighted_bincount(jnp.asarray(flatixv), jnp.asarray(self.weights), int(np.prod(xsizes)))
         ).reshape(xsizes[::-1], order="C")
         return hist, flatixv

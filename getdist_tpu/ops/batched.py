@@ -520,9 +520,9 @@ def all_2d_densities(
 
         block = 4096
         n_pad = (-n) % block
-        ix_t = jnp.pad(ix_all.T, ((0, n_pad), (0, 0))).astype(jnp.uint8)
+        ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
         w_pad = jnp.pad(weights, (0, n_pad))
-        hists = pair_histograms(ix_t, w_pad, pair_a, pair_b, block=block)
+        hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
     else:
 
         def pair_hist(ab):

@@ -4,14 +4,21 @@ The XLA one-hot-matmul histogram materializes (block, 256) bf16 one-hot
 matrices in HBM: for the 435-pair benchmark that is ~440 GB of traffic and
 dominates the pipeline (~1.8 s measured). This kernel builds the one-hots
 in VMEM inside the MXU loop, so HBM traffic drops to the index/weight reads
-and the kernel runs compute-bound.
+and the kernel runs compute-bound (~2.7x the XLA variant measured).
 
-Layout notes (Mosaic block constraints): indices are passed transposed as
-(N, P) so each sample block is (block, P) with the last dimension equal to
-the full array dimension; the pair's two columns are selected in-kernel by
-masked lane reduction (P is small). Pair indices arrive via scalar
-prefetch; grid is (pairs, sample-blocks) with the (256, 256) accumulator
-living in the revisited output block.
+Design (measured by per-stage knockouts on v5e):
+- pair columns are pre-gathered on the XLA side into (K/G, 2G, N) uint8
+  stacks, so the kernel indexes sublanes statically instead of doing a
+  masked reduction over the parameter axis per step (-220 ms at K=435,
+  N=1M);
+- G pairs are processed per grid step (sharing the lane iota, the bf16
+  weight column and the index block);
+- one-hots are built compare -> astype: jnp.where with scalar or even
+  array branches trips Mosaic relayout/compile bugs on this toolchain;
+- the weight multiply is exact because one-hot elements are 0/1 and the
+  products are accumulated in f32 (preferred_element_type);
+- block sizes > 4096 crash the AOT compile helper at full grid sizes
+  ("Failed to find host..."), so 4096 is the ceiling here.
 """
 
 import functools
@@ -24,66 +31,68 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pair_histograms"]
 
 
-def _pair_hist_kernel(pair_a_ref, pair_b_ref, ix_ref, w_ref, out_ref):
-    block, nparam = ix_ref.shape
-    i = pl.program_id(1)
-    k = pl.program_id(0)
+def _make_kernel(group, block):
+    def kernel(cols_ref, w_ref, out_ref):
+        i = pl.program_id(1)
 
-    @pl.when(i == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
-    # select the pair's two index columns by masked reduction over the
-    # (small) parameter axis — avoids dynamic lane slicing
-    param_lane = jax.lax.broadcasted_iota(jnp.int32, (block, nparam), 1)
-    ix_block = ix_ref[...].astype(jnp.int32)
-    col_a = jnp.sum(jnp.where(param_lane == pair_a_ref[k], ix_block, 0), axis=1)
-    col_b = jnp.sum(jnp.where(param_lane == pair_b_ref[k], ix_block, 0), axis=1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
+        wb = w_ref[:, 0].astype(jnp.bfloat16)[:, None]
+        for j in range(group):
+            col_a = cols_ref[0, 2 * j].astype(jnp.int32)
+            col_b = cols_ref[0, 2 * j + 1].astype(jnp.int32)
+            onehot_a = (col_a[:, None] == lanes).astype(jnp.bfloat16)
+            weighted_b = (col_b[:, None] == lanes).astype(jnp.bfloat16) * wb
+            out_ref[0, j] += jax.lax.dot_general(
+                weighted_b, onehot_a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
-    # compare -> astype is the Mosaic-friendly one-hot pattern (where() with
-    # scalar branches trips an i1 relayout bug); weight multiply is exact
-    # since each one-hot element is 0 or 1
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
-    onehot_a = (col_a[:, None] == lanes).astype(jnp.bfloat16)
-    onehot_b = (col_b[:, None] == lanes).astype(jnp.bfloat16)
-    weighted_b = onehot_b * w_ref[:, 0].astype(jnp.bfloat16)[:, None]
-    out_ref[0] += jax.lax.dot_general(
-        weighted_b, onehot_a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def pair_histograms(ix_t, weights, pair_a, pair_b, block=4096, interpret=False):
+@functools.partial(jax.jit, static_argnames=("block", "group", "interpret"))
+def pair_histograms(ix_pm, weights, pair_a, pair_b, block=4096, group=8, interpret=False):
     """(K, 256, 256) weighted 2D histograms for K parameter pairs.
 
-    ix_t: (N, P) integer fine-bin indices in [0, 256) (samples-major; pass
-    uint8 to quarter the index HBM traffic); weights: (N,); pair_a/pair_b:
-    (K,) int32 parameter indices. Rows = b, cols = a (matching
-    ``_pair_hist_256``). N must be a multiple of ``block`` (pad with
-    zero-weight samples).
+    ix_pm: (P, N) integer fine-bin indices in [0, 256), parameter-major
+    (pass uint8 to quarter the index HBM traffic); weights: (N,);
+    pair_a/pair_b: (K,) int32 parameter indices. Rows = b, cols = a
+    (matching ``_pair_hist_256``). N must be a multiple of ``block`` (pad
+    with zero-weight samples). ``group`` pairs are computed per grid step.
     """
-    n, p = ix_t.shape
+    p, n = ix_pm.shape
     k = pair_a.shape[0]
     assert n % block == 0, "sample count must be a multiple of the block size"
-    nblk = n // block
+    k_pad = (-k) % group
+    pa = jnp.pad(pair_a, (0, k_pad))
+    pb = jnp.pad(pair_b, (0, k_pad))
+    kp = k + k_pad
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(k, nblk),
+    # XLA-side pre-gather of each pair's two index rows, interleaved
+    # [a0, b0, a1, b1, ...] in groups of `group` pairs
+    cols = jnp.stack([jnp.take(ix_pm, pa, axis=0), jnp.take(ix_pm, pb, axis=0)], axis=1)
+    cols = cols.reshape(kp // group, 2 * group, n)
+
+    out = pl.pallas_call(
+        _make_kernel(group, block),
+        grid=(kp // group, n // block),
         in_specs=[
-            pl.BlockSpec((block, p), lambda kk, ii, pa, pb: (ii, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda kk, ii, pa, pb: (ii, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * group, block), lambda kk, ii: (kk, 0, ii), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda kk, ii: (ii, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 256, 256), lambda kk, ii, pa, pb: (kk, 0, 0), memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _pair_hist_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, 256, 256), jnp.float32),
+        out_specs=pl.BlockSpec((1, group, 256, 256), lambda kk, ii: (kk, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp // group, group, 256, 256), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 256 * 256 * n * k,
-            bytes_accessed=(p * ix_t.dtype.itemsize + 4) * n * k + 4 * 256 * 256 * k,
+            flops=2 * 256 * 256 * n * kp,
+            bytes_accessed=(2 * ix_pm.dtype.itemsize + 4) * n * kp + 4 * 256 * 256 * kp,
             transcendentals=0,
         ),
+        # the default 16MB scoped-vmem compiler limit is conservative (v5e
+        # has 128MB VMEM); the unrolled G-pair loop's temporaries need ~20MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(pair_a, pair_b, ix_t, weights[:, None])
+    )(cols, weights[:, None])
+    return out.reshape(kp, 256, 256)[:k]

@@ -1,0 +1,70 @@
+"""Kernel v3 prototype: XLA pre-gathered pair columns, 4 pairs per grid step
+(8-row uint8 blocks, static sublane indexing), vs v1."""
+import functools, time, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+sys.path.insert(0, "/root/repo")
+
+N, P, BLK = 1_048_576, 30, 4096
+G = 4  # pairs per grid step
+rng = np.random.RandomState(0)
+ix_np = rng.randint(0, 256, (N, P))
+w = jnp.asarray(rng.randint(1, 5, N).astype(np.float32))
+pairs = np.array([(i, j) for i in range(P) for j in range(i + 1, P)], np.int32)
+K = len(pairs)
+Kp = ((K + G - 1) // G) * G
+pad_pairs = np.vstack([pairs, np.zeros((Kp - K, 2), np.int32)])
+ix_pm = jnp.asarray(ix_np.T.astype(np.uint8))        # (P, N)
+pa, pb = jnp.asarray(pad_pairs[:, 0]), jnp.asarray(pad_pairs[:, 1])
+
+def kern(cols_ref, w_ref, out_ref):
+    i = pl.program_id(1)
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+    block = w_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
+    wb = w_ref[:, 0].astype(jnp.bfloat16)[:, None]
+    for j in range(G):
+        col_a = cols_ref[0, 2 * j].astype(jnp.int32)
+        col_b = cols_ref[0, 2 * j + 1].astype(jnp.int32)
+        onehot_a = (col_a[:, None] == lanes).astype(jnp.bfloat16)
+        weighted_b = (col_b[:, None] == lanes).astype(jnp.bfloat16) * wb
+        out_ref[0, j] += jax.lax.dot_general(weighted_b, onehot_a, (((0,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+
+@jax.jit
+def v3(ix_pm, weights, pa, pb):
+    p, n = ix_pm.shape
+    # XLA-side pre-gather: (Kp/G, 2G, N) pair-column stacks
+    ga = jnp.take(ix_pm, pa, axis=0)   # (Kp, N)
+    gb = jnp.take(ix_pm, pb, axis=0)
+    cols = jnp.stack([ga, gb], axis=1).reshape(Kp // G, 2 * G, n)
+    grid = (Kp // G, n // BLK)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 2 * G, BLK), lambda kk, ii: (kk, 0, ii), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BLK, 1), lambda kk, ii: (ii, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, G, 256, 256), lambda kk, ii: (kk, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kp // G, G, 256, 256), jnp.float32),
+    )(cols, weights[:, None])
+    return out.reshape(Kp, 256, 256)[:K]
+
+try:
+    out = v3(ix_pm, w, pa, pb); s = float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(3): s += float(jnp.sum(v3(ix_pm, w, pa, pb)))
+    print(f"v3 G={G}: {(time.perf_counter()-t0)/3*1000:.0f} ms (sum {s:.0f})", flush=True)
+    # exactness
+    h = np.asarray(out[:3])
+    wn = np.asarray(w)
+    for k in range(3):
+        expect = np.zeros((256, 256))
+        np.add.at(expect, (ix_np[:, pairs[k, 1]], ix_np[:, pairs[k, 0]]), wn)
+        assert np.array_equal(h[k], expect), f"pair {k} mismatch"
+    print("exactness ok", flush=True)
+except Exception as e:
+    print("v3 FAILED:", str(e)[:400], flush=True)

@@ -200,3 +200,32 @@ def test_add_derived_and_combined(pair):
     assert copy.paramNames.hasParam("ab")
     d = copy.get1DDensityGridData("ab")
     assert d is not None and np.max(d.P) == pytest.approx(1.0)
+
+
+def test_nd_density_consistent_with_2d():
+    """Raw ND histogram density (no KDE smoothing) approximates the smoothed
+    2D density on coarse grids (reference tests/getdist_test.py:167-180)."""
+    from getdist_tpu.gaussian_mixtures import Gaussian2D
+
+    samps = Gaussian2D([0, 0], np.diagflat([1, 1]), xmin=-2, xmax=2, ymin=-2, ymax=2).MCSamples(
+        200000, random_state=10
+    )
+    d2d = samps.get2DDensity("x", "y", fine_bins_2D=10, smooth_scale_2D=1, boundary_correction_order=1)
+    dnd = samps.getRawNDDensity(["x", "y"], num_bins_ND=10, boundary_correction_order=1)
+    assert np.allclose(d2d.P, dnd.P, atol=2e-2)
+
+
+def test_nd_density_3d_parity(reference_getdist):
+    """3D raw ND density grid matches the reference bin for bin."""
+    from getdist.mcsamples import MCSamples as RefMCSamples
+
+    rng = np.random.RandomState(4)
+    s = rng.standard_normal((100000, 3)) * [1.0, 0.5, 2.0] + [0.0, 1.0, -1.0]
+    mc = MCSamples(samples=s.copy(), names=["a", "b", "c"])
+    ref = RefMCSamples(samples=s.copy(), names=["a", "b", "c"])
+    dnd = mc.getRawNDDensity(["a", "b", "c"], num_bins_ND=16, normalized=True)
+    drf = ref.getRawNDDensity(["a", "b", "c"], num_bins_ND=16, normalized=True)
+    assert dnd.P.shape == (16, 16, 16)
+    np.testing.assert_allclose(dnd.P, drf.P, atol=1e-10)
+    for ax_m, ax_r in zip(dnd.axes, drf.axes):
+        np.testing.assert_allclose(ax_m, ax_r)

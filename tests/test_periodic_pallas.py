@@ -47,21 +47,23 @@ def test_periodic_both_axes_parity(reference_getdist):
 def test_pallas_pair_histograms_interpret():
     rng = np.random.RandomState(0)
     p, n = 5, 4096 * 2
-    ix_t = jnp.asarray(rng.randint(0, 256, (n, p)).astype(np.int32))
+    ix_pm = jnp.asarray(rng.randint(0, 256, (p, n)).astype(np.uint8))
     w = jnp.asarray(rng.randint(1, 5, n).astype(np.float32))
-    pa = jnp.asarray(np.array([0, 2], np.int32))
-    pb = jnp.asarray(np.array([1, 4], np.int32))
-    hists = np.asarray(pair_histograms(ix_t, w, pa, pb, interpret=True))
-    ixn = np.asarray(ix_t)
+    # 3 pairs: exercises the pad-to-group path (group=8)
+    pa = jnp.asarray(np.array([0, 2, 3], np.int32))
+    pb = jnp.asarray(np.array([1, 4, 4], np.int32))
+    hists = np.asarray(pair_histograms(ix_pm, w, pa, pb, interpret=True))
+    assert hists.shape == (3, 256, 256)
+    ixn = np.asarray(ix_pm)
     wn = np.asarray(w)
-    for k, (a, b) in enumerate([(0, 1), (2, 4)]):
+    for k, (a, b) in enumerate([(0, 1), (2, 4), (3, 4)]):
         expect = np.zeros((256, 256))
-        np.add.at(expect, (ixn[:, b], ixn[:, a]), wn)
+        np.add.at(expect, (ixn[b], ixn[a]), wn)
         np.testing.assert_array_equal(hists[k], expect)
 
 
 def test_pallas_rejects_unaligned():
-    ix_t = jnp.zeros((100, 3), jnp.int32)
+    ix_pm = jnp.zeros((3, 100), jnp.uint8)
     w = jnp.ones(100, jnp.float32)
     with pytest.raises(AssertionError):
-        pair_histograms(ix_t, w, jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32), interpret=True)
+        pair_histograms(ix_pm, w, jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32), interpret=True)
