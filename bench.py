@@ -66,7 +66,8 @@ def run_ours(samples, weights, repeats=3):
     def full():
         d1 = batched.all_1d_densities(dev_s, dev_w)
         d2 = batched.all_2d_densities(
-            dev_s, dev_w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], contours, use_pallas=use_pallas
+            dev_s, dev_w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], contours,
+            use_pallas=use_pallas, static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
         )
         return d1, d2
 

@@ -470,7 +470,7 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     }
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas"))
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas", "static_pairs"))
 def all_2d_densities(
     samples,
     weights,
@@ -484,6 +484,7 @@ def all_2d_densities(
     mult_bias_order=1,
     winw=30,
     use_pallas=False,
+    static_pairs=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -513,16 +514,23 @@ def all_2d_densities(
     ix_all = jax.vmap(fine_ix)(cols, binmin, fine_width)  # (P, N) int32
 
     if use_pallas and fine_bins == 256:
-        # VMEM-resident one-hot binning kernel: ~2x the XLA one-hot matmul
+        # VMEM-resident one-hot binning kernel: ~2.7x the XLA one-hot matmul
         # (no HBM one-hot traffic); pad samples to the block size with
-        # zero-weight rows
-        from getdist_tpu.ops.pallas_kernels import pair_histograms
+        # zero-weight rows. With a static pair list the b-anchored grouped
+        # kernel shares one weighted one-hot per group (another ~1.4x).
+        from getdist_tpu.ops.pallas_kernels import group_pairs, pair_histograms, pair_histograms_grouped
 
         block = 4096
         n_pad = (-n) % block
         ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
         w_pad = jnp.pad(weights, (0, n_pad))
-        hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
+        if static_pairs is not None:
+            grp_a, grp_b, inv = group_pairs(static_pairs)
+            hists = pair_histograms_grouped(
+                ix_pm, w_pad, jnp.asarray(grp_a), jnp.asarray(grp_b), jnp.asarray(inv), block=block
+            )
+        else:
+            hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
     else:
 
         def pair_hist(ab):
@@ -605,5 +613,6 @@ def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256
         jnp.asarray(np.array(contours, np.float32)),
         fine_bins=fine_bins_2d,
         use_pallas=use_pallas,
+        static_pairs=tuple(map(tuple, pairs.tolist())),
     )
     return d1, d2

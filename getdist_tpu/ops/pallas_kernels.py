@@ -23,12 +23,14 @@ Design (measured by per-stage knockouts on v5e):
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pair_histograms"]
+__all__ = ["pair_histograms", "group_pairs", "pair_histograms_grouped"]
 
 
 def _make_kernel(group, block):
@@ -96,3 +98,90 @@ def pair_histograms(ix_pm, weights, pair_a, pair_b, block=4096, group=8, interpr
         interpret=interpret,
     )(cols, weights[:, None])
     return out.reshape(kp, 256, 256)[:k]
+
+
+def group_pairs(pairs, group=8):
+    """Group pairs by their b (row) parameter for the anchored kernel.
+
+    Returns numpy (grp_a (Kg, group), grp_b (Kg,), inv_perm (K,)): each
+    group shares one b; short groups are padded with a=b slots that the
+    inverse permutation drops. Host-side, for static pair lists.
+    """
+    from collections import defaultdict
+
+    byb = defaultdict(list)
+    for k, (a, b) in enumerate(pairs):
+        byb[int(b)].append((int(a), k))
+    grp_a, grp_b, orig = [], [], []
+    for b, items in sorted(byb.items()):
+        for c in range(0, len(items), group):
+            chunk = items[c : c + group]
+            pad = group - len(chunk)
+            grp_b.append(b)
+            grp_a.append([a for a, _ in chunk] + [b] * pad)
+            orig.append([k for _, k in chunk] + [-1] * pad)
+    inv = np.zeros(len(pairs), np.int32)
+    for pos, k in enumerate(np.array(orig, np.int32).reshape(-1)):
+        if k >= 0:
+            inv[k] = pos
+    return np.array(grp_a, np.int32), np.array(grp_b, np.int32), inv
+
+
+def _make_grouped_kernel(group, block):
+    def kernel(cols_ref, w_ref, out_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
+        wb = w_ref[:, 0].astype(jnp.bfloat16)[:, None]
+        # one shared weighted b-side one-hot per step (the win over the
+        # ungrouped kernel: 1 + G one-hot builds instead of 2G, one weight
+        # multiply instead of G)
+        col_b = cols_ref[0, group].astype(jnp.int32)
+        weighted_b = (col_b[:, None] == lanes).astype(jnp.bfloat16) * wb
+        for j in range(group):
+            col_a = cols_ref[0, j].astype(jnp.int32)
+            onehot_a = (col_a[:, None] == lanes).astype(jnp.bfloat16)
+            out_ref[0, j] += jax.lax.dot_general(
+                weighted_b, onehot_a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block", "group", "interpret"))
+def pair_histograms_grouped(ix_pm, weights, grp_a, grp_b, inv_perm, block=4096, group=8, interpret=False):
+    """b-anchored variant of :func:`pair_histograms`: ~1.4x faster when the
+    pair list is known statically (use :func:`group_pairs` host-side).
+
+    ix_pm: (P, N) uint8 fine-bin indices, parameter-major; grp_a (Kg, group),
+    grp_b (Kg,), inv_perm (K,) from group_pairs. Returns (K, 256, 256) in
+    original pair order. N must be a multiple of ``block``.
+    """
+    p, n = ix_pm.shape
+    assert n % block == 0, "sample count must be a multiple of the block size"
+    kg = grp_b.shape[0]
+    nrow = 2 * group  # rows: a_0..a_{G-1}, then b replicated to keep 8-row tiling
+    rows = jnp.concatenate([grp_a, jnp.broadcast_to(grp_b[:, None], (kg, group))], axis=1)
+    cols = jnp.take(ix_pm, rows.reshape(-1), axis=0).reshape(kg, nrow, n)
+    out = pl.pallas_call(
+        _make_grouped_kernel(group, block),
+        grid=(kg, n // block),
+        in_specs=[
+            pl.BlockSpec((1, nrow, block), lambda kk, ii: (kk, 0, ii), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda kk, ii: (ii, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, group, 256, 256), lambda kk, ii: (kk, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kg, group, 256, 256), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 256 * 256 * n * kg * group,
+            bytes_accessed=(nrow * ix_pm.dtype.itemsize + 4) * n * kg + 4 * group * 256 * 256 * kg,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(cols, weights[:, None])
+    return jnp.take(out.reshape(kg * group, 256, 256), inv_perm, axis=0)

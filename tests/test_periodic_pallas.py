@@ -67,3 +67,46 @@ def test_pallas_rejects_unaligned():
     w = jnp.ones(100, jnp.float32)
     with pytest.raises(AssertionError):
         pair_histograms(ix_pm, w, jnp.zeros(1, jnp.int32), jnp.ones(1, jnp.int32), interpret=True)
+
+
+def test_pallas_grouped_pair_histograms_interpret():
+    from getdist_tpu.ops.pallas_kernels import group_pairs, pair_histograms_grouped
+
+    rng = np.random.RandomState(1)
+    p, n = 6, 4096
+    ix_pm = jnp.asarray(rng.randint(0, 256, (p, n)).astype(np.uint8))
+    w = jnp.asarray(rng.randint(1, 5, n).astype(np.float32))
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]  # 15 pairs, ragged groups
+    grp_a, grp_b, inv = group_pairs(pairs, group=4)
+    hists = np.asarray(
+        pair_histograms_grouped(
+            ix_pm, w, jnp.asarray(grp_a), jnp.asarray(grp_b), jnp.asarray(inv), group=4, interpret=True
+        )
+    )
+    assert hists.shape == (15, 256, 256)
+    ixn, wn = np.asarray(ix_pm), np.asarray(w)
+    for k, (a, b) in enumerate(pairs):
+        expect = np.zeros((256, 256))
+        np.add.at(expect, (ixn[b], ixn[a]), wn)
+        np.testing.assert_array_equal(hists[k], expect)
+
+
+def test_all_2d_static_pairs_matches_dynamic():
+    from getdist_tpu.ops import batched
+
+    rng = np.random.RandomState(2)
+    n, p = 30000, 4
+    s = jnp.asarray(rng.standard_normal((n, p)).astype(np.float32))
+    w = jnp.asarray(rng.randint(1, 4, n).astype(np.float32))
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+    pa = jnp.asarray(np.array([a for a, _ in pairs], np.int32))
+    pb = jnp.asarray(np.array([b for _, b in pairs], np.int32))
+    cont = jnp.asarray(np.array([0.68, 0.95], np.float32))
+    d1 = batched.all_1d_densities(s, w)
+    args = (s, w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], cont)
+    dyn = batched.all_2d_densities(*args, use_pallas=False)
+    # interpret path unavailable through all_2d on CPU; static grouping is
+    # exercised via the XLA fallback equivalence of its inputs plus the
+    # grouped-kernel interpret test above; here check static arg plumbs
+    stat = batched.all_2d_densities(*args, use_pallas=False, static_pairs=tuple(pairs))
+    np.testing.assert_array_equal(np.asarray(dyn["P"]), np.asarray(stat["P"]))
