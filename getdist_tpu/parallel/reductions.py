@@ -63,20 +63,48 @@ def sharded_hist_1d(mesh, ix, weights, nbins):
     return jax.jit(_local)(ix, weights)
 
 
-def sharded_pair_hists(mesh, ix, weights, pair_a, pair_b):
-    """Global (K, 256, 256) pair histograms from sharded index rows."""
+def sharded_pair_hists(mesh, ix, weights, pair_a, pair_b, static_pairs=None, interpret=False):
+    """Global (K, 256, 256) pair histograms from sharded index rows.
+
+    With ``static_pairs`` (tuple of (a, b)), each shard runs the b-anchored
+    Pallas kernel on its local samples (``interpret=True`` for CPU meshes);
+    one psum of the (K, 256, 256) state combines shards over ICI.
+    """
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(None, SAMPLE_AXIS), P(SAMPLE_AXIS), P(), P()),
         out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes metadata, which
+        # trips shard_map's static vma check
+        check_vma=False,
     )
     def _local(ix_shard, w_shard, pa, pb):
-        def one(ab):
-            return _pair_hist_256(ix_shard[ab[0]], ix_shard[ab[1]], w_shard)
+        if static_pairs is not None:
+            from getdist_tpu.ops.pallas_kernels import group_pairs, pair_histograms_grouped
 
-        hists = jax.lax.map(one, (pa, pb))
+            n_local = ix_shard.shape[1]
+            block = 4096 if n_local >= 4096 else 512
+            n_pad = (-n_local) % block
+            ix_pm = jnp.pad(ix_shard, ((0, 0), (0, n_pad))).astype(jnp.uint8)
+            w_pad = jnp.pad(w_shard, (0, n_pad))
+            grp_a, grp_b, inv = group_pairs(static_pairs)
+            hists = pair_histograms_grouped(
+                ix_pm,
+                w_pad,
+                jnp.asarray(grp_a),
+                jnp.asarray(grp_b),
+                jnp.asarray(inv),
+                block=block,
+                interpret=interpret,
+            )
+        else:
+
+            def one(ab):
+                return _pair_hist_256(ix_shard[ab[0]], ix_shard[ab[1]], w_shard)
+
+            hists = jax.lax.map(one, (pa, pb))
         return jax.lax.psum(hists, SAMPLE_AXIS)
 
     return jax.jit(_local)(ix, weights, pair_a, pair_b)
