@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Build a standalone desktop GUI app bundle with PyInstaller.
+
+Counterpart of the reference's per-OS app builders
+(scripts/build_mac_app.py, scripts/build_windows_app.py): one
+cross-platform script that generates a PyInstaller spec for the Qt GUI
+entry point and runs it. Code signing / notarization / MSI packaging are
+deployment-site specific and intentionally out of scope; hook points are
+marked below.
+
+Usage: python scripts/build_gui_app.py [--onefile] [--name NAME] [out_dir]
+Requires: pip install pyinstaller PySide6
+"""
+
+import argparse
+import importlib.util
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LAUNCHER = '''\
+import multiprocessing
+
+# freeze support must run before anything else in a bundled app
+# (role of the reference's scripts/multiprocessing_hook.py)
+multiprocessing.freeze_support()
+
+from getdist_tpu.gui.mainwindow import run_gui
+
+run_gui()
+'''
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("out_dir", nargs="?", default="dist")
+    parser.add_argument("--name", default="GetDistTPU-GUI")
+    parser.add_argument("--onefile", action="store_true", help="single-file executable instead of a folder bundle")
+    args = parser.parse_args()
+
+    for mod, hint in (("PyInstaller", "pyinstaller"), ("PySide6", "PySide6")):
+        if importlib.util.find_spec(mod) is None:
+            print(f"Missing {mod}: pip install {hint}", file=sys.stderr)
+            return 1
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    launcher = os.path.join(args.out_dir, "_gui_launcher.py")
+    with open(launcher, "w") as f:
+        f.write(LAUNCHER)
+
+    sep = ";" if os.name == "nt" else ":"
+    pkg = os.path.join(REPO, "getdist_tpu")
+    cmd = [
+        sys.executable,
+        "-m",
+        "PyInstaller",
+        "--noconfirm",
+        "--windowed",
+        "--name",
+        args.name,
+        "--distpath",
+        args.out_dir,
+        "--paths",
+        REPO,
+        # package data the GUI needs at runtime
+        "--add-data",
+        f"{os.path.join(pkg, 'analysis_defaults.ini')}{sep}getdist_tpu",
+        "--add-data",
+        f"{os.path.join(pkg, 'distparam_template.ini')}{sep}getdist_tpu",
+        "--add-data",
+        f"{os.path.join(pkg, 'styles')}{sep}getdist_tpu/styles",
+        "--collect-submodules",
+        "getdist_tpu",
+    ]
+    if args.onefile:
+        cmd.append("--onefile")
+    cmd.append(launcher)
+    print("+", " ".join(cmd))
+    rc = subprocess.call(cmd)
+    if rc == 0:
+        print(f"\nbundle written under {args.out_dir}/{args.name}")
+        print("signing/notarization (mac) or MSI packaging (windows) are site-specific follow-up steps")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
