@@ -845,7 +845,8 @@ class MCSamples(Chains):
                 w = self.weights * self.loglikes
             else:
                 w = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            finebinlikes = np.asarray(weighted_bincount(jnp.asarray(bin_indices), jnp.asarray(w), fine_bins))
+            # np.array: mutated in place below (device arrays view read-only)
+            finebinlikes = np.array(weighted_bincount(jnp.asarray(bin_indices), jnp.asarray(w), fine_bins))
 
         if smooth_scale_1D <= 0:
             # automatic bandwidth (periodic treated like bounded here; the
@@ -1080,7 +1081,8 @@ class MCSamples(Chains):
 
         if meanlikes:
             likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            finebinlikes = np.asarray(
+            # np.array: mutated in place below (device arrays view read-only)
+            finebinlikes = np.array(
                 weighted_bincount(jnp.asarray(flatix), jnp.asarray(likeweights), xsize * ysize)
             ).reshape((ysize, xsize))
 
@@ -1337,7 +1339,8 @@ class MCSamples(Chains):
 
         if meanlikes:
             likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            binNDlikes = np.asarray(
+            # np.array: normalized in place below (device arrays view read-only)
+            binNDlikes = np.array(
                 weighted_bincount(jnp.asarray(flatixv), jnp.asarray(likeweights), int(np.prod(xsizev)))
             ).reshape(xsizev[::-1], order="C")
         else:

@@ -229,3 +229,44 @@ def test_nd_density_3d_parity(reference_getdist):
     np.testing.assert_allclose(dnd.P, drf.P, atol=1e-10)
     for ax_m, ax_r in zip(dnd.axes, drf.axes):
         np.testing.assert_allclose(ax_m, ax_r)
+
+
+def test_meanlikes_parity(reference_getdist):
+    """Mean-likelihood grids (1D and 2D) match the reference; regression for
+    read-only device-array buffers in the meanlikes paths (these previously
+    crashed with 'assignment destination is read-only')."""
+    from getdist.mcsamples import MCSamples as RefMCSamples
+
+    rng = np.random.RandomState(5)
+    n = 30000
+    x = rng.standard_normal(n)
+    y = 0.5 * x + rng.standard_normal(n)
+    s = np.column_stack([x, y])
+    w = rng.randint(1, 4, n).astype(float)
+    ll = 0.5 * (x**2 + y**2)
+    mine = MCSamples(samples=s.copy(), weights=w.copy(), loglikes=ll.copy(), names=["x", "y"])
+    ref = RefMCSamples(samples=s.copy(), weights=w.copy(), loglikes=ll.copy(), names=["x", "y"])
+    d1m = mine.get1DDensityGridData("x", meanlikes=True)
+    d1r = ref.get1DDensityGridData("x", meanlikes=True)
+    np.testing.assert_allclose(d1m.likes, d1r.likes, atol=1e-10)
+    d2m = mine.get2DDensityGridData("x", "y", meanlikes=True)
+    d2r = ref.get2DDensityGridData("x", "y", meanlikes=True)
+    np.testing.assert_allclose(d2m.P, d2r.P, atol=1e-10)
+    np.testing.assert_allclose(d2m.likes, d2r.likes, atol=1e-10)
+    # ND raw grid with mean/max likes (third read-only regression site)
+    ndm = mine.getRawNDDensityGridData([0, 1], meanlikes=True, maxlikes=True)
+    ndr = ref.getRawNDDensityGridData([0, 1], meanlikes=True, maxlikes=True)
+    np.testing.assert_allclose(ndm.likes, ndr.likes, atol=1e-12)
+    np.testing.assert_allclose(ndm.maxlikes, ndr.maxlikes, atol=1e-12)
+    # second-order mult-bias iteration mutates the likes buffer twice
+    m2 = MCSamples(
+        samples=s.copy(), weights=w.copy(), loglikes=ll.copy(), names=["x", "y"],
+        settings={"mult_bias_correction_order": 2},
+    )
+    r2 = RefMCSamples(
+        samples=s.copy(), weights=w.copy(), loglikes=ll.copy(), names=["x", "y"],
+        settings={"mult_bias_correction_order": 2},
+    )
+    g2m = m2.get2DDensityGridData("x", "y", meanlikes=True)
+    g2r = r2.get2DDensityGridData("x", "y", meanlikes=True)
+    np.testing.assert_allclose(g2m.likes, g2r.likes, atol=1e-10)
