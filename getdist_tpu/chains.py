@@ -326,7 +326,7 @@ class WeightedSamples:
             )
             return self.means
         dev_samples, dev_weights, dev_loglikes = self._dev()
-        self.means = np.asarray(_stats.weighted_mean(dev_samples, dev_weights))
+        self.means = np.array(_stats.weighted_mean(dev_samples, dev_weights))
         if self.loglikes is not None:
             self.mean_loglike = float(np.asarray(_stats.weighted_mean(dev_loglikes, dev_weights)))
         else:
@@ -350,7 +350,7 @@ class WeightedSamples:
             self.vars = self.weights.dot(diffs * diffs) / self.norm
         else:
             dev_samples, dev_weights, _ = self._dev()
-            self.vars = np.asarray(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(self.means)))
+            self.vars = np.array(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(self.means)))
         self.sddev = np.sqrt(self.vars)
         return self.vars
 
@@ -423,7 +423,8 @@ class WeightedSamples:
                 diffs = self.samples - self.getMeans()
                 return (diffs * self.weights[:, None]).T @ diffs / self.norm
             dev_samples, dev_weights, _ = self._dev()
-            return np.asarray(_stats.weighted_cov(dev_samples, dev_weights))
+            # writable: callers legitimately mutate covariances (covToCorr copy=False)
+            return np.array(_stats.weighted_cov(dev_samples, dev_weights))
         diffs = self.mean_diffs(pars, where)
         weights = self.weights if where is None else self.weights[where]
         stacked = np.column_stack(diffs)
