@@ -84,3 +84,51 @@ def test_cli_param_file_and_plots(chain_dir, tmp_path, monkeypatch):
 def test_cli_version_flag(capsys):
     with pytest.raises(SystemExit):
         getdist_command(["--version"])
+
+
+def test_cli_end_to_end_byte_parity(tmp_path, reference_getdist, capsys, monkeypatch):
+    """Full getdist-tpu CLI run on chain files: stdout and every output file
+    (.margestats, .likestats, .converge) byte-identical to the reference CLI."""
+    import numpy as np
+
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(0)
+    n = 20000
+    cov = np.array([[1, 0.5, 0.2], [0.5, 1, 0.3], [0.2, 0.3, 1.0]])
+    x = rng.standard_normal((n, 3)) @ np.linalg.cholesky(cov).T
+    mc = MCSamples(
+        samples=[x[:10000], x[10000:]],
+        weights=[np.ones(10000)] * 2,
+        loglikes=[0.5 * np.sum(x[:10000] ** 2, 1), 0.5 * np.sum(x[10000:] ** 2, 1)],
+        names=["omegam", "sigma8", "H0"],
+        labels=["\\Omega_m", "\\sigma_8", "H_0"],
+    )
+    root = str(tmp_path / "chains" / "run")
+    mc.saveChainsAsText(root, make_dirs=True)
+    monkeypatch.chdir(tmp_path)  # stats files are written to the cwd
+    # align load-details chatter on both sides (the module header silences ours)
+    import getdist.chains as ref_chains
+
+    from getdist_tpu import chains as tpu_chains
+
+    monkeypatch.setattr(tpu_chains, "print_load_details", False)
+    monkeypatch.setattr(ref_chains, "print_load_details", False)
+
+    from getdist_tpu.command_line import getdist_command
+
+    getdist_command([root])
+    out_mine = capsys.readouterr().out
+    mine_files = {}
+    for ext in (".margestats", ".likestats", ".converge"):
+        p = tmp_path / ("run" + ext)
+        mine_files[ext] = p.read_bytes()
+        p.unlink()
+
+    from getdist.command_line import getdist_command as ref_command
+
+    ref_command([root])
+    out_ref = capsys.readouterr().out
+    assert out_mine == out_ref
+    for ext, data in mine_files.items():
+        assert (tmp_path / ("run" + ext)).read_bytes() == data, ext
