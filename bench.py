@@ -110,7 +110,10 @@ def main():
     n_pairs_full = N_PARAMS * (N_PARAMS - 1) // 2
 
     # reference on the scaled config, extrapolated by pair-count x samples
-    ref_small = run_reference(full_samples[:SCALE_N, :SCALE_P].copy(), full_weights[:SCALE_N].copy())
+    # (median of 3 runs: single-run CPU timing varies ~30%)
+    ref_small = sorted(
+        run_reference(full_samples[:SCALE_N, :SCALE_P].copy(), full_weights[:SCALE_N].copy()) for _ in range(3)
+    )[1]
     n_pairs_small = SCALE_P * (SCALE_P - 1) // 2
     scale = (n_pairs_full / n_pairs_small) * (N_SAMPLES / SCALE_N)
     ref_extrapolated = ref_small * scale

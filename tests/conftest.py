@@ -15,6 +15,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# sanitizer mode (the role ruff/pre-commit + single-threading play in the
+# reference, SURVEY.md section 5): trap NaNs inside jitted kernels
+if os.environ.get("GETDIST_TPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
 
 REFERENCE_PATH = "/root/reference"
 
