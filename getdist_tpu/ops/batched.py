@@ -403,7 +403,7 @@ def prepare_chain(samples, weights, dtype=jnp.float32):
 
 
 @partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order"))
-def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
+def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits_lo=None, limits_hi=None):
     """All marginalized 1D densities in one program.
 
     Returns dict with 'x' (P, fine_bins) grids, 'P' (P, fine_bins)
@@ -412,8 +412,19 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     -> one-hot binning -> ISJ bandwidth (bisection) with rule-of-thumb
     fallback -> FFT Gaussian convolution -> multiplicative bias correction
     -> peak normalization.
+
+    limits_lo/limits_hi: optional (P,) hard prior bounds (NaN = unbounded).
+    Active limits snap the grid edge to the bound and apply a first-order
+    boundary-kernel correction (the role of the reference's
+    ``mcsamples.py:1600-1647`` linear boundary correction), computed with
+    analytic frequency-domain kernel moments instead of spatial masks.
     """
     n, p = samples.shape
+    has_limits = limits_lo is not None or limits_hi is not None
+    if limits_lo is None:
+        limits_lo = jnp.full((p,), jnp.nan, samples.dtype)
+    if limits_hi is None:
+        limits_hi = jnp.full((p,), jnp.nan, samples.dtype)
     cols = samples.T  # (P, N)
     norm = jnp.sum(weights)
     means = cols @ weights / norm
@@ -437,6 +448,11 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     range_max = quants[:, 1] + smooth_est * 2
     binmin = jnp.minimum(mins, range_min) - (range_max - range_min) * 0.1
     binmax = jnp.maximum(maxs, range_max) + (range_max - range_min) * 0.1
+    # hard limits cut the padded range; the limit is "active" when it binds
+    active_lo = ~jnp.isnan(limits_lo) & (jnp.where(jnp.isnan(limits_lo), -jnp.inf, limits_lo) > binmin)
+    active_hi = ~jnp.isnan(limits_hi) & (jnp.where(jnp.isnan(limits_hi), jnp.inf, limits_hi) < binmax)
+    binmin = jnp.where(active_lo, jnp.where(jnp.isnan(limits_lo), binmin, limits_lo), binmin)
+    binmax = jnp.where(active_hi, jnp.where(jnp.isnan(limits_hi), binmax, limits_hi), binmax)
     fine_width = (binmax - binmin) / (fine_bins - 1)
 
     fine_ix = jnp.clip(
@@ -455,22 +471,93 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
     smooth_bins = jnp.clip(h_frac * fine_bins, 1.0, fine_bins // 2)
 
     # Gaussian convolution via frequency-domain multiplier (periodic pad is
-    # safe: grids have 10% empty borders)
+    # safe: grids have 10% empty borders; with hard limits the data sits at
+    # a centered offset so left/right outside regions are distinct)
     pad = int(2 ** np.ceil(np.log2(fine_bins * 1.25)))
+    off = (pad - fine_bins) // 2 if has_limits else 0
     k = jnp.arange(pad // 2 + 1, dtype=samples.dtype)
 
     def smooth(b, sigma_bins):
         mult = jnp.exp(-2.0 * (np.pi * sigma_bins / pad) ** 2 * k**2)
         spec = jnp.fft.rfft(b, pad)
-        return jnp.fft.irfft(spec * mult, pad)[:fine_bins]
+        return jnp.fft.irfft(spec * mult, pad)[off : off + fine_bins]
 
-    conv = jax.vmap(smooth)(bins, smooth_bins)
+    if has_limits:
+        bins_ext = jnp.zeros((p, pad), bins.dtype).at[:, off : off + fine_bins].set(bins)
+        bins = bins_ext[:, off : off + fine_bins]  # view back for bias loop
+
+        def smooth_ext(b_ext, sigma_bins):
+            mult = jnp.exp(-2.0 * (np.pi * sigma_bins / pad) ** 2 * k**2)
+            return jnp.fft.irfft(jnp.fft.rfft(b_ext) * mult, pad)[off : off + fine_bins]
+
+        conv = jax.vmap(smooth_ext)(bins_ext, smooth_bins)
+    else:
+        conv = jax.vmap(smooth)(bins, smooth_bins)
+
+    if has_limits:
+        # first-order boundary-kernel correction (Jones 1993 linear boundary
+        # kernel, as in the reference's order-1 branch): moments of the
+        # Gaussian against the prior mask computed with analytic
+        # frequency-domain kernel moments FT[x^m g]
+        pos = jnp.arange(pad)
+        inside = (pos >= off) & (pos < off + fine_bins)
+        mask = jnp.where(inside, 1.0, 1.0).astype(samples.dtype)  # ones everywhere by default
+        mask_rows = jnp.broadcast_to(mask, (p, pad))
+        lo_cut = jnp.where(active_lo[:, None], jnp.where(pos[None, :] < off, 0.0, 1.0), 1.0)
+        lo_half = jnp.where(active_lo[:, None] & (pos[None, :] == off), 0.5, 1.0)
+        hi_cut = jnp.where(active_hi[:, None], jnp.where(pos[None, :] >= off + fine_bins, 0.0, 1.0), 1.0)
+        hi_half = jnp.where(active_hi[:, None] & (pos[None, :] == off + fine_bins - 1), 0.5, 1.0)
+        mask_rows = mask_rows * lo_cut * lo_half * hi_cut * hi_half
+
+        def boundary_corrected(b_ext, m_row, p0, sigma_bins):
+            c = 2.0 * (np.pi * sigma_bins / pad) ** 2
+            g = jnp.exp(-c * k**2)
+            # FT of x*g and x^2*g from derivatives of the Gaussian transform
+            g1 = (-1j * (c * pad / np.pi) * k) * g
+            g2 = (-((pad / (2 * np.pi)) ** 2) * (4 * c**2 * k**2 - 2 * c)) * g
+            mspec = jnp.fft.rfft(m_row)
+            bspec = jnp.fft.rfft(b_ext)
+            sl = slice(off, off + fine_bins)
+            a0 = jnp.fft.irfft(mspec * g, pad)[sl]
+            a1 = jnp.fft.irfft(mspec * g1, pad)[sl]
+            a2 = jnp.fft.irfft(mspec * g2, pad)[sl]
+            xp = jnp.fft.irfft(bspec * g1, pad)[sl]
+            good = (a0 > 1e-12) & (p0 > 0)
+            a0s = jnp.where(good, a0, 1.0)
+            normed = jnp.where(good, p0 / a0s, p0)
+            denom = a0 * a2 - a1**2
+            corrected = jnp.where(good & (jnp.abs(denom) > 1e-30), (p0 * a2 - xp * a1) / jnp.where(denom == 0, 1.0, denom), normed)
+            fixed = normed * jnp.exp(jnp.minimum(corrected / jnp.where(normed == 0, 1.0, normed), 4) - 1)
+            return jnp.where(good, fixed, p0)
+
+        corrected = jax.vmap(boundary_corrected)(bins_ext, mask_rows, conv, smooth_bins)
+        any_active = active_lo | active_hi
+        conv = jnp.where(any_active[:, None], corrected, conv)
 
     if mult_bias_order:
+        if has_limits:
+            # the reference divides each bias round by the window-cut mask a0
+            # (mcsamples.py:1650-1667); with hard limits the edge bin is
+            # half-weighted and mass outside the grid is zero
+            mb_inside = (pos >= off) & (pos < off + fine_bins)
+            mask_mb = jnp.where(mb_inside[None, :], 1.0, 0.0).astype(conv.dtype)
+            mask_mb = mask_mb * jnp.where(active_lo[:, None] & (pos[None, :] == off), 0.5, 1.0)
+            mask_mb = mask_mb * jnp.where(active_hi[:, None] & (pos[None, :] == off + fine_bins - 1), 0.5, 1.0)
+
+            def _smooth_ext_row(b_ext, s):
+                mult = jnp.exp(-2.0 * (np.pi * s / pad) ** 2 * k**2)
+                return jnp.fft.irfft(jnp.fft.rfft(b_ext) * mult, pad)[off : off + fine_bins]
+
+            a0_mb = jax.vmap(_smooth_ext_row)(mask_mb, smooth_bins)
+            a0_mb = jnp.where(a0_mb <= 1e-12, 1.0, a0_mb)
         for _ in range(mult_bias_order):
             prob1 = jnp.where(conv <= 0, 1.0, conv)
             flattened = bins / prob1
-            conv = conv * jax.vmap(smooth)(flattened, smooth_bins)
+            if has_limits:
+                flat_ext = jnp.zeros((p, pad), conv.dtype).at[:, off : off + fine_bins].set(flattened)
+                conv = conv * jax.vmap(_smooth_ext_row)(flat_ext, smooth_bins) / a0_mb
+            else:
+                conv = conv * jax.vmap(smooth)(flattened, smooth_bins)
 
     peak = jnp.max(conv, axis=1)
     density = conv / peak[:, None]
@@ -483,6 +570,8 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1):
         "sigma": sigmas,
         "mean": means,
         "range": (binmin, binmax),
+        "active_lo": active_lo,
+        "active_hi": active_hi,
     }
 
 
@@ -501,6 +590,8 @@ def all_2d_densities(
     winw=30,
     use_pallas=False,
     static_pairs=None,
+    active_lo=None,
+    active_hi=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -582,15 +673,49 @@ def all_2d_densities(
     pad = next_fast_len(fine_bins + 2 * winw)
     smoothed = _conv2d_same_batch(hists, kernels, pad)
 
-    # Multiplicative bias iteration. The reference additionally divides by
-    # an edge-normalization mask a00 (= 1 except within winw of the array
-    # edges); grids here carry 10% empty borders so the affected cells hold
-    # negligible mass — the deviation is quantified in tests/test_batched.py.
+    # Hard-limit boundary handling (order-0 edge normalization, the role of
+    # the reference's mcsamples.py:1921-1933): the prior mask is ones beyond
+    # unbounded edges, zero beyond an active limit with a half-weight limit
+    # line; a00 = conv(mask) normalizes the kernel mass inside the prior.
+    has_limits = active_lo is not None
+    if has_limits:
+        ext = fine_bins + 2 * winw
+        pad_ext = next_fast_len(ext + 2 * winw)
+        idx = jnp.arange(ext)
+
+        def _edge_mask(active_l, active_h):
+            m = jnp.ones((ext,), samples.dtype)
+            m = jnp.where(active_l, jnp.where(idx < winw, 0.0, jnp.where(idx == winw, 0.5, m)), m)
+            m = jnp.where(
+                active_h, jnp.where(idx >= ext - winw, 0.0, jnp.where(idx == ext - winw - 1, 0.5, m)), m
+            )
+            return m
+
+        mx = jax.vmap(_edge_mask)(active_lo[pair_a], active_hi[pair_a])  # (K, ext)
+        my = jax.vmap(_edge_mask)(active_lo[pair_b], active_hi[pair_b])
+        masks = my[:, :, None] * mx[:, None, :]  # (K, ext, ext)
+        # 'valid' convolution of the padded mask returns (fine, fine)
+        mf = jnp.fft.rfftn(masks, (pad_ext, pad_ext), axes=(1, 2))
+        kf = jnp.fft.rfftn(kernels, (pad_ext, pad_ext), axes=(1, 2))
+        full = jnp.fft.irfftn(mf * kf, (pad_ext, pad_ext), axes=(1, 2))
+        a00 = jax.lax.dynamic_slice(full, (0, 2 * winw, 2 * winw), (masks.shape[0], fine_bins, fine_bins))
+        pair_limited = (active_lo | active_hi)[pair_a] | (active_lo | active_hi)[pair_b]
+        a00 = jnp.where(pair_limited[:, None, None] & (a00 > 1e-12), a00, 1.0)
+        maxes0 = jnp.max(smoothed, axis=(1, 2), keepdims=True)
+        smoothed = jnp.where(a00 * smoothed > maxes0 * 1e-8, smoothed / a00, smoothed)
+
+    # Multiplicative bias iteration. Without limits the reference's a00
+    # edge-normalization mask is ~1 everywhere that matters (grids carry 10%
+    # empty borders) — the deviation is quantified in tests/test_batched.py;
+    # with limits each round divides by a00 as the reference does.
     if mult_bias_order:
         for _ in range(mult_bias_order):
             maxes = jnp.max(smoothed, axis=(1, 2), keepdims=True)
             flat = jnp.where(smoothed > maxes * 1e-8, hists / jnp.where(smoothed == 0, 1.0, smoothed), hists)
-            smoothed = smoothed * _conv2d_same_batch(flat, kernels, pad)
+            round_conv = _conv2d_same_batch(flat, kernels, pad)
+            if has_limits:
+                round_conv = jnp.where(pair_limited[:, None, None], round_conv / a00, round_conv)
+            smoothed = smoothed * round_conv
 
     peak = jnp.max(smoothed, axis=(1, 2), keepdims=True)
     density = smoothed / peak
@@ -605,18 +730,32 @@ def all_2d_densities(
     }
 
 
-def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256, use_pallas=None):
+def triangle_densities(
+    samples, weights, contours=(0.68, 0.95), fine_bins_2d=256, use_pallas=None, limits_lo=None, limits_hi=None
+):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
     Host-callable; runs the two fused programs and returns their outputs
     (device arrays). This is the benchmark entry point. The Pallas binning
     kernel is used automatically on TPU backends (use_pallas overrides).
+    limits_lo/limits_hi: optional (P,) hard prior bounds (NaN = unbounded)
+    enabling limit-snapped grids and boundary-kernel corrections.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
-    d1 = all_1d_densities(samples, weights)
+    has_limits = limits_lo is not None or limits_hi is not None
+    if has_limits:
+        limits_lo = jnp.asarray(
+            np.full(p, np.nan, np.float32) if limits_lo is None else np.asarray(limits_lo, np.float32)
+        )
+        limits_hi = jnp.asarray(
+            np.full(p, np.nan, np.float32) if limits_hi is None else np.asarray(limits_hi, np.float32)
+        )
+        d1 = all_1d_densities(samples, weights, limits_lo=limits_lo, limits_hi=limits_hi)
+    else:
+        d1 = all_1d_densities(samples, weights)
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
     d2 = all_2d_densities(
         samples,
@@ -630,5 +769,7 @@ def triangle_densities(samples, weights, contours=(0.68, 0.95), fine_bins_2d=256
         fine_bins=fine_bins_2d,
         use_pallas=use_pallas,
         static_pairs=tuple(map(tuple, pairs.tolist())),
+        active_lo=d1["active_lo"] if has_limits else None,
+        active_hi=d1["active_hi"] if has_limits else None,
     )
     return d1, d2
