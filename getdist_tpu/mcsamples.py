@@ -1292,6 +1292,40 @@ class MCSamples(Chains):
         ).reshape(xsizes[::-1], order="C")
         return hist, flatixv
 
+    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None):
+        """All 1D and all-pairs 2D densities via the fused device pipeline
+        (``getdist_tpu.ops.batched.triangle_densities``), with this chain's
+        hard prior bounds wired in automatically.
+
+        Orders of magnitude faster than per-pair ``get2DDensityGridData``
+        for many parameters (one jitted program per stage, Pallas binning on
+        TPU); results follow the fast path's own KDE conventions rather than
+        exact reference parity. Returns the (d1, d2) dicts plus the pair
+        index list.
+        """
+        from getdist_tpu.ops.batched import triangle_densities
+
+        if self.needs_update:
+            self.updateBaseStatistics()
+        if params is None:
+            idx = list(range(self.n))
+        else:
+            idx = [self._parAndNumber(p)[0] for p in params]
+        pars = [self.paramNames.names[j] for j in idx]
+        lo = np.array([p.limmin if p.has_limits_bot else np.nan for p in pars], np.float32)
+        hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
+        has = np.isfinite(lo).any() or np.isfinite(hi).any()
+        d1, d2 = triangle_densities(
+            self.samples[:, idx],
+            self.weights,
+            contours=contours,
+            use_pallas=use_pallas,
+            limits_lo=lo if has else None,
+            limits_hi=hi if has else None,
+        )
+        pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
+        return d1, d2, pairs
+
     def getRawNDDensity(self, xs, normalized=False, **kwargs):
         """DensityND (unsmoothed histogram) for a list of parameters."""
         if self.needs_update:

@@ -144,3 +144,23 @@ def test_fast_path_hard_limits():
     edge_col = P2[:, 0]  # x = z = 0 edge
     interior_col = P2[:, 8]
     assert edge_col.max() > 0.75 * interior_col.max()
+
+
+def test_mcsamples_fast_triangle_bridge():
+    """MCSamples.fastTriangleDensities wires prior ranges into the fused path."""
+    import numpy as np
+
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(2)
+    n = 60000
+    z = np.abs(rng.standard_normal(n))
+    y = rng.standard_normal(n)
+    mc = MCSamples(samples=np.column_stack([z, y]), names=["z", "y"], ranges={"z": [0, None]})
+    d1, d2, pairs = mc.fastTriangleDensities()
+    assert pairs == [(0, 1)]
+    x = np.asarray(d1["x"][0])
+    assert x[0] == 0.0  # grid snapped to the prior bound from .ranges
+    P = np.asarray(d1["P"][0])
+    assert abs(P[0] - 1.0) < 0.05  # boundary-corrected at the bound
+    assert np.asarray(d2["P"]).shape == (1, 256, 256)
