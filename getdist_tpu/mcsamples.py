@@ -1311,6 +1311,8 @@ class MCSamples(Chains):
             idx = list(range(self.n))
         else:
             idx = [self._parAndNumber(p)[0] for p in params]
+            if None in idx:
+                raise ParamError("Unknown parameter %s" % [p for p, j in zip(params, idx) if j is None])
         pars = [self.paramNames.names[j] for j in idx]
         lo = np.array([p.limmin if p.has_limits_bot else np.nan for p in pars], np.float32)
         hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
