@@ -1316,7 +1316,8 @@ class MCSamples(Chains):
         pars = [self.paramNames.names[j] for j in idx]
         lo = np.array([p.limmin if p.has_limits_bot else np.nan for p in pars], np.float32)
         hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
-        has = np.isfinite(lo).any() or np.isfinite(hi).any()
+        per = np.array([bool(getattr(p, "periodic", False)) for p in pars])
+        has = np.isfinite(lo).any() or np.isfinite(hi).any() or per.any()
         d1, d2 = triangle_densities(
             self.samples[:, idx],
             self.weights,
@@ -1324,6 +1325,7 @@ class MCSamples(Chains):
             use_pallas=use_pallas,
             limits_lo=lo if has else None,
             limits_hi=hi if has else None,
+            periodic=per if per.any() else None,
         )
         pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
         return d1, d2, pairs

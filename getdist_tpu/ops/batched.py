@@ -403,7 +403,9 @@ def prepare_chain(samples, weights, dtype=jnp.float32):
 
 
 @partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order"))
-def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits_lo=None, limits_hi=None):
+def all_1d_densities(
+    samples, weights, fine_bins=1024, mult_bias_order=1, limits_lo=None, limits_hi=None, periodic=None
+):
     """All marginalized 1D densities in one program.
 
     Returns dict with 'x' (P, fine_bins) grids, 'P' (P, fine_bins)
@@ -418,13 +420,18 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits
     boundary-kernel correction (the role of the reference's
     ``mcsamples.py:1600-1647`` linear boundary correction), computed with
     analytic frequency-domain kernel moments instead of spatial masks.
+    periodic: optional (P,) bools; periodic parameters (which must carry
+    both limits) smooth circularly with period fine_bins-1 (the wrap bin is
+    folded, as in the reference's periodic convolution mode) and skip
+    boundary corrections.
     """
     n, p = samples.shape
-    has_limits = limits_lo is not None or limits_hi is not None
+    has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
     if limits_lo is None:
         limits_lo = jnp.full((p,), jnp.nan, samples.dtype)
     if limits_hi is None:
         limits_hi = jnp.full((p,), jnp.nan, samples.dtype)
+    per = jnp.zeros((p,), bool) if periodic is None else jnp.asarray(periodic)
     cols = samples.T  # (P, N)
     norm = jnp.sum(weights)
     means = cols @ weights / norm
@@ -449,10 +456,14 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits
     binmin = jnp.minimum(mins, range_min) - (range_max - range_min) * 0.1
     binmax = jnp.maximum(maxs, range_max) + (range_max - range_min) * 0.1
     # hard limits cut the padded range; the limit is "active" when it binds
-    active_lo = ~jnp.isnan(limits_lo) & (jnp.where(jnp.isnan(limits_lo), -jnp.inf, limits_lo) > binmin)
-    active_hi = ~jnp.isnan(limits_hi) & (jnp.where(jnp.isnan(limits_hi), jnp.inf, limits_hi) < binmax)
+    # (periodic parameters always snap to their full period)
+    active_lo = ~jnp.isnan(limits_lo) & (per | (jnp.where(jnp.isnan(limits_lo), -jnp.inf, limits_lo) > binmin))
+    active_hi = ~jnp.isnan(limits_hi) & (per | (jnp.where(jnp.isnan(limits_hi), jnp.inf, limits_hi) < binmax))
     binmin = jnp.where(active_lo, jnp.where(jnp.isnan(limits_lo), binmin, limits_lo), binmin)
     binmax = jnp.where(active_hi, jnp.where(jnp.isnan(limits_hi), binmax, limits_hi), binmax)
+    # boundary-kernel corrections apply only to non-periodic bounded params
+    active_lo = active_lo & ~per
+    active_hi = active_hi & ~per
     fine_width = (binmax - binmin) / (fine_bins - 1)
 
     fine_ix = jnp.clip(
@@ -483,14 +494,31 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits
         return jnp.fft.irfft(spec * mult, pad)[off : off + fine_bins]
 
     if has_limits:
-        bins_ext = jnp.zeros((p, pad), bins.dtype).at[:, off : off + fine_bins].set(bins)
-        bins = bins_ext[:, off : off + fine_bins]  # view back for bias loop
+        # circular smoothing for periodic params: fold the duplicated wrap
+        # bin and tile the data periodically into the pad borders (period
+        # L = fine_bins - 1), so one linear FFT conv serves both modes
+        L = fine_bins - 1
+        rel = jnp.arange(pad) - off
+        mod_idx = jnp.mod(rel, L)
+        smooth_bins = jnp.where(per, jnp.minimum(smooth_bins, off / 4.0), smooth_bins)
+
+        def _extend(rows):
+            folded = rows.at[:, 0].add(rows[:, -1]).at[:, -1].set(0.0)
+            per_ext = folded[:, mod_idx]
+            plain_ext = jnp.zeros((p, pad), rows.dtype).at[:, off : off + fine_bins].set(rows)
+            return jnp.where(per[:, None], per_ext, plain_ext)
+
+        def _rewrap(c):
+            # grid points 0 and fine_bins-1 are the same periodic point
+            return c.at[:, -1].set(jnp.where(per, c[:, 0], c[:, -1]))
+
+        bins_ext = _extend(bins)
 
         def smooth_ext(b_ext, sigma_bins):
             mult = jnp.exp(-2.0 * (np.pi * sigma_bins / pad) ** 2 * k**2)
             return jnp.fft.irfft(jnp.fft.rfft(b_ext) * mult, pad)[off : off + fine_bins]
 
-        conv = jax.vmap(smooth_ext)(bins_ext, smooth_bins)
+        conv = _rewrap(jax.vmap(smooth_ext)(bins_ext, smooth_bins))
     else:
         conv = jax.vmap(smooth)(bins, smooth_bins)
 
@@ -550,12 +578,12 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits
 
             a0_mb = jax.vmap(_smooth_ext_row)(mask_mb, smooth_bins)
             a0_mb = jnp.where(a0_mb <= 1e-12, 1.0, a0_mb)
+            a0_mb = jnp.where(per[:, None], 1.0, a0_mb)  # no edges on periodic axes
         for _ in range(mult_bias_order):
             prob1 = jnp.where(conv <= 0, 1.0, conv)
             flattened = bins / prob1
             if has_limits:
-                flat_ext = jnp.zeros((p, pad), conv.dtype).at[:, off : off + fine_bins].set(flattened)
-                conv = conv * jax.vmap(_smooth_ext_row)(flat_ext, smooth_bins) / a0_mb
+                conv = _rewrap(conv * jax.vmap(_smooth_ext_row)(_extend(flattened), smooth_bins) / a0_mb)
             else:
                 conv = conv * jax.vmap(smooth)(flattened, smooth_bins)
 
@@ -572,6 +600,7 @@ def all_1d_densities(samples, weights, fine_bins=1024, mult_bias_order=1, limits
         "range": (binmin, binmax),
         "active_lo": active_lo,
         "active_hi": active_hi,
+        "periodic": per,
     }
 
 
@@ -592,6 +621,7 @@ def all_2d_densities(
     static_pairs=None,
     active_lo=None,
     active_hi=None,
+    periodic=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -671,7 +701,51 @@ def all_2d_densities(
     kernels = jax.vmap(lambda a, b, cc: _gauss_kernel_2d(a, b, cc, winw, samples.dtype))(rx, ry, c)
 
     pad = next_fast_len(fine_bins + 2 * winw)
-    smoothed = _conv2d_same_batch(hists, kernels, pad)
+    has_periodic = periodic is not None
+    if has_periodic:
+        # periodic axes: fold the duplicated wrap line and extend the grid
+        # periodically (period fine_bins-1) into winw-wide borders, then a
+        # 'valid' FFT convolution; non-periodic borders stay zero
+        per = jnp.asarray(periodic)
+        per_x = per[pair_a]
+        per_y = per[pair_b]
+        L2 = fine_bins - 1
+        ext = fine_bins + 2 * winw
+        pad_ext2 = next_fast_len(ext + 2 * winw)
+        rel2 = jnp.arange(ext) - winw
+        wrap_idx = jnp.mod(rel2, L2)
+        clip_idx = jnp.clip(rel2, 0, fine_bins - 1)
+        inside2 = (rel2 >= 0) & (rel2 < fine_bins)
+
+        def _fold(h):
+            fy = h.at[:, 0, :].add(h[:, -1, :]).at[:, -1, :].set(0.0)
+            h = jnp.where(per_y[:, None, None], fy, h)
+            fx = h.at[:, :, 0].add(h[:, :, -1]).at[:, :, -1].set(0.0)
+            return jnp.where(per_x[:, None, None], fx, h)
+
+        src_y = jnp.where(per_y[:, None], wrap_idx[None, :], clip_idx[None, :])  # (K, ext)
+        src_x = jnp.where(per_x[:, None], wrap_idx[None, :], clip_idx[None, :])
+        msk_y = (per_y[:, None] | inside2[None, :]).astype(samples.dtype)
+        msk_x = (per_x[:, None] | inside2[None, :]).astype(samples.dtype)
+
+        def _extend2(h):
+            h = _fold(h)
+            g = jax.vmap(lambda hk, sy, my: hk[sy] * my[:, None])(h, src_y, msk_y)
+            return jax.vmap(lambda gk, sx, mx: gk[:, sx] * mx[None, :])(g, src_x, msk_x)
+
+        def _conv_periodic(h):
+            g = _extend2(h)
+            gf = jnp.fft.rfftn(g, (pad_ext2, pad_ext2), axes=(1, 2))
+            kf2 = jnp.fft.rfftn(kernels, (pad_ext2, pad_ext2), axes=(1, 2))
+            full = jnp.fft.irfftn(gf * kf2, (pad_ext2, pad_ext2), axes=(1, 2))
+            out = jax.lax.dynamic_slice(full, (0, 2 * winw, 2 * winw), (h.shape[0], fine_bins, fine_bins))
+            # wrap line duplicates its partner row/column
+            out = jnp.where(per_y[:, None, None], out.at[:, -1, :].set(out[:, 0, :]), out)
+            return jnp.where(per_x[:, None, None], out.at[:, :, -1].set(out[:, :, 0]), out)
+
+        smoothed = _conv_periodic(hists)
+    else:
+        smoothed = _conv2d_same_batch(hists, kernels, pad)
 
     # Hard-limit boundary handling (order-0 edge normalization, the role of
     # the reference's mcsamples.py:1921-1933): the prior mask is ones beyond
@@ -712,7 +786,7 @@ def all_2d_densities(
         for _ in range(mult_bias_order):
             maxes = jnp.max(smoothed, axis=(1, 2), keepdims=True)
             flat = jnp.where(smoothed > maxes * 1e-8, hists / jnp.where(smoothed == 0, 1.0, smoothed), hists)
-            round_conv = _conv2d_same_batch(flat, kernels, pad)
+            round_conv = _conv_periodic(flat) if has_periodic else _conv2d_same_batch(flat, kernels, pad)
             if has_limits:
                 round_conv = jnp.where(pair_limited[:, None, None], round_conv / a00, round_conv)
             smoothed = smoothed * round_conv
@@ -731,7 +805,14 @@ def all_2d_densities(
 
 
 def triangle_densities(
-    samples, weights, contours=(0.68, 0.95), fine_bins_2d=256, use_pallas=None, limits_lo=None, limits_hi=None
+    samples,
+    weights,
+    contours=(0.68, 0.95),
+    fine_bins_2d=256,
+    use_pallas=None,
+    limits_lo=None,
+    limits_hi=None,
+    periodic=None,
 ):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
@@ -745,7 +826,7 @@ def triangle_densities(
         use_pallas = jax.default_backend() not in ("cpu",)
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
-    has_limits = limits_lo is not None or limits_hi is not None
+    has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
     if has_limits:
         limits_lo = jnp.asarray(
             np.full(p, np.nan, np.float32) if limits_lo is None else np.asarray(limits_lo, np.float32)
@@ -753,8 +834,10 @@ def triangle_densities(
         limits_hi = jnp.asarray(
             np.full(p, np.nan, np.float32) if limits_hi is None else np.asarray(limits_hi, np.float32)
         )
-        d1 = all_1d_densities(samples, weights, limits_lo=limits_lo, limits_hi=limits_hi)
+        per = None if periodic is None else jnp.asarray(np.asarray(periodic, bool))
+        d1 = all_1d_densities(samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=per)
     else:
+        per = None
         d1 = all_1d_densities(samples, weights)
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
     d2 = all_2d_densities(
@@ -771,5 +854,6 @@ def triangle_densities(
         static_pairs=tuple(map(tuple, pairs.tolist())),
         active_lo=d1["active_lo"] if has_limits else None,
         active_hi=d1["active_hi"] if has_limits else None,
+        periodic=per,
     )
     return d1, d2

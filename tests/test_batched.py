@@ -164,3 +164,32 @@ def test_mcsamples_fast_triangle_bridge():
     P = np.asarray(d1["P"][0])
     assert abs(P[0] - 1.0) < 0.05  # boundary-corrected at the bound
     assert np.asarray(d2["P"]).shape == (1, 256, 256)
+
+
+def test_fast_path_periodic(reference_getdist):
+    """Fast-path periodic parameters: circular smoothing, wrap continuity,
+    and closeness to the reference's periodic convolution mode."""
+    import numpy as np
+
+    from getdist.mcsamples import MCSamples as RefMCSamples
+
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(5)
+    n = 100000
+    phi = np.mod(rng.standard_normal(n) * 0.6 + 3.0, 2 * np.pi)
+    y = rng.standard_normal(n)
+    s = np.column_stack([phi, y])
+    ranges = {"phi": [0, 2 * np.pi, True]}
+    mc = MCSamples(samples=s.copy(), names=["phi", "y"], ranges=ranges)
+    d1, d2, pairs = mc.fastTriangleDensities()
+    x = np.asarray(d1["x"][0])
+    P = np.asarray(d1["P"][0])
+    assert x[0] == 0.0 and abs(x[-1] - 2 * np.pi) < 1e-5
+    assert abs(P[0] - P[-1]) < 1e-7  # continuous at the wrap
+    P2 = np.asarray(d2["P"][0])
+    np.testing.assert_allclose(P2[:, 0], P2[:, -1], atol=1e-7)
+    ref = RefMCSamples(samples=s.copy(), names=["phi", "y"], ranges=ranges)
+    dr = ref.get1DDensity("phi")
+    ours_on_ref = np.interp(dr.x, x, P)
+    assert np.max(np.abs(ours_on_ref - dr.P)) < 5e-3
