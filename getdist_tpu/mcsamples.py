@@ -1330,6 +1330,42 @@ class MCSamples(Chains):
         pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
         return d1, d2, pairs
 
+    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True):
+        """Fused-pipeline densities as plot-ready objects: a dict of
+        :class:`~.densities.Density1D` per parameter name and a dict of
+        :class:`~.densities.Density2D` per name pair.
+
+        With ``cache_1d`` the 1D results populate the ``density1D`` cache,
+        so subsequent ``get1DDensity``/1D plotting reuses them; 2D objects
+        plot via ``add_2d_contours(..., density=...)``. Fast-path KDE
+        conventions (see :meth:`fastTriangleDensities`).
+        """
+        d1, d2, pairs = self.fastTriangleDensities(params=params, contours=contours, use_pallas=use_pallas)
+        if params is None:
+            names = [p.name for p in self.paramNames.names]
+        else:
+            names = [self._parAndNumber(p)[1].name for p in params]
+        import numpy as _np
+
+        bmin = _np.asarray(d1["range"][0], float)
+        bmax = _np.asarray(d1["range"][1], float)
+        dens1 = {}
+        for i, name in enumerate(names):
+            par = self.paramNames.parWithName(name)
+            view = [par.range_min, par.range_max] if hasattr(par, "range_min") else None
+            dens1[name] = Density1D(_np.asarray(d1["x"][i], float), P=_np.array(d1["P"][i], float), view_ranges=view)
+        n2 = _np.asarray(d2["P"], float).shape[1]
+        dens2 = {}
+        for k, (a, b) in enumerate(pairs):
+            gx = _np.linspace(bmin[a], bmax[a], n2)
+            gy = _np.linspace(bmin[b], bmax[b], n2)
+            density = Density2D(gx, gy, _np.array(d2["P"][k], float))
+            density.contours = _np.asarray(d2["contours"][k], float)
+            dens2[(names[a], names[b])] = density
+        if cache_1d:
+            self.density1D.update(dens1)
+        return dens1, dens2
+
     def getRawNDDensity(self, xs, normalized=False, **kwargs):
         """DensityND (unsmoothed histogram) for a list of parameters."""
         if self.needs_update:

@@ -26,9 +26,11 @@ log-spaced lag grid for the KDE N_eff estimate (vs adaptive stepping), no
 TNC AMISE correlation optimization (kernel correlation taken from the
 sample correlation, as the reference itself does for high-correlation
 pairs), one shared fine grid size (no corr-adaptive rebinning), and
-boundary correction applied at order 0 in the batch (order-1 pairs can be
-recomputed via the parity path). Accuracy against the parity path is
-regression-tested in tests/test_batched.py.
+boundary correction at order 1 in 1D / order 0 in 2D with hard limits
+wired through ``limits_lo/limits_hi`` (untruncated periodic-Gaussian
+kernels with analytic frequency-domain moments); periodic parameters
+smooth circularly. Accuracy against the parity path is regression-tested
+in tests/test_batched.py.
 """
 
 from functools import partial

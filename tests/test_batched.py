@@ -193,3 +193,27 @@ def test_fast_path_periodic(reference_getdist):
     dr = ref.get1DDensity("phi")
     ours_on_ref = np.interp(dr.x, x, P)
     assert np.max(np.abs(ours_on_ref - dr.P)) < 5e-3
+
+
+def test_fast_densities_plot_objects():
+    """fastDensities returns plotter-consumable Density1D/2D objects and
+    populates the 1D cache used by get1DDensity/plot_1d."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from getdist_tpu import plots
+    from getdist_tpu.densities import Density1D, Density2D
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(0)
+    mc = MCSamples(samples=rng.standard_normal((40000, 2)), names=["a", "b"])
+    dens1, dens2 = mc.fastDensities()
+    assert isinstance(dens1["a"], Density1D) and isinstance(dens2[("a", "b")], Density2D)
+    lo, hi, _, _ = dens1["a"].getLimits([0.68])
+    assert -1.3 < lo < -0.7 and 0.7 < hi < 1.3
+    assert mc.get1DDensity("a") is dens1["a"]  # cache reuse
+    g = plots.get_single_plotter(width_inch=3, auto_close=True)
+    g.add_2d_contours(mc, "a", "b", density=dens2[("a", "b")], filled=True)
+    g.plot_1d(mc, "a")
