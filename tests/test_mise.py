@@ -113,3 +113,28 @@ def test_mise_fast_path_competitive():
     truth /= np.trapezoid(truth, x)
     m_fast = np.trapezoid((P - truth) ** 2, x)
     assert m_fast < max(2 * m_parity, 2e-5), (m_fast, m_parity)
+
+
+@pytest.mark.parametrize("name,mixture", FIXTURES_1D, ids=[f[0] for f in FIXTURES_1D])
+def test_mise_fast_path_1d(name, mixture):
+    """The fused fast path matches the parity path's statistical quality:
+    its MISE against the analytic truth is within 2x (typically ~1x)."""
+    from getdist_tpu.mcsamples import MCSamples
+
+    samples = mixture.sim(20000, random_state=10)
+    ranges = {"x": [mixture.lims[0][0], mixture.lims[0][1]]} if mixture.lims else None
+    mc = MCSamples(samples=samples.copy(), names=["x"], labels=["x"], ranges=ranges)
+    mise_parity = mise_1d(mc, mixture)
+
+    # fast path needs >= 2 params for the triangle; add an independent dummy
+    rng = np.random.RandomState(0)
+    s2 = np.column_stack([samples[:, 0], rng.standard_normal(len(samples))])
+    lims = [mixture.lims[0][0], mixture.lims[0][1]] if mixture.lims else [None, None]
+    mc2 = MCSamples(samples=s2, names=["x", "dummy"], ranges={"x": lims} if mixture.lims else None)
+    dens1, _ = mc2.fastDensities()
+    d = dens1["x"]
+    d.normalize(in_place=True)
+    truth = mixture.pdf(d.x)
+    truth /= np.trapezoid(truth, d.x)
+    mise_fast = np.trapezoid((d.P - truth) ** 2, d.x)
+    assert mise_fast < max(2.0 * mise_parity, 5e-4), (mise_fast, mise_parity)
