@@ -245,12 +245,23 @@ def _isj_bandwidth_1d(bins, neff):
         return h - (2 * neff * _ROOT_PI * f) ** (-1.0 / 5)
 
     n_scale = neff ** (-1.0 / 5)
-    # bracket the root around the rule-of-thumb start
-    lo = 0.019 * n_scale
-    hi = 0.6
-    f_lo = residual(lo)
-    f_hi = residual(hi)
-    ok = (f_lo < 0) & (f_hi > 0)
+    # bracket the root by scanning a log grid of seeds: a two-endpoint
+    # bracket is brittle in f32 (XLA fusion inside the full program can
+    # flip a ~1e-3 residual at the lower endpoint, silently forcing the
+    # rule-of-thumb fallback and ~2x oversmoothing on multimodal shapes)
+    # lower endpoint stays above the spurious-root regime (the reference's
+    # fsolve start is 0.019 N^{-1/5}, kde_bandwidth.py)
+    lo0 = 0.019 * n_scale
+    hi0 = 0.6
+    n_seed = 16
+    seeds = lo0 * (hi0 / lo0) ** jnp.linspace(0.0, 1.0, n_seed, dtype=bins.dtype)
+    rs = jax.lax.map(residual, seeds)
+    cross = (rs[:-1] < 0) & (rs[1:] >= 0)
+    ok = jnp.any(cross)
+    first = jnp.argmax(cross)
+    lo = seeds[first]
+    hi = seeds[first + 1]
+    f_lo = rs[first]
 
     def body(state):
         lo_, hi_, _ = state
