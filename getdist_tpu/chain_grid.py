@@ -30,7 +30,9 @@ def get_chain_root_files(rootdir):
         for f in glob.glob(os.path.join(rootdir, "*" + ending))
         if ".minimize." not in f
     ]
-    files = [f for f in files if hasChainFiles(os.path.join(rootdir, f))]
+    # glob results already carry rootdir (relative or absolute), so test
+    # them directly: joining again breaks relative chain_dir paths
+    files = [f for f in files if hasChainFiles(f)]
     files.sort()
     return files
 

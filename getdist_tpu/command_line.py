@@ -5,6 +5,11 @@ loads chains (glob multi-root support), removes burn-in, writes convergence
 / covmat / correlation / thinned outputs, runs PCA, computes all
 marginalized statistics (``.margestats`` / ``.likestats``), and emits
 runnable plot scripts (1D/2D/triangle/3D), optionally executing them.
+
+Structured as a small pipeline object (:class:`_BatchRun`) whose stages
+mirror the analysis order; every printed line and output file format is
+regression-tested byte-identical to the reference CLI
+(tests/test_command_line.py).
 """
 
 import logging
@@ -17,293 +22,319 @@ from getdist_tpu import chains
 from getdist_tpu.inifile import IniFile
 from getdist_tpu.mcsamples import MCSamples
 
+# ini keys the reference accepts but no longer acts on
+_RETIRED_KEYS = frozenset(
+    (
+        "make_single_samples",
+        "single_thin",
+        "dump_ND_bins",
+        "plot_meanlikes",
+        "shade_meanlikes",
+        "plot_data_dir",
+        "force_twotail",
+    )
+)
+
 
 def runScript(fname):
     subprocess.Popen(["python", fname])
 
 
+class _BatchRun:
+    """One CLI analysis invocation: holds the option state and the captured
+    output lines; stages are methods, executed in order by :meth:`execute`."""
+
+    def __init__(self, args, exit_on_error):
+        self.args = args
+        self.exit_on_error = exit_on_error
+        self.lines = []
+        self.samples = None
+        self.ini = None
+
+    # -- infrastructure -----------------------------------------------------
+
+    def fail(self, message):
+        if self.exit_on_error:
+            print(message)
+            sys.exit()
+        raise ValueError(message)
+
+    def say(self, *items):
+        self.lines.append(" ".join(str(piece) for piece in items))
+        print(*items)
+
+    def select_params(self, namestring, num=None):
+        """Expand an ini parameter list (supports ?/* globs); empty means
+        every parameter. With ``num``, reject lists of the wrong length."""
+        chosen = []
+        if not namestring.strip():
+            chosen = self.samples.paramNames.list()
+        else:
+            for token in namestring.split():
+                if "?" in token or "*" in token:
+                    chosen += self.samples.paramNames.getMatches(token, strings=True)
+                elif self.samples.paramNames.parWithName(token):
+                    chosen.append(token)
+        if num is not None and len(chosen) != num:
+            self.say("%iD plot has missing parameter or wrong number of parameters: %s" % (num, chosen))
+            return None
+        return chosen
+
+    # -- stages --------------------------------------------------------------
+
+    def resolve_inputs(self):
+        """Sort out the ini-file / chain-root argument forms; returns False
+        when this invocation fanned out over a glob (nothing more to do)."""
+        args = self.args
+        self.implicit_no_plots = False
+        root = args.chain_root
+        if args.ini_file is None and root is None:
+            self.fail(
+                'Must give either a .ini file of parameters or a chain file root name. Run "getdist -h" for help.'
+            )
+        if ".ini" not in args.ini_file and root is None:
+            # a bare chain root: analyse with packaged defaults, no plots
+            root = args.ini_file
+            args.ini_file = getdist_tpu.default_getdist_settings
+            self.implicit_no_plots = True
+        if not os.path.isfile(args.ini_file):
+            self.fail("Parameter file does not exist: " + args.ini_file)
+        if root and root.endswith(".txt"):
+            root = root[:-4]
+
+        if root is not None and ("*" in root or "?" in root):
+            import copy
+            import glob
+
+            for suffix in [".paramnames", "updated.yaml"]:
+                for match in glob.glob(root + suffix):
+                    sub_args = copy.copy(args)
+                    sub_args.chain_root = match.replace(suffix, "")
+                    getdist_script(sub_args)
+            return False
+        self.chain_root = root
+        return True
+
+    def read_settings(self):
+        self.ini = ini = IniFile(self.args.ini_file)
+        for key in set(ini.params.keys()).intersection(_RETIRED_KEYS):
+            if ini.string(key) not in [0, "F"]:
+                logging.warning("%s is no longer supported, value ignored" % key)
+
+        self.in_root = self.chain_root if self.chain_root is not None else ini.params["file_root"]
+        if not self.in_root:
+            self.fail("Chain Root file name not given ")
+        self.rootname = os.path.basename(self.in_root)
+
+        if self.args.ignore_rows is not None:
+            self.burn_fraction = self.args.ignore_rows
+        else:
+            self.burn_fraction = ini.float("ignore_rows", 0.0)
+
+        self.no_plots = ini.bool("no_plots", self.implicit_no_plots)
+        self.plots_only = ini.bool("plots_only", False)
+        self.no_tests = self.plots_only or ini.bool("no_tests", False)
+        self.plot_ext = ini.string("plot_ext", "py")
+        self.finish_run_command = ini.string("finish_run_command", "")
+        self.thin_factor = ini.int("thin_factor", 0)
+        self.thin_cool = ini.float("thin_cool", 1.0)
+        self.cool_factor = ini.float("cool", 1.0)
+        self.chain_exclude = ini.int_list("exclude_chain")
+
+        if "do_minimal_1d_intervals" in ini.params:
+            self.fail("do_minimal_1d_intervals no longer used; set credible_interval_threshold instead")
+
+        pca_line = ini.string("PCA_params", "")
+        self.pca_params = None  # resolved after load when 'all'
+        self.pca_line = pca_line
+        self.pca_num = None
+
+    def build_samples(self):
+        ini = self.ini
+        self.samples = mc = MCSamples(
+            self.in_root,
+            ini=ini,
+            files_are_chains=ini.bool("samples_are_chains", True),
+            paramNamesFile=ini.string("parameter_names", ""),
+        )
+        if ini.bool("adjust_priors", False) or ini.bool("map_params", False):
+            self.fail(
+                "To adjust priors or define new parameters, use a separate python script; "
+                "see the python getdist docs for examples"
+            )
+
+        out_dir = ini.string("out_dir", "./")
+        if out_dir:
+            if not os.path.isdir(out_dir):
+                os.mkdir(out_dir)
+            self.say("producing files in directory ", out_dir)
+        mc.out_dir = out_dir
+
+        override_root = ini.string("out_root", "")
+        if override_root:
+            self.rootname = override_root
+            self.say("producing files with root ", override_root)
+        mc.rootname = self.rootname
+        self.rootdirname = os.path.join(out_dir, self.rootname)
+        mc.rootdirname = self.rootdirname
+
+        if self.pca_line.lower() == "all":
+            self.pca_params = mc.paramNames.list()
+        else:
+            self.pca_params = self.pca_line.split()
+        self.pca_num = ini.int("PCA_num", len(self.pca_params))
+        if self.pca_num != 0:
+            if self.pca_num < 2:
+                self.fail("Can only do PCA for 2 or more parameters")
+            self.pca_func = ini.string("PCA_func", "") or ["N"] * self.pca_num
+            self.pca_norm_param = ini.string("PCA_normparam", "") or None
+
+        first_chain = ini.int("first_chain", 0)
+        last_chain = ini.int("chain_num", -1)
+        chain_files = []
+        for separator in ["_", "."]:
+            chain_files = chains.chainFiles(
+                self.in_root,
+                first_chain=first_chain,
+                last_chain=last_chain,
+                chain_exclude=self.chain_exclude,
+                separator=separator,
+            )
+            if chain_files:
+                break
+
+        mc.loadChains(self.in_root, chain_files)
+        mc.removeBurnFraction(self.burn_fraction)
+        if chains.print_load_details:
+            if self.burn_fraction:
+                self.say("Removed %s as burn in" % self.burn_fraction)
+            else:
+                self.say("Removed no burn in")
+        mc.deleteFixedParams()
+        mc.makeSingle()
+
+        if self.cool_factor != 1:
+            self.say("Cooling chains by ", self.cool_factor)
+            mc.cool(self.cool_factor)
+        mc.updateBaseStatistics()
+
+    def diagnostics(self):
+        mc = self.samples
+        if not self.no_tests:
+            mc.getConvergeTests(mc.converge_test_limit, writeDataToFile=True, feedback=True)
+        mc.writeCovMatrix()
+        mc.writeCorrelationMatrix()
+        if self.thin_factor > 1:
+            thin_ix = mc.thin_indices(self.thin_factor)
+            mc.writeThinData(self.rootdirname + "_thin.txt", thin_ix, self.thin_cool)
+        self.say(mc.getNumSampleSummaryText().strip())
+        if mc.likeStats:
+            self.say(mc.likeStats.likeSummary().strip())
+        if self.pca_num > 0 and not self.plots_only:
+            mc.PCA(self.pca_params, self.pca_func, self.pca_norm_param, writeDataToFile=True)
+        mc._setDensitiesandMarge1D()
+
+    def plot_scripts(self):
+        if self.no_plots:
+            return
+        mc = self.samples
+        ini = self.ini
+
+        requested_1d = []
+        text = ini.string("plot_params", "")
+        if text not in ["", "0"]:
+            requested_1d = self.select_params(text)
+
+        against_param = ini.string("plot_2D_param", "").strip()
+        if not against_param or against_param == "0":
+            against_param = None
+
+        custom_pairs = []
+        if not against_param:
+            wanted = ini.int("plot_2D_num", 0)
+            for index in range(1, wanted + 1):
+                pair = self.select_params(ini.string("plot" + str(index)), 2)
+                if pair is not None:
+                    custom_pairs.append(pair)
+
+        tri_params = []
+        want_triangle = ini.bool("triangle_plot", False)
+        if want_triangle:
+            tri_params = self.select_params(ini.string("triangle_params", ""))
+            want_triangle = len(tri_params) > 1
+
+        scatter_triples = []
+        n_scatter = ini.int("num_3D_plots", 0)
+        for index in range(1, n_scatter + 1):
+            triple = self.select_params(ini.string("3D_plot" + str(index)), 3)
+            if triple is not None:
+                scatter_triples.append(triple)
+            else:
+                n_scatter -= 1
+
+        make_now = ini.bool("make_plots", False) or self.args.make_plots
+
+        def emit(suffix, writer, *writer_args):
+            fname = self.rootdirname + suffix + "." + self.plot_ext
+            writer(fname, *writer_args)
+            if make_now:
+                runScript(fname)
+
+        emit("", mc._writeScriptPlots1D, requested_1d)
+
+        if against_param == "corr":
+            self.say("...doing 2D plots for most correlated variables")
+            custom_pairs = mc.getCorrelatedVariable2DPlots()
+            against_param = None
+        elif against_param:
+            mc.paramNames.parWithName(against_param, error=True)
+
+        if custom_pairs or against_param:
+            self.say("...producing 2D plots")
+            emit("_2D", mc._writeScriptPlots2D, against_param, custom_pairs)
+
+        if want_triangle:
+            self.say("...producing triangle plot")
+            emit("_tri", mc._writeScriptPlotsTri, tri_params)
+
+        if n_scatter:
+            self.say("...producing ", n_scatter, "2D colored scatter plots")
+            emit("_3D", mc._writeScriptPlots3D, scatter_triples)
+
+    def stats_outputs(self):
+        mc = self.samples
+        if not self.plots_only:
+            mc.getMargeStats().saveAsText(self.rootdirname + ".margestats")
+            if mc.loglikes is not None:
+                mc.getLikeStats().saveAsText(self.rootdirname + ".likestats")
+        if self.finish_run_command:
+            os.system(self.finish_run_command.replace("%ROOTNAME%", self.rootname))
+
+    def execute(self):
+        if not self.resolve_inputs():
+            return None
+        self.read_settings()
+        self.build_samples()
+        self.diagnostics()
+        self.plot_scripts()
+        self.stats_outputs()
+        return "\n".join(self.lines)
+
+
 def getdist_script(args, exit_on_error=True):
     """Run the batch analysis described by args (ini_file, chain_root,
     ignore_rows, make_plots); returns the printed output text."""
-
-    def do_error(msg):
-        if exit_on_error:
-            print(msg)
-            sys.exit()
-        raise ValueError(msg)
-
-    result = []
-
-    def doprint(*s):
-        result.append(" ".join([str(x) for x in s]))
-        print(*s)
-
-    no_plots = False
-    chain_root = args.chain_root
-    if args.ini_file is None and chain_root is None:
-        do_error('Must give either a .ini file of parameters or a chain file root name. Run "getdist -h" for help.')
-    if ".ini" not in args.ini_file and chain_root is None:
-        # bare chain root: use default settings, no plots
-        chain_root = args.ini_file
-        args.ini_file = getdist_tpu.default_getdist_settings
-        no_plots = True
-    if not os.path.isfile(args.ini_file):
-        do_error("Parameter file does not exist: " + args.ini_file)
-    if chain_root and chain_root.endswith(".txt"):
-        chain_root = chain_root[:-4]
-
-    if chain_root is not None and ("*" in chain_root or "?" in chain_root):
-        import copy
-        import glob
-
-        for ending in [".paramnames", "updated.yaml"]:
-            for f in glob.glob(chain_root + ending):
-                fileargs = copy.copy(args)
-                fileargs.chain_root = f.replace(ending, "")
-                getdist_script(fileargs)
-        return
-
-    ini = IniFile(args.ini_file)
-
-    for item in set(ini.params.keys()).intersection(
-        {
-            "make_single_samples",
-            "single_thin",
-            "dump_ND_bins",
-            "plot_meanlikes",
-            "shade_meanlikes",
-            "plot_data_dir",
-            "force_twotail",
-        }
-    ):
-        if ini.string(item) not in [0, "F"]:
-            logging.warning("%s is no longer supported, value ignored" % item)
-
-    if chain_root is not None:
-        in_root = chain_root
-    else:
-        in_root = ini.params["file_root"]
-    if not in_root:
-        do_error("Chain Root file name not given ")
-    rootname = os.path.basename(in_root)
-
-    if args.ignore_rows is not None:
-        ignorerows = args.ignore_rows
-    else:
-        ignorerows = ini.float("ignore_rows", 0.0)
-
-    samples_are_chains = ini.bool("samples_are_chains", True)
-    paramnames = ini.string("parameter_names", "")
-
-    mc = MCSamples(in_root, ini=ini, files_are_chains=samples_are_chains, paramNamesFile=paramnames)
-
-    if ini.bool("adjust_priors", False) or ini.bool("map_params", False):
-        do_error(
-            "To adjust priors or define new parameters, use a separate python script; "
-            "see the python getdist docs for examples"
-        )
-
-    plot_ext = ini.string("plot_ext", "py")
-    finish_run_command = ini.string("finish_run_command", "")
-
-    no_plots = ini.bool("no_plots", no_plots)
-    plots_only = ini.bool("plots_only", False)
-    no_tests = plots_only or ini.bool("no_tests", False)
-
-    thin_factor = ini.int("thin_factor", 0)
-    thin_cool = ini.float("thin_cool", 1.0)
-    cool = ini.float("cool", 1.0)
-    chain_exclude = ini.int_list("exclude_chain")
-
-    out_dir = ini.string("out_dir", "./")
-    if out_dir:
-        if not os.path.isdir(out_dir):
-            os.mkdir(out_dir)
-        doprint("producing files in directory ", out_dir)
-    mc.out_dir = out_dir
-
-    out_root = ini.string("out_root", "")
-    if out_root:
-        rootname = out_root
-        doprint("producing files with root ", out_root)
-    mc.rootname = rootname
-
-    rootdirname = os.path.join(out_dir, rootname)
-    mc.rootdirname = rootdirname
-
-    if "do_minimal_1d_intervals" in ini.params:
-        do_error("do_minimal_1d_intervals no longer used; set credible_interval_threshold instead")
-
-    line = ini.string("PCA_params", "")
-    if line.lower() == "all":
-        PCA_params = mc.paramNames.list()
-    else:
-        PCA_params = line.split()
-    PCA_num = ini.int("PCA_num", len(PCA_params))
-    if PCA_num != 0:
-        if PCA_num < 2:
-            do_error("Can only do PCA for 2 or more parameters")
-        PCA_func = ini.string("PCA_func", "")
-        if PCA_func == "":
-            PCA_func = ["N"] * PCA_num
-        PCA_NormParam = ini.string("PCA_normparam", "") or None
-
-    first_chain = ini.int("first_chain", 0)
-    last_chain = ini.int("chain_num", -1)
-
-    for separator in ["_", "."]:
-        chain_files = chains.chainFiles(
-            in_root, first_chain=first_chain, last_chain=last_chain, chain_exclude=chain_exclude, separator=separator
-        )
-        if chain_files:
-            break
-
-    mc.loadChains(in_root, chain_files)
-    mc.removeBurnFraction(ignorerows)
-    if chains.print_load_details:
-        if ignorerows:
-            doprint("Removed %s as burn in" % ignorerows)
-        else:
-            doprint("Removed no burn in")
-
-    mc.deleteFixedParams()
-    mc.makeSingle()
-
-    def filterParList(namestring, num=None):
-        if not namestring.strip():
-            _pars = mc.paramNames.list()
-        else:
-            _pars = []
-            for name in namestring.split():
-                if "?" in name or "*" in name:
-                    _pars += mc.paramNames.getMatches(name, strings=True)
-                elif mc.paramNames.parWithName(name):
-                    _pars.append(name)
-        if num is not None and len(_pars) != num:
-            doprint("%iD plot has missing parameter or wrong number of parameters: %s" % (num, _pars))
-            _pars = None
-        return _pars
-
-    if cool != 1:
-        doprint("Cooling chains by ", cool)
-        mc.cool(cool)
-
-    mc.updateBaseStatistics()
-
-    if not no_tests:
-        mc.getConvergeTests(mc.converge_test_limit, writeDataToFile=True, feedback=True)
-
-    mc.writeCovMatrix()
-    mc.writeCorrelationMatrix()
-
-    if thin_factor > 1:
-        thin_ix = mc.thin_indices(thin_factor)
-        mc.writeThinData(rootdirname + "_thin.txt", thin_ix, thin_cool)
-
-    doprint(mc.getNumSampleSummaryText().strip())
-    if mc.likeStats:
-        doprint(mc.likeStats.likeSummary().strip())
-
-    if PCA_num > 0 and not plots_only:
-        mc.PCA(PCA_params, PCA_func, PCA_NormParam, writeDataToFile=True)
-
-    mc._setDensitiesandMarge1D()
-
-    if not no_plots:
-        plotparams = []
-        line = ini.string("plot_params", "")
-        if line not in ["", "0"]:
-            plotparams = filterParList(line)
-
-        line = ini.string("plot_2D_param", "").strip()
-        plot_2D_param = None
-        if line and line != "0":
-            plot_2D_param = line
-
-        cust2DPlots = []
-        if not plot_2D_param:
-            num_cust2D_plots = ini.int("plot_2D_num", 0)
-            for i in range(1, num_cust2D_plots + 1):
-                line = ini.string("plot" + str(i))
-                pars = filterParList(line, 2)
-                if pars is not None:
-                    cust2DPlots.append(pars)
-                else:
-                    num_cust2D_plots -= 1
-
-        triangle_params = []
-        triangle_plot = ini.bool("triangle_plot", False)
-        if triangle_plot:
-            line = ini.string("triangle_params", "")
-            triangle_params = filterParList(line)
-            triangle_plot = len(triangle_params) > 1
-
-        num_3D_plots = ini.int("num_3D_plots", 0)
-        plot_3D = []
-        for ix in range(1, num_3D_plots + 1):
-            line = ini.string("3D_plot" + str(ix))
-            pars = filterParList(line, 3)
-            if pars is not None:
-                plot_3D.append(pars)
-            else:
-                num_3D_plots -= 1
-
-        make_plots = ini.bool("make_plots", False) or args.make_plots
-
-        filename = rootdirname + "." + plot_ext
-        mc._writeScriptPlots1D(filename, plotparams)
-        if make_plots:
-            runScript(filename)
-
-        if plot_2D_param == "corr":
-            doprint("...doing 2D plots for most correlated variables")
-            cust2DPlots = mc.getCorrelatedVariable2DPlots()
-            plot_2D_param = None
-        elif plot_2D_param:
-            mc.paramNames.parWithName(plot_2D_param, error=True)
-
-        if cust2DPlots or plot_2D_param:
-            doprint("...producing 2D plots")
-            filename = rootdirname + "_2D." + plot_ext
-            mc._writeScriptPlots2D(filename, plot_2D_param, cust2DPlots)
-            if make_plots:
-                runScript(filename)
-
-        if triangle_plot:
-            doprint("...producing triangle plot")
-            filename = rootdirname + "_tri." + plot_ext
-            mc._writeScriptPlotsTri(filename, triangle_params)
-            if make_plots:
-                runScript(filename)
-
-        if num_3D_plots:
-            doprint("...producing ", num_3D_plots, "2D colored scatter plots")
-            filename = rootdirname + "_3D." + plot_ext
-            mc._writeScriptPlots3D(filename, plot_3D)
-            if make_plots:
-                runScript(filename)
-
-    if not plots_only:
-        mc.getMargeStats().saveAsText(rootdirname + ".margestats")
-        if mc.loglikes is not None:
-            mc.getLikeStats().saveAsText(rootdirname + ".likestats")
-
-    if finish_run_command:
-        finish_run_command = finish_run_command.replace("%ROOTNAME%", rootname)
-        os.system(finish_run_command)
-
-    return "\n".join(result)
+    return _BatchRun(args, exit_on_error).execute()
 
 
 def make_param_file(file_name, feedback=True):
     """Write a template distparams .ini with the analysis defaults inlined."""
     with open(getdist_tpu.distparam_template, encoding="utf-8-sig") as f:
-        content = f.read()
+        template = f.read()
     with open(getdist_tpu.default_getdist_settings, encoding="utf-8-sig") as f:
-        analysis = f.read()
-    content = content.replace("%%%ANALYSIS_DEFAULTS%%%", analysis)
+        defaults = f.read()
     with open(file_name, "w", encoding="utf-8") as f:
-        f.write(content)
+        f.write(template.replace("%%%ANALYSIS_DEFAULTS%%%", defaults))
     if feedback:
         print("Template .ini file written to " + file_name)
 

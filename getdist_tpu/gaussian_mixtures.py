@@ -6,7 +6,11 @@ mixtures with optional hard limits support pdf evaluation, analytic 1D/2D
 density grids, marginalization and conditioning, rejection sampling under
 bounds, and minting of :class:`~.mcsamples.MCSamples` objects. Sampling uses
 numpy Generators with the same call sequence as the reference so seeded test
-fixtures are bit-reproducible.
+fixtures are bit-reproducible (do NOT reorder the RNG calls in
+:func:`_rejection_sample` or the Random* constructors).
+
+The numerical cores live in module-level helpers; the classes are thin
+state-holders over them.
 """
 
 import copy
@@ -32,6 +36,120 @@ __all__ = [
 
 def make_2D_Cov(sigmax, sigmay, corr):
     return np.array([[sigmax**2, sigmax * sigmay * corr], [sigmax * sigmay * corr, sigmay**2]])
+
+
+# ---------------------------------------------------------------------------
+# numerical cores
+# ---------------------------------------------------------------------------
+
+
+def _apply_hard_limits(draws, lims):
+    """Drop rows outside the per-parameter (min, max) bounds."""
+    for axis, (lower, upper) in enumerate(lims):
+        if lower is not None:
+            draws = draws[draws[:, axis] >= lower]
+        if upper is not None:
+            draws = draws[draws[:, axis] <= upper]
+    return draws
+
+
+def _rejection_sample(mixture, size, random_state):
+    """Rejection-sample ``size`` points from the (possibly bounded) mixture.
+
+    RNG call order (multinomial per round, then one multivariate_normal per
+    non-empty component, final permutation when multiple blocks) must stay
+    identical for seed-reproducible fixtures.
+    """
+    accepted = 0
+    chunks = []
+    round_size = None
+    rng = np.random.default_rng(random_state)
+    while True:
+        counts = rng.multinomial(round_size or size, mixture.weights)
+        for count, mean, cov in zip(counts, mixture.means, mixture.covs):
+            if count > 0:
+                draws = rng.multivariate_normal(mean, cov, size=count)
+                if mixture.lims is not None:
+                    draws = _apply_hard_limits(draws, mixture.lims)
+                accepted += draws.shape[0]
+                chunks.append(draws)
+        if accepted >= size:
+            break
+        if round_size is None:
+            round_size = min(max(size, 100000), int(1.1 * (size * (size - accepted))) // max(accepted, 1) + 1)
+    samples = np.vstack(chunks)
+    if len(chunks) > 1:
+        samples = rng.permutation(samples)
+    if accepted != size:
+        samples = samples[: -(accepted - size), :]
+    return samples
+
+
+def _mixture_pdf(means, invcovs, weights, norms, x):
+    """Weighted sum of Gaussian component densities at x (vector or batch).
+    Components accumulate in order (bit-reproducible fixture loglikes)."""
+    total = None
+    x = np.asarray(x)
+    for i, (mean, icov, weight, norm) in enumerate(zip(means, invcovs, weights, norms)):
+        offset = x - mean
+        if len(x.shape) == 1:
+            component = np.exp(-icov.dot(offset).dot(offset) / 2) / norm
+        else:
+            component = np.exp(-np.einsum("ik,km,im->i", offset, icov, offset) / 2) / norm
+        total = component * weight if not i else total + component * weight
+    return total
+
+
+def _marginal_pdf(means, covs, weights, index, x):
+    """Analytic 1D marginal: weighted sum of the per-component normals."""
+    total = None
+    for i, (mean, cov, weight) in enumerate(zip(means, covs, weights)):
+        offset = x - mean[index]
+        var = cov[index, index]
+        component = np.exp(-(offset**2) / var / 2) / np.sqrt(2 * np.pi * var)
+        total = component * weight if not i else total + component * weight
+    return total
+
+
+def _sigma_ranges(mixture, sigma_max, lims):
+    """Per-parameter plot ranges: hard limits where given, otherwise the
+    union of mean +/- sigma_max*sigma over components."""
+    out = []
+    if lims is None:
+        lims = mixture.lims
+    if lims is None:
+        lims = [(None, None) for _ in range(mixture.dim)]
+    for axis, (lower, upper) in enumerate(lims):
+        span_lo = span_hi = None
+        if lower is None or upper is None:
+            for mean, cov in zip(mixture.means, mixture.covs):
+                sigma = np.sqrt(cov[axis, axis])
+                lo, hi = mean[axis] - sigma_max * sigma, mean[axis] + sigma_max * sigma
+                if lower is not None:
+                    hi = max(hi, lower + sigma_max * sigma)
+                if upper is not None:
+                    lo = min(lo, upper - sigma_max * sigma)
+                span_lo = lo if span_lo is None else min(lo, span_lo)
+                span_hi = hi if span_hi is None else max(hi, span_hi)
+        out.append((span_lo if lower is None else lower, span_hi if upper is None else upper))
+    return out
+
+
+def _condition_component(mean, cov, invcov, fixed, kept, values):
+    """One component of a conditional mixture: (new_mean, new_cov, -2lnw)."""
+    deltas = np.asarray(values) - mean[fixed]
+    new_cov = np.linalg.inv(invcov[np.ix_(kept, kept)])
+    new_mean = mean[kept] - new_cov.dot(invcov[np.ix_(kept, fixed)].dot(deltas))
+    schur = cov[np.ix_(fixed, fixed)] - cov[np.ix_(fixed, kept)].dot(
+        np.linalg.inv(cov[np.ix_(kept, kept)]).dot(cov[np.ix_(kept, fixed)])
+    )
+    logw = invcov[np.ix_(fixed, fixed)].dot(deltas).dot(deltas) + np.log(np.linalg.det(schur))
+    return new_mean, new_cov, logw
+
+
+# ---------------------------------------------------------------------------
+# mixture classes
+# ---------------------------------------------------------------------------
 
 
 class MixtureND:
@@ -71,32 +189,7 @@ class MixtureND:
     def sim(self, size, random_state=None):
         """Independent samples from the mixture (rejection sampling when
         hard limits are set)."""
-        tot = 0
-        res = []
-        block = None
-        random_state = np.random.default_rng(random_state)
-        while True:
-            for num, mean, cov in zip(random_state.multinomial(block or size, self.weights), self.means, self.covs):
-                if num > 0:
-                    v = random_state.multivariate_normal(mean, cov, size=num)
-                    if self.lims is not None:
-                        for i, (mn, mx) in enumerate(self.lims):
-                            if mn is not None:
-                                v = v[v[:, i] >= mn]
-                            if mx is not None:
-                                v = v[v[:, i] <= mx]
-                    tot += v.shape[0]
-                    res.append(v)
-            if tot >= size:
-                break
-            if block is None:
-                block = min(max(size, 100000), int(1.1 * (size * (size - tot))) // max(tot, 1) + 1)
-        samples = np.vstack(res)
-        if len(res) > 1:
-            samples = random_state.permutation(samples)
-        if tot != size:
-            samples = samples[: -(tot - size), :]
-        return samples
+        return _rejection_sample(self, size, random_state)
 
     def MCSamples(self, size, names=None, logLikes=False, random_state=None, **kwargs):
         """Draw samples and wrap them in an :class:`~.mcsamples.MCSamples`
@@ -113,40 +206,12 @@ class MixtureND:
         )
 
     def autoRanges(self, sigma_max=4, lims=None):
-        res = []
-        if lims is None:
-            lims = self.lims
-        if lims is None:
-            lims = [(None, None) for _ in range(self.dim)]
-        for i, (mn, mx) in enumerate(lims):
-            covmin = None
-            covmax = None
-            if mn is None or mx is None:
-                for mean, cov in zip(self.means, self.covs):
-                    sigma = np.sqrt(cov[i, i])
-                    xmin, xmax = mean[i] - sigma_max * sigma, mean[i] + sigma_max * sigma
-                    if mn is not None:
-                        xmax = max(xmax, mn + sigma_max * sigma)
-                    if mx is not None:
-                        xmin = min(xmin, mx - sigma_max * sigma)
-                    covmin = min(xmin, covmin) if covmin is not None else xmin
-                    covmax = max(xmax, covmax) if covmax is not None else xmax
-            res.append((covmin if mn is None else mn, covmax if mx is None else mx))
-        return res
+        return _sigma_ranges(self, sigma_max, lims)
 
     def pdf(self, x):
         """Mixture pdf at x (assumes x inside any boundaries; normalized
         only when there are no boundaries)."""
-        tot = None
-        x = np.asarray(x)
-        for i, (mean, icov, weight, norm) in enumerate(zip(self.means, self.invcovs, self.weights, self.norms)):
-            dx = x - mean
-            if len(x.shape) == 1:
-                res = np.exp(-icov.dot(dx).dot(dx) / 2) / norm
-            else:
-                res = np.exp(-np.einsum("ik,km,im->i", dx, icov, dx) / 2) / norm
-            tot = res * weight if not i else tot + res * weight
-        return tot
+        return _mixture_pdf(self.means, self.invcovs, self.weights, self.norms, x)
 
     def pdf_marged(self, index, x, no_limit_marge=False):
         """Analytic 1D marginal pdf (requires no limits on marginalized
@@ -155,13 +220,7 @@ class MixtureND:
             index = self.names.index(index)
         if not no_limit_marge:
             self.checkNoLimits([index])
-        tot = None
-        for i, (mean, cov, weight) in enumerate(zip(self.means, self.covs, self.weights)):
-            dx = x - mean[index]
-            var = cov[index, index]
-            res = np.exp(-(dx**2) / var / 2) / np.sqrt(2 * np.pi * var)
-            tot = res * weight if not i else tot + res * weight
-        return tot
+        return _marginal_pdf(self.means, self.covs, self.weights, index, x)
 
     def density1D(self, index=0, num_points=1024, sigma_max=4, no_limit_marge=False):
         """Analytic marginalized Density1D grid."""
@@ -169,9 +228,9 @@ class MixtureND:
             index = self.names.index(index)
         if not no_limit_marge:
             self.checkNoLimits([index])
-        mn, mx = self.autoRanges(sigma_max)[index]
-        x = np.linspace(mn, mx, num_points)
-        return Density1D(x, self.pdf_marged(index, x))
+        lo, hi = self.autoRanges(sigma_max)[index]
+        grid = np.linspace(lo, hi, num_points)
+        return Density1D(grid, self.pdf_marged(index, grid))
 
     def density2D(self, params=None, num_points=1024, xmin=None, xmax=None, ymin=None, ymax=None, sigma_max=5):
         """Analytic marginalized Density2D grid for a pair of parameters."""
@@ -184,17 +243,17 @@ class MixtureND:
         return mixture._density2D(num_points=num_points, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax, sigma_max=sigma_max)
 
     def _params_to_indices(self, params):
-        indices = []
         if params is None:
             params = self.names
+        out = []
         for p in params:
             if isinstance(p, str):
-                indices.append(self.names.index(p))
+                out.append(self.names.index(p))
             elif hasattr(p, "name"):
-                indices.append(self.names.index(p.name))
+                out.append(self.names.index(p.name))
             else:
-                indices.append(p)
-        return indices
+                out.append(p)
+        return out
 
     def marginalizedMixture(self, params, label=None, no_limit_marge=False) -> "MixtureND":
         """Reduced mixture marginalized to the given parameters."""
@@ -206,46 +265,33 @@ class MixtureND:
         lims = [self.lims[i] for i in indices] if self.lims is not None else None
         if label is None:
             label = self.label
-        covs = [cov[np.ix_(indices, indices)] for cov in self.covs]
-        means = [mean[indices] for mean in self.means]
-        tp = Mixture2D if len(indices) == 2 else MixtureND
-        mixture = tp(means, covs, self.weights, lims=lims, names=names, label=label)
-        mixture.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
-        return mixture
+        sub_covs = [cov[np.ix_(indices, indices)] for cov in self.covs]
+        sub_means = [mean[indices] for mean in self.means]
+        klass = Mixture2D if len(indices) == 2 else MixtureND
+        reduced = klass(sub_means, sub_covs, self.weights, lims=lims, names=names, label=label)
+        reduced.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
+        return reduced
 
     def conditionalMixture(self, fixed_params, fixed_param_values, label=None):
         """Conditional mixture with some parameters fixed: covariances are
         inverses of the projected inverse covariances, means shifted, and
         component weights reweighted by the conditioning likelihood."""
-        fixed_params = self._params_to_indices(fixed_params)
-        self.checkNoLimits(fixed_params)
-        keep_params = [i for i in range(self.dim) if i not in fixed_params]
-        if not len(keep_params):
+        fixed = self._params_to_indices(fixed_params)
+        self.checkNoLimits(fixed)
+        kept = [i for i in range(self.dim) if i not in fixed]
+        if not len(kept):
             raise ValueError("conditionalMixture must leave at least one non-fixed parameter")
-        new_means = []
-        new_covs = []
-        new_weights = []
-        for mean, cov, invcov, weight in zip(self.means, self.covs, self.invcovs, self.weights):
-            deltas = np.asarray(fixed_param_values) - mean[fixed_params]
-            new_cov = np.linalg.inv(invcov[np.ix_(keep_params, keep_params)])
-            new_mean = mean[keep_params] - new_cov.dot(invcov[np.ix_(keep_params, fixed_params)].dot(deltas))
-            logw = invcov[np.ix_(fixed_params, fixed_params)].dot(deltas).dot(deltas) + np.log(
-                np.linalg.det(
-                    cov[np.ix_(fixed_params, fixed_params)]
-                    - cov[np.ix_(fixed_params, keep_params)].dot(
-                        np.linalg.inv(cov[np.ix_(keep_params, keep_params)]).dot(cov[np.ix_(keep_params, fixed_params)])
-                    )
-                )
-            )
-            new_weights.append(logw)
-            new_means.append(new_mean)
-            new_covs.append(new_cov)
-
-        new_weights = np.exp(-(np.asarray(new_weights) - min(new_weights)) / 2)
-        names = [self.names[i] for i in keep_params] if self.names is not None else None
-        mixture = MixtureND(new_means, new_covs, new_weights, names=names, label=label)
-        mixture.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
-        return mixture
+        cond_means, cond_covs, logws = [], [], []
+        for mean, cov, invcov in zip(self.means, self.covs, self.invcovs):
+            new_mean, new_cov, logw = _condition_component(mean, cov, invcov, fixed, kept, fixed_param_values)
+            cond_means.append(new_mean)
+            cond_covs.append(new_cov)
+            logws.append(logw)
+        cond_weights = np.exp(-(np.asarray(logws) - min(logws)) / 2)
+        names = [self.names[i] for i in kept] if self.names is not None else None
+        conditioned = MixtureND(cond_means, cond_covs, cond_weights, names=names, label=label)
+        conditioned.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
+        return conditioned
 
     def checkNoLimits(self, keep_params):
         if self.lims is None:
@@ -276,40 +322,40 @@ class Mixture2D(MixtureND):
             limits = self._updateLimits(lims, xmin, xmax, ymin, ymax)
         else:
             limits = [(xmin, xmax), (ymin, ymax)]
-        mats = []
-        for cov in covs:
-            if isinstance(cov, (list, tuple)) and len(cov) == 3 and not isinstance(cov[0], (list, tuple)):
-                mats.append(make_2D_Cov(*cov))
-            else:
-                mats.append(cov)
-        super().__init__(means, mats, weights, limits, names=names, **kwargs)
+        expanded = [
+            make_2D_Cov(*cov)
+            if isinstance(cov, (list, tuple)) and len(cov) == 3 and not isinstance(cov[0], (list, tuple))
+            else cov
+            for cov in covs
+        ]
+        super().__init__(means, expanded, weights, limits, names=names, **kwargs)
 
     def _updateLimits(self, lims, xmin=None, xmax=None, ymin=None, ymax=None):
-        xmin = xmin if xmin is not None else lims[0][0]
-        xmax = xmax if xmax is not None else lims[0][1]
-        ymin = ymin if ymin is not None else lims[1][0]
-        ymax = ymax if ymax is not None else lims[1][1]
-        return [(xmin, xmax), (ymin, ymax)]
+        xlo = xmin if xmin is not None else lims[0][0]
+        xhi = xmax if xmax is not None else lims[0][1]
+        ylo = ymin if ymin is not None else lims[1][0]
+        yhi = ymax if ymax is not None else lims[1][1]
+        return [(xlo, xhi), (ylo, yhi)]
 
     def _density2D(self, num_points=1024, xmin=None, xmax=None, ymin=None, ymax=None, sigma_max=5):
-        lims = self._updateLimits(self.lims, xmin, xmax, ymin, ymax)
-        (xmin, xmax), (ymin, ymax) = self.autoRanges(sigma_max, lims=lims)
-        x = np.linspace(xmin, xmax, num_points)
-        y = np.linspace(ymin, ymax, num_points)
-        xx, yy = np.meshgrid(x, y)
-        return Density2D(x, y, self.pdf(xx, yy))
+        bounds = self._updateLimits(self.lims, xmin, xmax, ymin, ymax)
+        (xlo, xhi), (ylo, yhi) = self.autoRanges(sigma_max, lims=bounds)
+        gx = np.linspace(xlo, xhi, num_points)
+        gy = np.linspace(ylo, yhi, num_points)
+        xx, yy = np.meshgrid(gx, gy)
+        return Density2D(gx, gy, self.pdf(xx, yy))
 
     def pdf(self, x, y=None):
         """pdf at (x, y), or the 1D x-marginal when y is omitted."""
         if y is None:
             return super().pdf(x)
-        tot = None
+        total = None
         for i, (mean, icov, weight, norm) in enumerate(zip(self.means, self.invcovs, self.weights, self.norms)):
             dx = x - mean[0]
             dy = y - mean[1]
-            res = np.exp(-(dx**2 * icov[0, 0] + 2 * dx * dy * icov[0, 1] + dy**2 * icov[1, 1]) / 2) / norm
-            tot = res * weight if not i else tot + res * weight
-        return tot
+            component = np.exp(-(dx**2 * icov[0, 0] + 2 * dx * dy * icov[0, 1] + dy**2 * icov[1, 1]) / 2) / norm
+            total = component * weight if not i else total + component * weight
+        return total
 
 
 class Gaussian2D(Mixture2D):
@@ -341,9 +387,14 @@ class Mixture1D(MixtureND):
             limits = [(xmin if xmin is not None else lims[0], xmax if xmax is not None else lims[1])]
         else:
             limits = [(xmin, xmax)]
-        covs = [np.atleast_2d(sigma**2) for sigma in sigmas]
-        means = [[mean] for mean in means]
-        super().__init__(means, covs, weights, limits, names=[name], **kwargs)
+        super().__init__(
+            [[mean] for mean in means],
+            [np.atleast_2d(sigma**2) for sigma in sigmas],
+            weights,
+            limits,
+            names=[name],
+            **kwargs,
+        )
 
     def pdf(self, x):
         return self.pdf_marged(0, x)
@@ -360,14 +411,12 @@ class RandomTestMixtureND(MixtureND):
     """Randomly-generated ND mixture (random parameters) for tests."""
 
     def __init__(self, ndim=4, ncomponent=1, names=None, weights=None, seed=None, label="RandomMixture"):
-        random_state = np.random.default_rng(seed)
+        rng = np.random.default_rng(seed)
         covs = []
         for _ in range(ncomponent):
-            A = random_state.random((ndim, ndim))
+            A = rng.random((ndim, ndim))
             covs.append(np.dot(A, A.T))
-        super().__init__(
-            random_state.random((ncomponent, ndim)), covs, weights=weights, lims=None, names=names, label=label
-        )
+        super().__init__(rng.random((ncomponent, ndim)), covs, weights=weights, lims=None, names=names, label=label)
 
 
 def randomTestMCSamples(ndim=4, ncomponent=1, nsamp=10009, nMCSamples=1, seed=10, names=None, labels=None):

@@ -289,1657 +289,62 @@ class MCSamples(Chains):
         if samples is not None:
             self.readChains(samples, weights, loglikes)
 
-    def copy(self, label=None, settings=None) -> "MCSamples":
-        """Deep copy, optionally with a new label / modified settings."""
-        new = copy.deepcopy(self)
-        if label:
-            new.label = label
-        if settings is not None:
-            new.needs_update = True
-            new.updateSettings(settings)
-        return new
+    def _WritePlotFile(self, filename, subplot_size, text, tag, ext=None):
+        if not self.root:
+            raise ValueError("Samples must be loaded from file")
+        with open(filename, "w", encoding="utf-8") as f:
+            f.write("import getdist_tpu.plots as plots, os\n")
+            f.write("g=plots.GetDistPlotter(chain_dir=r'%s')\n" % (self.batch_path or os.path.dirname(self.root)))
+            f.write("g.settings.set_with_subplot_size(%s)\n" % subplot_size)
+            f.write("roots = ['%s']\n" % self.rootname)
+            f.write(text + "\n")
+            ext = ext or self.plot_output
+            fname = self.rootname + tag + "." + ext
+            f.write(f"g.export(os.path.join(r'{self.out_dir}',r'{fname}'))\n")
 
-    def setRanges(self, ranges):
-        """Set hard prior bounds from a list/array/dict/ParamBounds; a
-        [min, max, True] triplet marks a periodic parameter."""
-        if isinstance(ranges, np.ndarray):
-            if len(ranges.shape) == 2 and ranges.shape[1] == 2:
-                ranges = ranges.tolist()
-        if isinstance(ranges, (list, tuple)):
-            for i, minmax in enumerate(ranges):
-                self.ranges.setRange(self.parName(i), minmax)
-        elif isinstance(ranges, Mapping):
-            for key, value in ranges.items():
-                self.ranges.setRange(key, value)
-        elif isinstance(ranges, ParamBounds):
-            self.ranges = copy.deepcopy(ranges)
-        else:
-            raise ValueError("MCSamples ranges parameter must be list or dict")
-        self.needs_update = True
+    def _writeScriptPlots3D(self, filename, plot_3D, ext=None):
+        text = "sets=[]\n"
+        for pars in plot_3D:
+            text += "sets.append(['%s','%s','%s'])\n" % tuple(pars)
+        text += "g.plots_3d(roots,sets)"
+        self._WritePlotFile(filename, self.subplot_size_inch3, text, "_3D", ext)
 
-    def parName(self, i, starDerived=False):
-        """Name of the i'th parameter."""
-        return self.paramNames.name(i, starDerived)
+    def _writeScriptPlotsTri(self, filename, triangle_params, ext=None):
+        self._WritePlotFile(filename, self.subplot_size_inch, "g.triangle_plot(roots, %s)" % triangle_params, "_tri", ext)
 
-    def parLabel(self, i):
-        """Latex label for a parameter index or name."""
-        if isinstance(i, str):
-            return self.paramNames.parWithName(i).label
-        return self.paramNames.names[i].label
-
-    def _setBurnOptions(self, ini):
-        ini.setAttr("ignore_rows", self)
-        self.ignore_lines = int(self.ignore_rows)
-        self.ignore_frac = self.ignore_rows if not self.ignore_lines else 0
-        ini.setAttr("min_weight_ratio", self)
-
-    def initParameters(self, ini):
-        """Read all analysis settings from an IniFile onto this object."""
-        self._setBurnOptions(ini)
-        for name in (
-            "range_ND_contour",
-            "range_confidence",
-            "num_bins",
-            "fine_bins",
-            "num_bins_2D",
-            "fine_bins_2D",
-            "smooth_scale_1D",
-            "smooth_scale_2D",
-        ):
-            ini.setAttr(name, self)
-        ini.setAttr("boundary_correction_order", self, 1)
-        ini.setAttr("mult_bias_correction_order", self, 1)
-        for name in (
-            "num_bins_ND",
-            "max_scatter_points",
-            "credible_interval_threshold",
-            "subplot_size_inch",
-            "subplot_size_inch2",
-            "subplot_size_inch3",
-            "plot_output",
-            "force_twotail",
-        ):
-            ini.setAttr(name, self)
-        if self.force_twotail:
-            logging.warning("Computing two tail limits")
-        ini.setAttr("max_corr_2D", self)
-
-        if ini.hasKey("contours"):
-            ini.setAttr("contours", self)
-        elif ini.hasKey("num_contours"):
-            num_contours = ini.int("num_contours", 2)
-            self.contours = np.array([ini.float("contour" + str(i + 1)) for i in range(num_contours)])
-        # threshold for the edge bin to allow two-tail limits
-        self.max_frac_twotail = []
-        for i, contour in enumerate(self.contours):
-            max_frac = np.exp(-1.0 * math.pow(norm.ppf((1 - contour) / 2), 2) / 2)
-            if ini:
-                max_frac = ini.float("max_frac_twotail" + str(i + 1), max_frac)
-            self.max_frac_twotail.append(max_frac)
-
-        ini.setAttr("converge_test_limit", self, self.contours[-1])
-        ini.setAttr("corr_length_thin", self)
-        ini.setAttr("corr_length_steps", self)
-        ini.setAttr("no_warning_params", self, [])
-        ini.setAttr("no_warning_chi2_params", self, True)
-        self.batch_path = ini.string("batch_path", self.batch_path, allowEmpty=False)
-
-    def _initLimits(self, ini=None):
-        bin_limits = ini.string("all_limits", "") if ini else ""
-        self.markers = {}
-        for par in self.paramNames.names:
-            line = bin_limits
-            if not line and ini and "limits[%s]" % par.name in ini.params:
-                line = ini.string("limits[%s]" % par.name)
-            if line:
-                limits = line.split()
-                if len(limits) == 2:
-                    self.ranges.setRange(par.name, limits)
-            par.limmin = self.ranges.getLower(par.name)
-            par.limmax = self.ranges.getUpper(par.name)
-            par.has_limits_bot = par.limmin is not None
-            par.has_limits_top = par.limmax is not None
-            par.periodic = par.name in self.ranges.periodic
-            if ini and "marker[%s]" % par.name in ini.params:
-                line = ini.string("marker[%s]" % par.name)
-                if line:
-                    self.markers[par.name] = float(line)
-
-    def updateSettings(self, settings: Mapping[str, Any] | None = None, ini=None, doUpdate=True):
-        """Apply settings from an ini file and/or dict of overrides."""
-        assert settings is None or isinstance(settings, Mapping)
-        if not ini:
-            ini = self.ini
-        elif isinstance(ini, str):
-            ini = IniFile(ini)
-        else:
-            ini = copy.deepcopy(ini)
-        if not ini:
-            ini = IniFile(getdist_tpu.default_getdist_settings)
-        if settings:
-            ini.params.update(settings)
-        self.ini = ini
-        if ini:
-            self.initParameters(ini)
-        if doUpdate and self.samples is not None:
-            self.updateBaseStatistics()
-
-    def readChains(self, files_or_samples, weights=None, loglikes=None):
-        """Load samples (files or arrays), remove burn-in, delete fixed
-        parameters, and combine into a single samples array."""
-        self.loadChains(self.root, files_or_samples, weights=weights, loglikes=loglikes)
-
-        if self.ignore_frac and (
-            not self.jobItem
-            or not hasattr(self.jobItem, "isImportanceJob")
-            or (not self.jobItem.isImportanceJob and not self.jobItem.isBurnRemoved())
-        ):
-            self.removeBurnFraction(self.ignore_frac)
-            chains.print_load_line("Removed %s as burn in" % self.ignore_frac)
-        elif not int(self.ignore_rows):
-            chains.print_load_line("Removed no burn in")
-
-        self.deleteFixedParams()
-        if self.chains is not None:
-            self.makeSingle()
-        self.updateBaseStatistics()
-        return self
-
-    def cool(self, cool=None):
-        """Cool the samples by the given factor (default: stored
-        temperature)."""
-        if cool is None:
-            if self.properties.hasKey("temperature"):
-                cool = self.properties.float("temperature")
+    def _writeScriptPlots2D(self, filename, plot_2D_param=None, cust2DPlots=(), ext=None):
+        done2D = {}
+        text = "pairs=[]\n"
+        if len(cust2DPlots):
+            cuts = [par1 + "__" + par2 for par1, par2 in cust2DPlots]
+        for j, par1 in enumerate(self.paramNames.list()):
+            if plot_2D_param or cust2DPlots:
+                if par1 == plot_2D_param:
+                    continue
+                j2min = 0
             else:
-                raise ValueError("Pass a cooling temperature, since the sample does not have one specified")
-        if cool == 1:
-            return
-        if self.properties.float("cooled", 1) != 1:
-            logging.warning("Chain has already been cooled by %s", self.properties.float("cooled"))
-        super().cool(cool)
-        self.properties.params["cooled"] = cool
-        if self.properties.hasKey("temperature"):
-            self.properties.params["temperature"] = self.properties.float("temperature") / cool
+                j2min = j + 1
+            for j2 in range(j2min, self.n):
+                par2 = self.parName(j2)
+                if plot_2D_param and par2 != plot_2D_param:
+                    continue
+                if len(cust2DPlots) and (par1 + "__" + par2) not in cuts:
+                    continue
+                if (par1, par2) not in done2D:
+                    done2D[(par1, par2)] = True
+                    text += f"pairs.append(['{par1}','{par2}'])\n"
+        text += "g.plots_2d(roots,param_pairs=pairs,filled=True)"
+        self._WritePlotFile(filename, self.subplot_size_inch2, text, "_2D", ext)
+        return done2D
 
-    def updateBaseStatistics(self):
-        """Refresh basic statistics, limits, and the ND confidence region."""
-        super().updateBaseStatistics()
-        mult_max = (self.mean_mult * self.numrows) / min(self.numrows // 2, 500)
-        outliers = np.sum(self.weights > mult_max)
-        if outliers != 0:
-            logging.warning("outlier fraction %s ", float(outliers) / self.numrows)
-
-        self.indep_thin = 0
-        self._setCov()
-        self.done_1Dbins = False
-        self.density1D = dict()
-        self._initLimits(self.ini)
-        for par in self.paramNames.names:
-            par.N_eff_kde = None
-        self._setLikeStats()
-        return self
-
-    # -- unit-weight sampling / file outputs -----------------------------------
-    def makeSingleSamples(self, filename="", single_thin=None, random_state=None):
-        """Random unit-weight samples (or write them to a file)."""
-        if single_thin is None:
-            single_thin = max(1, self.norm / self.max_mult / self.max_scatter_points)
-        random_state = np.random.default_rng(random_state)
-        rand = random_state.random(self.numrows)
-        if filename:
-            with open(filename, "w", encoding="utf-8") as f:
-                for i, r in enumerate(rand):
-                    if r <= self.weights[i] / self.max_mult / single_thin:
-                        f.write("%16.7E" % 1.0)
-                        f.write("%16.7E" % (self.loglikes[i]))
-                        f.writelines("%16.7E" % (self.samples[i][j]) for j in range(self.n))
-                        f.write("\n")
+    def _writeScriptPlots1D(self, filename, plotparams=None, ext=None):
+        text = "markers = " + (str(self.markers) if self.markers else "None") + "\n"
+        if plotparams:
+            text += "g.plots_1d(roots,[" + ",".join(["'" + par + "'" for par in plotparams]) + "], markers=markers)"
         else:
-            return self.samples[rand <= self.weights / (self.max_mult * single_thin)]
+            text += "g.plots_1d(roots, markers=markers)"
+        self._WritePlotFile(filename, self.subplot_size_inch, text, "", ext)
 
-    def writeThinData(self, fname, thin_ix, cool=1):
-        """Write samples at the given indices, optionally cooled."""
-        nparams = self.samples.shape[1]
-        if cool != 1:
-            logging.info("Cooled thinned output with temp: %s", cool)
-        if self.loglikes is None:
-            raise ValueError("writeThinData assumes you have likelihoods and weights")
-        MaxL = np.max(self.loglikes)
-        with open(fname, "w", encoding="utf-8") as f:
-            for i, thin in enumerate(thin_ix):
-                if cool != 1:
-                    newL = self.loglikes[thin] * cool
-                    f.write("%16.7E" % (np.exp(-(newL - self.loglikes[thin]) - MaxL * (1 - cool))))
-                    f.write("%16.7E" % newL)
-                else:
-                    f.write("%f" % 1.0)
-                    f.write("%f" % (self.loglikes[thin]))
-                f.writelines("%16.7E" % (self.samples[i][j]) for j in range(nparams))
-                f.write("\n")
-        print("Wrote ", len(thin_ix), " thinned samples")
-
-    def getCovMat(self):
-        """CovMat of the non-derived parameters."""
-        n_free = self.paramNames.numNonDerived()
-        return covmat.CovMat(matrix=self.fullcov[:n_free, :n_free], paramNames=self.paramNames.list()[:n_free])
-
-    def writeCovMatrix(self, filename=None):
-        """Write the non-derived parameter covariance to .covmat text."""
-        filename = filename or self.rootdirname + ".covmat"
-        self.getCovMat().saveToFile(filename)
-
-    def writeCorrelationMatrix(self, filename=None):
-        """Write the correlation matrix to text."""
-        filename = filename or self.rootdirname + ".corr"
-        np.savetxt(filename, self.getCorrelationMatrix(), fmt="%15.7E")
-
-    def getFractionIndices(self, weights, n):
-        """Row indices splitting total weight into n equal fractions."""
-        cumsum = np.cumsum(weights)
-        return np.append(
-            np.searchsorted(cumsum, np.linspace(0, 1, n, endpoint=False) * self.norm), self.weights.shape[0]
-        )
-
-    # -- ranges / limits --------------------------------------------------------
-    def _readRanges(self):
-        if self.root:
-            ranges_file = self.root + ".ranges"
-            if os.path.isfile(ranges_file):
-                self.ranges = ParamBounds(ranges_file)
-                return
-            ranges_file = cobaya_interface.cobaya_params_file(self.root)
-            if ranges_file:
-                self.ranges = ParamBounds(ranges_file)
-                return
-        self.ranges = ParamBounds()
-
-    def getBounds(self):
-        """ParamBounds with only the limits that are actually active."""
-        bounds = ParamBounds()
-        bounds.names = self.paramNames.list()
-        for par in self.paramNames.names:
-            if par.has_limits_bot:
-                bounds.lower[par.name] = par.limmin
-            if par.has_limits_top:
-                bounds.upper[par.name] = par.limmax
-        return bounds
-
-    def getUpper(self, name):
-        """Upper hard bound for a named parameter, or None."""
-        par = self.paramNames.parWithName(name)
-        return getattr(par, "limmax", None) if par else None
-
-    def getLower(self, name):
-        """Lower hard bound for a named parameter, or None."""
-        par = self.paramNames.parWithName(name)
-        return getattr(par, "limmin", None) if par else None
-
-    # -- parameter range/structure estimation ------------------------------------
-    def _initParamRanges(self, j, paramConfid=None):
-        if isinstance(j, str):
-            j = self.index[j]
-        paramVec = self.samples[:, j]
-        return self._initParam(self.paramNames.names[j], paramVec, self.means[j], self.sddev[j], paramConfid)
-
-    def _initParam(self, par, paramVec, mean=None, sddev=None, paramConfid=None):
-        """Set par.err/mean/param_min/param_max/range_min/range_max and the
-        peak-structure scale sigma_range (reference ``mcsamples.py:
-        1427-1484``); snaps range ends to hard limits when nearby."""
-        if mean is None:
-            mean = paramVec.mean()
-        if sddev is None:
-            sddev = paramVec.std()
-        par.err = sddev
-        par.mean = mean
-        par.param_min = np.min(paramVec)
-        par.param_max = np.max(paramVec)
-        paramConfid = paramConfid or self.initParamConfidenceData(paramVec)
-        # quantile-spacing peak-scale estimate (simplified Janssen 95)
-        confid_points = np.linspace(0.1, 0.9, 9)
-        confids = self.confidence(
-            paramConfid, np.array([self.range_confidence, 1 - self.range_confidence] + list(confid_points))
-        )
-        par.range_min, par.range_max = confids[0:2]
-        confids[1:-1] = confids[2:]
-        confids[0] = par.param_min
-        confids[-1] = par.param_max
-        diffs = confids[4:] - confids[:-4]
-        scale = np.min(diffs) / 1.049
-        if np.all(diffs > par.err * 1.049) and np.all(diffs < scale * 1.5):
-            par.sigma_range = scale  # very flat distribution
-        else:
-            par.sigma_range = min(par.err, scale)
-        if self.range_ND_contour >= 0 and self.likeStats:
-            if self.range_ND_contour >= par.ND_limit_bot.size:
-                raise SettingError("range_ND_contour should be -1 (off), or an index into the computed contour levels")
-            par.range_min = min(max(par.range_min - par.err, par.ND_limit_bot[self.range_ND_contour]), par.range_min)
-            par.range_max = max(max(par.range_max + par.err, par.ND_limit_top[self.range_ND_contour]), par.range_max)
-
-        smooth_1D = par.sigma_range * 0.4
-
-        if par.has_limits_bot:
-            if par.range_min - par.limmin > 2 * smooth_1D and par.param_min - par.limmin > smooth_1D:
-                par.has_limits_bot = False  # data is far from the limit
-            else:
-                par.range_min = par.limmin
-        if par.has_limits_top:
-            if par.limmax - par.range_max > 2 * smooth_1D and par.limmax - par.param_max > smooth_1D:
-                par.has_limits_top = False
-            else:
-                par.range_max = par.limmax
-        if not par.has_limits_bot:
-            par.range_min -= smooth_1D * 2
-        if not par.has_limits_top:
-            par.range_max += smooth_1D * 2
-        par.has_limits = par.has_limits_top or par.has_limits_bot
-        return par
-
-    def _binSamples(self, paramVec, par, num_fine_bins, borderfrac=0.1):
-        """Fine-bin index per sample over an edge-padded range; first and
-        last bins are half width (device scatter targets)."""
-        border = (par.range_max - par.range_min) * borderfrac
-        binmin = min(par.param_min, par.range_min)
-        if not par.has_limits_bot:
-            binmin -= border
-        binmax = max(par.param_max, par.range_max)
-        if not par.has_limits_top:
-            binmax += border
-        fine_width = (binmax - binmin) / (num_fine_bins - 1)
-        ix = ((paramVec - binmin) / fine_width + 0.5).astype(int)
-        return ix, fine_width, binmin, binmax
-
-    def _get1DNeff(self, par, param):
-        N_eff = getattr(par, "N_eff_kde", None)
-        if N_eff is None:
-            par.N_eff_kde = self.getEffectiveSamplesGaussianKDE(param, scale=par.sigma_range)
-            N_eff = par.N_eff_kde
-        return N_eff
-
-    # -- bandwidths ----------------------------------------------------------------
-    def getAutoBandwidth1D(self, bins, par, param, mult_bias_correction_order=None, kernel_order=1, N_eff=None):
-        """ISJ bandwidth (in units of the bin range), with rule-of-thumb
-        fallback and the higher-order rescale h * N^(1/5 - 1/(4m+5)) when
-        multiplicative bias correction is used (reference
-        ``mcsamples.py:1237-1283``)."""
-        if N_eff is None:
-            N_eff = self._get1DNeff(par, param)
-        h = kde.gaussian_kde_bandwidth_binned(bins, Neff=N_eff)
-        bin_range = max(par.param_max, par.range_max) - min(par.param_min, par.range_min)
-        if h is None or h < 0.01 * N_eff ** (-1.0 / 5) * (par.range_max - par.range_min) / bin_range:
-            hnew = 1.06 * par.sigma_range * N_eff ** (-1.0 / 5) / bin_range
-            if par.name not in self.no_warning_params and (
-                not self.no_warning_chi2_params or "chi2_" not in par.name and "minuslog" not in par.name
-            ):
-                msg = f"auto bandwidth for {par.name} very small or failed (h={h},N_eff={N_eff}). Using fallback (h={hnew})"
-                if getattr(self, "raise_on_bandwidth_errors", False):
-                    raise BandwidthError(msg)
-                logging.warning(msg)
-            h = hnew
-
-        par.kde_h = h
-        m = self.mult_bias_correction_order if mult_bias_correction_order is None else mult_bias_correction_order
-        if kernel_order > 1:
-            m = max(m, 1)
-        if m:
-            # rescale the Parzen-optimal width for the higher-order
-            # (bias-corrected) estimator's N scaling
-            return h * N_eff ** (1.0 / 5 - 1.0 / (4 * m + 5))
-        return h
-
-    def getAutoBandwidth2D(
-        self,
-        bins,
-        parx,
-        pary,
-        paramx,
-        paramy,
-        corr,
-        rangex,
-        rangey,
-        base_fine_bins_2D,
-        mult_bias_correction_order=None,
-        min_corr=0.2,
-        N_eff=None,
-        use_2D_Neff=False,
-    ):
-        """Bandwidth matrix (hx, hy, c) in parameter units via 2D ISJ in
-        (optionally Cholesky-sheared) coordinates (reference
-        ``mcsamples.py:1285-1419``)."""
-        if N_eff is None:
-            if (use_2D_Neff if use_2D_Neff is not None else self.use_effective_samples_2D) and abs(corr) < 0.999:
-                N_eff = self.getEffectiveSamplesGaussianKDE_2d(paramx, paramy)
-            else:
-                N_eff = min(self._get1DNeff(parx, paramx), self._get1DNeff(pary, paramy))
-
-        logging.debug("%s %s AutoBandwidth2D: N_eff=%s, corr=%s", parx.name, pary.name, N_eff, corr)
-        has_limits = parx.has_limits or pary.has_limits
-        do_correlated = not parx.has_limits or not pary.has_limits
-
-        def fallback_widths(ex):
-            msg = (
-                f"2D kernel density bandwidth optimizer failed for {parx.name}, {pary.name}. Using fallback width: {ex}"
-            )
-            if getattr(self, "raise_on_bandwidth_errors", False):
-                raise BandwidthError(msg)
-            logging.warning(msg)
-            _hx = parx.sigma_range / N_eff ** (1.0 / 6)
-            _hy = pary.sigma_range / N_eff ** (1.0 / 6)
-            return _hx, _hy, max(min(corr, self.max_corr_2D), -self.max_corr_2D)
-
-        if min_corr < abs(corr) <= self.max_corr_2D and do_correlated:
-            # shear to decorrelate (keeping any single bounded axis fixed),
-            # rebin in sheared coordinates, optimize there, un-shear the
-            # resulting kernel covariance
-            i, j = paramx, paramy
-            imax, imin = None, None
-            if parx.has_limits_bot:
-                imin = parx.range_min
-            if parx.has_limits_top:
-                imax = parx.range_max
-            if pary.has_limits:
-                i, j = j, i
-                if pary.has_limits_bot:
-                    imin = pary.range_min
-                if pary.has_limits_top:
-                    imax = pary.range_max
-
-            cov = self.getCov(pars=[i, j])
-            S = np.linalg.cholesky(cov)
-            ichol = np.linalg.inv(S)
-            S *= ichol[0, 0]
-            r = ichol[1, :] / ichol[0, 0]
-            p1 = self.samples[:, i]
-            p2 = r[0] * self.samples[:, i] + r[1] * self.samples[:, j]
-
-            bin1, r1 = kde.bin_samples(p1, nbins=base_fine_bins_2D, range_min=imin, range_max=imax)
-            bin2, r2 = kde.bin_samples(p2, nbins=base_fine_bins_2D)
-            rotbins, _ = self._make2Dhist(bin1, bin2, base_fine_bins_2D, base_fine_bins_2D)
-            try:
-                opt = kde.KernelOptimizer2D(rotbins, N_eff, 0, do_correlation=not has_limits)
-                hx, hy, c = opt.get_h()
-                hx *= r1
-                hy *= r2
-                kernelC = S.dot(np.array([[hx**2, hx * hy * c], [hx * hy * c, hy**2]])).dot(S.T)
-                hx, hy, c = (
-                    np.sqrt(kernelC[0, 0]),
-                    np.sqrt(kernelC[1, 1]),
-                    kernelC[0, 1] / np.sqrt(kernelC[0, 0] * kernelC[1, 1]),
-                )
-                if pary.has_limits:
-                    hx, hy = hy, hx
-            except ValueError as e:
-                hx, hy, c = fallback_widths(e)
-        elif abs(corr) > self.max_corr_2D or not do_correlated and corr > 0.8:
-            c = max(min(corr, self.max_corr_2D), -self.max_corr_2D)
-            hx = parx.sigma_range / N_eff ** (1.0 / 6)
-            hy = pary.sigma_range / N_eff ** (1.0 / 6)
-        else:
-            try:
-                opt = kde.KernelOptimizer2D(
-                    bins,
-                    N_eff,
-                    corr,
-                    do_correlation=not has_limits,
-                    fallback_t=(min(pary.sigma_range / rangey, parx.sigma_range / rangex) / N_eff ** (1.0 / 6)) ** 2,
-                )
-                hx, hy, c = opt.get_h()
-                hx *= rangex
-                hy *= rangey
-            except ValueError as e:
-                hx, hy, c = fallback_widths(e)
-
-        if mult_bias_correction_order is None:
-            mult_bias_correction_order = self.mult_bias_correction_order
-        logging.debug("hx/sig, hy/sig, corr =%s, %s, %s", hx / parx.err, hy / pary.err, c)
-        if mult_bias_correction_order:
-            scale = 1.1 * N_eff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_correction_order)))
-            hx *= scale
-            hy *= scale
-            logging.debug("hx/sig, hy/sig, corr, scale =%s, %s, %s, %s", hx / parx.err, hy / pary.err, c, scale)
-        return hx, hy, c
-
-    # -- 1D densities ---------------------------------------------------------------
-    def get1DDensity(self, name, **kwargs):
-        """Cached Density1D for a named parameter."""
-        if self.needs_update:
-            self.updateBaseStatistics()
-        if not kwargs:
-            density = self.density1D.get(name)
-            if density is not None:
-                return density
-        return self.get1DDensityGridData(name, **kwargs)
-
-    def get1DDensityGridData(self, j, paramConfid=None, meanlikes=False, **kwargs):
-        """Compute the marginalized 1D KDE density for a parameter.
-
-        Full reference pipeline (``mcsamples.py:1517-1686``): device fine
-        binning -> auto ISJ bandwidth -> device FFT convolution (periodic
-        for periodic parameters) -> boundary kernel correction order 0/1/2
-        -> multiplicative bias iterations -> peak-normalized Density1D.
-        """
-        if self.needs_update:
-            self.updateBaseStatistics()
-        j = self._parAndNumber(j)[0]
-        if j is None:
-            return None
-
-        par = self._initParamRanges(j, paramConfid)
-        num_bins = kwargs.get("num_bins", self.num_bins)
-        smooth_scale_1D = kwargs.get("smooth_scale_1D", self.smooth_scale_1D)
-        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
-        mult_bias_correction_order = kwargs.get("mult_bias_correction_order", self.mult_bias_correction_order)
-        fine_bins = kwargs.get("fine_bins", self.fine_bins)
-
-        paramrange = par.range_max - par.range_min
-        if paramrange <= 0:
-            raise MCSamplesError("Parameter range is <= 0: " + par.name)
-        width = paramrange / (num_bins - 1)
-
-        bin_indices, fine_width, binmin, binmax = self._binSamples(self.samples[:, j], par, fine_bins)
-        dev_weights = jnp.asarray(self.weights)
-        bins = np.asarray(weighted_bincount(jnp.asarray(bin_indices), dev_weights, fine_bins))
-
-        if meanlikes:
-            if self.shade_likes_is_mean_loglikes:
-                w = self.weights * self.loglikes
-            else:
-                w = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            # np.array: mutated in place below (device arrays view read-only)
-            finebinlikes = np.array(weighted_bincount(jnp.asarray(bin_indices), jnp.asarray(w), fine_bins))
-
-        if smooth_scale_1D <= 0:
-            # automatic bandwidth (periodic treated like bounded here; the
-            # DCT-boundary error is comparable)
-            bandwidth = self.getAutoBandwidth1D(bins, par, j, mult_bias_correction_order, boundary_correction_order) * (
-                binmax - binmin
-            )
-            bandwidth = min(bandwidth, paramrange / 4)
-            smooth_1D = bandwidth * abs(smooth_scale_1D) / fine_width
-        elif smooth_scale_1D < 1.0:
-            smooth_1D = smooth_scale_1D * par.err / fine_width
-        else:
-            smooth_1D = smooth_scale_1D * width / fine_width
-
-        if smooth_1D < 2:
-            logging.warning("fine_bins not large enough to well sample smoothing scale - " + par.name)
-        smooth_1D = min(max(1.0, smooth_1D), fine_bins // 2)
-
-        logging.debug(
-            "%s 1D sigma_range, std: %s, %s; smooth_1D_bins: %s ", par.name, par.sigma_range, par.err, smooth_1D
-        )
-
-        winw = min(int(round(2.5 * smooth_1D)), ((fine_bins - 1) if par.periodic else fine_bins) // 2 - 2)
-        kernel = Kernel1D(winw, smooth_1D)
-
-        convolution_mode = "periodic" if par.periodic else "same"
-        conv = convolve1D(bins, kernel.Win, convolution_mode)
-        fine_x = np.linspace(binmin, binmax, fine_bins)
-        density1D = Density1D(fine_x, P=conv, view_ranges=[par.range_min, par.range_max])
-
-        if meanlikes:
-            rawbins = conv.copy()
-
-        if par.has_limits and not par.periodic and boundary_correction_order >= 0:
-            # renormalize over the boundary-clipped window, with optional
-            # linear/quadratic boundary kernels (Jones 1993 family)
-            prior_mask = np.ones(fine_bins + 2 * winw)
-            if par.has_limits_bot:
-                prior_mask[winw] = 0.5
-                prior_mask[:winw] = 0
-            if par.has_limits_top:
-                prior_mask[-(winw + 1)] = 0.5
-                prior_mask[-winw:] = 0
-            a0 = convolve1D(prior_mask, kernel.Win, "valid")
-            ix = np.nonzero(a0 * density1D.P)
-            a0 = a0[ix]
-            normed = density1D.P[ix] / a0
-            if boundary_correction_order == 0:
-                density1D.P[ix] = normed
-            elif boundary_correction_order <= 2:
-                xWin = kernel.Win * kernel.x
-                a1 = convolve1D(prior_mask, xWin, "valid")[ix]
-                a2 = convolve1D(prior_mask, xWin * kernel.x, "valid")[ix]
-                xP = convolve1D(bins, xWin, "same")[ix]
-                if boundary_correction_order == 1:
-                    corrected = (density1D.P[ix] * a2 - xP * a1) / (a0 * a2 - a1**2)
-                else:
-                    a3 = convolve1D(prior_mask, xWin * kernel.x**2, "valid")[ix]
-                    a4 = convolve1D(prior_mask, xWin * kernel.x**3, "valid")[ix]
-                    x2P = convolve1D(bins, xWin * kernel.x, "same")[ix]
-                    denom = a4 * a2 * a0 - a4 * a1**2 - a2**3 - a3**2 * a0 + 2 * a1 * a2 * a3
-                    A = a4 * a2 - a3**2
-                    B = a2 * a3 - a4 * a1
-                    C = a3 * a1 - a2**2
-                    corrected = (density1D.P[ix] * A + xP * B + x2P * C) / denom
-                density1D.P[ix] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
-            else:
-                raise SettingError("Unknown boundary_correction_order (expected 0, 1, 2)")
-        elif not par.periodic and boundary_correction_order == 2:
-            # higher-order kernel in the interior
-            xWin2 = kernel.Win * kernel.x**2
-            x2P = convolve1D(bins, xWin2, "same")
-            a2 = np.sum(xWin2)
-            a4 = np.dot(xWin2, kernel.x**2)
-            corrected = (density1D.P * a4 - a2 * x2P) / (a4 - a2**2)
-            ix = density1D.P > 0
-            density1D.P[ix] *= np.exp(np.minimum(corrected[ix] / density1D.P[ix], 2) - 1)
-
-        if mult_bias_correction_order:
-            # iterate on flattened bins to cancel second-order smoothing bias
-            if not par.periodic:
-                prior_mask = np.ones(fine_bins)
-                if par.has_limits_bot:
-                    prior_mask[0] *= 0.5
-                if par.has_limits_top:
-                    prior_mask[-1] *= 0.5
-                a0 = convolve1D(prior_mask, kernel.Win, "same")
-            for _ in range(mult_bias_correction_order):
-                prob1 = density1D.P.copy()
-                prob1[prob1 == 0] = 1
-                fine = bins / prob1
-                conv = convolve1D(fine, kernel.Win, convolution_mode)
-                density1D.setP(density1D.P * conv)
-                if not par.periodic:
-                    density1D.P /= a0
-
-        density1D.normalize("max", in_place=True)
-        if not kwargs:
-            self.density1D[par.name] = density1D
-
-        if meanlikes:
-            ix = density1D.P > 0
-            finebinlikes[ix] /= density1D.P[ix]
-            binlikes = convolve1D(finebinlikes, kernel.Win, convolution_mode)
-            binlikes[ix] *= density1D.P[ix] / rawbins[ix]
-            if self.shade_likes_is_mean_loglikes:
-                maxbin = np.min(binlikes)
-                binlikes = np.where((binlikes - maxbin) < 30, np.exp(-(binlikes - maxbin)), 0)
-                binlikes[rawbins == 0] = 0
-            binlikes /= np.max(binlikes)
-            density1D.likes = binlikes
-        else:
-            density1D.likes = None
-
-        return density1D
-
-    # -- 2D densities ---------------------------------------------------------------
-    def _setEdgeMask2D(self, parx, pary, prior_mask, winw):
-        # Edge masks only on non-periodic axes (periodic axes have no edges).
-        if not parx.periodic:
-            if parx.has_limits_bot:
-                prior_mask[:, winw] /= 2
-                prior_mask[:, :winw] = 0
-            if parx.has_limits_top:
-                prior_mask[:, -(winw + 1)] /= 2
-                prior_mask[:, -winw:] = 0
-        if not pary.periodic:
-            if pary.has_limits_bot:
-                prior_mask[winw, :] /= 2
-                prior_mask[:winw:] = 0
-            if pary.has_limits_top:
-                prior_mask[-(winw + 1), :] /= 2
-                prior_mask[-winw:, :] = 0
-
-    def _setAllEdgeMask2D(self, prior_mask, winw, periodic_x=False, periodic_y=False):
-        if not periodic_x:
-            prior_mask[:, :winw] = 0
-            prior_mask[:, -winw:] = 0
-        if not periodic_y:
-            prior_mask[:winw:] = 0
-            prior_mask[-winw:, :] = 0
-
-    def _getScaleForParam(self, par):
-        # Half-width-at-50% based scale; also primes the 1D density cache.
-        density = self.get1DDensity(par)
-        mn, mx, lim_bot, lim_top = density.getLimits(0.5, accuracy_factor=1)
-        if lim_bot or lim_top:
-            return (mx - mn) / 0.675
-        return (mx - mn) / (2 * 0.675)
-
-    def _make2Dhist(self, ixs, iys, xsize, ysize):
-        flatix = ixs + iys * xsize
-        hist = np.asarray(
-            weighted_bincount_2d(jnp.asarray(ixs), jnp.asarray(iys), jnp.asarray(self.weights), xsize, ysize)
-        )
-        return hist, flatix
-
-    def get2DDensity(self, x, y, normalized=False, **kwargs):
-        """Density2D for a pair of parameters (max-normalized by default)."""
-        if self.needs_update:
-            self.updateBaseStatistics()
-        density = self.get2DDensityGridData(x, y, get_density=True, **kwargs)
-        if normalized:
-            density.normalize(in_place=True)
-        return density
-
-    def get2DDensityGridData(
-        self,
-        j,
-        j2,
-        num_plot_contours=None,
-        get_density=False,
-        meanlikes=False,
-        mask_function: callable = None,
-        **kwargs,
-    ):
-        """Compute the marginalized 2D KDE density for a parameter pair.
-
-        Full reference pipeline (``mcsamples.py:1748-2010``): corr-adaptive
-        fine binning (device scatter-add) -> anisotropic auto bandwidth
-        matrix (with Cholesky shearing for correlated pairs) -> device 2D
-        FFT convolution (periodic modes per axis) -> linear boundary kernel
-        -> multiplicative bias iterations -> optional mask -> contour levels.
-        """
-        if self.needs_update:
-            self.updateBaseStatistics()
-        start = time.time()
-        j, parx = self._parAndNumber(j)
-        j2, pary = self._parAndNumber(j2)
-        if j is None or j2 is None:
-            return None
-
-        self._initParamRanges(j)
-        self._initParamRanges(j2)
-
-        base_fine_bins_2D = kwargs.get("fine_bins_2D", self.fine_bins_2D)
-        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
-        mult_bias_correction_order = kwargs.get("mult_bias_correction_order", self.mult_bias_correction_order)
-        smooth_scale_2D = float(kwargs.get("smooth_scale_2D", self.smooth_scale_2D))
-
-        has_prior = parx.has_limits or pary.has_limits or mask_function
-
-        corr = self.getCorrelationMatrix()[j2][j]
-        actual_corr = corr
-        if abs(abs(corr) - 1.0) <= 1e-8:
-            logging.warning("Parameters are 100%% correlated: %s, %s", parx.name, pary.name)
-            corr = np.sign(corr) * self.max_corr_2D
-
-        logging.debug("Doing 2D: %s - %s", parx.name, pary.name)
-        logging.debug("sample x_err, y_err, correlation: %s, %s, %s", parx.err, pary.err, corr)
-
-        if abs(self.max_corr_2D) > 1:
-            raise SettingError("max_corr_2D cannot be >=1")
-        if abs(corr) < 0.1:
-            corr = 0.0
-
-        # increase bin density along tight degeneracies
-        angle_scale = max(0.2, np.sqrt(1 - min(self.max_corr_2D, abs(corr)) ** 2))
-        nbin2D = int(round(self.num_bins_2D / angle_scale))
-        fine_bins_2D = base_fine_bins_2D
-        if corr:
-            scaled = 192 * int(3 / angle_scale) // 3
-            if base_fine_bins_2D < scaled and int(1 / angle_scale) > 1:
-                fine_bins_2D = scaled
-
-        ixs, finewidthx, xbinmin, xbinmax = self._binSamples(self.samples[:, j], parx, fine_bins_2D)
-        iys, finewidthy, ybinmin, ybinmax = self._binSamples(self.samples[:, j2], pary, fine_bins_2D)
-
-        xsize = fine_bins_2D
-        ysize = fine_bins_2D
-        histbins, flatix = self._make2Dhist(ixs, iys, xsize, ysize)
-
-        if meanlikes:
-            likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            # np.array: mutated in place below (device arrays view read-only)
-            finebinlikes = np.array(
-                weighted_bincount(jnp.asarray(flatix), jnp.asarray(likeweights), xsize * ysize)
-            ).reshape((ysize, xsize))
-
-        # rx/ry are in fine-bin units
-        if smooth_scale_2D < 0:
-            rx, ry, corr = self.getAutoBandwidth2D(
-                histbins,
-                parx,
-                pary,
-                j,
-                j2,
-                actual_corr,
-                xbinmax - xbinmin,
-                ybinmax - ybinmin,
-                base_fine_bins_2D,
-                mult_bias_correction_order=mult_bias_correction_order,
-            )
-            rx = rx * abs(smooth_scale_2D) / finewidthx
-            ry = ry * abs(smooth_scale_2D) / finewidthy
-        elif smooth_scale_2D < 1.0:
-            rx = smooth_scale_2D * parx.err / finewidthx
-            ry = smooth_scale_2D * pary.err / finewidthy
-        else:
-            rx = smooth_scale_2D * fine_bins_2D / nbin2D
-            ry = smooth_scale_2D * fine_bins_2D / nbin2D
-
-        smooth_scale = float(max(rx, ry))
-        logging.debug("corr, rx, ry: %s, %s, %s", corr, rx, ry)
-        if smooth_scale < 2:
-            logging.warning("fine_bins_2D not large enough for optimal density: %s, %s", parx.name, pary.name)
-
-        winw = max(1, int(round(2.5 * smooth_scale)))
-        Cinv = np.linalg.inv(np.array([[ry**2, rx * ry * corr], [rx * ry * corr, rx**2]]))
-        ix1, ix2 = np.mgrid[-winw : winw + 1, -winw : winw + 1]
-        Win = np.exp(-(ix1**2 * Cinv[0, 0] + ix2**2 * Cinv[1, 1] + 2 * Cinv[1, 0] * ix1 * ix2) / 2)
-        Win /= np.sum(Win)
-
-        logging.debug("time 2D binning and bandwidth: %s ; bins: %s", time.time() - start, fine_bins_2D)
-        start = time.time()
-        convolvesize = xsize + 2 * winw + Win.shape[0]  # oversized for fast fft padding choice
-
-        if parx.periodic and pary.periodic:
-            convolution_mode = "periodic_both"
-        elif parx.periodic:
-            convolution_mode = "periodic_x"
-        elif pary.periodic:
-            convolution_mode = "periodic_y"
-        else:
-            convolution_mode = "same"
-
-        bins2D = convolve2D(histbins, Win, convolution_mode, largest_size=convolvesize)
-
-        if meanlikes:
-            bin2Dlikes = convolve2D(finebinlikes, Win, convolution_mode, largest_size=convolvesize)
-            if mult_bias_correction_order:
-                ix = bin2Dlikes > 0
-                finebinlikes[ix] /= bin2Dlikes[ix]
-                likes2 = convolve2D(finebinlikes, Win, convolution_mode, largest_size=convolvesize)
-                likes2[ix] *= bin2Dlikes[ix]
-                bin2Dlikes = likes2
-            del finebinlikes
-            mx = 1e-4 * np.max(bins2D)
-            bin2Dlikes[bins2D > mx] /= bins2D[bins2D > mx]
-            bin2Dlikes[bins2D <= mx] = 0
-        else:
-            bin2Dlikes = None
-
-        bool_mask = None
-        if has_prior and boundary_correction_order >= 0 or mult_bias_correction_order or mask_function:
-            # pad by winw so 'valid' convolutions return (ysize, xsize)
-            prior_mask = np.ones((ysize + 2 * winw, xsize + 2 * winw))
-            if mask_function:
-                mask_function(
-                    xbinmin - winw * finewidthx,
-                    ybinmin - winw * finewidthy,
-                    finewidthx,
-                    finewidthy,
-                    prior_mask,
-                )
-                bool_mask = prior_mask[winw:-winw, winw:-winw] < 1e-8
-
-        if has_prior and boundary_correction_order >= 0 and not (parx.periodic and pary.periodic):
-            self._setEdgeMask2D(parx, pary, prior_mask, winw)
-            a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
-            ix = a00 * bins2D > np.max(bins2D) * 1e-8
-            a00 = a00[ix]
-            normed = bins2D[ix] / a00
-            if boundary_correction_order == 0:
-                bins2D[ix] = normed
-            elif boundary_correction_order == 1:
-                # linear boundary kernel in 2D
-                indexes = np.arange(-winw, winw + 1)
-                y = np.empty(Win.shape)
-                for i in range(Win.shape[0]):
-                    y[:, i] = indexes
-                winx = Win * indexes
-                winy = Win * y
-                a10 = convolve2D(prior_mask, winx, "valid", largest_size=convolvesize)[ix]
-                a01 = convolve2D(prior_mask, winy, "valid", largest_size=convolvesize)[ix]
-                a20 = convolve2D(prior_mask, winx * indexes, "valid", largest_size=convolvesize)[ix]
-                a02 = convolve2D(prior_mask, winy * y, "valid", largest_size=convolvesize)[ix]
-                a11 = convolve2D(prior_mask, winy * indexes, "valid", largest_size=convolvesize)[ix]
-                xP = convolve2D(histbins, winx, convolution_mode, largest_size=convolvesize)[ix]
-                yP = convolve2D(histbins, winy, convolution_mode, largest_size=convolvesize)[ix]
-                denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
-                A = a11**2 - a02 * a20
-                Ax = a10 * a02 - a01 * a11
-                Ay = a01 * a20 - a10 * a11
-                corrected = (bins2D[ix] * A + xP * Ax + yP * Ay) / denom
-                bins2D[ix] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
-            else:
-                raise SettingError("unknown boundary_correction_order (expected 0 or 1)")
-
-        if mult_bias_correction_order and not (parx.periodic and pary.periodic):
-            self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
-            a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
-            for _ in range(mult_bias_correction_order):
-                box = histbins.copy()
-                ix2 = bins2D > np.max(bins2D) * 1e-8
-                box[ix2] /= bins2D[ix2]
-                bins2D *= convolve2D(box, Win, convolution_mode, largest_size=convolvesize)
-                if mask_function:
-                    bins2D[~bool_mask] /= a00[~bool_mask]
-                else:
-                    bins2D /= a00
-
-        if mask_function:
-            bins2D[bool_mask] = 0
-
-        x = np.linspace(xbinmin, xbinmax, xsize)
-        y = np.linspace(ybinmin, ybinmax, ysize)
-        density = Density2D(
-            x,
-            y,
-            bins2D,
-            mask=None if not mask_function else np.asarray(bool_mask),
-            view_ranges=[(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)],
-        )
-        density.normalize("max", in_place=True)
-        if get_density:
-            return density
-
-        ncontours = len(self.contours)
-        if num_plot_contours:
-            ncontours = min(num_plot_contours, ncontours)
-        contours = self.contours[:ncontours]
-
-        logging.debug("time 2D convolutions: %s", time.time() - start)
-        density.contours = density.getContourLevels(contours)
-
-        if meanlikes:
-            bin2Dlikes /= np.max(bin2Dlikes)
-            density.likes = bin2Dlikes
-        else:
-            density.likes = None
-        return density
-
-    # -- ND densities ---------------------------------------------------------------
-    def _setRawEdgeMaskND(self, parv, prior_mask):
-        ndim = len(parv)
-        vrap = parv[::-1]
-        if len(prior_mask.shape) != ndim:
-            raise ValueError("parv and prior_mask or different sizes!")
-        slices: Any = [slice(None) for _ in range(ndim)]
-        for i in range(ndim):
-            if vrap[i].has_limits_bot:
-                slices[i] = 0
-                prior_mask[tuple(slices)] /= 2
-                slices[i] = slice(None)
-            if vrap[i].has_limits_top:
-                slices[i] = prior_mask.shape[i] - 1
-                prior_mask[tuple(slices)] /= 2
-                slices[i] = slice(None)
-
-    def _flattenValues(self, ixs, xsizes):
-        q = ixs[0]
-        for i in range(1, len(ixs)):
-            q = q + np.prod(xsizes[0:i]) * ixs[i]
-        return q
-
-    def _unflattenValues(self, q, xsizes):
-        ndim = len(xsizes)
-        ixs = [np.array(q) for _ in range(ndim)]
-        if ndim == 1:
-            ixs[0] = q
-            return ixs
-        ixs[ndim - 1] = q // np.prod(xsizes[0 : ndim - 1])
-        acc = 0
-        for k in range(ndim - 2, -1, -1):
-            acc = acc + ixs[k + 1] * np.prod(xsizes[0 : k + 1])
-            if k > 0:
-                ixs[k] = (q - acc) // np.prod(xsizes[0:k])
-            else:
-                ixs[k] = q - acc
-        return ixs
-
-    def _makeNDhist(self, ixs, xsizes):
-        if len(ixs) != len(xsizes):
-            raise ValueError("index and size arrays are of unequal length")
-        flatixv = self._flattenValues(ixs, xsizes)
-        if np.count_nonzero(np.asarray(ixs) - self._unflattenValues(flatixv, xsizes)) != 0:
-            raise ValueError("flatten/unflatten inconsistent")
-        # np.array (not asarray): device arrays give read-only views, and the
-        # caller divides the histogram in place by the edge mask
-        hist = np.array(
-            weighted_bincount(jnp.asarray(flatixv), jnp.asarray(self.weights), int(np.prod(xsizes)))
-        ).reshape(xsizes[::-1], order="C")
-        return hist, flatixv
-
-    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None):
-        """All 1D and all-pairs 2D densities via the fused device pipeline
-        (``getdist_tpu.ops.batched.triangle_densities``), with this chain's
-        hard prior bounds wired in automatically.
-
-        Orders of magnitude faster than per-pair ``get2DDensityGridData``
-        for many parameters (one jitted program per stage, Pallas binning on
-        TPU); results follow the fast path's own KDE conventions rather than
-        exact reference parity. Returns the (d1, d2) dicts plus the pair
-        index list.
-        """
-        from getdist_tpu.ops.batched import triangle_densities
-
-        if self.needs_update:
-            self.updateBaseStatistics()
-        if params is None:
-            idx = list(range(self.n))
-        else:
-            idx = [self._parAndNumber(p)[0] for p in params]
-            if None in idx:
-                raise ParamError("Unknown parameter %s" % [p for p, j in zip(params, idx) if j is None])
-        pars = [self.paramNames.names[j] for j in idx]
-        lo = np.array([p.limmin if p.has_limits_bot else np.nan for p in pars], np.float32)
-        hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
-        per = np.array([bool(getattr(p, "periodic", False)) for p in pars])
-        has = np.isfinite(lo).any() or np.isfinite(hi).any() or per.any()
-        d1, d2 = triangle_densities(
-            self.samples[:, idx],
-            self.weights,
-            contours=contours,
-            use_pallas=use_pallas,
-            limits_lo=lo if has else None,
-            limits_hi=hi if has else None,
-            periodic=per if per.any() else None,
-        )
-        pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
-        return d1, d2, pairs
-
-    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True):
-        """Fused-pipeline densities as plot-ready objects: a dict of
-        :class:`~.densities.Density1D` per parameter name and a dict of
-        :class:`~.densities.Density2D` per name pair.
-
-        With ``cache_1d`` the 1D results populate the ``density1D`` cache,
-        so subsequent ``get1DDensity``/1D plotting reuses them; 2D objects
-        plot via ``add_2d_contours(..., density=...)``. Fast-path KDE
-        conventions (see :meth:`fastTriangleDensities`).
-        """
-        d1, d2, pairs = self.fastTriangleDensities(params=params, contours=contours, use_pallas=use_pallas)
-        if params is None:
-            names = [p.name for p in self.paramNames.names]
-        else:
-            names = [self._parAndNumber(p)[1].name for p in params]
-        import numpy as _np
-
-        bmin = _np.asarray(d1["range"][0], float)
-        bmax = _np.asarray(d1["range"][1], float)
-        dens1 = {}
-        for i, name in enumerate(names):
-            par = self.paramNames.parWithName(name)
-            view = [par.range_min, par.range_max] if hasattr(par, "range_min") else None
-            dens1[name] = Density1D(_np.asarray(d1["x"][i], float), P=_np.array(d1["P"][i], float), view_ranges=view)
-        n2 = _np.asarray(d2["P"], float).shape[1]
-        dens2 = {}
-        for k, (a, b) in enumerate(pairs):
-            gx = _np.linspace(bmin[a], bmax[a], n2)
-            gy = _np.linspace(bmin[b], bmax[b], n2)
-            density = Density2D(gx, gy, _np.array(d2["P"][k], float))
-            density.contours = _np.asarray(d2["contours"][k], float)
-            dens2[(names[a], names[b])] = density
-        if cache_1d:
-            self.density1D.update(dens1)
-        return dens1, dens2
-
-    def getRawNDDensity(self, xs, normalized=False, **kwargs):
-        """DensityND (unsmoothed histogram) for a list of parameters."""
-        if self.needs_update:
-            self.updateBaseStatistics()
-        density = self.getRawNDDensityGridData(xs, get_density=True, **kwargs)
-        if normalized:
-            density.normalize(in_place=True)
-        return density
-
-    def getRawNDDensityGridData(
-        self,
-        js,
-        writeDataToFile=False,
-        num_plot_contours=None,
-        get_density=False,
-        meanlikes=False,
-        maxlikes=False,
-        **kwargs,
-    ):
-        """Unsmoothed ND histogram density with edge weighting and optional
-        mean/profile likelihoods (reference ``mcsamples.py:2098-2235``)."""
-        if self.needs_update:
-            self.updateBaseStatistics()
-        ndim = len(js)
-        jv, parv = zip(*[self._parAndNumber(j) for j in js])
-        if None in jv:
-            return None
-        for j in jv:
-            self._initParamRanges(j)
-
-        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
-        has_prior = np.any([parv[i].has_limits for i in range(ndim)])
-        nbinsND = kwargs.get("num_bins_ND", self.num_bins_ND)
-
-        ixv, widthv, xminv, xmaxv = zip(
-            *[self._binSamples(self.samples[:, jv[i]], parv[i], nbinsND) for i in range(ndim)]
-        )
-        xsizev = nbinsND * np.ones(ndim, dtype=int)
-        binsND, flatixv = self._makeNDhist(ixv, xsizev)
-
-        if has_prior and boundary_correction_order >= 0:
-            prior_mask = np.ones(xsizev[::-1])
-            self._setRawEdgeMaskND(parv, prior_mask)
-            binsND /= prior_mask
-
-        if meanlikes:
-            likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            # np.array: normalized in place below (device arrays view read-only)
-            binNDlikes = np.array(
-                weighted_bincount(jnp.asarray(flatixv), jnp.asarray(likeweights), int(np.prod(xsizev)))
-            ).reshape(xsizev[::-1], order="C")
-        else:
-            binNDlikes = None
-
-        if maxlikes:
-            binNDmaxlikes = np.zeros(binsND.shape)
-            ndindex = list(zip(*[ixv[i] for i in range(ndim)[::-1]]))
-            bestfit = np.max(-self.loglikes)
-            for irec in range(len(self.loglikes)):
-                binNDmaxlikes[ndindex[irec]] = max(binNDmaxlikes[ndindex[irec]], np.exp(-bestfit - self.loglikes[irec]))
-        else:
-            binNDmaxlikes = None
-
-        xv = [np.linspace(xminv[i], xmaxv[i], xsizev[i]) for i in range(ndim)]
-        views = [(parv[i].range_min, parv[i].range_max) for i in range(ndim)]
-        density = DensityND(xv, binsND, view_ranges=views)
-        density.normalize("max", in_place=True)
-        if get_density:
-            return density
-
-        ncontours = len(self.contours)
-        if num_plot_contours:
-            ncontours = min(num_plot_contours, ncontours)
-        contours = self.contours[:ncontours]
-        density.contours = density.getContourLevels(contours)
-
-        if meanlikes:
-            binNDlikes /= np.max(binNDlikes)
-            density.likes = binNDlikes
-        else:
-            density.likes = None
-
-        if maxlikes:
-            density.maxlikes = binNDmaxlikes
-            density.maxcontours = getImportContourLevels(binNDmaxlikes, contours, half_edge=False)
-        else:
-            density.maxlikes = None
-
-        if writeDataToFile:
-            postfile = self.rootname + "_posterior" + "_%sD.dat" % ndim
-            contfile = self.rootname + "_posterior" + "_%sD_cont.dat" % ndim
-            allND = [np.array(binsND) for _ in range(ndim + 1)]
-            allND[0] = np.ravel(binsND, order="C")
-            for i in range(ndim):
-                allND[i + 1] = [xv[i][index[::-1][i]] for index in np.ndindex(binsND.shape)]
-            np.savetxt(os.path.join(self.plot_data_dir, postfile), np.transpose(allND), "%16.7E")
-            np.savetxt(os.path.join(self.plot_data_dir, contfile), np.atleast_2d(density.contours), "%16.7E")
-            if meanlikes:
-                allND[0] = np.ravel(binNDlikes, order="C")
-                likefile = self.rootname + "_meanlike" + "_%sD.dat" % ndim
-                np.savetxt(os.path.join(self.plot_data_dir, likefile), np.transpose(allND), "%16.7E")
-            if maxlikes:
-                allND[0] = np.ravel(binNDmaxlikes, order="C")
-                likefile = self.rootname + "_maxlike" + "_%sD.dat" % ndim
-                np.savetxt(os.path.join(self.plot_data_dir, likefile), np.transpose(allND), "%16.7E")
-        return density
-
-    # -- likelihood-based statistics -----------------------------------------------
-    def _setLikeStats(self):
-        """Compute and store the LikeStats summary: best-fit sample,
-        likelihood moments, and per-parameter ND confidence region from
-        sorting by -log(like) (reference ``mcsamples.py:2237-2278``)."""
-        if self.loglikes is None:
-            self.likeStats = None
-            return None
-        m = types.LikeStats()
-        bestfit_ix = np.argmin(self.loglikes)
-        maxlike = self.loglikes[bestfit_ix]
-        m.logLike_sample = maxlike
-        if np.max(self.loglikes) - maxlike < 30:
-            m.logMeanInvLike = np.log(self.mean(np.exp(self.loglikes - maxlike))) + maxlike
-        else:
-            m.logMeanInvLike = None
-        m.meanLogLike = self.mean_loglike
-        m.logMeanLike = -np.log(self.mean(np.exp(-(self.loglikes - maxlike)))) + maxlike
-        m.complexity = 2 * (self.mean_loglike - maxlike)
-        m.varLogLike = self.mean(self.loglikes**2) - self.mean_loglike**2
-        m.names = self.paramNames.names
-
-        indexes = self.loglikes.argsort()
-        cumsum = np.cumsum(self.weights[indexes])
-        ncontours = len(self.contours)
-        n_d_contours = np.searchsorted(cumsum, self.norm * self.contours[0:ncontours])
-        for j, par in enumerate(self.paramNames.names):
-            par.ND_limit_bot = np.empty(ncontours)
-            par.ND_limit_top = np.empty(ncontours)
-            for i, cont in enumerate(n_d_contours):
-                region = self.samples[indexes[:cont], j]
-                par.ND_limit_bot[i] = np.min(region)
-                par.ND_limit_top[i] = np.max(region)
-            par.bestfit_sample = self.samples[bestfit_ix][j]
-        self.likeStats = m
-        return m
-
-    def getBestFit(self, max_posterior=True):
-        """BestFit from the .minimum (posterior) or .bestfit (likelihood)
-        sidecar file."""
-        ext = ".minimum" if max_posterior else ".bestfit"
-        bf_file = self.root + ext
-        if os.path.exists(bf_file):
-            return types.BestFit(bf_file, max_posterior=max_posterior)
-        raise MCSamplesError(
-            "Best fit can only be included if loaded from file and file_root%s exists "
-            "(cannot be calculated from samples)" % ext
-        )
-
-    def getMargeStats(self, include_bestfit=False):
-        """MargeStats with marginalized 1D constraints for all parameters."""
-        self._setDensitiesandMarge1D()
-        m = types.MargeStats()
-        m.hasBestFit = False
-        m.limits = self.contours
-        m.names = self.paramNames.names
-        if include_bestfit:
-            m.addBestFit(self.getBestFit())
-        return m
-
-    def getLikeStats(self):
-        """LikeStats with N-D limits and best-fit sample values."""
-        return self.likeStats or self._setLikeStats()
-
-    def getTable(self, columns=1, include_bestfit=False, **kwargs):
-        """ResultTable of the marginalized constraints."""
-        return types.ResultTable(columns, [self.getMargeStats(include_bestfit)], **kwargs)
-
-    def getLatex(self, params=None, limit=1, err_sig_figs=None):
-        """(labels, tex snippets) for constraints on a list of parameters."""
-        if isinstance(params, str):
-            return self.getInlineLatex(params, limit, err_sig_figs)
-        marge = self.getMargeStats()
-        if params is None:
-            params = marge.list()
-        formatter = types.NoLineTableFormatter()
-        if err_sig_figs:
-            formatter.numberFormatter.err_sf = err_sig_figs
-        texs = []
-        labels = []
-        for par in params:
-            tex = marge.texValues(formatter, par, limit=limit)
-            if tex is not None:
-                texs.append(tex[0])
-                labels.append((par if isinstance(par, ParamInfo) else marge.parWithName(par)).getLabel())
-            else:
-                texs.append(None)
-                labels.append(None)
-        return labels, texs
-
-    def getInlineLatex(self, param, limit=1, err_sig_figs=None):
-        r"""Inline tex like ``A=x\pm y`` (adjusts for one/two-tail limits)."""
-        labels, texs = self.getLatex([param], limit, err_sig_figs)
-        if texs[0] is None:
-            raise ValueError("parameter %s not found" % param)
-        if texs[0][0] not in ["<", ">"]:
-            return labels[0] + " = " + texs[0]
-        return labels[0] + " " + texs[0]
-
-    def _setDensitiesandMarge1D(self, max_frac_twotail=None, meanlikes=False):
-        """Compute (and cache) all 1D densities and marginalized limits."""
-        if self.done_1Dbins:
-            return
-        for j in range(self.n):
-            paramConfid = self.initParamConfidenceData(self.samples[:, j])
-            self.get1DDensityGridData(j, paramConfid=paramConfid, meanlikes=meanlikes)
-            self._setMargeLimits(self.paramNames.names[j], paramConfid, max_frac_twotail)
-        self.done_1Dbins = True
-
-    def _setMargeLimits(self, par, paramConfid, max_frac_twotail=None, density1D=None):
-        """Set par.limits: one- or two-tail depending on whether the
-        density is cut off at the prior edges (reference
-        ``mcsamples.py:2460-2531``)."""
-        if max_frac_twotail is None:
-            max_frac_twotail = self.max_frac_twotail
-        par.limits = []
-        density1D = density1D or self.get1DDensity(par.name)
-        interpGrid = None
-        for ix1, contour in enumerate(self.contours):
-            marge_limits_bot = par.has_limits_bot and not self.force_twotail and density1D.P[0] > max_frac_twotail[ix1]
-            marge_limits_top = par.has_limits_top and not self.force_twotail and density1D.P[-1] > max_frac_twotail[ix1]
-
-            if not marge_limits_bot or not marge_limits_top:
-                if not interpGrid:
-                    interpGrid = density1D.initLimitGrids()
-                tail_limit_bot, tail_limit_top, marge_limits_bot, marge_limits_top = density1D.getLimits(
-                    contour, interpGrid
-                )
-                limfrac = 1 - contour
-
-                if marge_limits_bot:
-                    tail_limit_bot = par.range_min
-                    tail_confid_bot = None
-                elif marge_limits_top:
-                    tail_limit_bot = self.confidence(paramConfid, limfrac, upper=False)
-                    tail_confid_bot = None
-                else:
-                    tail_confid_bot = self.confidence(paramConfid, limfrac / 2, upper=False)
-
-                if marge_limits_top:
-                    tail_limit_top = par.range_max
-                    tail_confid_top = None
-                elif marge_limits_bot:
-                    tail_limit_top = self.confidence(paramConfid, limfrac, upper=True)
-                    tail_confid_top = None
-                else:
-                    tail_confid_top = self.confidence(paramConfid, limfrac / 2, upper=True)
-
-                if not marge_limits_bot and not marge_limits_top:
-                    # prefer equal-tail limits when the densities at the two
-                    # tails are similar
-                    if (
-                        math.fabs(density1D.Prob(tail_confid_top) - density1D.Prob(tail_confid_bot))
-                        < self.credible_interval_threshold
-                    ):
-                        tail_limit_top = tail_confid_top
-                        tail_limit_bot = tail_confid_bot
-                lim = [tail_limit_bot, tail_limit_top]
-            else:
-                lim = [par.range_min, par.range_max]
-
-            if marge_limits_bot and marge_limits_top:
-                tag = "none"
-            elif marge_limits_bot:
-                tag = ">"
-            elif marge_limits_top:
-                tag = "<"
-            else:
-                tag = "two"
-            par.limits.append(types.ParamLimit(lim, tag))
-
-    # -- summaries / misc ------------------------------------------------------------
-    def getNumSampleSummaryText(self):
-        """Text summary of sample counts and effective sample sizes."""
-        lines = (
-            f"using {self.numrows} rows, {self.paramNames.numParams()} parameters; "
-            f"mean weight {self.mean_mult}, tot weight {self.norm}\n"
-        )
-        if self.indep_thin != 0:
-            lines += "Approx indep samples (N/corr length): %s\n" % (round(self.norm / self.indep_thin))
-        lines += "Equiv number of single samples (sum w)/max(w): %s\n" % (round(self.norm / self.max_mult))
-        lines += "Effective number of weighted samples (sum w)^2/sum(w^2): %s\n" % (
-            int(self.norm**2 / np.dot(self.weights, self.weights))
-        )
-        return lines
-
-    def getCorrelatedVariable2DPlots(self, num_plots=12, nparam=None):
-        """Most-correlated parameter pair names, for quick-look plots."""
-        nparam = nparam or self.paramNames.numNonDerived()
-        try_t = 1e5
-        x, y = 0, 0
-        cust2DPlots = []
-        for _ in range(num_plots):
-            try_b = -1e5
-            for ix1 in range(nparam):
-                for ix2 in range(ix1 + 1, nparam):
-                    if try_b < abs(self.correlationMatrix[ix1][ix2]) < try_t:
-                        try_b = abs(self.correlationMatrix[ix1][ix2])
-                        x, y = ix1, ix2
-            if try_b == -1e5:
-                break
-            try_t = try_b
-            cust2DPlots.append([self.parName(x), self.parName(y)])
-        return cust2DPlots
-
-    def addDerived(self, paramVec, name, label="", comment="", range=None):
-        """Add a derived parameter column (optionally with hard bounds)."""
-        if range is not None:
-            self.ranges.setRange(name, range)
-        return super().addDerived(paramVec, name, label=label, comment=comment)
-
-    def getParamBestFitDict(self, best_sample=False, want_derived=True, want_fixed=True, max_posterior=True):
-        """Dict of parameter values at the best-fit point (from minimum
-        files, or the best sample)."""
-        if best_sample:
-            if not max_posterior:
-                raise ValueError("best_fit_sample is only maximum posterior")
-            if self.loglikes is None:
-                raise ValueError("No likelihoods in samples")
-            return self.getParamSampleDict(np.argmin(self.loglikes))
-        res = self.getBestFit(max_posterior=max_posterior).getParamDict(include_derived=want_derived)
-        if want_fixed:
-            res.update(self.ranges.fixedValueDict())
-        return res
-
-    def getParamSampleDict(self, ix, want_derived=True, want_fixed=True):
-        """Dict of parameter values for one sample row (incl. fixed)."""
-        res = super().getParamSampleDict(ix, want_derived=want_derived)
-        if want_fixed:
-            res.update(self.ranges.fixedValueDict())
-        return res
-
-    def getCombinedSamplesWithSamples(self, samps2, sample_weights=(1, 1)):
-        """New MCSamples appending samps2's samples for shared parameters,
-        weighted so each set contributes equal mass by default."""
-        params = ParamNames()
-        params.names = [
-            ParamInfo(name=p.name, label=p.label, derived=p.isDerived)
-            for p in samps2.paramNames.names
-            if p.name in self.paramNames.list()
-        ]
-        if self.loglikes is not None and samps2.loglikes is not None:
-            loglikes = np.concatenate([self.loglikes, samps2.loglikes])
-        else:
-            loglikes = None
-        if sample_weights is None:
-            fac = 1
-            sample_weights = (1, 1)
-        else:
-            fac = np.sum(self.weights) / np.sum(samps2.weights)
-        weights = np.concatenate([self.weights * sample_weights[0], samps2.weights * sample_weights[1] * fac])
-        p1 = self.getParams()
-        p2 = samps2.getParams()
-        samples = np.array([np.concatenate([getattr(p1, name), getattr(p2, name)]) for name in params.list()]).T
-        return MCSamples(
-            samples=samples,
-            weights=weights,
-            loglikes=loglikes,
-            paramNamesFile=params,
-            ignore_rows=0,
-            ranges=self.ranges,
-            settings=copy.deepcopy(self.ini.params),
-        )
-
-    def saveTextMetadata(self, root, properties=None):
-        """Save .paramnames, .ranges and .properties.ini sidecars."""
-        super().saveTextMetadata(root)
-        self.ranges.saveToFile(root + ".ranges")
-        ini_name = root + ".properties.ini"
-        if properties or self.properties and self.properties.params or self.label:
-            ini = IniFile(ini_name) if os.path.exists(ini_name) else IniFile()
-            if self.properties:
-                ini.params.update(self.properties.params)
-            if self.label:
-                ini.params.update({"label": self.label})
-            ini.params.update(properties or {})
-            ini.saveFile(ini_name)
-        elif os.path.exists(ini_name):
-            os.remove(ini_name)
-
-    def saveChainsAsText(self, root, make_dirs=False, properties=None):
-        """Save each chain as text plus metadata sidecars (single-chain
-        samples fall back to one unnumbered chain file)."""
-        if self.chains is None and self.chain_offsets is None:
-            super(Chains, self).saveAsText(root, None, make_dirs)
-        else:
-            chain_list = self.getSeparateChains() if self.chains is None else self.chains
-            for i, chain in enumerate(chain_list):
-                chain.saveAsText(root, i, make_dirs)
-        self.saveTextMetadata(root, properties)
-
-    # -- PCA ----------------------------------------------------------------------
-    def PCA(
-        self,
-        params,
-        param_map=None,
-        normparam=None,
-        writeDataToFile=False,
-        filename=None,
-        conditional_params=(),
-        n_best_only=None,
-    ):
-        """Principal component analysis of normalized (optionally
-        log-mapped) parameters; returns a text report with e-values,
-        e-vectors, and power-law constraint forms (reference
-        ``mcsamples.py:683-885``)."""
-        logging.info("Doing PCA for %s parameters", len(params))
-        if len(conditional_params):
-            logging.info("conditional %u fixed parameters", len(conditional_params))
-        PCAtext = "PCA for parameters:\n"
-
-        params = [name for name in params if self.paramNames.parWithName(name)]
-        nparams = len(params)
-        indices = [self.index[param] for param in params]
-        conditional_params = [self.index[param] for param in conditional_params]
-        indices += conditional_params
-
-        if normparam:
-            normparam = params.index(normparam) if normparam in params else -1
-        else:
-            normparam = -1
-
-        n = len(indices)
-        PCdata = self.samples[:, indices].copy()
-        PClabs = []
-        PCmean = np.zeros(n)
-        sd = np.zeros(n)
-        newmean = np.zeros(n)
-        newsd = np.zeros(n)
-        if param_map is None:
-            param_map = ""
-            for par in self.paramNames.parsWithNames(params):
-                self._initParamRanges(par.name)
-                if par.param_max < 0 or par.param_min < (par.param_max - par.param_min) / 10:
-                    param_map += "N"
-                else:
-                    param_map += "L"
-
-        doexp = False
-        for i, parix in enumerate(indices):
-            if i < nparams:
-                label = self.parLabel(parix)
-                if param_map[i] == "L":
-                    doexp = True
-                    PCdata[:, i] = np.log(PCdata[:, i])
-                    PClabs.append("ln(" + label + ")")
-                elif param_map[i] == "M":
-                    doexp = True
-                    PCdata[:, i] = np.log(-1.0 * PCdata[:, i])
-                    PClabs.append("ln(-" + label + ")")
-                else:
-                    PClabs.append(label)
-                PCAtext += "%10s :%s\n" % (str(parix + 1), str(PClabs[i]))
-            PCmean[i] = np.dot(self.weights, PCdata[:, i]) / self.norm
-            PCdata[:, i] -= PCmean[i]
-            sd[i] = np.sqrt(np.dot(self.weights, PCdata[:, i] ** 2) / self.norm)
-            if sd[i] != 0:
-                PCdata[:, i] /= sd[i]
-
-        PCAtext += "\n"
-        PCAtext += "Correlation matrix for reduced parameters\n"
-        correlationMatrix = np.ones((n, n))
-        for i in range(n):
-            for j in range(i):
-                correlationMatrix[j][i] = np.dot(self.weights, PCdata[:, i] * PCdata[:, j]) / self.norm
-                correlationMatrix[i][j] = correlationMatrix[j][i]
-        for i in range(nparams):
-            PCAtext += "%12s :" % params[i]
-            for j in range(n):
-                PCAtext += "%8.4f" % correlationMatrix[j][i]
-            PCAtext += "\n"
-
-        if len(conditional_params):
-            u = np.linalg.inv(correlationMatrix)
-            u = u[np.ix_(list(range(len(params))), list(range(len(params))))]
-            u = np.linalg.inv(u)
-            n = nparams
-            PCdata = PCdata[:, :nparams]
-        else:
-            u = correlationMatrix
-        evals, evects = np.linalg.eig(u)
-        isorted = evals.argsort()
-        u = np.transpose(evects[:, isorted])
-
-        PCAtext += "\n"
-        PCAtext += "e-values of correlation matrix\n"
-        for i in range(n):
-            PCAtext += "PC%2i: %8.4f\n" % (i + 1, evals[isorted[i]])
-
-        PCAtext += "\n"
-        PCAtext += "e-vectors\n"
-        for j in range(n):
-            PCAtext += "%3i:" % (indices[j] + 1)
-            for i in range(n):
-                PCAtext += "%8.4f" % (evects[j][isorted[i]])
-            PCAtext += "\n"
-
-        if normparam != -1:
-            for i in range(n):
-                u[i, :] = u[i, :] / u[i, normparam] * sd[normparam]
-        else:
-            for i in range(n):
-                maxi = np.abs(u[i, :]).argmax()
-                u[i, :] = u[i, :] / u[i, maxi] * sd[maxi]
-
-        nrows = PCdata.shape[0]
-        for i in range(nrows):
-            PCdata[i, :] = np.dot(u, PCdata[i, :])
-            if doexp:
-                PCdata[i, :] = np.exp(PCdata[i, :])
-
-        PCAtext += "\n"
-        PCAtext += "Principal components\n"
-        PCAmodeTexts = []
-        for i in range(n):
-            isort = isorted[i]
-            summary = "PC%i (e-value: %f)\n" % (i + 1, evals[isort])
-            for j in range(n):
-                label = self.parLabel(indices[j])
-                if param_map[j] in ["L", "M"]:
-                    expo = "%f" % (1.0 / sd[j] * u[i][j])
-                    if param_map[j] == "M":
-                        div = "%f" % (-np.exp(PCmean[j]))
-                    else:
-                        div = "%f" % (np.exp(PCmean[j]))
-                    summary += f"[{u[i][j]:f}]  ({label}/{div})^{{{expo}}}\n"
-                else:
-                    expo = "%f" % (sd[j] / u[i][j])
-                    if doexp:
-                        summary += f"[{u[i][j]:f}]   exp(({label}-{PCmean[j]:f})/{expo})\n"
-                    else:
-                        summary += f"[{u[i][j]:f}]   ({label}-{PCmean[j]:f})/{expo}\n"
-            newmean[i] = self.mean(PCdata[:, i])
-            newsd[i] = np.sqrt(self.mean((PCdata[:, i] - newmean[i]) ** 2))
-            summary += f"          = {newmean[i]:f} +- {newsd[i]:f}\n"
-            summary += "\n"
-            PCAmodeTexts += [summary]
-            PCAtext += summary
-
-        PCAtext += "Correlations of principal components\n"
-        PCAtext += "%s\n" % ("".join("%8i" % i for i in range(1, n + 1)))
-        for i in range(n):
-            PCdata[:, i] = (PCdata[:, i] - newmean[i]) / newsd[i]
-        for j in range(n):
-            PCAtext += "PC%2i" % (j + 1)
-            for i in range(n):
-                PCAtext += "%8.3f" % (self.mean(PCdata[:, i] * PCdata[:, j]))
-            PCAtext += "\n"
-        for j in range(self.n):
-            PCAtext += "%4i" % (j + 1)
-            for i in range(n):
-                PCAtext += "%8.3f" % (
-                    np.sum(self.weights * PCdata[:, i] * (self.samples[:, j] - self.means[j]) / self.sddev[j])
-                    / self.norm
-                )
-            PCAtext += "   (%s)\n" % (self.parLabel(j))
-
-        if writeDataToFile:
-            with open(filename or self.rootdirname + ".PCA", "w", encoding="utf-8") as f:
-                f.write(PCAtext)
-        if n_best_only:
-            if n_best_only == 1:
-                return PCAmodeTexts[0]
-            return PCAmodeTexts[:n_best_only]
-        return PCAtext
-
-    # -- convergence battery ---------------------------------------------------------
     def getConvergeTests(
         self,
         test_confidence=0.95,
@@ -2221,61 +626,1669 @@ class MCSamples(Chains):
         return lines
 
     # -- plot-script writers (for the CLI) ---------------------------------------------
-    def _writeScriptPlots1D(self, filename, plotparams=None, ext=None):
-        text = "markers = " + (str(self.markers) if self.markers else "None") + "\n"
-        if plotparams:
-            text += "g.plots_1d(roots,[" + ",".join(["'" + par + "'" for par in plotparams]) + "], markers=markers)"
+
+    def PCA(
+        self,
+        params,
+        param_map=None,
+        normparam=None,
+        writeDataToFile=False,
+        filename=None,
+        conditional_params=(),
+        n_best_only=None,
+    ):
+        """Principal component analysis of normalized (optionally
+        log-mapped) parameters; returns a text report with e-values,
+        e-vectors, and power-law constraint forms (reference
+        ``mcsamples.py:683-885``)."""
+        logging.info("Doing PCA for %s parameters", len(params))
+        if len(conditional_params):
+            logging.info("conditional %u fixed parameters", len(conditional_params))
+        PCAtext = "PCA for parameters:\n"
+
+        params = [name for name in params if self.paramNames.parWithName(name)]
+        nparams = len(params)
+        indices = [self.index[param] for param in params]
+        conditional_params = [self.index[param] for param in conditional_params]
+        indices += conditional_params
+
+        if normparam:
+            normparam = params.index(normparam) if normparam in params else -1
         else:
-            text += "g.plots_1d(roots, markers=markers)"
-        self._WritePlotFile(filename, self.subplot_size_inch, text, "", ext)
+            normparam = -1
 
-    def _writeScriptPlots2D(self, filename, plot_2D_param=None, cust2DPlots=(), ext=None):
-        done2D = {}
-        text = "pairs=[]\n"
-        if len(cust2DPlots):
-            cuts = [par1 + "__" + par2 for par1, par2 in cust2DPlots]
-        for j, par1 in enumerate(self.paramNames.list()):
-            if plot_2D_param or cust2DPlots:
-                if par1 == plot_2D_param:
-                    continue
-                j2min = 0
+        n = len(indices)
+        PCdata = self.samples[:, indices].copy()
+        PClabs = []
+        PCmean = np.zeros(n)
+        sd = np.zeros(n)
+        newmean = np.zeros(n)
+        newsd = np.zeros(n)
+        if param_map is None:
+            param_map = ""
+            for par in self.paramNames.parsWithNames(params):
+                self._initParamRanges(par.name)
+                if par.param_max < 0 or par.param_min < (par.param_max - par.param_min) / 10:
+                    param_map += "N"
+                else:
+                    param_map += "L"
+
+        doexp = False
+        for i, parix in enumerate(indices):
+            if i < nparams:
+                label = self.parLabel(parix)
+                if param_map[i] == "L":
+                    doexp = True
+                    PCdata[:, i] = np.log(PCdata[:, i])
+                    PClabs.append("ln(" + label + ")")
+                elif param_map[i] == "M":
+                    doexp = True
+                    PCdata[:, i] = np.log(-1.0 * PCdata[:, i])
+                    PClabs.append("ln(-" + label + ")")
+                else:
+                    PClabs.append(label)
+                PCAtext += "%10s :%s\n" % (str(parix + 1), str(PClabs[i]))
+            PCmean[i] = np.dot(self.weights, PCdata[:, i]) / self.norm
+            PCdata[:, i] -= PCmean[i]
+            sd[i] = np.sqrt(np.dot(self.weights, PCdata[:, i] ** 2) / self.norm)
+            if sd[i] != 0:
+                PCdata[:, i] /= sd[i]
+
+        PCAtext += "\n"
+        PCAtext += "Correlation matrix for reduced parameters\n"
+        correlationMatrix = np.ones((n, n))
+        for i in range(n):
+            for j in range(i):
+                correlationMatrix[j][i] = np.dot(self.weights, PCdata[:, i] * PCdata[:, j]) / self.norm
+                correlationMatrix[i][j] = correlationMatrix[j][i]
+        for i in range(nparams):
+            PCAtext += "%12s :" % params[i]
+            for j in range(n):
+                PCAtext += "%8.4f" % correlationMatrix[j][i]
+            PCAtext += "\n"
+
+        if len(conditional_params):
+            u = np.linalg.inv(correlationMatrix)
+            u = u[np.ix_(list(range(len(params))), list(range(len(params))))]
+            u = np.linalg.inv(u)
+            n = nparams
+            PCdata = PCdata[:, :nparams]
+        else:
+            u = correlationMatrix
+        evals, evects = np.linalg.eig(u)
+        isorted = evals.argsort()
+        u = np.transpose(evects[:, isorted])
+
+        PCAtext += "\n"
+        PCAtext += "e-values of correlation matrix\n"
+        for i in range(n):
+            PCAtext += "PC%2i: %8.4f\n" % (i + 1, evals[isorted[i]])
+
+        PCAtext += "\n"
+        PCAtext += "e-vectors\n"
+        for j in range(n):
+            PCAtext += "%3i:" % (indices[j] + 1)
+            for i in range(n):
+                PCAtext += "%8.4f" % (evects[j][isorted[i]])
+            PCAtext += "\n"
+
+        if normparam != -1:
+            for i in range(n):
+                u[i, :] = u[i, :] / u[i, normparam] * sd[normparam]
+        else:
+            for i in range(n):
+                maxi = np.abs(u[i, :]).argmax()
+                u[i, :] = u[i, :] / u[i, maxi] * sd[maxi]
+
+        nrows = PCdata.shape[0]
+        for i in range(nrows):
+            PCdata[i, :] = np.dot(u, PCdata[i, :])
+            if doexp:
+                PCdata[i, :] = np.exp(PCdata[i, :])
+
+        PCAtext += "\n"
+        PCAtext += "Principal components\n"
+        PCAmodeTexts = []
+        for i in range(n):
+            isort = isorted[i]
+            summary = "PC%i (e-value: %f)\n" % (i + 1, evals[isort])
+            for j in range(n):
+                label = self.parLabel(indices[j])
+                if param_map[j] in ["L", "M"]:
+                    expo = "%f" % (1.0 / sd[j] * u[i][j])
+                    if param_map[j] == "M":
+                        div = "%f" % (-np.exp(PCmean[j]))
+                    else:
+                        div = "%f" % (np.exp(PCmean[j]))
+                    summary += f"[{u[i][j]:f}]  ({label}/{div})^{{{expo}}}\n"
+                else:
+                    expo = "%f" % (sd[j] / u[i][j])
+                    if doexp:
+                        summary += f"[{u[i][j]:f}]   exp(({label}-{PCmean[j]:f})/{expo})\n"
+                    else:
+                        summary += f"[{u[i][j]:f}]   ({label}-{PCmean[j]:f})/{expo}\n"
+            newmean[i] = self.mean(PCdata[:, i])
+            newsd[i] = np.sqrt(self.mean((PCdata[:, i] - newmean[i]) ** 2))
+            summary += f"          = {newmean[i]:f} +- {newsd[i]:f}\n"
+            summary += "\n"
+            PCAmodeTexts += [summary]
+            PCAtext += summary
+
+        PCAtext += "Correlations of principal components\n"
+        PCAtext += "%s\n" % ("".join("%8i" % i for i in range(1, n + 1)))
+        for i in range(n):
+            PCdata[:, i] = (PCdata[:, i] - newmean[i]) / newsd[i]
+        for j in range(n):
+            PCAtext += "PC%2i" % (j + 1)
+            for i in range(n):
+                PCAtext += "%8.3f" % (self.mean(PCdata[:, i] * PCdata[:, j]))
+            PCAtext += "\n"
+        for j in range(self.n):
+            PCAtext += "%4i" % (j + 1)
+            for i in range(n):
+                PCAtext += "%8.3f" % (
+                    np.sum(self.weights * PCdata[:, i] * (self.samples[:, j] - self.means[j]) / self.sddev[j])
+                    / self.norm
+                )
+            PCAtext += "   (%s)\n" % (self.parLabel(j))
+
+        if writeDataToFile:
+            with open(filename or self.rootdirname + ".PCA", "w", encoding="utf-8") as f:
+                f.write(PCAtext)
+        if n_best_only:
+            if n_best_only == 1:
+                return PCAmodeTexts[0]
+            return PCAmodeTexts[:n_best_only]
+        return PCAtext
+
+    # -- convergence battery ---------------------------------------------------------
+
+    def saveChainsAsText(self, root, make_dirs=False, properties=None):
+        """Save each chain as text plus metadata sidecars (single-chain
+        samples fall back to one unnumbered chain file)."""
+        if self.chains is None and self.chain_offsets is None:
+            super(Chains, self).saveAsText(root, None, make_dirs)
+        else:
+            chain_list = self.getSeparateChains() if self.chains is None else self.chains
+            for i, chain in enumerate(chain_list):
+                chain.saveAsText(root, i, make_dirs)
+        self.saveTextMetadata(root, properties)
+
+    # -- PCA ----------------------------------------------------------------------
+
+    def saveTextMetadata(self, root, properties=None):
+        """Save .paramnames, .ranges and .properties.ini sidecars."""
+        super().saveTextMetadata(root)
+        self.ranges.saveToFile(root + ".ranges")
+        ini_name = root + ".properties.ini"
+        if properties or self.properties and self.properties.params or self.label:
+            ini = IniFile(ini_name) if os.path.exists(ini_name) else IniFile()
+            if self.properties:
+                ini.params.update(self.properties.params)
+            if self.label:
+                ini.params.update({"label": self.label})
+            ini.params.update(properties or {})
+            ini.saveFile(ini_name)
+        elif os.path.exists(ini_name):
+            os.remove(ini_name)
+
+    def getCombinedSamplesWithSamples(self, samps2, sample_weights=(1, 1)):
+        """New MCSamples appending samps2's samples for shared parameters,
+        weighted so each set contributes equal mass by default."""
+        params = ParamNames()
+        params.names = [
+            ParamInfo(name=p.name, label=p.label, derived=p.isDerived)
+            for p in samps2.paramNames.names
+            if p.name in self.paramNames.list()
+        ]
+        if self.loglikes is not None and samps2.loglikes is not None:
+            loglikes = np.concatenate([self.loglikes, samps2.loglikes])
+        else:
+            loglikes = None
+        if sample_weights is None:
+            fac = 1
+            sample_weights = (1, 1)
+        else:
+            fac = np.sum(self.weights) / np.sum(samps2.weights)
+        weights = np.concatenate([self.weights * sample_weights[0], samps2.weights * sample_weights[1] * fac])
+        p1 = self.getParams()
+        p2 = samps2.getParams()
+        samples = np.array([np.concatenate([getattr(p1, name), getattr(p2, name)]) for name in params.list()]).T
+        return MCSamples(
+            samples=samples,
+            weights=weights,
+            loglikes=loglikes,
+            paramNamesFile=params,
+            ignore_rows=0,
+            ranges=self.ranges,
+            settings=copy.deepcopy(self.ini.params),
+        )
+
+    def getParamSampleDict(self, ix, want_derived=True, want_fixed=True):
+        """Dict of parameter values for one sample row (incl. fixed)."""
+        res = super().getParamSampleDict(ix, want_derived=want_derived)
+        if want_fixed:
+            res.update(self.ranges.fixedValueDict())
+        return res
+
+    def getParamBestFitDict(self, best_sample=False, want_derived=True, want_fixed=True, max_posterior=True):
+        """Dict of parameter values at the best-fit point (from minimum
+        files, or the best sample)."""
+        if best_sample:
+            if not max_posterior:
+                raise ValueError("best_fit_sample is only maximum posterior")
+            if self.loglikes is None:
+                raise ValueError("No likelihoods in samples")
+            return self.getParamSampleDict(np.argmin(self.loglikes))
+        res = self.getBestFit(max_posterior=max_posterior).getParamDict(include_derived=want_derived)
+        if want_fixed:
+            res.update(self.ranges.fixedValueDict())
+        return res
+
+    def addDerived(self, paramVec, name, label="", comment="", range=None):
+        """Add a derived parameter column (optionally with hard bounds)."""
+        if range is not None:
+            self.ranges.setRange(name, range)
+        return super().addDerived(paramVec, name, label=label, comment=comment)
+
+    def getCorrelatedVariable2DPlots(self, num_plots=12, nparam=None):
+        """Most-correlated parameter pair names, for quick-look plots."""
+        nparam = nparam or self.paramNames.numNonDerived()
+        try_t = 1e5
+        x, y = 0, 0
+        cust2DPlots = []
+        for _ in range(num_plots):
+            try_b = -1e5
+            for ix1 in range(nparam):
+                for ix2 in range(ix1 + 1, nparam):
+                    if try_b < abs(self.correlationMatrix[ix1][ix2]) < try_t:
+                        try_b = abs(self.correlationMatrix[ix1][ix2])
+                        x, y = ix1, ix2
+            if try_b == -1e5:
+                break
+            try_t = try_b
+            cust2DPlots.append([self.parName(x), self.parName(y)])
+        return cust2DPlots
+
+    def getNumSampleSummaryText(self):
+        """Text summary of sample counts and effective sample sizes."""
+        lines = (
+            f"using {self.numrows} rows, {self.paramNames.numParams()} parameters; "
+            f"mean weight {self.mean_mult}, tot weight {self.norm}\n"
+        )
+        if self.indep_thin != 0:
+            lines += "Approx indep samples (N/corr length): %s\n" % (round(self.norm / self.indep_thin))
+        lines += "Equiv number of single samples (sum w)/max(w): %s\n" % (round(self.norm / self.max_mult))
+        lines += "Effective number of weighted samples (sum w)^2/sum(w^2): %s\n" % (
+            int(self.norm**2 / np.dot(self.weights, self.weights))
+        )
+        return lines
+
+    def _setMargeLimits(self, par, paramConfid, max_frac_twotail=None, density1D=None):
+        """Set par.limits: one- or two-tail depending on whether the
+        density is cut off at the prior edges (reference
+        ``mcsamples.py:2460-2531``)."""
+        if max_frac_twotail is None:
+            max_frac_twotail = self.max_frac_twotail
+        par.limits = []
+        density1D = density1D or self.get1DDensity(par.name)
+        interpGrid = None
+        for ix1, contour in enumerate(self.contours):
+            marge_limits_bot = par.has_limits_bot and not self.force_twotail and density1D.P[0] > max_frac_twotail[ix1]
+            marge_limits_top = par.has_limits_top and not self.force_twotail and density1D.P[-1] > max_frac_twotail[ix1]
+
+            if not marge_limits_bot or not marge_limits_top:
+                if not interpGrid:
+                    interpGrid = density1D.initLimitGrids()
+                tail_limit_bot, tail_limit_top, marge_limits_bot, marge_limits_top = density1D.getLimits(
+                    contour, interpGrid
+                )
+                limfrac = 1 - contour
+
+                if marge_limits_bot:
+                    tail_limit_bot = par.range_min
+                    tail_confid_bot = None
+                elif marge_limits_top:
+                    tail_limit_bot = self.confidence(paramConfid, limfrac, upper=False)
+                    tail_confid_bot = None
+                else:
+                    tail_confid_bot = self.confidence(paramConfid, limfrac / 2, upper=False)
+
+                if marge_limits_top:
+                    tail_limit_top = par.range_max
+                    tail_confid_top = None
+                elif marge_limits_bot:
+                    tail_limit_top = self.confidence(paramConfid, limfrac, upper=True)
+                    tail_confid_top = None
+                else:
+                    tail_confid_top = self.confidence(paramConfid, limfrac / 2, upper=True)
+
+                if not marge_limits_bot and not marge_limits_top:
+                    # prefer equal-tail limits when the densities at the two
+                    # tails are similar
+                    if (
+                        math.fabs(density1D.Prob(tail_confid_top) - density1D.Prob(tail_confid_bot))
+                        < self.credible_interval_threshold
+                    ):
+                        tail_limit_top = tail_confid_top
+                        tail_limit_bot = tail_confid_bot
+                lim = [tail_limit_bot, tail_limit_top]
             else:
-                j2min = j + 1
-            for j2 in range(j2min, self.n):
-                par2 = self.parName(j2)
-                if plot_2D_param and par2 != plot_2D_param:
-                    continue
-                if len(cust2DPlots) and (par1 + "__" + par2) not in cuts:
-                    continue
-                if (par1, par2) not in done2D:
-                    done2D[(par1, par2)] = True
-                    text += f"pairs.append(['{par1}','{par2}'])\n"
-        text += "g.plots_2d(roots,param_pairs=pairs,filled=True)"
-        self._WritePlotFile(filename, self.subplot_size_inch2, text, "_2D", ext)
-        return done2D
+                lim = [par.range_min, par.range_max]
 
-    def _writeScriptPlotsTri(self, filename, triangle_params, ext=None):
-        self._WritePlotFile(filename, self.subplot_size_inch, "g.triangle_plot(roots, %s)" % triangle_params, "_tri", ext)
+            if marge_limits_bot and marge_limits_top:
+                tag = "none"
+            elif marge_limits_bot:
+                tag = ">"
+            elif marge_limits_top:
+                tag = "<"
+            else:
+                tag = "two"
+            par.limits.append(types.ParamLimit(lim, tag))
 
-    def _writeScriptPlots3D(self, filename, plot_3D, ext=None):
-        text = "sets=[]\n"
-        for pars in plot_3D:
-            text += "sets.append(['%s','%s','%s'])\n" % tuple(pars)
-        text += "g.plots_3d(roots,sets)"
-        self._WritePlotFile(filename, self.subplot_size_inch3, text, "_3D", ext)
+    # -- summaries / misc ------------------------------------------------------------
 
-    def _WritePlotFile(self, filename, subplot_size, text, tag, ext=None):
-        if not self.root:
-            raise ValueError("Samples must be loaded from file")
-        with open(filename, "w", encoding="utf-8") as f:
-            f.write("import getdist_tpu.plots as plots, os\n")
-            f.write("g=plots.GetDistPlotter(chain_dir=r'%s')\n" % (self.batch_path or os.path.dirname(self.root)))
-            f.write("g.settings.set_with_subplot_size(%s)\n" % subplot_size)
-            f.write("roots = ['%s']\n" % self.rootname)
-            f.write(text + "\n")
-            ext = ext or self.plot_output
-            fname = self.rootname + tag + "." + ext
-            f.write(f"g.export(os.path.join(r'{self.out_dir}',r'{fname}'))\n")
+    def _setDensitiesandMarge1D(self, max_frac_twotail=None, meanlikes=False):
+        """Compute (and cache) all 1D densities and marginalized limits."""
+        if self.done_1Dbins:
+            return
+        for j in range(self.n):
+            paramConfid = self.initParamConfidenceData(self.samples[:, j])
+            self.get1DDensityGridData(j, paramConfid=paramConfid, meanlikes=meanlikes)
+            self._setMargeLimits(self.paramNames.names[j], paramConfid, max_frac_twotail)
+        self.done_1Dbins = True
+
+    def getInlineLatex(self, param, limit=1, err_sig_figs=None):
+        r"""Inline tex like ``A=x\pm y`` (adjusts for one/two-tail limits)."""
+        labels, texs = self.getLatex([param], limit, err_sig_figs)
+        if texs[0] is None:
+            raise ValueError("parameter %s not found" % param)
+        if texs[0][0] not in ["<", ">"]:
+            return labels[0] + " = " + texs[0]
+        return labels[0] + " " + texs[0]
+
+    def getLatex(self, params=None, limit=1, err_sig_figs=None):
+        """(labels, tex snippets) for constraints on a list of parameters."""
+        if isinstance(params, str):
+            return self.getInlineLatex(params, limit, err_sig_figs)
+        marge = self.getMargeStats()
+        if params is None:
+            params = marge.list()
+        formatter = types.NoLineTableFormatter()
+        if err_sig_figs:
+            formatter.numberFormatter.err_sf = err_sig_figs
+        texs = []
+        labels = []
+        for par in params:
+            tex = marge.texValues(formatter, par, limit=limit)
+            if tex is not None:
+                texs.append(tex[0])
+                labels.append((par if isinstance(par, ParamInfo) else marge.parWithName(par)).getLabel())
+            else:
+                texs.append(None)
+                labels.append(None)
+        return labels, texs
+
+    def getTable(self, columns=1, include_bestfit=False, **kwargs):
+        """ResultTable of the marginalized constraints."""
+        return types.ResultTable(columns, [self.getMargeStats(include_bestfit)], **kwargs)
+
+    def getLikeStats(self):
+        """LikeStats with N-D limits and best-fit sample values."""
+        return self.likeStats or self._setLikeStats()
+
+    def getMargeStats(self, include_bestfit=False):
+        """MargeStats with marginalized 1D constraints for all parameters."""
+        self._setDensitiesandMarge1D()
+        m = types.MargeStats()
+        m.hasBestFit = False
+        m.limits = self.contours
+        m.names = self.paramNames.names
+        if include_bestfit:
+            m.addBestFit(self.getBestFit())
+        return m
+
+    def getBestFit(self, max_posterior=True):
+        """BestFit from the .minimum (posterior) or .bestfit (likelihood)
+        sidecar file."""
+        ext = ".minimum" if max_posterior else ".bestfit"
+        bf_file = self.root + ext
+        if os.path.exists(bf_file):
+            return types.BestFit(bf_file, max_posterior=max_posterior)
+        raise MCSamplesError(
+            "Best fit can only be included if loaded from file and file_root%s exists "
+            "(cannot be calculated from samples)" % ext
+        )
+
+    def _setLikeStats(self):
+        """Compute and store the LikeStats summary: best-fit sample,
+        likelihood moments, and per-parameter ND confidence region from
+        sorting by -log(like) (reference ``mcsamples.py:2237-2278``)."""
+        if self.loglikes is None:
+            self.likeStats = None
+            return None
+        m = types.LikeStats()
+        bestfit_ix = np.argmin(self.loglikes)
+        maxlike = self.loglikes[bestfit_ix]
+        m.logLike_sample = maxlike
+        if np.max(self.loglikes) - maxlike < 30:
+            m.logMeanInvLike = np.log(self.mean(np.exp(self.loglikes - maxlike))) + maxlike
+        else:
+            m.logMeanInvLike = None
+        m.meanLogLike = self.mean_loglike
+        m.logMeanLike = -np.log(self.mean(np.exp(-(self.loglikes - maxlike)))) + maxlike
+        m.complexity = 2 * (self.mean_loglike - maxlike)
+        m.varLogLike = self.mean(self.loglikes**2) - self.mean_loglike**2
+        m.names = self.paramNames.names
+
+        indexes = self.loglikes.argsort()
+        cumsum = np.cumsum(self.weights[indexes])
+        ncontours = len(self.contours)
+        n_d_contours = np.searchsorted(cumsum, self.norm * self.contours[0:ncontours])
+        for j, par in enumerate(self.paramNames.names):
+            par.ND_limit_bot = np.empty(ncontours)
+            par.ND_limit_top = np.empty(ncontours)
+            for i, cont in enumerate(n_d_contours):
+                region = self.samples[indexes[:cont], j]
+                par.ND_limit_bot[i] = np.min(region)
+                par.ND_limit_top[i] = np.max(region)
+            par.bestfit_sample = self.samples[bestfit_ix][j]
+        self.likeStats = m
+        return m
+
+    def getRawNDDensityGridData(
+        self,
+        js,
+        writeDataToFile=False,
+        num_plot_contours=None,
+        get_density=False,
+        meanlikes=False,
+        maxlikes=False,
+        **kwargs,
+    ):
+        """Unsmoothed ND histogram density with edge weighting and optional
+        mean/profile likelihoods (reference ``mcsamples.py:2098-2235``)."""
+        if self.needs_update:
+            self.updateBaseStatistics()
+        ndim = len(js)
+        jv, parv = zip(*[self._parAndNumber(j) for j in js])
+        if None in jv:
+            return None
+        for j in jv:
+            self._initParamRanges(j)
+
+        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
+        has_prior = np.any([parv[i].has_limits for i in range(ndim)])
+        nbinsND = kwargs.get("num_bins_ND", self.num_bins_ND)
+
+        ixv, widthv, xminv, xmaxv = zip(
+            *[self._binSamples(self.samples[:, jv[i]], parv[i], nbinsND) for i in range(ndim)]
+        )
+        xsizev = nbinsND * np.ones(ndim, dtype=int)
+        binsND, flatixv = self._makeNDhist(ixv, xsizev)
+
+        if has_prior and boundary_correction_order >= 0:
+            prior_mask = np.ones(xsizev[::-1])
+            self._setRawEdgeMaskND(parv, prior_mask)
+            binsND /= prior_mask
+
+        if meanlikes:
+            likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
+            # np.array: normalized in place below (device arrays view read-only)
+            binNDlikes = np.array(
+                weighted_bincount(jnp.asarray(flatixv), jnp.asarray(likeweights), int(np.prod(xsizev)))
+            ).reshape(xsizev[::-1], order="C")
+        else:
+            binNDlikes = None
+
+        if maxlikes:
+            binNDmaxlikes = np.zeros(binsND.shape)
+            ndindex = list(zip(*[ixv[i] for i in range(ndim)[::-1]]))
+            bestfit = np.max(-self.loglikes)
+            for irec in range(len(self.loglikes)):
+                binNDmaxlikes[ndindex[irec]] = max(binNDmaxlikes[ndindex[irec]], np.exp(-bestfit - self.loglikes[irec]))
+        else:
+            binNDmaxlikes = None
+
+        xv = [np.linspace(xminv[i], xmaxv[i], xsizev[i]) for i in range(ndim)]
+        views = [(parv[i].range_min, parv[i].range_max) for i in range(ndim)]
+        density = DensityND(xv, binsND, view_ranges=views)
+        density.normalize("max", in_place=True)
+        if get_density:
+            return density
+
+        ncontours = len(self.contours)
+        if num_plot_contours:
+            ncontours = min(num_plot_contours, ncontours)
+        contours = self.contours[:ncontours]
+        density.contours = density.getContourLevels(contours)
+
+        if meanlikes:
+            binNDlikes /= np.max(binNDlikes)
+            density.likes = binNDlikes
+        else:
+            density.likes = None
+
+        if maxlikes:
+            density.maxlikes = binNDmaxlikes
+            density.maxcontours = getImportContourLevels(binNDmaxlikes, contours, half_edge=False)
+        else:
+            density.maxlikes = None
+
+        if writeDataToFile:
+            postfile = self.rootname + "_posterior" + "_%sD.dat" % ndim
+            contfile = self.rootname + "_posterior" + "_%sD_cont.dat" % ndim
+            allND = [np.array(binsND) for _ in range(ndim + 1)]
+            allND[0] = np.ravel(binsND, order="C")
+            for i in range(ndim):
+                allND[i + 1] = [xv[i][index[::-1][i]] for index in np.ndindex(binsND.shape)]
+            np.savetxt(os.path.join(self.plot_data_dir, postfile), np.transpose(allND), "%16.7E")
+            np.savetxt(os.path.join(self.plot_data_dir, contfile), np.atleast_2d(density.contours), "%16.7E")
+            if meanlikes:
+                allND[0] = np.ravel(binNDlikes, order="C")
+                likefile = self.rootname + "_meanlike" + "_%sD.dat" % ndim
+                np.savetxt(os.path.join(self.plot_data_dir, likefile), np.transpose(allND), "%16.7E")
+            if maxlikes:
+                allND[0] = np.ravel(binNDmaxlikes, order="C")
+                likefile = self.rootname + "_maxlike" + "_%sD.dat" % ndim
+                np.savetxt(os.path.join(self.plot_data_dir, likefile), np.transpose(allND), "%16.7E")
+        return density
+
+    # -- likelihood-based statistics -----------------------------------------------
+
+    def getRawNDDensity(self, xs, normalized=False, **kwargs):
+        """DensityND (unsmoothed histogram) for a list of parameters."""
+        if self.needs_update:
+            self.updateBaseStatistics()
+        density = self.getRawNDDensityGridData(xs, get_density=True, **kwargs)
+        if normalized:
+            density.normalize(in_place=True)
+        return density
+
+    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True):
+        """Fused-pipeline densities as plot-ready objects: a dict of
+        :class:`~.densities.Density1D` per parameter name and a dict of
+        :class:`~.densities.Density2D` per name pair.
+
+        With ``cache_1d`` the 1D results populate the ``density1D`` cache,
+        so subsequent ``get1DDensity``/1D plotting reuses them; 2D objects
+        plot via ``add_2d_contours(..., density=...)``. Fast-path KDE
+        conventions (see :meth:`fastTriangleDensities`).
+        """
+        d1, d2, pairs = self.fastTriangleDensities(params=params, contours=contours, use_pallas=use_pallas)
+        if params is None:
+            names = [p.name for p in self.paramNames.names]
+        else:
+            names = [self._parAndNumber(p)[1].name for p in params]
+        import numpy as _np
+
+        bmin = _np.asarray(d1["range"][0], float)
+        bmax = _np.asarray(d1["range"][1], float)
+        dens1 = {}
+        for i, name in enumerate(names):
+            par = self.paramNames.parWithName(name)
+            view = [par.range_min, par.range_max] if hasattr(par, "range_min") else None
+            dens1[name] = Density1D(_np.asarray(d1["x"][i], float), P=_np.array(d1["P"][i], float), view_ranges=view)
+        n2 = _np.asarray(d2["P"], float).shape[1]
+        dens2 = {}
+        for k, (a, b) in enumerate(pairs):
+            gx = _np.linspace(bmin[a], bmax[a], n2)
+            gy = _np.linspace(bmin[b], bmax[b], n2)
+            density = Density2D(gx, gy, _np.array(d2["P"][k], float))
+            density.contours = _np.asarray(d2["contours"][k], float)
+            dens2[(names[a], names[b])] = density
+        if cache_1d:
+            self.density1D.update(dens1)
+        return dens1, dens2
+
+    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None):
+        """All 1D and all-pairs 2D densities via the fused device pipeline
+        (``getdist_tpu.ops.batched.triangle_densities``), with this chain's
+        hard prior bounds wired in automatically.
+
+        Orders of magnitude faster than per-pair ``get2DDensityGridData``
+        for many parameters (one jitted program per stage, Pallas binning on
+        TPU); results follow the fast path's own KDE conventions rather than
+        exact reference parity. Returns the (d1, d2) dicts plus the pair
+        index list.
+        """
+        from getdist_tpu.ops.batched import triangle_densities
+
+        if self.needs_update:
+            self.updateBaseStatistics()
+        if params is None:
+            idx = list(range(self.n))
+        else:
+            idx = [self._parAndNumber(p)[0] for p in params]
+            if None in idx:
+                raise ParamError("Unknown parameter %s" % [p for p, j in zip(params, idx) if j is None])
+        pars = [self.paramNames.names[j] for j in idx]
+        lo = np.array([p.limmin if p.has_limits_bot else np.nan for p in pars], np.float32)
+        hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
+        per = np.array([bool(getattr(p, "periodic", False)) for p in pars])
+        has = np.isfinite(lo).any() or np.isfinite(hi).any() or per.any()
+        d1, d2 = triangle_densities(
+            self.samples[:, idx],
+            self.weights,
+            contours=contours,
+            use_pallas=use_pallas,
+            limits_lo=lo if has else None,
+            limits_hi=hi if has else None,
+            periodic=per if per.any() else None,
+        )
+        pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
+        return d1, d2, pairs
+
+    def _makeNDhist(self, ixs, xsizes):
+        if len(ixs) != len(xsizes):
+            raise ValueError("index and size arrays are of unequal length")
+        flatixv = self._flattenValues(ixs, xsizes)
+        if np.count_nonzero(np.asarray(ixs) - self._unflattenValues(flatixv, xsizes)) != 0:
+            raise ValueError("flatten/unflatten inconsistent")
+        # np.array (not asarray): device arrays give read-only views, and the
+        # caller divides the histogram in place by the edge mask
+        hist = np.array(
+            weighted_bincount(jnp.asarray(flatixv), jnp.asarray(self.weights), int(np.prod(xsizes)))
+        ).reshape(xsizes[::-1], order="C")
+        return hist, flatixv
+
+    def _unflattenValues(self, q, xsizes):
+        ndim = len(xsizes)
+        ixs = [np.array(q) for _ in range(ndim)]
+        if ndim == 1:
+            ixs[0] = q
+            return ixs
+        ixs[ndim - 1] = q // np.prod(xsizes[0 : ndim - 1])
+        acc = 0
+        for k in range(ndim - 2, -1, -1):
+            acc = acc + ixs[k + 1] * np.prod(xsizes[0 : k + 1])
+            if k > 0:
+                ixs[k] = (q - acc) // np.prod(xsizes[0:k])
+            else:
+                ixs[k] = q - acc
+        return ixs
+
+    def _flattenValues(self, ixs, xsizes):
+        q = ixs[0]
+        for i in range(1, len(ixs)):
+            q = q + np.prod(xsizes[0:i]) * ixs[i]
+        return q
+
+    def _setRawEdgeMaskND(self, parv, prior_mask):
+        ndim = len(parv)
+        vrap = parv[::-1]
+        if len(prior_mask.shape) != ndim:
+            raise ValueError("parv and prior_mask or different sizes!")
+        slices: Any = [slice(None) for _ in range(ndim)]
+        for i in range(ndim):
+            if vrap[i].has_limits_bot:
+                slices[i] = 0
+                prior_mask[tuple(slices)] /= 2
+                slices[i] = slice(None)
+            if vrap[i].has_limits_top:
+                slices[i] = prior_mask.shape[i] - 1
+                prior_mask[tuple(slices)] /= 2
+                slices[i] = slice(None)
+
+    def get2DDensityGridData(
+        self,
+        j,
+        j2,
+        num_plot_contours=None,
+        get_density=False,
+        meanlikes=False,
+        mask_function: callable = None,
+        **kwargs,
+    ):
+        """Compute the marginalized 2D KDE density for a parameter pair.
+
+        Full reference pipeline (``mcsamples.py:1748-2010``): corr-adaptive
+        fine binning (device scatter-add) -> anisotropic auto bandwidth
+        matrix (with Cholesky shearing for correlated pairs) -> device 2D
+        FFT convolution (periodic modes per axis) -> linear boundary kernel
+        -> multiplicative bias iterations -> optional mask -> contour levels.
+        """
+        if self.needs_update:
+            self.updateBaseStatistics()
+        start = time.time()
+        j, parx = self._parAndNumber(j)
+        j2, pary = self._parAndNumber(j2)
+        if j is None or j2 is None:
+            return None
+
+        self._initParamRanges(j)
+        self._initParamRanges(j2)
+
+        base_fine_bins_2D = kwargs.get("fine_bins_2D", self.fine_bins_2D)
+        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
+        mult_bias_correction_order = kwargs.get("mult_bias_correction_order", self.mult_bias_correction_order)
+        smooth_scale_2D = float(kwargs.get("smooth_scale_2D", self.smooth_scale_2D))
+
+        has_prior = parx.has_limits or pary.has_limits or mask_function
+
+        corr = self.getCorrelationMatrix()[j2][j]
+        actual_corr = corr
+        if abs(abs(corr) - 1.0) <= 1e-8:
+            logging.warning("Parameters are 100%% correlated: %s, %s", parx.name, pary.name)
+            corr = np.sign(corr) * self.max_corr_2D
+
+        logging.debug("Doing 2D: %s - %s", parx.name, pary.name)
+        logging.debug("sample x_err, y_err, correlation: %s, %s, %s", parx.err, pary.err, corr)
+
+        if abs(self.max_corr_2D) > 1:
+            raise SettingError("max_corr_2D cannot be >=1")
+        if abs(corr) < 0.1:
+            corr = 0.0
+
+        # increase bin density along tight degeneracies
+        angle_scale = max(0.2, np.sqrt(1 - min(self.max_corr_2D, abs(corr)) ** 2))
+        nbin2D = int(round(self.num_bins_2D / angle_scale))
+        fine_bins_2D = base_fine_bins_2D
+        if corr:
+            scaled = 192 * int(3 / angle_scale) // 3
+            if base_fine_bins_2D < scaled and int(1 / angle_scale) > 1:
+                fine_bins_2D = scaled
+
+        ixs, finewidthx, xbinmin, xbinmax = self._binSamples(self.samples[:, j], parx, fine_bins_2D)
+        iys, finewidthy, ybinmin, ybinmax = self._binSamples(self.samples[:, j2], pary, fine_bins_2D)
+
+        xsize = fine_bins_2D
+        ysize = fine_bins_2D
+        histbins, flatix = self._make2Dhist(ixs, iys, xsize, ysize)
+
+        if meanlikes:
+            likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
+            # np.array: mutated in place below (device arrays view read-only)
+            finebinlikes = np.array(
+                weighted_bincount(jnp.asarray(flatix), jnp.asarray(likeweights), xsize * ysize)
+            ).reshape((ysize, xsize))
+
+        # rx/ry are in fine-bin units
+        if smooth_scale_2D < 0:
+            rx, ry, corr = self.getAutoBandwidth2D(
+                histbins,
+                parx,
+                pary,
+                j,
+                j2,
+                actual_corr,
+                xbinmax - xbinmin,
+                ybinmax - ybinmin,
+                base_fine_bins_2D,
+                mult_bias_correction_order=mult_bias_correction_order,
+            )
+            rx = rx * abs(smooth_scale_2D) / finewidthx
+            ry = ry * abs(smooth_scale_2D) / finewidthy
+        elif smooth_scale_2D < 1.0:
+            rx = smooth_scale_2D * parx.err / finewidthx
+            ry = smooth_scale_2D * pary.err / finewidthy
+        else:
+            rx = smooth_scale_2D * fine_bins_2D / nbin2D
+            ry = smooth_scale_2D * fine_bins_2D / nbin2D
+
+        smooth_scale = float(max(rx, ry))
+        logging.debug("corr, rx, ry: %s, %s, %s", corr, rx, ry)
+        if smooth_scale < 2:
+            logging.warning("fine_bins_2D not large enough for optimal density: %s, %s", parx.name, pary.name)
+
+        winw = max(1, int(round(2.5 * smooth_scale)))
+        Cinv = np.linalg.inv(np.array([[ry**2, rx * ry * corr], [rx * ry * corr, rx**2]]))
+        ix1, ix2 = np.mgrid[-winw : winw + 1, -winw : winw + 1]
+        Win = np.exp(-(ix1**2 * Cinv[0, 0] + ix2**2 * Cinv[1, 1] + 2 * Cinv[1, 0] * ix1 * ix2) / 2)
+        Win /= np.sum(Win)
+
+        logging.debug("time 2D binning and bandwidth: %s ; bins: %s", time.time() - start, fine_bins_2D)
+        start = time.time()
+        convolvesize = xsize + 2 * winw + Win.shape[0]  # oversized for fast fft padding choice
+
+        if parx.periodic and pary.periodic:
+            convolution_mode = "periodic_both"
+        elif parx.periodic:
+            convolution_mode = "periodic_x"
+        elif pary.periodic:
+            convolution_mode = "periodic_y"
+        else:
+            convolution_mode = "same"
+
+        bins2D = convolve2D(histbins, Win, convolution_mode, largest_size=convolvesize)
+
+        if meanlikes:
+            bin2Dlikes = convolve2D(finebinlikes, Win, convolution_mode, largest_size=convolvesize)
+            if mult_bias_correction_order:
+                ix = bin2Dlikes > 0
+                finebinlikes[ix] /= bin2Dlikes[ix]
+                likes2 = convolve2D(finebinlikes, Win, convolution_mode, largest_size=convolvesize)
+                likes2[ix] *= bin2Dlikes[ix]
+                bin2Dlikes = likes2
+            del finebinlikes
+            mx = 1e-4 * np.max(bins2D)
+            bin2Dlikes[bins2D > mx] /= bins2D[bins2D > mx]
+            bin2Dlikes[bins2D <= mx] = 0
+        else:
+            bin2Dlikes = None
+
+        bool_mask = None
+        if has_prior and boundary_correction_order >= 0 or mult_bias_correction_order or mask_function:
+            # pad by winw so 'valid' convolutions return (ysize, xsize)
+            prior_mask = np.ones((ysize + 2 * winw, xsize + 2 * winw))
+            if mask_function:
+                mask_function(
+                    xbinmin - winw * finewidthx,
+                    ybinmin - winw * finewidthy,
+                    finewidthx,
+                    finewidthy,
+                    prior_mask,
+                )
+                bool_mask = prior_mask[winw:-winw, winw:-winw] < 1e-8
+
+        if has_prior and boundary_correction_order >= 0 and not (parx.periodic and pary.periodic):
+            self._setEdgeMask2D(parx, pary, prior_mask, winw)
+            a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
+            ix = a00 * bins2D > np.max(bins2D) * 1e-8
+            a00 = a00[ix]
+            normed = bins2D[ix] / a00
+            if boundary_correction_order == 0:
+                bins2D[ix] = normed
+            elif boundary_correction_order == 1:
+                # linear boundary kernel in 2D
+                indexes = np.arange(-winw, winw + 1)
+                y = np.empty(Win.shape)
+                for i in range(Win.shape[0]):
+                    y[:, i] = indexes
+                winx = Win * indexes
+                winy = Win * y
+                a10 = convolve2D(prior_mask, winx, "valid", largest_size=convolvesize)[ix]
+                a01 = convolve2D(prior_mask, winy, "valid", largest_size=convolvesize)[ix]
+                a20 = convolve2D(prior_mask, winx * indexes, "valid", largest_size=convolvesize)[ix]
+                a02 = convolve2D(prior_mask, winy * y, "valid", largest_size=convolvesize)[ix]
+                a11 = convolve2D(prior_mask, winy * indexes, "valid", largest_size=convolvesize)[ix]
+                xP = convolve2D(histbins, winx, convolution_mode, largest_size=convolvesize)[ix]
+                yP = convolve2D(histbins, winy, convolution_mode, largest_size=convolvesize)[ix]
+                denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
+                A = a11**2 - a02 * a20
+                Ax = a10 * a02 - a01 * a11
+                Ay = a01 * a20 - a10 * a11
+                corrected = (bins2D[ix] * A + xP * Ax + yP * Ay) / denom
+                bins2D[ix] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
+            else:
+                raise SettingError("unknown boundary_correction_order (expected 0 or 1)")
+
+        if mult_bias_correction_order and not (parx.periodic and pary.periodic):
+            self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
+            a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
+            for _ in range(mult_bias_correction_order):
+                box = histbins.copy()
+                ix2 = bins2D > np.max(bins2D) * 1e-8
+                box[ix2] /= bins2D[ix2]
+                bins2D *= convolve2D(box, Win, convolution_mode, largest_size=convolvesize)
+                if mask_function:
+                    bins2D[~bool_mask] /= a00[~bool_mask]
+                else:
+                    bins2D /= a00
+
+        if mask_function:
+            bins2D[bool_mask] = 0
+
+        x = np.linspace(xbinmin, xbinmax, xsize)
+        y = np.linspace(ybinmin, ybinmax, ysize)
+        density = Density2D(
+            x,
+            y,
+            bins2D,
+            mask=None if not mask_function else np.asarray(bool_mask),
+            view_ranges=[(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)],
+        )
+        density.normalize("max", in_place=True)
+        if get_density:
+            return density
+
+        ncontours = len(self.contours)
+        if num_plot_contours:
+            ncontours = min(num_plot_contours, ncontours)
+        contours = self.contours[:ncontours]
+
+        logging.debug("time 2D convolutions: %s", time.time() - start)
+        density.contours = density.getContourLevels(contours)
+
+        if meanlikes:
+            bin2Dlikes /= np.max(bin2Dlikes)
+            density.likes = bin2Dlikes
+        else:
+            density.likes = None
+        return density
+
+    # -- ND densities ---------------------------------------------------------------
+
+    def get2DDensity(self, x, y, normalized=False, **kwargs):
+        """Density2D for a pair of parameters (max-normalized by default)."""
+        if self.needs_update:
+            self.updateBaseStatistics()
+        density = self.get2DDensityGridData(x, y, get_density=True, **kwargs)
+        if normalized:
+            density.normalize(in_place=True)
+        return density
+
+    def _make2Dhist(self, ixs, iys, xsize, ysize):
+        flatix = ixs + iys * xsize
+        hist = np.asarray(
+            weighted_bincount_2d(jnp.asarray(ixs), jnp.asarray(iys), jnp.asarray(self.weights), xsize, ysize)
+        )
+        return hist, flatix
+
+    def _getScaleForParam(self, par):
+        # Half-width-at-50% based scale; also primes the 1D density cache.
+        density = self.get1DDensity(par)
+        mn, mx, lim_bot, lim_top = density.getLimits(0.5, accuracy_factor=1)
+        if lim_bot or lim_top:
+            return (mx - mn) / 0.675
+        return (mx - mn) / (2 * 0.675)
+
+    def _setAllEdgeMask2D(self, prior_mask, winw, periodic_x=False, periodic_y=False):
+        if not periodic_x:
+            prior_mask[:, :winw] = 0
+            prior_mask[:, -winw:] = 0
+        if not periodic_y:
+            prior_mask[:winw:] = 0
+            prior_mask[-winw:, :] = 0
+
+    def _setEdgeMask2D(self, parx, pary, prior_mask, winw):
+        # Edge masks only on non-periodic axes (periodic axes have no edges).
+        if not parx.periodic:
+            if parx.has_limits_bot:
+                prior_mask[:, winw] /= 2
+                prior_mask[:, :winw] = 0
+            if parx.has_limits_top:
+                prior_mask[:, -(winw + 1)] /= 2
+                prior_mask[:, -winw:] = 0
+        if not pary.periodic:
+            if pary.has_limits_bot:
+                prior_mask[winw, :] /= 2
+                prior_mask[:winw:] = 0
+            if pary.has_limits_top:
+                prior_mask[-(winw + 1), :] /= 2
+                prior_mask[-winw:, :] = 0
+
+    def get1DDensityGridData(self, j, paramConfid=None, meanlikes=False, **kwargs):
+        """Compute the marginalized 1D KDE density for a parameter.
+
+        Full reference pipeline (``mcsamples.py:1517-1686``): device fine
+        binning -> auto ISJ bandwidth -> device FFT convolution (periodic
+        for periodic parameters) -> boundary kernel correction order 0/1/2
+        -> multiplicative bias iterations -> peak-normalized Density1D.
+        """
+        if self.needs_update:
+            self.updateBaseStatistics()
+        j = self._parAndNumber(j)[0]
+        if j is None:
+            return None
+
+        par = self._initParamRanges(j, paramConfid)
+        num_bins = kwargs.get("num_bins", self.num_bins)
+        smooth_scale_1D = kwargs.get("smooth_scale_1D", self.smooth_scale_1D)
+        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
+        mult_bias_correction_order = kwargs.get("mult_bias_correction_order", self.mult_bias_correction_order)
+        fine_bins = kwargs.get("fine_bins", self.fine_bins)
+
+        paramrange = par.range_max - par.range_min
+        if paramrange <= 0:
+            raise MCSamplesError("Parameter range is <= 0: " + par.name)
+        width = paramrange / (num_bins - 1)
+
+        bin_indices, fine_width, binmin, binmax = self._binSamples(self.samples[:, j], par, fine_bins)
+        dev_weights = jnp.asarray(self.weights)
+        bins = np.asarray(weighted_bincount(jnp.asarray(bin_indices), dev_weights, fine_bins))
+
+        if meanlikes:
+            if self.shade_likes_is_mean_loglikes:
+                w = self.weights * self.loglikes
+            else:
+                w = self.weights * np.exp(self.mean_loglike - self.loglikes)
+            # np.array: mutated in place below (device arrays view read-only)
+            finebinlikes = np.array(weighted_bincount(jnp.asarray(bin_indices), jnp.asarray(w), fine_bins))
+
+        if smooth_scale_1D <= 0:
+            # automatic bandwidth (periodic treated like bounded here; the
+            # DCT-boundary error is comparable)
+            bandwidth = self.getAutoBandwidth1D(bins, par, j, mult_bias_correction_order, boundary_correction_order) * (
+                binmax - binmin
+            )
+            bandwidth = min(bandwidth, paramrange / 4)
+            smooth_1D = bandwidth * abs(smooth_scale_1D) / fine_width
+        elif smooth_scale_1D < 1.0:
+            smooth_1D = smooth_scale_1D * par.err / fine_width
+        else:
+            smooth_1D = smooth_scale_1D * width / fine_width
+
+        if smooth_1D < 2:
+            logging.warning("fine_bins not large enough to well sample smoothing scale - " + par.name)
+        smooth_1D = min(max(1.0, smooth_1D), fine_bins // 2)
+
+        logging.debug(
+            "%s 1D sigma_range, std: %s, %s; smooth_1D_bins: %s ", par.name, par.sigma_range, par.err, smooth_1D
+        )
+
+        winw = min(int(round(2.5 * smooth_1D)), ((fine_bins - 1) if par.periodic else fine_bins) // 2 - 2)
+        kernel = Kernel1D(winw, smooth_1D)
+
+        convolution_mode = "periodic" if par.periodic else "same"
+        conv = convolve1D(bins, kernel.Win, convolution_mode)
+        fine_x = np.linspace(binmin, binmax, fine_bins)
+        density1D = Density1D(fine_x, P=conv, view_ranges=[par.range_min, par.range_max])
+
+        if meanlikes:
+            rawbins = conv.copy()
+
+        if par.has_limits and not par.periodic and boundary_correction_order >= 0:
+            # renormalize over the boundary-clipped window, with optional
+            # linear/quadratic boundary kernels (Jones 1993 family)
+            prior_mask = np.ones(fine_bins + 2 * winw)
+            if par.has_limits_bot:
+                prior_mask[winw] = 0.5
+                prior_mask[:winw] = 0
+            if par.has_limits_top:
+                prior_mask[-(winw + 1)] = 0.5
+                prior_mask[-winw:] = 0
+            a0 = convolve1D(prior_mask, kernel.Win, "valid")
+            ix = np.nonzero(a0 * density1D.P)
+            a0 = a0[ix]
+            normed = density1D.P[ix] / a0
+            if boundary_correction_order == 0:
+                density1D.P[ix] = normed
+            elif boundary_correction_order <= 2:
+                xWin = kernel.Win * kernel.x
+                a1 = convolve1D(prior_mask, xWin, "valid")[ix]
+                a2 = convolve1D(prior_mask, xWin * kernel.x, "valid")[ix]
+                xP = convolve1D(bins, xWin, "same")[ix]
+                if boundary_correction_order == 1:
+                    corrected = (density1D.P[ix] * a2 - xP * a1) / (a0 * a2 - a1**2)
+                else:
+                    a3 = convolve1D(prior_mask, xWin * kernel.x**2, "valid")[ix]
+                    a4 = convolve1D(prior_mask, xWin * kernel.x**3, "valid")[ix]
+                    x2P = convolve1D(bins, xWin * kernel.x, "same")[ix]
+                    denom = a4 * a2 * a0 - a4 * a1**2 - a2**3 - a3**2 * a0 + 2 * a1 * a2 * a3
+                    A = a4 * a2 - a3**2
+                    B = a2 * a3 - a4 * a1
+                    C = a3 * a1 - a2**2
+                    corrected = (density1D.P[ix] * A + xP * B + x2P * C) / denom
+                density1D.P[ix] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
+            else:
+                raise SettingError("Unknown boundary_correction_order (expected 0, 1, 2)")
+        elif not par.periodic and boundary_correction_order == 2:
+            # higher-order kernel in the interior
+            xWin2 = kernel.Win * kernel.x**2
+            x2P = convolve1D(bins, xWin2, "same")
+            a2 = np.sum(xWin2)
+            a4 = np.dot(xWin2, kernel.x**2)
+            corrected = (density1D.P * a4 - a2 * x2P) / (a4 - a2**2)
+            ix = density1D.P > 0
+            density1D.P[ix] *= np.exp(np.minimum(corrected[ix] / density1D.P[ix], 2) - 1)
+
+        if mult_bias_correction_order:
+            # iterate on flattened bins to cancel second-order smoothing bias
+            if not par.periodic:
+                prior_mask = np.ones(fine_bins)
+                if par.has_limits_bot:
+                    prior_mask[0] *= 0.5
+                if par.has_limits_top:
+                    prior_mask[-1] *= 0.5
+                a0 = convolve1D(prior_mask, kernel.Win, "same")
+            for _ in range(mult_bias_correction_order):
+                prob1 = density1D.P.copy()
+                prob1[prob1 == 0] = 1
+                fine = bins / prob1
+                conv = convolve1D(fine, kernel.Win, convolution_mode)
+                density1D.setP(density1D.P * conv)
+                if not par.periodic:
+                    density1D.P /= a0
+
+        density1D.normalize("max", in_place=True)
+        if not kwargs:
+            self.density1D[par.name] = density1D
+
+        if meanlikes:
+            ix = density1D.P > 0
+            finebinlikes[ix] /= density1D.P[ix]
+            binlikes = convolve1D(finebinlikes, kernel.Win, convolution_mode)
+            binlikes[ix] *= density1D.P[ix] / rawbins[ix]
+            if self.shade_likes_is_mean_loglikes:
+                maxbin = np.min(binlikes)
+                binlikes = np.where((binlikes - maxbin) < 30, np.exp(-(binlikes - maxbin)), 0)
+                binlikes[rawbins == 0] = 0
+            binlikes /= np.max(binlikes)
+            density1D.likes = binlikes
+        else:
+            density1D.likes = None
+
+        return density1D
+
+    # -- 2D densities ---------------------------------------------------------------
+
+    def get1DDensity(self, name, **kwargs):
+        """Cached Density1D for a named parameter."""
+        if self.needs_update:
+            self.updateBaseStatistics()
+        if not kwargs:
+            density = self.density1D.get(name)
+            if density is not None:
+                return density
+        return self.get1DDensityGridData(name, **kwargs)
+
+    def getAutoBandwidth2D(
+        self,
+        bins,
+        parx,
+        pary,
+        paramx,
+        paramy,
+        corr,
+        rangex,
+        rangey,
+        base_fine_bins_2D,
+        mult_bias_correction_order=None,
+        min_corr=0.2,
+        N_eff=None,
+        use_2D_Neff=False,
+    ):
+        """Bandwidth matrix (hx, hy, c) in parameter units via 2D ISJ in
+        (optionally Cholesky-sheared) coordinates (reference
+        ``mcsamples.py:1285-1419``)."""
+        if N_eff is None:
+            if (use_2D_Neff if use_2D_Neff is not None else self.use_effective_samples_2D) and abs(corr) < 0.999:
+                N_eff = self.getEffectiveSamplesGaussianKDE_2d(paramx, paramy)
+            else:
+                N_eff = min(self._get1DNeff(parx, paramx), self._get1DNeff(pary, paramy))
+
+        logging.debug("%s %s AutoBandwidth2D: N_eff=%s, corr=%s", parx.name, pary.name, N_eff, corr)
+        has_limits = parx.has_limits or pary.has_limits
+        do_correlated = not parx.has_limits or not pary.has_limits
+
+        def fallback_widths(ex):
+            msg = (
+                f"2D kernel density bandwidth optimizer failed for {parx.name}, {pary.name}. Using fallback width: {ex}"
+            )
+            if getattr(self, "raise_on_bandwidth_errors", False):
+                raise BandwidthError(msg)
+            logging.warning(msg)
+            _hx = parx.sigma_range / N_eff ** (1.0 / 6)
+            _hy = pary.sigma_range / N_eff ** (1.0 / 6)
+            return _hx, _hy, max(min(corr, self.max_corr_2D), -self.max_corr_2D)
+
+        if min_corr < abs(corr) <= self.max_corr_2D and do_correlated:
+            # shear to decorrelate (keeping any single bounded axis fixed),
+            # rebin in sheared coordinates, optimize there, un-shear the
+            # resulting kernel covariance
+            i, j = paramx, paramy
+            imax, imin = None, None
+            if parx.has_limits_bot:
+                imin = parx.range_min
+            if parx.has_limits_top:
+                imax = parx.range_max
+            if pary.has_limits:
+                i, j = j, i
+                if pary.has_limits_bot:
+                    imin = pary.range_min
+                if pary.has_limits_top:
+                    imax = pary.range_max
+
+            cov = self.getCov(pars=[i, j])
+            S = np.linalg.cholesky(cov)
+            ichol = np.linalg.inv(S)
+            S *= ichol[0, 0]
+            r = ichol[1, :] / ichol[0, 0]
+            p1 = self.samples[:, i]
+            p2 = r[0] * self.samples[:, i] + r[1] * self.samples[:, j]
+
+            bin1, r1 = kde.bin_samples(p1, nbins=base_fine_bins_2D, range_min=imin, range_max=imax)
+            bin2, r2 = kde.bin_samples(p2, nbins=base_fine_bins_2D)
+            rotbins, _ = self._make2Dhist(bin1, bin2, base_fine_bins_2D, base_fine_bins_2D)
+            try:
+                opt = kde.KernelOptimizer2D(rotbins, N_eff, 0, do_correlation=not has_limits)
+                hx, hy, c = opt.get_h()
+                hx *= r1
+                hy *= r2
+                kernelC = S.dot(np.array([[hx**2, hx * hy * c], [hx * hy * c, hy**2]])).dot(S.T)
+                hx, hy, c = (
+                    np.sqrt(kernelC[0, 0]),
+                    np.sqrt(kernelC[1, 1]),
+                    kernelC[0, 1] / np.sqrt(kernelC[0, 0] * kernelC[1, 1]),
+                )
+                if pary.has_limits:
+                    hx, hy = hy, hx
+            except ValueError as e:
+                hx, hy, c = fallback_widths(e)
+        elif abs(corr) > self.max_corr_2D or not do_correlated and corr > 0.8:
+            c = max(min(corr, self.max_corr_2D), -self.max_corr_2D)
+            hx = parx.sigma_range / N_eff ** (1.0 / 6)
+            hy = pary.sigma_range / N_eff ** (1.0 / 6)
+        else:
+            try:
+                opt = kde.KernelOptimizer2D(
+                    bins,
+                    N_eff,
+                    corr,
+                    do_correlation=not has_limits,
+                    fallback_t=(min(pary.sigma_range / rangey, parx.sigma_range / rangex) / N_eff ** (1.0 / 6)) ** 2,
+                )
+                hx, hy, c = opt.get_h()
+                hx *= rangex
+                hy *= rangey
+            except ValueError as e:
+                hx, hy, c = fallback_widths(e)
+
+        if mult_bias_correction_order is None:
+            mult_bias_correction_order = self.mult_bias_correction_order
+        logging.debug("hx/sig, hy/sig, corr =%s, %s, %s", hx / parx.err, hy / pary.err, c)
+        if mult_bias_correction_order:
+            scale = 1.1 * N_eff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_correction_order)))
+            hx *= scale
+            hy *= scale
+            logging.debug("hx/sig, hy/sig, corr, scale =%s, %s, %s, %s", hx / parx.err, hy / pary.err, c, scale)
+        return hx, hy, c
+
+    # -- 1D densities ---------------------------------------------------------------
+
+    def getAutoBandwidth1D(self, bins, par, param, mult_bias_correction_order=None, kernel_order=1, N_eff=None):
+        """ISJ bandwidth (in units of the bin range), with rule-of-thumb
+        fallback and the higher-order rescale h * N^(1/5 - 1/(4m+5)) when
+        multiplicative bias correction is used (reference
+        ``mcsamples.py:1237-1283``)."""
+        if N_eff is None:
+            N_eff = self._get1DNeff(par, param)
+        h = kde.gaussian_kde_bandwidth_binned(bins, Neff=N_eff)
+        bin_range = max(par.param_max, par.range_max) - min(par.param_min, par.range_min)
+        if h is None or h < 0.01 * N_eff ** (-1.0 / 5) * (par.range_max - par.range_min) / bin_range:
+            hnew = 1.06 * par.sigma_range * N_eff ** (-1.0 / 5) / bin_range
+            if par.name not in self.no_warning_params and (
+                not self.no_warning_chi2_params or "chi2_" not in par.name and "minuslog" not in par.name
+            ):
+                msg = f"auto bandwidth for {par.name} very small or failed (h={h},N_eff={N_eff}). Using fallback (h={hnew})"
+                if getattr(self, "raise_on_bandwidth_errors", False):
+                    raise BandwidthError(msg)
+                logging.warning(msg)
+            h = hnew
+
+        par.kde_h = h
+        m = self.mult_bias_correction_order if mult_bias_correction_order is None else mult_bias_correction_order
+        if kernel_order > 1:
+            m = max(m, 1)
+        if m:
+            # rescale the Parzen-optimal width for the higher-order
+            # (bias-corrected) estimator's N scaling
+            return h * N_eff ** (1.0 / 5 - 1.0 / (4 * m + 5))
+        return h
+
+    def _get1DNeff(self, par, param):
+        N_eff = getattr(par, "N_eff_kde", None)
+        if N_eff is None:
+            par.N_eff_kde = self.getEffectiveSamplesGaussianKDE(param, scale=par.sigma_range)
+            N_eff = par.N_eff_kde
+        return N_eff
+
+    # -- bandwidths ----------------------------------------------------------------
+
+    def _binSamples(self, paramVec, par, num_fine_bins, borderfrac=0.1):
+        """Fine-bin index per sample over an edge-padded range; first and
+        last bins are half width (device scatter targets)."""
+        border = (par.range_max - par.range_min) * borderfrac
+        binmin = min(par.param_min, par.range_min)
+        if not par.has_limits_bot:
+            binmin -= border
+        binmax = max(par.param_max, par.range_max)
+        if not par.has_limits_top:
+            binmax += border
+        fine_width = (binmax - binmin) / (num_fine_bins - 1)
+        ix = ((paramVec - binmin) / fine_width + 0.5).astype(int)
+        return ix, fine_width, binmin, binmax
+
+    def _initParam(self, par, paramVec, mean=None, sddev=None, paramConfid=None):
+        """Set par.err/mean/param_min/param_max/range_min/range_max and the
+        peak-structure scale sigma_range (reference ``mcsamples.py:
+        1427-1484``); snaps range ends to hard limits when nearby."""
+        if mean is None:
+            mean = paramVec.mean()
+        if sddev is None:
+            sddev = paramVec.std()
+        par.err = sddev
+        par.mean = mean
+        par.param_min = np.min(paramVec)
+        par.param_max = np.max(paramVec)
+        paramConfid = paramConfid or self.initParamConfidenceData(paramVec)
+        # quantile-spacing peak-scale estimate (simplified Janssen 95)
+        confid_points = np.linspace(0.1, 0.9, 9)
+        confids = self.confidence(
+            paramConfid, np.array([self.range_confidence, 1 - self.range_confidence] + list(confid_points))
+        )
+        par.range_min, par.range_max = confids[0:2]
+        confids[1:-1] = confids[2:]
+        confids[0] = par.param_min
+        confids[-1] = par.param_max
+        diffs = confids[4:] - confids[:-4]
+        scale = np.min(diffs) / 1.049
+        if np.all(diffs > par.err * 1.049) and np.all(diffs < scale * 1.5):
+            par.sigma_range = scale  # very flat distribution
+        else:
+            par.sigma_range = min(par.err, scale)
+        if self.range_ND_contour >= 0 and self.likeStats:
+            if self.range_ND_contour >= par.ND_limit_bot.size:
+                raise SettingError("range_ND_contour should be -1 (off), or an index into the computed contour levels")
+            par.range_min = min(max(par.range_min - par.err, par.ND_limit_bot[self.range_ND_contour]), par.range_min)
+            par.range_max = max(max(par.range_max + par.err, par.ND_limit_top[self.range_ND_contour]), par.range_max)
+
+        smooth_1D = par.sigma_range * 0.4
+
+        if par.has_limits_bot:
+            if par.range_min - par.limmin > 2 * smooth_1D and par.param_min - par.limmin > smooth_1D:
+                par.has_limits_bot = False  # data is far from the limit
+            else:
+                par.range_min = par.limmin
+        if par.has_limits_top:
+            if par.limmax - par.range_max > 2 * smooth_1D and par.limmax - par.param_max > smooth_1D:
+                par.has_limits_top = False
+            else:
+                par.range_max = par.limmax
+        if not par.has_limits_bot:
+            par.range_min -= smooth_1D * 2
+        if not par.has_limits_top:
+            par.range_max += smooth_1D * 2
+        par.has_limits = par.has_limits_top or par.has_limits_bot
+        return par
+
+    def _initParamRanges(self, j, paramConfid=None):
+        if isinstance(j, str):
+            j = self.index[j]
+        paramVec = self.samples[:, j]
+        return self._initParam(self.paramNames.names[j], paramVec, self.means[j], self.sddev[j], paramConfid)
+
+    def getLower(self, name):
+        """Lower hard bound for a named parameter, or None."""
+        par = self.paramNames.parWithName(name)
+        return getattr(par, "limmin", None) if par else None
+
+    # -- parameter range/structure estimation ------------------------------------
+
+    def getUpper(self, name):
+        """Upper hard bound for a named parameter, or None."""
+        par = self.paramNames.parWithName(name)
+        return getattr(par, "limmax", None) if par else None
+
+    def getBounds(self):
+        """ParamBounds with only the limits that are actually active."""
+        bounds = ParamBounds()
+        bounds.names = self.paramNames.list()
+        for par in self.paramNames.names:
+            if par.has_limits_bot:
+                bounds.lower[par.name] = par.limmin
+            if par.has_limits_top:
+                bounds.upper[par.name] = par.limmax
+        return bounds
+
+    def _readRanges(self):
+        if self.root:
+            ranges_file = self.root + ".ranges"
+            if os.path.isfile(ranges_file):
+                self.ranges = ParamBounds(ranges_file)
+                return
+            ranges_file = cobaya_interface.cobaya_params_file(self.root)
+            if ranges_file:
+                self.ranges = ParamBounds(ranges_file)
+                return
+        self.ranges = ParamBounds()
+
+    def getFractionIndices(self, weights, n):
+        """Row indices splitting total weight into n equal fractions."""
+        cumsum = np.cumsum(weights)
+        return np.append(
+            np.searchsorted(cumsum, np.linspace(0, 1, n, endpoint=False) * self.norm), self.weights.shape[0]
+        )
+
+    # -- ranges / limits --------------------------------------------------------
+
+    def writeCorrelationMatrix(self, filename=None):
+        """Write the correlation matrix to text."""
+        filename = filename or self.rootdirname + ".corr"
+        np.savetxt(filename, self.getCorrelationMatrix(), fmt="%15.7E")
+
+    def writeCovMatrix(self, filename=None):
+        """Write the non-derived parameter covariance to .covmat text."""
+        filename = filename or self.rootdirname + ".covmat"
+        self.getCovMat().saveToFile(filename)
+
+    def getCovMat(self):
+        """CovMat of the non-derived parameters."""
+        n_free = self.paramNames.numNonDerived()
+        return covmat.CovMat(matrix=self.fullcov[:n_free, :n_free], paramNames=self.paramNames.list()[:n_free])
+
+    def writeThinData(self, fname, thin_ix, cool=1):
+        """Write samples at the given indices, optionally cooled."""
+        nparams = self.samples.shape[1]
+        if cool != 1:
+            logging.info("Cooled thinned output with temp: %s", cool)
+        if self.loglikes is None:
+            raise ValueError("writeThinData assumes you have likelihoods and weights")
+        MaxL = np.max(self.loglikes)
+        with open(fname, "w", encoding="utf-8") as f:
+            for i, thin in enumerate(thin_ix):
+                if cool != 1:
+                    newL = self.loglikes[thin] * cool
+                    f.write("%16.7E" % (np.exp(-(newL - self.loglikes[thin]) - MaxL * (1 - cool))))
+                    f.write("%16.7E" % newL)
+                else:
+                    f.write("%f" % 1.0)
+                    f.write("%f" % (self.loglikes[thin]))
+                f.writelines("%16.7E" % (self.samples[i][j]) for j in range(nparams))
+                f.write("\n")
+        print("Wrote ", len(thin_ix), " thinned samples")
+
+    def makeSingleSamples(self, filename="", single_thin=None, random_state=None):
+        """Random unit-weight samples (or write them to a file)."""
+        if single_thin is None:
+            single_thin = max(1, self.norm / self.max_mult / self.max_scatter_points)
+        random_state = np.random.default_rng(random_state)
+        rand = random_state.random(self.numrows)
+        if filename:
+            with open(filename, "w", encoding="utf-8") as f:
+                for i, r in enumerate(rand):
+                    if r <= self.weights[i] / self.max_mult / single_thin:
+                        f.write("%16.7E" % 1.0)
+                        f.write("%16.7E" % (self.loglikes[i]))
+                        f.writelines("%16.7E" % (self.samples[i][j]) for j in range(self.n))
+                        f.write("\n")
+        else:
+            return self.samples[rand <= self.weights / (self.max_mult * single_thin)]
+
+    def updateBaseStatistics(self):
+        """Refresh basic statistics, limits, and the ND confidence region."""
+        super().updateBaseStatistics()
+        mult_max = (self.mean_mult * self.numrows) / min(self.numrows // 2, 500)
+        outliers = np.sum(self.weights > mult_max)
+        if outliers != 0:
+            logging.warning("outlier fraction %s ", float(outliers) / self.numrows)
+
+        self.indep_thin = 0
+        self._setCov()
+        self.done_1Dbins = False
+        self.density1D = dict()
+        self._initLimits(self.ini)
+        for par in self.paramNames.names:
+            par.N_eff_kde = None
+        self._setLikeStats()
+        return self
+
+    # -- unit-weight sampling / file outputs -----------------------------------
+
+    def cool(self, cool=None):
+        """Cool the samples by the given factor (default: stored
+        temperature)."""
+        if cool is None:
+            if self.properties.hasKey("temperature"):
+                cool = self.properties.float("temperature")
+            else:
+                raise ValueError("Pass a cooling temperature, since the sample does not have one specified")
+        if cool == 1:
+            return
+        if self.properties.float("cooled", 1) != 1:
+            logging.warning("Chain has already been cooled by %s", self.properties.float("cooled"))
+        super().cool(cool)
+        self.properties.params["cooled"] = cool
+        if self.properties.hasKey("temperature"):
+            self.properties.params["temperature"] = self.properties.float("temperature") / cool
+
+    def readChains(self, files_or_samples, weights=None, loglikes=None):
+        """Load samples (files or arrays), remove burn-in, delete fixed
+        parameters, and combine into a single samples array."""
+        self.loadChains(self.root, files_or_samples, weights=weights, loglikes=loglikes)
+
+        if self.ignore_frac and (
+            not self.jobItem
+            or not hasattr(self.jobItem, "isImportanceJob")
+            or (not self.jobItem.isImportanceJob and not self.jobItem.isBurnRemoved())
+        ):
+            self.removeBurnFraction(self.ignore_frac)
+            chains.print_load_line("Removed %s as burn in" % self.ignore_frac)
+        elif not int(self.ignore_rows):
+            chains.print_load_line("Removed no burn in")
+
+        self.deleteFixedParams()
+        if self.chains is not None:
+            self.makeSingle()
+        self.updateBaseStatistics()
+        return self
+
+    def updateSettings(self, settings: Mapping[str, Any] | None = None, ini=None, doUpdate=True):
+        """Apply settings from an ini file and/or dict of overrides."""
+        assert settings is None or isinstance(settings, Mapping)
+        if not ini:
+            ini = self.ini
+        elif isinstance(ini, str):
+            ini = IniFile(ini)
+        else:
+            ini = copy.deepcopy(ini)
+        if not ini:
+            ini = IniFile(getdist_tpu.default_getdist_settings)
+        if settings:
+            ini.params.update(settings)
+        self.ini = ini
+        if ini:
+            self.initParameters(ini)
+        if doUpdate and self.samples is not None:
+            self.updateBaseStatistics()
+
+    def _initLimits(self, ini=None):
+        bin_limits = ini.string("all_limits", "") if ini else ""
+        self.markers = {}
+        for par in self.paramNames.names:
+            line = bin_limits
+            if not line and ini and "limits[%s]" % par.name in ini.params:
+                line = ini.string("limits[%s]" % par.name)
+            if line:
+                limits = line.split()
+                if len(limits) == 2:
+                    self.ranges.setRange(par.name, limits)
+            par.limmin = self.ranges.getLower(par.name)
+            par.limmax = self.ranges.getUpper(par.name)
+            par.has_limits_bot = par.limmin is not None
+            par.has_limits_top = par.limmax is not None
+            par.periodic = par.name in self.ranges.periodic
+            if ini and "marker[%s]" % par.name in ini.params:
+                line = ini.string("marker[%s]" % par.name)
+                if line:
+                    self.markers[par.name] = float(line)
+
+    def initParameters(self, ini):
+        """Read all analysis settings from an IniFile onto this object."""
+        self._setBurnOptions(ini)
+        for name in (
+            "range_ND_contour",
+            "range_confidence",
+            "num_bins",
+            "fine_bins",
+            "num_bins_2D",
+            "fine_bins_2D",
+            "smooth_scale_1D",
+            "smooth_scale_2D",
+        ):
+            ini.setAttr(name, self)
+        ini.setAttr("boundary_correction_order", self, 1)
+        ini.setAttr("mult_bias_correction_order", self, 1)
+        for name in (
+            "num_bins_ND",
+            "max_scatter_points",
+            "credible_interval_threshold",
+            "subplot_size_inch",
+            "subplot_size_inch2",
+            "subplot_size_inch3",
+            "plot_output",
+            "force_twotail",
+        ):
+            ini.setAttr(name, self)
+        if self.force_twotail:
+            logging.warning("Computing two tail limits")
+        ini.setAttr("max_corr_2D", self)
+
+        if ini.hasKey("contours"):
+            ini.setAttr("contours", self)
+        elif ini.hasKey("num_contours"):
+            num_contours = ini.int("num_contours", 2)
+            self.contours = np.array([ini.float("contour" + str(i + 1)) for i in range(num_contours)])
+        # threshold for the edge bin to allow two-tail limits
+        self.max_frac_twotail = []
+        for i, contour in enumerate(self.contours):
+            max_frac = np.exp(-1.0 * math.pow(norm.ppf((1 - contour) / 2), 2) / 2)
+            if ini:
+                max_frac = ini.float("max_frac_twotail" + str(i + 1), max_frac)
+            self.max_frac_twotail.append(max_frac)
+
+        ini.setAttr("converge_test_limit", self, self.contours[-1])
+        ini.setAttr("corr_length_thin", self)
+        ini.setAttr("corr_length_steps", self)
+        ini.setAttr("no_warning_params", self, [])
+        ini.setAttr("no_warning_chi2_params", self, True)
+        self.batch_path = ini.string("batch_path", self.batch_path, allowEmpty=False)
+
+    def _setBurnOptions(self, ini):
+        ini.setAttr("ignore_rows", self)
+        self.ignore_lines = int(self.ignore_rows)
+        self.ignore_frac = self.ignore_rows if not self.ignore_lines else 0
+        ini.setAttr("min_weight_ratio", self)
+
+    def parLabel(self, i):
+        """Latex label for a parameter index or name."""
+        if isinstance(i, str):
+            return self.paramNames.parWithName(i).label
+        return self.paramNames.names[i].label
+
+    def parName(self, i, starDerived=False):
+        """Name of the i'th parameter."""
+        return self.paramNames.name(i, starDerived)
+
+    def setRanges(self, ranges):
+        """Set hard prior bounds from a list/array/dict/ParamBounds; a
+        [min, max, True] triplet marks a periodic parameter."""
+        if isinstance(ranges, np.ndarray):
+            if len(ranges.shape) == 2 and ranges.shape[1] == 2:
+                ranges = ranges.tolist()
+        if isinstance(ranges, (list, tuple)):
+            for i, minmax in enumerate(ranges):
+                self.ranges.setRange(self.parName(i), minmax)
+        elif isinstance(ranges, Mapping):
+            for key, value in ranges.items():
+                self.ranges.setRange(key, value)
+        elif isinstance(ranges, ParamBounds):
+            self.ranges = copy.deepcopy(ranges)
+        else:
+            raise ValueError("MCSamples ranges parameter must be list or dict")
+        self.needs_update = True
+
+    def copy(self, label=None, settings=None) -> "MCSamples":
+        """Deep copy, optionally with a new label / modified settings."""
+        new = copy.deepcopy(self)
+        if label:
+            new.label = label
+        if settings is not None:
+            new.needs_update = True
+            new.updateSettings(settings)
+        return new
+
 
 
 def getRootFileName(rootdir):

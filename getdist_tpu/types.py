@@ -8,6 +8,10 @@ multi-column ResultTable with latex→PNG rendering, and the parsers/writers
 for ``.minimum``/``.bestfit``, ``.margestats``, ``.likestats`` and
 ``.converge`` files. Output strings are regression-tested to the character
 against the reference.
+
+Layout of this module: file-format parsers first (BestFit, ParamLimit,
+MargeStats, LikeStats, ConvergeStats), then the significant-figure engine,
+then the latex table machinery.
 """
 
 import decimal
@@ -45,17 +49,416 @@ def times_ten_power(exponent):
     return r"\cdot 10^{%d}" % exponent
 
 
+class ParamResults(ParamList):
+    """Base for sets of per-parameter results (self.names holds ParamInfo
+    objects carrying result attributes)."""
+
+
+# ---------------------------------------------------------------------------
+# file-format parsers / writers
+# ---------------------------------------------------------------------------
+
+
+class LikelihoodChi2:
+    name: str
+    tag: str
+    chisq: float
+
+
+class BestFit(ParamResults):
+    """Result of a likelihood minimization, parsed from CosmoMC/Cobaya
+    .minimum or .bestfit text (incl. per-likelihood chi2 blocks)."""
+
+    def __init__(self, fileName=None, setParamNameFile=None, want_fixed=False, max_posterior=True):
+        """
+        :param fileName: .minimum-format text file
+        :param setParamNameFile: .paramnames file overriding labels
+        :param want_fixed: include non-varying parameters
+        :param max_posterior: True for .minimum, False for .bestfit
+        """
+        super().__init__()
+        self.max_posterior = max_posterior
+        if fileName is not None:
+            self.loadFromFile(fileName, want_fixed=want_fixed)
+        if setParamNameFile is not None:
+            self.setLabelsFromParamNames(setParamNameFile)
+
+    def getColumnLabels(self, **_kwargs):
+        return ["Best fit"]
+
+    def _parse_chisq_block(self, tail_lines):
+        """The trailing per-likelihood chi-squared block of a .minimum file."""
+        for entry in tail_lines:
+            if not entry.strip():
+                continue
+            chisq, rest = [s.strip() for s in entry.split(None, 2)][1:]
+            pieces = [s.strip() for s in rest.split(":", 1)]
+            kind, label = pieces if len(pieces) > 1 else ("", pieces[0])
+            record = LikelihoodChi2()
+            if "=" in label:
+                record.tag, record.name = (s.strip() for s in label.split("="))
+            else:
+                record.tag, record.name = None, label
+            record.chisq = float(chisq)
+            self.chiSquareds.append((kind, record))
+
+    def loadFromFile(self, filename, want_fixed=False):
+        body = self.fileList(filename)
+        header = body[0].strip().split("=")
+        if header[0].strip() == "weight":
+            self.weight = float(header[1].strip())
+            del body[0]
+            header = body[0].strip().split("=")
+        if header[0].strip() != "-log(Like)":
+            raise Exception("Error in format of parameter (best fit) file")
+        self.logLike = float(header[1].strip())
+        self.chiSquareds = []
+        in_fixed_block = False
+        derived_flag = False
+        blanks_seen = 0
+        if len(body[1].strip()) > 0:
+            del body[1]  # optional chi-sq header line variant
+        for row in range(2, len(body)):
+            entry = body[row]
+            if not entry.strip():
+                blanks_seen += 1
+                in_fixed_block = not in_fixed_block
+                derived_flag = True
+                if blanks_seen == 3:
+                    if row + 2 < len(body):
+                        self._parse_chisq_block(body[row + 2 :])
+                    break
+                continue
+            if in_fixed_block and not want_fixed:
+                continue
+            record = ParamInfo()
+            record.isFixed = in_fixed_block
+            record.isDerived = derived_flag
+            record.number, record.best_fit, record.name, record.label = (s.strip() for s in entry.split(None, 3))
+            record.number = int(record.number)
+            record.best_fit = float(record.best_fit)
+            self.names.append(record)
+
+    def sortedChiSquareds(self):
+        grouped = {}
+        for kind, val in self.chiSquareds:
+            grouped.setdefault(kind, []).append(val)
+        return sorted(iter(grouped.items()))
+
+    def chiSquareForKindName(self, kind, name):
+        for akind, val in self.chiSquareds:
+            if akind == kind and val.name == name:
+                return val.chisq
+        return None
+
+    def texValues(self, formatter, p, **_kwargs):
+        record = self.parWithName(p.name)
+        if record is None:
+            return None
+        return [formatter.numberFormatter.formatNumber(record.best_fit)]
+
+    def getParamDict(self, include_derived=True):
+        out = {
+            info.name: info.best_fit for info in self.names if include_derived or not info.isDerived
+        }
+        out["weight"] = 1
+        out["loglike"] = self.logLike
+        return out
+
+
+class ParamLimit:
+    """One marginalized limit: lower/upper bounds plus the tail type.
+
+    :ivar lower: lower limit
+    :ivar upper: upper limit
+    :ivar twotail: True for a two-tail limit
+    :ivar onetail_upper: True for a one-tail upper limit
+    :ivar onetail_lower: True for a one-tail lower limit
+    """
+
+    def __init__(self, minmax, tag="two"):
+        """
+        :param minmax: [min, max] values (None if unbounded)
+        :param tag: 'two' | '>' | '<' | 'none'
+        """
+        self.lower, self.upper = minmax[0], minmax[1]
+        self.twotail = tag == "two"
+        self.onetail_upper = tag == ">"
+        self.onetail_lower = tag == "<"
+
+    def limitTag(self):
+        """Short tag: 'two', '>', '<' or 'none'."""
+        for flag, tag in ((self.twotail, "two"), (self.onetail_upper, ">"), (self.onetail_lower, "<")):
+            if flag:
+                return tag
+        return "none"
+
+    def limitType(self):
+        """Human-readable limit type description."""
+        for flag, kind in (
+            (self.twotail, "two tail"),
+            (self.onetail_upper, "one tail upper limit"),
+            (self.onetail_lower, "one tail lower limit"),
+        ):
+            if flag:
+                return kind
+        return "none"
+
+    def __str__(self):
+        return f"{self.lower:g} {self.upper:g} {self.limitTag()}"
+
+
+class MargeStats(ParamResults):
+    """Marginalized 1D statistics per parameter (mean, err, limits list);
+    round-trips the .margestats text format."""
+
+    def loadFromFile(self, filename):
+        """Parse a .margestats file."""
+        body = self.fileList(filename)
+        self.limits = [float(s.strip()) for s in body[0].split(":")[1].split(";")]
+        self.hasBestFit = False
+        n_lims = len(self.limits)
+        for entry in body[3:]:
+            if not entry.strip():
+                break
+            record = ParamInfo()
+            fields = [s.strip() for s in entry.split(None, n_lims * 3 + 3)]
+            record.name = fields[0]
+            if record.name.endswith("*"):
+                record.isDerived = True
+                record.name = record.name[:-1]
+            record.mean = float(fields[1])
+            record.err = float(fields[2])
+            record.label = fields[-1]
+            record.limits = [
+                ParamLimit([float(s) for s in fields[3 + i * 3 : 5 + i * 3]], fields[5 + i * 3])
+                for i in range(n_lims)
+            ]
+            self.names.append(record)
+
+    def headerLine(self, inc_limits=False):
+        parForm = self.parFormat()
+        cells = [parForm % "parameter" + "  ", "%-15s" % "mean", "%-15s" % "sddev"]
+        for j, limit in enumerate(self.limits):
+            if inc_limits:
+                tag = "_%.0f%%" % (limit * 100)
+                limtxt = "type"
+            else:
+                tag = str(j + 1)
+                limtxt = "limit" + tag
+            cells.append("%-15s" % ("lower" + tag))
+            cells.append("%-15s" % ("upper" + tag))
+            cells.append("%-7s" % limtxt)
+        return "".join(cells), parForm
+
+    def __str__(self):
+        header, parForm = self.headerLine()
+        pieces = ["Marginalized limits: %s\n\n" % "; ".join(str(c) for c in self.limits), header, "\n"]
+        for j, par in enumerate(self.names):
+            pieces.append(parForm % (self.name(j, True)))
+            pieces.append(f"{par.mean:15.7E}{par.err:15.7E}")
+            for lim in par.limits:
+                pieces.append("%15.7E%15.7E  %-5s" % (lim.lower, lim.upper, lim.limitTag()))
+            pieces.append("   %s\n" % par.label)
+        return "".join(pieces)
+
+    def saveAsText(self, filename):
+        """Write the .margestats text format."""
+        with open(filename, "w", encoding="utf-8") as f:
+            f.write(str(self))
+
+    def addBestFit(self, bf):
+        self.hasBestFit = True
+        self.logLike = bf.logLike
+        # drop parameters absent from the best fit
+        self.names = [x for x in self.names if bf.parWithName(x.name) is not None]
+        for par in self.names:
+            match = bf.parWithName(par.name)
+            par.best_fit = match.best_fit
+            par.isDerived = match.isDerived
+
+    def limitText(self, limit):
+        txt = str(round(self.limits[limit - 1] * 100.0))
+        if txt.endswith(".0"):
+            txt = txt.split(".")[0]
+        return txt
+
+    def getColumnLabels(self, limit=2):
+        labels = ["Best fit"] if self.hasBestFit else []
+        return labels + [self.limitText(limit) + "\\% limits"]
+
+    def _shift_annotation(self, param, refResults, shiftSigma_indep, shiftSigma_subset):
+        """σ-shift annotation vs a reference result set, or ''."""
+        refVal = refResults.parWithName(param.name)
+        if refVal is None:
+            return ""
+        delta = param.mean - refVal.mean
+        if not (shiftSigma_indep or shiftSigma_subset):
+            return r"\quad(%+.1f \sigma)" % (delta / refVal.err)
+        note = r"\quad("
+        if shiftSigma_subset:
+            subset_sigma = np.sqrt(abs(param.err**2 - refVal.err**2))
+            note += "%+.1f \\sigma_s" % (delta / max(subset_sigma, refVal.err / 20))
+        if shiftSigma_indep:
+            indep_sigma = np.sqrt(param.err**2 + refVal.err**2)
+            note += ", %+.1f \\sigma_i" % (delta / indep_sigma)
+        return note + ")"
+
+    def texValues(self, formatter, p, limit=2, refResults=None, shiftSigma_indep=False, shiftSigma_subset=False):
+        """Tex snippet(s) for one parameter's constraint (reference
+        ``types.py:824-897``): ±limit merging, chi2 special case, one-tail
+        forms, sci-notation wrapping, σ-shift annotations, best fit."""
+        param = self.parWithName(p if not isinstance(p, ParamInfo) else p.name)
+        if param is None:
+            return None
+        nf = formatter.numberFormatter
+        lim = param.limits[limit - 1]
+        one_tail_sf = 3
+        if param.name.startswith("chi2"):
+            # chi2 is very skewed for low dof: always mean ± sigma or dof
+            res, sigma, _ = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=False)
+            if limit == 1:
+                res += r"\pm " + sigma
+            else:
+                res += r"\,({\nu\rm{:}\,%.1f})" % (param.err**2 / 2)
+        elif lim.twotail:
+            if not nf.plusMinusLimit(limit, lim.upper - param.mean, lim.lower - param.mean):
+                res, plus_str, _, exponent = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=True)
+                res += r"\pm " + plus_str
+            else:
+                res, plus_str, minus_str, exponent = nf.namesigFigs(
+                    param.mean, lim.upper - param.mean, lim.lower - param.mean, sci=True
+                )
+                res += "^{" + plus_str + "}_{" + minus_str + "}"
+            if exponent:
+                res = r"\left(\,%s\,\right)" % res + times_ten_power(exponent)
+        elif lim.onetail_upper:
+            res, exponent = nf.formatNumber(lim.upper, one_tail_sf, sci=True)
+            res = "< " + res
+            if exponent:
+                res += times_ten_power(exponent)
+        elif lim.onetail_lower:
+            res, exponent = nf.formatNumber(lim.lower, one_tail_sf, sci=True)
+            res = "> " + res
+            if exponent:
+                res += times_ten_power(exponent)
+        else:
+            res = formatter.noConstraint
+        if refResults is not None and res != formatter.noConstraint:
+            res += self._shift_annotation(param, refResults, shiftSigma_indep, shiftSigma_subset)
+        if self.hasBestFit:
+            rangew = (lim.upper - lim.lower) / 10
+            bestfit, _, _, exponent = nf.namesigFigs(param.best_fit, rangew, -rangew, sci=True)
+            if exponent:
+                bestfit += times_ten_power(exponent)
+            return [res, bestfit]
+        return [res]
+
+
+class LikeStats(ParamResults):
+    """Posterior statistics: best-fit sample, likelihood moments, and
+    per-parameter extrema of the N-D confidence regions."""
+
+    def loadFromFile(self, filename):
+        """Parse the summary block of a .likestats file."""
+        summary = {}
+        for entry in self.fileList(filename):
+            if not entry.strip():
+                break
+            key, value = (x.strip() for x in entry.split("="))
+            summary[key] = float(value)
+        self.logLike_sample = summary.get("Best fit sample -log(Like)")
+        self.logMeanInvLike = summary.get("Ln(mean 1/like)")
+        self.meanLogLike = summary.get("mean(-Ln(like))")
+        self.logMeanLike = summary.get("-Ln(mean like)")
+        self.complexity = summary.get("complexity")
+        doubled = summary.get("2*Var(Ln(like))")
+        self.varLogLike = 0.5 * doubled if doubled is not None else None
+
+    def likeSummary(self):
+        text = "Best fit sample -log(Like) = %f\n" % self.logLike_sample
+        if self.logMeanInvLike:
+            text += "Ln(mean 1/like) = %f\n" % self.logMeanInvLike
+        text += "mean(-Ln(like)) = %f\n" % self.meanLogLike
+        text += "-Ln(mean like)  = %f\n" % self.logMeanLike
+        text += "2*Var(Ln(like)) = %f\n" % (self.varLogLike * 2.0)
+        return text
+
+    def headerLine(self):
+        return self.parFormat() % "parameter" + "  bestfit        lower1         upper1         lower2         upper2\n"
+
+    def __str__(self):
+        text = self.likeSummary()
+        parForm = self.parFormat()
+        if len(self.names):
+            text += "\n"
+            text += self.headerLine()
+            for j, par in enumerate(self.names):
+                if par.ND_limit_bot.size < 2:
+                    raise Exception("Likestats output assumes at least two contour levels")
+                text += parForm % (self.name(j, True))
+                text += (
+                    f"{par.bestfit_sample:15.7E}{par.ND_limit_bot[0]:15.7E}{par.ND_limit_top[0]:15.7E}"
+                    f"{par.ND_limit_bot[1]:15.7E}{par.ND_limit_top[1]:15.7E}   {par.label}\n"
+                )
+        return text
+
+    def saveAsText(self, filename):
+        """Write the .likestats text format."""
+        with open(filename, "w", encoding="utf-8") as f:
+            f.write(str(self))
+
+
+class ConvergeStats(ParamResults):
+    """Parser for .converge files (R-1 eigenvalues, autocorrelation table)."""
+
+    def loadFromFile(self, filename):
+        try:
+            body = self.fileList(filename)
+            self.R_eigs = []
+            for i, row in enumerate(body):
+                if row.find("var(mean)") >= 0:
+                    for entry in body[i + 1 :]:
+                        if not entry.strip():
+                            break
+                        try:
+                            self.R_eigs.append(entry.split()[1])
+                        except Exception:
+                            self.R_eigs.append("1e30")
+                elif "Parameter auto-correlations" in row:
+                    self.auto_correlation_steps = [int(s) for s in body[i + 2].split()]
+                    self.auto_correlations = []
+                    self.auto_correlation_pars = []
+                    for entry in body[i + 3 :]:
+                        if not entry.strip():
+                            break
+                        fields = entry.split(None, len(self.auto_correlation_steps) + 1)
+                        self.auto_correlation_pars.append(fields[0])
+                        self.auto_correlations.append([float(s) for s in fields[1:-1]])
+        except Exception:
+            print("Error reading: " + filename)
+            raise
+
+    def worstR(self, default=None):
+        return self.R_eigs[len(self.R_eigs) - 1] if self.R_eigs else default
+
+
+# ---------------------------------------------------------------------------
+# significant-figure engine (exact Decimal arithmetic)
+# ---------------------------------------------------------------------------
+
+
 def float_to_decimal(f):
     """Exact float -> Decimal conversion (no precision loss)."""
-    n, d = f.as_integer_ratio()
-    numerator, denominator = decimal.Decimal(n), decimal.Decimal(d)
+    num, den = f.as_integer_ratio()
+    top, bottom = decimal.Decimal(num), decimal.Decimal(den)
     ctx = decimal.Context(prec=60)
-    result = ctx.divide(numerator, denominator)
+    quotient = ctx.divide(top, bottom)
     while ctx.flags[decimal.Inexact]:
         ctx.flags[decimal.Inexact] = False
         ctx.prec *= 2
-        result = ctx.divide(numerator, denominator)
-    return result
+        quotient = ctx.divide(top, bottom)
+    return quotient
 
 
 def numberFigs(number, sigfig, sci=False):
@@ -65,38 +468,38 @@ def numberFigs(number, sigfig, sci=False):
     ``types.py:50-92``)."""
     assert sigfig > 0
     try:
-        d = decimal.Decimal(number)
+        dec = decimal.Decimal(number)
     except TypeError:
-        d = float_to_decimal(float(number))
+        dec = float_to_decimal(float(number))
+    exponent = 0
     if sci:
-        exponent = d.adjusted()
+        exponent = dec.adjusted()
         if abs(exponent) > _sci_tolerance:
-            d = decimal.getcontext().multiply(d, float_to_decimal(10.0**-exponent))
+            dec = decimal.getcontext().multiply(dec, float_to_decimal(10.0**-exponent))
         else:
             exponent = 0
-    sign, digits = d.as_tuple()[0:2]
+    sign, digits = dec.as_tuple()[0:2]
+    digits = list(digits)
     if len(digits) < sigfig:
-        digits = list(digits)
-        digits.extend([0] * (sigfig - len(digits)))
-    shift = d.adjusted()
-    result = int("".join(map(str, digits[:sigfig])))
+        digits += [0] * (sigfig - len(digits))
+    place = dec.adjusted()
+    rounded = int("".join(map(str, digits[:sigfig])))
     if len(digits) > sigfig and digits[sigfig] >= 5:
-        result += 1
-    result = list(str(result))
-    # rounding may change the digit count; track it in the shift
-    shift += len(result) - sigfig
-    result = result[:sigfig]
-    if shift >= sigfig - 1:
-        result += ["0"] * (shift - sigfig + 1)
-    elif 0 <= shift:
-        result.insert(shift + 1, ".")
+        rounded += 1
+    chars = list(str(rounded))
+    # rounding up can grow the digit count; fold that into the place shift
+    place += len(chars) - sigfig
+    chars = chars[:sigfig]
+    if place >= sigfig - 1:
+        chars += ["0"] * (place - sigfig + 1)
+    elif place >= 0:
+        chars.insert(place + 1, ".")
     else:
-        result = ["0."] + ["0"] * (-shift - 1) + result
+        chars = ["0."] + ["0"] * (-place - 1) + chars
     if sign:
-        result.insert(0, "-")
-    if sci:
-        return "".join(result), exponent
-    return "".join(result)
+        chars.insert(0, "-")
+    text = "".join(chars)
+    return (text, exponent) if sci else text
 
 
 class NumberFormatter:
@@ -148,24 +551,30 @@ class NumberFormatter:
 
     def formatNumber(self, value, sig_figs=None, wantSign=False, sci=False):
         sf = self.sig_figs if sig_figs is None else sig_figs
-        s = numberFigs(value, sf, sci=sci)
+        formatted = numberFigs(value, sf, sci=sci)
+        exponent = None
         if sci:
-            s, exponent = s
+            formatted, exponent = formatted
         if wantSign:
-            if s[0] != "-" and float(s) < 0:
-                s = "-" + s
-            if float(s) > 0:
-                s = "+" + s
+            if formatted[0] != "-" and float(formatted) < 0:
+                formatted = "-" + formatted
+            if float(formatted) > 0:
+                formatted = "+" + formatted
         if sci:
-            return s, exponent
-        return s
+            return formatted, exponent
+        return formatted
 
     def decimal_places(self, s):
-        i = s.find(".")
-        return len(s) - i - 1 if i > 0 else 0
+        dot = s.find(".")
+        return len(s) - dot - 1 if dot > 0 else 0
 
     def plusMinusLimit(self, limit, upper, lower):
         return limit != 1 or abs(abs(upper / lower) - 1) > self.separate_limit_tol
+
+
+# ---------------------------------------------------------------------------
+# latex table machinery
+# ---------------------------------------------------------------------------
 
 
 class TableFormatter:
@@ -196,13 +605,13 @@ class TableFormatter:
         return self.getLine("belowTitles")
 
     def startTable(self, ncol, colsPerResult, numResults):
-        part = self.majorDividor + (" c" + self.minorDividor) * (colsPerResult - 1) + " c"
+        block = self.majorDividor + (" c" + self.minorDividor) * (colsPerResult - 1) + " c"
         return (
             "\\begin{tabular} {"
             + self.border
             + " l "
-            + part * numResults
-            + (self.colDividor + " l " + part * numResults) * (ncol - 1)
+            + block * numResults
+            + (self.colDividor + " l " + block * numResults) * (ncol - 1)
             + self.border
             + "}"
         )
@@ -232,19 +641,15 @@ class TableFormatter:
         return txt
 
     def textAsColumn(self, txt, latex=False, separator=False, bold=False):
-        wid = len(txt)
+        width = len(txt) + (2 if latex else 0) + (11 if latex and bold else 0)
+        cell = txt + self.spacer * max(0, 28 - width)
         if latex:
-            wid += 2
+            cell = self.texEquation(cell)
             if bold:
-                wid += 11
-        res = txt + self.spacer * max(0, 28 - wid)
-        if latex:
-            res = self.texEquation(res)
-            if bold:
-                res = "{\\boldmath" + res + "}"
+                cell = "{\\boldmath" + cell + "}"
         if separator:
-            res += self.colSeparator
-        return res
+            cell += self.colSeparator
+        return cell
 
 
 class OpenTableFormatter(TableFormatter):
@@ -338,22 +743,24 @@ class ResultTable:
         self.shiftSigma_indep = shiftSigma_indep
         self.shiftSigma_subset = shiftSigma_subset
 
+        self._layout_rows(blockEndParams, titles)
+
+    def _layout_rows(self, blockEndParams, titles):
+        """Column-major row layout, then emit all table lines."""
         nparams = self.tableParamNames.numParams()
-        numrow = nparams // ncol
-        if nparams % ncol != 0:
-            numrow += 1
+        numrow = nparams // self.ncol + (1 if nparams % self.ncol else 0)
         rows = [[par] for par in self.tableParamNames.names[0:numrow]]
-        for col in range(1, ncol):
+        for col in range(1, self.ncol):
             for i in range(numrow * col, min(numrow * (col + 1), nparams)):
                 rows[i - numrow * col].append(self.tableParamNames.names[i])
 
-        self.lines.append(self.format.startTable(ncol, self.colsPerResult, len(results)))
+        self.lines.append(self.format.startTable(self.ncol, self.colsPerResult, len(self.results)))
         if titles is not None:
             self.addTitlesRow(titles)
         self.addHeaderRow()
         for row in rows[:-1]:
             self.addFullTableRow(row)
-            if ncol == 1 and blockEndParams is not None and row[0].name in blockEndParams:
+            if self.ncol == 1 and blockEndParams is not None and row[0].name in blockEndParams:
                 self.addLine("belowBlockRow")
             else:
                 self.addLine("belowRow")
@@ -377,9 +784,9 @@ class ResultTable:
         cols = [self.format.titleSubColumn(1, "")]
         cols += [self.format.titleSubColumn(self.colsPerResult, title) for title in titles]
         self.lines.append(self.format.colSeparator.join(cols * self.ncol) + self.format.endofrow)
-        belowTitleLine = self.format.belowTitleLine(self.colsPerResult, self.colsPerParam // self.colsPerResult)
-        if belowTitleLine:
-            self.lines.append(belowTitleLine)
+        rule = self.format.belowTitleLine(self.colsPerResult, self.colsPerParam // self.colsPerResult)
+        if rule:
+            self.lines.append(rule)
 
     def addHeaderRow(self):
         self.addLine("aboveHeader")
@@ -401,14 +808,11 @@ class ResultTable:
             shiftSigma_subset=self.shiftSigma_subset,
             shiftSigma_indep=self.shiftSigma_indep,
         )
-        if values is not None:
-            if len(values) > 1:
-                txt = self.format.textAsColumn(values[1], True, separator=True)
-            else:
-                txt = ""
-            txt += self.format.textAsColumn(values[0], values[0] != self.format.noConstraint)
-            return txt
-        return self.format.textAsColumn("") * len(result.getColumnLabels(self.limit))
+        if values is None:
+            return self.format.textAsColumn("") * len(result.getColumnLabels(self.limit))
+        txt = self.format.textAsColumn(values[1], True, separator=True) if len(values) > 1 else ""
+        txt += self.format.textAsColumn(values[0], values[0] != self.format.noConstraint)
+        return txt
 
     def paramLabelColumn(self, param):
         return self.format.textAsColumn(param.getLabel(), True, separator=True, bold=not param.isDerived)
@@ -418,19 +822,17 @@ class ResultTable:
 
     def tableTex(self, document=False, latex_preamble=None, packages=("amsmath", "amssymb", "bm")):
         """Latex string for the table (full document if requested)."""
-        if document:
-            lines = [r"\documentclass{article}", r"\pagestyle{empty}"]
-            for package in packages:
-                lines.append(r"\usepackage{%s}" % package)
-            lines.append("\\renewcommand{\\arraystretch}{1.5}")
-            if latex_preamble:
-                lines.append(latex_preamble)
-            lines.append("\\begin{document}")
-            lines += self.lines
-            lines.append("\\end{document}")
-        else:
-            lines = self.lines
-        return "\n".join(lines)
+        if not document:
+            return "\n".join(self.lines)
+        doc = [r"\documentclass{article}", r"\pagestyle{empty}"]
+        doc += [r"\usepackage{%s}" % package for package in packages]
+        doc.append("\\renewcommand{\\arraystretch}{1.5}")
+        if latex_preamble:
+            doc.append(latex_preamble)
+        doc.append("\\begin{document}")
+        doc += self.lines
+        doc.append("\\end{document}")
+        return "\n".join(doc)
 
     def write(self, fname, **kwargs):
         """Write the latex to a file."""
@@ -446,445 +848,48 @@ class ResultTable:
         outfile = filename or basefile + ".png"
         old_pwd = os.getcwd()
 
-        def runCommand(command):
-            creationflags = 0
-            if os.name == "nt":
-                creationflags = subprocess.CREATE_NO_WINDOW
+        def run_tool(command):
+            flags = subprocess.CREATE_NO_WINDOW if os.name == "nt" else 0
             try:
                 subprocess.run(
                     command,
                     stdout=subprocess.DEVNULL,
                     stderr=subprocess.DEVNULL,
-                    creationflags=creationflags,
+                    creationflags=flags,
                     check=True,
                 )
             except FileNotFoundError:
-                cmd_name = command[0] if command else "Command"
-                error_msg = f"Command not found: {cmd_name}"
-                if cmd_name == "latex":
-                    error_msg += (
+                tool = command[0] if command else "Command"
+                message = f"Command not found: {tool}"
+                if tool == "latex":
+                    message += (
                         "\nLaTeX must be installed to generate tables. "
                         "Please install a TeX distribution like TeX Live, MiKTeX, or MacTeX."
                     )
-                elif cmd_name == "dvipng":
-                    error_msg += (
+                elif tool == "dvipng":
+                    message += (
                         "\ndvipng must be installed to generate PNG images. "
                         "It is included in most LaTeX distributions."
                     )
-                raise FileNotFoundError(error_msg)
+                raise FileNotFoundError(message)
 
         try:
             os.chdir(os.path.dirname(texfile))
-            runCommand(["latex", texfile])
+            run_tool(["latex", texfile])
             cmd = ["dvipng"]
             if dpi:
                 cmd.extend(["-D", str(dpi)])
             cmd.extend(["-T", "tight", "-x", "1000", "-z", "9", "--truecolor", "-o", outfile, basefile + ".dvi"])
-            runCommand(cmd)
+            run_tool(cmd)
         finally:
-            for f in [basefile + ext for ext in (".tex", ".dvi", ".aux", ".log")]:
-                if os.path.isfile(f):
-                    os.remove(f)
+            for scratch in [basefile + ext for ext in (".tex", ".dvi", ".aux", ".log")]:
+                if os.path.isfile(scratch):
+                    os.remove(scratch)
             os.chdir(old_pwd)
         if bytesIO:
             with open(outfile, "rb") as f:
-                result = BytesIO(f.read())
+                buffer = BytesIO(f.read())
             os.remove(outfile)
-            result.seek(0)
-            return result
+            buffer.seek(0)
+            return buffer
         return outfile
-
-
-class ParamResults(ParamList):
-    """Base for sets of per-parameter results (self.names holds ParamInfo
-    objects carrying result attributes)."""
-
-
-class LikelihoodChi2:
-    name: str
-    tag: str
-    chisq: float
-
-
-class BestFit(ParamResults):
-    """Result of a likelihood minimization, parsed from CosmoMC/Cobaya
-    .minimum or .bestfit text (incl. per-likelihood chi2 blocks)."""
-
-    def __init__(self, fileName=None, setParamNameFile=None, want_fixed=False, max_posterior=True):
-        """
-        :param fileName: .minimum-format text file
-        :param setParamNameFile: .paramnames file overriding labels
-        :param want_fixed: include non-varying parameters
-        :param max_posterior: True for .minimum, False for .bestfit
-        """
-        super().__init__()
-        self.max_posterior = max_posterior
-        if fileName is not None:
-            self.loadFromFile(fileName, want_fixed=want_fixed)
-        if setParamNameFile is not None:
-            self.setLabelsFromParamNames(setParamNameFile)
-
-    def getColumnLabels(self, **_kwargs):
-        return ["Best fit"]
-
-    def loadFromFile(self, filename, want_fixed=False):
-        textFileLines = self.fileList(filename)
-        first = textFileLines[0].strip().split("=")
-        if first[0].strip() == "weight":
-            self.weight = float(first[1].strip())
-            del textFileLines[0]
-            first = textFileLines[0].strip().split("=")
-        if first[0].strip() != "-log(Like)":
-            raise Exception("Error in format of parameter (best fit) file")
-        self.logLike = float(first[1].strip())
-        isFixed = False
-        isDerived = False
-        self.chiSquareds = []
-        chunks = 0
-        if len(textFileLines[1].strip()) > 0:
-            del textFileLines[1]  # chi-sq line variant
-        for ix in range(2, len(textFileLines)):
-            line = textFileLines[ix]
-            if len(line.strip()) == 0:
-                chunks += 1
-                isFixed = not isFixed
-                isDerived = True
-                if chunks == 3:
-                    if ix + 2 >= len(textFileLines):
-                        break
-                    for likePart in textFileLines[ix + 2 :]:
-                        if len(likePart.strip()) != 0:
-                            (chisq, name) = [s.strip() for s in likePart.split(None, 2)][1:]
-                            name = [s.strip() for s in name.split(":", 1)]
-                            if len(name) > 1:
-                                (kind, name) = name
-                            else:
-                                kind = ""
-                            chi2 = LikelihoodChi2()
-                            if "=" in name:
-                                chi2.tag, chi2.name = (s.strip() for s in name.split("="))
-                            else:
-                                chi2.tag, chi2.name = None, name
-                            chi2.chisq = float(chisq)
-                            self.chiSquareds.append((kind, chi2))
-                    break
-                continue
-            if not isFixed or want_fixed:
-                param = ParamInfo()
-                param.isFixed = isFixed
-                param.isDerived = isDerived
-                (param.number, param.best_fit, param.name, param.label) = (s.strip() for s in line.split(None, 3))
-                param.number = int(param.number)
-                param.best_fit = float(param.best_fit)
-                self.names.append(param)
-
-    def sortedChiSquareds(self):
-        likes = dict()
-        for kind, val in self.chiSquareds:
-            likes.setdefault(kind, []).append(val)
-        return sorted(iter(likes.items()))
-
-    def chiSquareForKindName(self, kind, name):
-        for akind, val in self.chiSquareds:
-            if akind == kind and val.name == name:
-                return val.chisq
-        return None
-
-    def texValues(self, formatter, p, **_kwargs):
-        param = self.parWithName(p.name)
-        if param is not None:
-            return [formatter.numberFormatter.formatNumber(param.best_fit)]
-        return None
-
-    def getParamDict(self, include_derived=True):
-        res = dict()
-        for name in self.names:
-            if include_derived or not name.isDerived:
-                res[name.name] = name.best_fit
-        res["weight"] = 1
-        res["loglike"] = self.logLike
-        return res
-
-
-class ParamLimit:
-    """One marginalized limit: lower/upper bounds plus the tail type.
-
-    :ivar lower: lower limit
-    :ivar upper: upper limit
-    :ivar twotail: True for a two-tail limit
-    :ivar onetail_upper: True for a one-tail upper limit
-    :ivar onetail_lower: True for a one-tail lower limit
-    """
-
-    def __init__(self, minmax, tag="two"):
-        """
-        :param minmax: [min, max] values (None if unbounded)
-        :param tag: 'two' | '>' | '<' | 'none'
-        """
-        self.lower = minmax[0]
-        self.upper = minmax[1]
-        self.twotail = tag == "two"
-        self.onetail_upper = tag == ">"
-        self.onetail_lower = tag == "<"
-
-    def limitTag(self):
-        """Short tag: 'two', '>', '<' or 'none'."""
-        if self.twotail:
-            return "two"
-        if self.onetail_upper:
-            return ">"
-        if self.onetail_lower:
-            return "<"
-        return "none"
-
-    def limitType(self):
-        """Human-readable limit type description."""
-        if self.twotail:
-            return "two tail"
-        if self.onetail_upper:
-            return "one tail upper limit"
-        if self.onetail_lower:
-            return "one tail lower limit"
-        return "none"
-
-    def __str__(self):
-        return f"{self.lower:g} {self.upper:g} {self.limitTag()}"
-
-
-class MargeStats(ParamResults):
-    """Marginalized 1D statistics per parameter (mean, err, limits list);
-    round-trips the .margestats text format."""
-
-    def loadFromFile(self, filename):
-        """Parse a .margestats file."""
-        textFileLines = self.fileList(filename)
-        lims = textFileLines[0].split(":")[1]
-        self.limits = [float(s.strip()) for s in lims.split(";")]
-        self.hasBestFit = False
-        for line in textFileLines[3:]:
-            if len(line.strip()) == 0:
-                break
-            param = ParamInfo()
-            items = [s.strip() for s in line.split(None, len(self.limits) * 3 + 3)]
-            param.name = items[0]
-            if param.name[-1] == "*":
-                param.isDerived = True
-                param.name = param.name[:-1]
-            param.mean = float(items[1])
-            param.err = float(items[2])
-            param.label = items[-1]
-            param.limits = []
-            for i in range(len(self.limits)):
-                param.limits.append(ParamLimit([float(s) for s in items[3 + i * 3 : 5 + i * 3]], items[5 + i * 3]))
-            self.names.append(param)
-
-    def headerLine(self, inc_limits=False):
-        parForm = self.parFormat()
-        text = parForm % "parameter" + "  "
-        text += "%-15s" % "mean"
-        text += "%-15s" % "sddev"
-        for j, limit in enumerate(self.limits):
-            if inc_limits:
-                tag = "_%.0f%%" % (limit * 100)
-                limtxt = "type"
-            else:
-                tag = str(j + 1)
-                limtxt = "limit" + tag
-            text += "%-15s" % ("lower" + tag)
-            text += "%-15s" % ("upper" + tag)
-            text += "%-7s" % limtxt
-        return text, parForm
-
-    def __str__(self):
-        contours_str = "; ".join([str(c) for c in self.limits])
-        header, parForm = self.headerLine()
-        text = "Marginalized limits: %s\n\n" % contours_str
-        text += header
-        text += "\n"
-        for j, par in enumerate(self.names):
-            text += parForm % (self.name(j, True))
-            text += f"{par.mean:15.7E}{par.err:15.7E}"
-            for lim in par.limits:
-                text += "%15.7E%15.7E  %-5s" % (lim.lower, lim.upper, lim.limitTag())
-            text += "   %s\n" % par.label
-        return text
-
-    def saveAsText(self, filename):
-        """Write the .margestats text format."""
-        with open(filename, "w", encoding="utf-8") as f:
-            f.write(str(self))
-
-    def addBestFit(self, bf):
-        self.hasBestFit = True
-        self.logLike = bf.logLike
-        # drop parameters absent from the best fit
-        self.names = [x for x in self.names if bf.parWithName(x.name) is not None]
-        for par in self.names:
-            param = bf.parWithName(par.name)
-            par.best_fit = param.best_fit
-            par.isDerived = param.isDerived
-
-    def limitText(self, limit):
-        txt = str(round(self.limits[limit - 1] * 100.0))
-        if txt.endswith(".0"):
-            txt = txt.split(".")[0]
-        return txt
-
-    def getColumnLabels(self, limit=2):
-        res = ["Best fit"] if self.hasBestFit else []
-        return res + [self.limitText(limit) + "\\% limits"]
-
-    def texValues(self, formatter, p, limit=2, refResults=None, shiftSigma_indep=False, shiftSigma_subset=False):
-        """Tex snippet(s) for one parameter's constraint (reference
-        ``types.py:824-897``): ±limit merging, chi2 special case, one-tail
-        forms, sci-notation wrapping, σ-shift annotations, best fit."""
-        param = self.parWithName(p if not isinstance(p, ParamInfo) else p.name)
-        if param is None:
-            return None
-        lim = param.limits[limit - 1]
-        sf = 3
-        if param.name.startswith("chi2"):
-            # chi2 is very skewed for low dof: always mean ± sigma or dof
-            res, sigma, _ = formatter.numberFormatter.namesigFigs(
-                param.mean, param.err, param.err, wantSign=False, sci=False
-            )
-            if limit == 1:
-                res += r"\pm " + sigma
-            else:
-                res += r"\,({\nu\rm{:}\,%.1f})" % (param.err**2 / 2)
-        elif lim.twotail:
-            if not formatter.numberFormatter.plusMinusLimit(limit, lim.upper - param.mean, lim.lower - param.mean):
-                res, plus_str, _, exponent = formatter.numberFormatter.namesigFigs(
-                    param.mean, param.err, param.err, wantSign=False, sci=True
-                )
-                res += r"\pm " + plus_str
-            else:
-                res, plus_str, minus_str, exponent = formatter.numberFormatter.namesigFigs(
-                    param.mean, lim.upper - param.mean, lim.lower - param.mean, sci=True
-                )
-                res += "^{" + plus_str + "}_{" + minus_str + "}"
-            if exponent:
-                res = r"\left(\,%s\,\right)" % res + times_ten_power(exponent)
-        elif lim.onetail_upper:
-            res, exponent = formatter.numberFormatter.formatNumber(lim.upper, sf, sci=True)
-            res = "< " + res
-            if exponent:
-                res += times_ten_power(exponent)
-        elif lim.onetail_lower:
-            res, exponent = formatter.numberFormatter.formatNumber(lim.lower, sf, sci=True)
-            res = "> " + res
-            if exponent:
-                res += times_ten_power(exponent)
-        else:
-            res = formatter.noConstraint
-        if refResults is not None and res != formatter.noConstraint:
-            refVal = refResults.parWithName(param.name)
-            if refVal is not None:
-                delta = param.mean - refVal.mean
-                if shiftSigma_indep or shiftSigma_subset:
-                    res += r"\quad("
-                    if shiftSigma_subset:
-                        subset_sigma = np.sqrt(abs(param.err**2 - refVal.err**2))
-                        res += "%+.1f \\sigma_s" % (delta / max(subset_sigma, refVal.err / 20))
-                    if shiftSigma_indep:
-                        indep_sigma = np.sqrt(param.err**2 + refVal.err**2)
-                        res += ", %+.1f \\sigma_i" % (delta / indep_sigma)
-                    res += ")"
-                else:
-                    res += r"\quad(%+.1f \sigma)" % (delta / refVal.err)
-        if self.hasBestFit:
-            rangew = (lim.upper - lim.lower) / 10
-            bestfit, _, _, exponent = formatter.numberFormatter.namesigFigs(param.best_fit, rangew, -rangew, sci=True)
-            if exponent:
-                bestfit += times_ten_power(exponent)
-            return [res, bestfit]
-        return [res]
-
-
-class LikeStats(ParamResults):
-    """Posterior statistics: best-fit sample, likelihood moments, and
-    per-parameter extrema of the N-D confidence regions."""
-
-    def loadFromFile(self, filename):
-        """Parse the summary block of a .likestats file."""
-        textFileLines = self.fileList(filename)
-        results = dict()
-        for line in textFileLines:
-            if len(line.strip()) == 0:
-                break
-            name, value = (x.strip() for x in line.split("="))
-            results[name] = float(value)
-        self.logLike_sample = results.get("Best fit sample -log(Like)")
-        self.logMeanInvLike = results.get("Ln(mean 1/like)")
-        self.meanLogLike = results.get("mean(-Ln(like))")
-        self.logMeanLike = results.get("-Ln(mean like)")
-        self.complexity = results.get("complexity")
-        twiceVarLogLike = results.get("2*Var(Ln(like))")
-        self.varLogLike = 0.5 * twiceVarLogLike if twiceVarLogLike is not None else None
-
-    def likeSummary(self):
-        text = "Best fit sample -log(Like) = %f\n" % self.logLike_sample
-        if self.logMeanInvLike:
-            text += "Ln(mean 1/like) = %f\n" % self.logMeanInvLike
-        text += "mean(-Ln(like)) = %f\n" % self.meanLogLike
-        text += "-Ln(mean like)  = %f\n" % self.logMeanLike
-        text += "2*Var(Ln(like)) = %f\n" % (self.varLogLike * 2.0)
-        return text
-
-    def headerLine(self):
-        return self.parFormat() % "parameter" + "  bestfit        lower1         upper1         lower2         upper2\n"
-
-    def __str__(self):
-        text = self.likeSummary()
-        parForm = self.parFormat()
-        if len(self.names):
-            text += "\n"
-            text += self.headerLine()
-            for j, par in enumerate(self.names):
-                if par.ND_limit_bot.size < 2:
-                    raise Exception("Likestats output assumes at least two contour levels")
-                text += parForm % (self.name(j, True))
-                text += (
-                    f"{par.bestfit_sample:15.7E}{par.ND_limit_bot[0]:15.7E}{par.ND_limit_top[0]:15.7E}"
-                    f"{par.ND_limit_bot[1]:15.7E}{par.ND_limit_top[1]:15.7E}   {par.label}\n"
-                )
-        return text
-
-    def saveAsText(self, filename):
-        """Write the .likestats text format."""
-        with open(filename, "w", encoding="utf-8") as f:
-            f.write(str(self))
-
-
-class ConvergeStats(ParamResults):
-    """Parser for .converge files (R-1 eigenvalues, autocorrelation table)."""
-
-    def loadFromFile(self, filename):
-        try:
-            textFileLines = self.fileList(filename)
-            self.R_eigs = []
-            for i in range(len(textFileLines)):
-                if textFileLines[i].find("var(mean)") >= 0:
-                    for line in textFileLines[i + 1 :]:
-                        if len(line.strip()) == 0:
-                            break
-                        try:
-                            self.R_eigs.append(line.split()[1])
-                        except Exception:
-                            self.R_eigs.append("1e30")
-                elif "Parameter auto-correlations" in textFileLines[i]:
-                    self.auto_correlation_steps = [int(s) for s in textFileLines[i + 2].split()]
-                    self.auto_correlations = []
-                    self.auto_correlation_pars = []
-                    for line in textFileLines[i + 3 :]:
-                        if len(line.strip()) == 0:
-                            break
-                        items = line.split(None, len(self.auto_correlation_steps) + 1)
-                        self.auto_correlation_pars.append(items[0])
-                        self.auto_correlations.append([float(s) for s in items[1:-1]])
-        except Exception:
-            print("Error reading: " + filename)
-            raise
-
-    def worstR(self, default=None):
-        return self.R_eigs[len(self.R_eigs) - 1] if self.R_eigs else default

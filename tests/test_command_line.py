@@ -132,3 +132,33 @@ def test_cli_end_to_end_byte_parity(tmp_path, reference_getdist, capsys, monkeyp
     assert out_mine == out_ref
     for ext, data in mine_files.items():
         assert (tmp_path / ("run" + ext)).read_bytes() == data, ext
+
+
+def test_emitted_plot_scripts_execute(tmp_path, monkeypatch):
+    """Plot scripts written by the CLI run end-to-end from a relative
+    chain_dir and produce figures (regression: get_chain_root_files
+    double-joined relative rootdirs -> FileNotFoundError 'chains/chains')."""
+    import subprocess
+    import types as _types
+
+    import numpy as np
+
+    from getdist_tpu.command_line import getdist_script
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((8000, 3))
+    mc = MCSamples(samples=x, names=["a", "b", "c"])
+    monkeypatch.chdir(tmp_path)
+    mc.saveChainsAsText("chains/run", make_dirs=True)
+    (tmp_path / "opts.ini").write_text("file_root = chains/run\ntriangle_plot = T\n")
+    args = _types.SimpleNamespace(ini_file="opts.ini", chain_root=None, ignore_rows=None, make_plots=False)
+    getdist_script(args, exit_on_error=False)
+    script = tmp_path / "run_tri.py"
+    assert script.exists()
+    env = dict(os.environ, MPLBACKEND="Agg", PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, str(script)], cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert (tmp_path / "run_tri.pdf").exists()
