@@ -25,11 +25,42 @@ import numpy as np
 import jax.numpy as jnp
 
 from getdist_tpu.ops import autoConvolve
+from getdist_tpu.ops.fft import next_fast_len as _np_next_fast_len
 from getdist_tpu.ops import stats as _stats
 from getdist_tpu.paramnames import ParamInfo, ParamNames, escapeLatex
 
 # Whether to print chain names and burn-in details when loading from file.
 print_load_details = True
+
+# Per-call statistics (autocorrelation FFTs, adaptive-lag N_eff terms, sorts)
+# run on the host by default: each is a one-shot op where a device dispatch
+# (plus possible remote jit compile) costs far more than the computation.
+# GETDIST_TPU_DEVICE_OPS=1 forces the device kernels (useful when the
+# accelerator is local). Bulk fused pipelines are always device-resident.
+_use_device_ops = bool(os.environ.get("GETDIST_TPU_DEVICE_OPS"))
+
+
+def _autoconvolve_host(d, n):
+    """Host twin of ops.autoConvolve with normalize=True: each lag k is
+    divided by its number of overlapping terms (reference convolve.py:477)."""
+    s = _np_next_fast_len(2 * d.shape[0])
+    spec = np.fft.rfft(d, s)
+    res = np.fft.irfft(spec * np.conj(spec), s)[:n]
+    return res / np.arange(d.shape[0], d.shape[0] - n, -1)
+
+
+def _kde_lag_term_host(d, w, k, kernel_std):
+    """Host twin of ops.stats.kde_lag_correlation."""
+    diff = d[:-k] - d[k:]
+    return float(np.sum(np.exp(-(diff**2) / (4.0 * kernel_std**2)) * w[:-k] * w[k:]))
+
+
+def _kde_lag_term_2d_host(d1, d2, w, k, kernel_inv):
+    """Host twin of ops.stats.kde_lag_correlation_2d."""
+    e1 = d1[:-k] - d1[k:]
+    e2 = d2[:-k] - d2[k:]
+    m = kernel_inv[0, 0] * e1**2 + 2 * kernel_inv[0, 1] * e1 * e2 + kernel_inv[1, 1] * e2**2
+    return float(np.sum(np.exp(-m / 4.0) * w[:-k] * w[k:]))
 
 _int_types = (int, np.integer)
 
@@ -464,7 +495,10 @@ class WeightedSamples:
         if maxOff is None:
             maxOff = self.n - 1
         d = self.mean_diff(paramVec) * self.weights
-        corr = np.array(autoConvolve(jnp.asarray(d), n=maxOff + 1, normalize=True))
+        if _use_device_ops:
+            corr = np.array(autoConvolve(jnp.asarray(d), n=maxOff + 1, normalize=True))
+        else:
+            corr = _autoconvolve_host(np.asarray(d), maxOff + 1)
         if normalized:
             corr /= self.var(paramVec)
         if weight_units:
@@ -511,13 +545,22 @@ class WeightedSamples:
             maxoff = int(self.getCorrelationLength(d, weight_units=False) * 1.5) + 4
         maxoff = min(maxoff, self.numrows // 10)
 
-        dev_d = jnp.asarray(d)
-        dev_w = jnp.asarray(self.weights)
         n = float(self.numrows)
         uncorr_len = self.numrows // 2
 
-        def raw_term(k):
-            return float(_stats.kde_lag_correlation(dev_d, dev_w, k, kernel_std))
+        if _use_device_ops:
+            dev_d = jnp.asarray(d)
+            dev_w = jnp.asarray(self.weights)
+
+            def raw_term(k):
+                return float(_stats.kde_lag_correlation(dev_d, dev_w, k, kernel_std))
+
+        else:
+            host_d = np.asarray(d, float)
+            host_w = np.asarray(self.weights, float)
+
+            def raw_term(k):
+                return _kde_lag_term_host(host_d, host_w, k, kernel_std)
 
         uncorr_term = self._kde_uncorr_term(raw_term, uncorr_len)
 
@@ -563,7 +606,7 @@ class WeightedSamples:
         cov = self.cov([d1, d2])
         if abs(cov[0, 1]) > np.sqrt(cov[0, 0] * cov[1, 1]) * 0.999:
             return self.getEffectiveSamplesGaussianKDE(i, h=h, min_corr=min_corr)
-        kernel_inv = jnp.asarray(np.linalg.inv(cov) / h**2)
+        kernel_inv = np.linalg.inv(cov) / h**2
         if maxoff is None:
             maxoff = (
                 int(
@@ -577,14 +620,27 @@ class WeightedSamples:
             )
         maxoff = min(maxoff, self.numrows // 10)
 
-        dev_d1 = jnp.asarray(d1)
-        dev_d2 = jnp.asarray(d2)
-        dev_w = jnp.asarray(self.weights)
         n = float(self.numrows)
         uncorr_len = self.numrows // 2
 
-        def raw_term(k):
-            return float(_stats.kde_lag_correlation_2d(dev_d1, dev_d2, dev_w, k, kernel_inv))
+        if _use_device_ops:
+            dev_d1 = jnp.asarray(d1)
+            dev_d2 = jnp.asarray(d2)
+            dev_w = jnp.asarray(self.weights)
+
+            dev_kinv = jnp.asarray(kernel_inv)
+
+            def raw_term(k):
+                return float(_stats.kde_lag_correlation_2d(dev_d1, dev_d2, dev_w, k, dev_kinv))
+
+        else:
+            h_d1 = np.asarray(d1, float)
+            h_d2 = np.asarray(d2, float)
+            h_w = np.asarray(self.weights, float)
+            h_kinv = np.asarray(kernel_inv, float)
+
+            def raw_term(k):
+                return _kde_lag_term_2d_host(h_d1, h_d2, h_w, k, h_kinv)
 
         uncorr_term = self._kde_uncorr_term(raw_term, uncorr_len)
         corr0 = float(np.dot(self.weights, self.weights))
@@ -608,7 +664,10 @@ class WeightedSamples:
         if weights is None:
             weights = self.weights
         paramVec = self._makeParamvec(paramVec)[start:end]
-        indices = np.asarray(jnp.argsort(jnp.asarray(paramVec)))
+        if _use_device_ops:
+            indices = np.asarray(jnp.argsort(jnp.asarray(paramVec)))
+        else:
+            indices = np.argsort(paramVec)
         return ParamConfidenceData(
             paramVec=paramVec,
             norm=np.sum(weights[start:end]),

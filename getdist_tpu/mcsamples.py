@@ -37,7 +37,9 @@ from getdist_tpu.densities import getContourLevels as getImportContourLevels
 from getdist_tpu.inifile import IniFile
 from getdist_tpu.ops.binning import weighted_bincount, weighted_bincount_2d
 from getdist_tpu.ops.convolve import convolve1D as _dev_convolve1D
+from getdist_tpu.ops.convolve import convolve1D_host as _host_convolve1D
 from getdist_tpu.ops.convolve import convolve2D as _dev_convolve2D
+from getdist_tpu.ops.convolve import convolve2D_host as _host_convolve2D
 from getdist_tpu.paramnames import ParamInfo, ParamNames
 from getdist_tpu.parampriors import ParamBounds
 
@@ -56,13 +58,41 @@ class BandwidthError(MCSamplesError):
     """KDE bandwidth determination failure."""
 
 
+# The parity path's per-call ops act on few-hundred-bin grids where one
+# device dispatch (plus a per-shape jit compile through a remote-compile
+# tunnel) costs orders of magnitude more than the op itself, so they run on
+# the host by default; GETDIST_TPU_DEVICE_OPS=1 forces the device versions
+# (useful when the accelerator is local and the chain is device-resident).
+# The fused bulk pipelines (ops.batched / fastTriangleDensities) are always
+# device-resident.
+_use_device_ops = bool(os.environ.get("GETDIST_TPU_DEVICE_OPS"))
+
+
 def convolve1D(x, y, mode, cache=None, cache_args=None, largest_size=0):
-    # Device convolution with host numpy in/out (writable result).
-    return np.array(_dev_convolve1D(jnp.asarray(x), jnp.asarray(y), mode, largest_size=largest_size))
+    if _use_device_ops:
+        return np.array(_dev_convolve1D(jnp.asarray(x), jnp.asarray(y), mode, largest_size=largest_size))
+    return _host_convolve1D(x, y, mode, largest_size=largest_size)
 
 
 def convolve2D(x, y, mode, largest_size=0, cache=None, cache_args=None):
-    return np.array(_dev_convolve2D(jnp.asarray(x), jnp.asarray(y), mode, largest_size=largest_size))
+    if _use_device_ops:
+        return np.array(_dev_convolve2D(jnp.asarray(x), jnp.asarray(y), mode, largest_size=largest_size))
+    return _host_convolve2D(x, y, mode, largest_size=largest_size)
+
+
+def _bincount(ix, weights, nbins):
+    """Weighted histogram for the parity path (host by default)."""
+    if _use_device_ops:
+        return np.array(weighted_bincount(jnp.asarray(ix), jnp.asarray(weights), nbins))
+    return np.bincount(np.asarray(ix), weights=np.asarray(weights), minlength=nbins)
+
+
+def _bincount2d(ixs, iys, weights, xsize, ysize):
+    """Weighted 2D histogram (rows = y) for the parity path."""
+    if _use_device_ops:
+        return np.array(weighted_bincount_2d(jnp.asarray(ixs), jnp.asarray(iys), jnp.asarray(weights), xsize, ysize))
+    flat = np.bincount(np.asarray(iys) * xsize + np.asarray(ixs), weights=np.asarray(weights), minlength=xsize * ysize)
+    return flat.reshape((ysize, xsize))
 
 
 def loadMCSamples(
@@ -1135,9 +1165,9 @@ class MCSamples(Chains):
         if meanlikes:
             likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
             # np.array: normalized in place below (device arrays view read-only)
-            binNDlikes = np.array(
-                weighted_bincount(jnp.asarray(flatixv), jnp.asarray(likeweights), int(np.prod(xsizev)))
-            ).reshape(xsizev[::-1], order="C")
+            binNDlikes = np.array(_bincount(flatixv, likeweights, int(np.prod(xsizev)))).reshape(
+                xsizev[::-1], order="C"
+            )
         else:
             binNDlikes = None
 
@@ -1287,9 +1317,7 @@ class MCSamples(Chains):
             raise ValueError("flatten/unflatten inconsistent")
         # np.array (not asarray): device arrays give read-only views, and the
         # caller divides the histogram in place by the edge mask
-        hist = np.array(
-            weighted_bincount(jnp.asarray(flatixv), jnp.asarray(self.weights), int(np.prod(xsizes)))
-        ).reshape(xsizes[::-1], order="C")
+        hist = np.array(_bincount(flatixv, self.weights, int(np.prod(xsizes)))).reshape(xsizes[::-1], order="C")
         return hist, flatixv
 
     def _unflattenValues(self, q, xsizes):
@@ -1399,9 +1427,7 @@ class MCSamples(Chains):
         if meanlikes:
             likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
             # np.array: mutated in place below (device arrays view read-only)
-            finebinlikes = np.array(
-                weighted_bincount(jnp.asarray(flatix), jnp.asarray(likeweights), xsize * ysize)
-            ).reshape((ysize, xsize))
+            finebinlikes = np.array(_bincount(flatix, likeweights, xsize * ysize)).reshape((ysize, xsize))
 
         # rx/ry are in fine-bin units
         if smooth_scale_2D < 0:
@@ -1570,9 +1596,7 @@ class MCSamples(Chains):
 
     def _make2Dhist(self, ixs, iys, xsize, ysize):
         flatix = ixs + iys * xsize
-        hist = np.asarray(
-            weighted_bincount_2d(jnp.asarray(ixs), jnp.asarray(iys), jnp.asarray(self.weights), xsize, ysize)
-        )
+        hist = np.asarray(_bincount2d(ixs, iys, self.weights, xsize, ysize))
         return hist, flatix
 
     def _getScaleForParam(self, par):
@@ -1635,8 +1659,7 @@ class MCSamples(Chains):
         width = paramrange / (num_bins - 1)
 
         bin_indices, fine_width, binmin, binmax = self._binSamples(self.samples[:, j], par, fine_bins)
-        dev_weights = jnp.asarray(self.weights)
-        bins = np.asarray(weighted_bincount(jnp.asarray(bin_indices), dev_weights, fine_bins))
+        bins = np.asarray(_bincount(bin_indices, self.weights, fine_bins))
 
         if meanlikes:
             if self.shade_likes_is_mean_loglikes:
@@ -1644,7 +1667,7 @@ class MCSamples(Chains):
             else:
                 w = self.weights * np.exp(self.mean_loglike - self.loglikes)
             # np.array: mutated in place below (device arrays view read-only)
-            finebinlikes = np.array(weighted_bincount(jnp.asarray(bin_indices), jnp.asarray(w), fine_bins))
+            finebinlikes = np.array(_bincount(bin_indices, w, fine_bins))
 
         if smooth_scale_1D <= 0:
             # automatic bandwidth (periodic treated like bounded here; the

@@ -18,6 +18,8 @@ Modes follow the reference semantics exactly:
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -246,3 +248,107 @@ def convolveGaussianTrunc(x, sigma, sigma_range=4.0, mode="same"):
     elif mode == "valid":
         return res[2 * fill : -2 * fill] if fill else res
     raise ValueError(f"unknown convolution mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# host (numpy) twins — the parity path's per-pair convolutions run on grids
+# of a few hundred bins where one remote device dispatch (+ a per-shape jit
+# compile) costs orders of magnitude more than the FFT itself; see
+# docs/performance.md. Same padding/slicing semantics as the jit versions.
+# ---------------------------------------------------------------------------
+
+
+def convolveFFT_host(x, y, mode="same", largest_size=0):
+    """numpy twin of :func:`convolveFFT`."""
+    size = x.shape[0] + y.shape[0] - 1
+    fsize = next_fast_len(max(largest_size, size))
+    res = np.fft.irfft(np.fft.rfft(x, fsize) * np.fft.rfft(y, fsize), fsize)[:size]
+    if mode == "same":
+        start = (y.shape[0] - 1) // 2
+        return res[start : start + x.shape[0]]
+    elif mode == "full":
+        return res
+    elif mode == "valid":
+        return res[y.shape[0] - 1 : x.shape[0]]
+    raise ValueError(f"unknown convolution mode {mode!r}")
+
+
+def convolveFFTn_host(in1, in2, mode="same", largest_size=0):
+    """numpy twin of :func:`convolveFFTn`."""
+    s1, s2 = in1.shape, in2.shape
+    size = tuple(a + b - 1 for a, b in zip(s1, s2))
+    fsize = tuple(next_fast_len(max(largest_size, s)) for s in size)
+    axes = tuple(range(-len(fsize), 0))
+    ret = np.fft.irfftn(np.fft.rfftn(in1, fsize, axes) * np.fft.rfftn(in2, fsize, axes), fsize, axes)[
+        tuple(slice(0, s) for s in size)
+    ]
+    if mode == "full":
+        return ret
+    elif mode == "same":
+        slices = tuple(slice((cur - new) // 2, (cur - new) // 2 + new) for cur, new in zip(ret.shape, s1))
+        return ret[slices]
+    elif mode == "valid":
+        newshape = tuple(a - b + 1 for a, b in zip(s1, s2))
+        slices = tuple(slice((cur - new) // 2, (cur - new) // 2 + new) for cur, new in zip(ret.shape, newshape))
+        return ret[slices]
+    raise ValueError(f"unknown convolution mode {mode!r}")
+
+
+def convolve1D_periodic_host(x, y):
+    """numpy twin of :func:`convolve1D_periodic`."""
+    x_circ = np.array(x[:-1])
+    x_circ[0] += x[-1]
+    n = x_circ.shape[0]
+    m = y.shape[0]
+    hpad = np.zeros(n, dtype=np.asarray(y).dtype)
+    hpad[:m] = y
+    hpad = np.roll(hpad, -(m // 2))
+    res = np.fft.irfft(np.fft.rfft(x_circ) * np.fft.rfft(hpad), n)
+    return np.concatenate([res, res[:1]])
+
+
+def convolve2D_periodic_host(x, y, periodic_x=True, periodic_y=True):
+    """numpy twin of :func:`convolve2D_periodic`."""
+    if not (periodic_x or periodic_y):
+        return convolveFFTn_host(x, y, "same")
+    ky, kx = y.shape
+    if periodic_x and periodic_y:
+        x_circ = np.array(x[:-1, :-1])
+        x_circ[0, :] += x[-1, :-1]
+        x_circ[:, 0] += x[:-1, -1]
+        x_circ[0, 0] += x[-1, -1]
+    elif periodic_x:
+        x_circ = np.array(x[:, :-1])
+        x_circ[:, 0] += x[:, -1]
+    else:
+        x_circ = np.array(x[:-1, :])
+        x_circ[0, :] += x[-1, :]
+    n_y, n_x = x_circ.shape
+    hpad = np.zeros((n_y, n_x), dtype=np.asarray(y).dtype)
+    hpad[:ky, :kx] = y
+    hpad = np.roll(hpad, -(ky // 2), axis=0)
+    hpad = np.roll(hpad, -(kx // 2), axis=1)
+    res = np.fft.irfftn(np.fft.rfftn(x_circ) * np.fft.rfftn(hpad), (n_y, n_x), axes=(0, 1))
+    if periodic_x:
+        res = np.concatenate([res, res[:, :1]], axis=1)
+    if periodic_y:
+        res = np.concatenate([res, res[:1, :]], axis=0)
+    return res
+
+
+def convolve1D_host(x, y, mode, largest_size=0, cache=None, cache_args=None):
+    """Host dispatcher matching :func:`convolve1D`."""
+    if mode == "periodic":
+        return convolve1D_periodic_host(x, y)
+    return convolveFFT_host(np.asarray(x, float), np.asarray(y, float), mode, largest_size=largest_size)
+
+
+def convolve2D_host(x, y, mode, largest_size=0, cache=None, cache_args=None):
+    """Host dispatcher matching :func:`convolve2D`."""
+    if mode in ("periodic", "periodic_both"):
+        return convolve2D_periodic_host(x, y, periodic_x=True, periodic_y=True)
+    elif mode == "periodic_x":
+        return convolve2D_periodic_host(x, y, periodic_x=True, periodic_y=False)
+    elif mode == "periodic_y":
+        return convolve2D_periodic_host(x, y, periodic_x=False, periodic_y=True)
+    return convolveFFTn_host(np.asarray(x, float), np.asarray(y, float), mode, largest_size)
