@@ -415,9 +415,17 @@ def prepare_chain(samples, weights, dtype=jnp.float32):
     return jnp.asarray(samples, dtype=dtype), jnp.asarray(weights, dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order"))
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "axis_name"))
 def all_1d_densities(
-    samples, weights, fine_bins=1024, mult_bias_order=1, limits_lo=None, limits_hi=None, periodic=None
+    samples,
+    weights,
+    fine_bins=1024,
+    mult_bias_order=1,
+    limits_lo=None,
+    limits_hi=None,
+    periodic=None,
+    axis_name=None,
+    neff_override=None,
 ):
     """All marginalized 1D densities in one program.
 
@@ -437,6 +445,11 @@ def all_1d_densities(
     both limits) smooth circularly with period fine_bins-1 (the wrap bin is
     folded, as in the reference's periodic convolution mode) and skip
     boundary corrections.
+
+    axis_name: when called inside shard_map with samples sharded on that
+    mesh axis, all sample reductions psum/pmin/pmax across shards and the
+    grid-local stages run replicated; ``neff_override`` must then supply
+    the effective sample sizes (the lag estimator is shard-local).
     """
     n, p = samples.shape
     has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
@@ -445,20 +458,27 @@ def all_1d_densities(
     if limits_hi is None:
         limits_hi = jnp.full((p,), jnp.nan, samples.dtype)
     per = jnp.zeros((p,), bool) if periodic is None else jnp.asarray(periodic)
+
+    def _ps(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
     cols = samples.T  # (P, N)
-    norm = jnp.sum(weights)
-    means = cols @ weights / norm
-    variances = (cols - means[:, None]) ** 2 @ weights / norm
+    norm = _ps(jnp.sum(weights))
+    means = _ps(cols @ weights) / norm
+    variances = _ps((cols - means[:, None]) ** 2 @ weights) / norm
     sigmas = jnp.sqrt(variances)
 
     # ranges from histogram quantiles
     mins = jnp.min(cols, axis=1)
     maxs = jnp.max(cols, axis=1)
+    if axis_name:
+        mins = jax.lax.pmin(mins, axis_name)
+        maxs = jax.lax.pmax(maxs, axis_name)
     spans = maxs - mins
     qwidth = spans / _QBINS
 
     qix = jnp.clip(((cols - mins[:, None]) / qwidth[:, None]).astype(jnp.int32), 0, _QBINS - 1)
-    qhists = _onehot_hist_rows(qix, weights, _QBINS)
+    qhists = _ps(_onehot_hist_rows(qix, weights, _QBINS))
     range_conf = 0.001
     probs = jnp.array([range_conf, 1 - range_conf])
     quants = jax.vmap(_quantiles_from_hist, in_axes=(0, 0, 0, None))(qhists, mins, qwidth, probs)
@@ -482,10 +502,14 @@ def all_1d_densities(
     fine_ix = jnp.clip(
         (((cols - binmin[:, None]) / fine_width[:, None]) + 0.5).astype(jnp.int32), 0, fine_bins - 1
     )
-    bins = _onehot_hist_rows(fine_ix, weights, fine_bins)  # (P, fine_bins)
+    bins = _ps(_onehot_hist_rows(fine_ix, weights, fine_bins))  # (P, fine_bins)
 
     # N_eff and ISJ bandwidths
-    neff = _neff_kde_batch(cols, weights, sigmas, _lag_grid(n))
+    if neff_override is not None:
+        neff = neff_override
+    else:
+        assert axis_name is None, "sharded calls must pass neff_override"
+        neff = _neff_kde_batch(cols, weights, sigmas, _lag_grid(n))
     h_frac, ok = jax.vmap(_isj_bandwidth_1d)(bins, neff)
     fallback = 1.06 * sigmas * neff ** (-1.0 / 5) / (binmax - binmin)
     h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
@@ -617,7 +641,7 @@ def all_1d_densities(
     }
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas", "static_pairs"))
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas", "static_pairs", "axis_name"))
 def all_2d_densities(
     samples,
     weights,
@@ -635,6 +659,7 @@ def all_2d_densities(
     active_lo=None,
     active_hi=None,
     periodic=None,
+    axis_name=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -648,11 +673,15 @@ def all_2d_densities(
     multiplicative bias iteration -> contour levels by bisection.
     """
     n, p = samples.shape
+
+    def _ps2(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
     cols = samples.T
-    norm = jnp.sum(weights)
-    means = cols @ weights / norm
+    norm = _ps2(jnp.sum(weights))
+    means = _ps2(cols @ weights) / norm
     diffs = cols - means[:, None]
-    cov = (diffs * weights[None, :]) @ diffs.T / norm
+    cov = _ps2((diffs * weights[None, :]) @ diffs.T) / norm
     sd = jnp.sqrt(jnp.diagonal(cov))
     corr_mat = cov / jnp.outer(sd, sd)
 
@@ -681,12 +710,13 @@ def all_2d_densities(
             )
         else:
             hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
+        hists = _ps2(hists)
     else:
 
         def pair_hist(ab):
             return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights)
 
-        hists = jax.lax.map(pair_hist, (pair_a, pair_b))  # (K, 256, 256)
+        hists = _ps2(jax.lax.map(pair_hist, (pair_a, pair_b)))  # (K, 256, 256)
 
     pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
     # vmap (not lax.map): all pairs bisect in lockstep so each psi

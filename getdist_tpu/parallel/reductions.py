@@ -24,7 +24,13 @@ from getdist_tpu.ops.batched import (
 )
 from getdist_tpu.parallel.mesh import SAMPLE_AXIS
 
-__all__ = ["sharded_moments", "sharded_hist_1d", "sharded_pair_hists", "sharded_triangle_step"]
+__all__ = [
+    "sharded_moments",
+    "sharded_hist_1d",
+    "sharded_pair_hists",
+    "sharded_triangle_step",
+    "sharded_triangle_densities",
+]
 
 
 def sharded_moments(mesh, samples, weights):
@@ -175,3 +181,54 @@ def sharded_triangle_step(mesh, samples, weights, pair_a, pair_b, fine_bins=128,
         return dens1, dens2
 
     return _step(samples, weights, pair_a, pair_b)
+
+
+def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), use_pallas=False, interpret=False):
+    """The FULL fused triangle pipeline on a sample-sharded mesh: identical
+    algorithm to :func:`getdist_tpu.ops.batched.triangle_densities` (ISJ
+    bisection bandwidths, batched FFT convolutions, bias corrections,
+    water-level contours) with every sample reduction psum'd over ICI and
+    the grid-local stages replicated per device.
+
+    The effective sample sizes use the sharded weight proxy
+    norm^2 / psum(w^2) (the lag estimator needs cross-shard sample pairs);
+    single-chip results with the same proxy match to fp-reduction order.
+    Returns the (d1, d2) dicts (replicated).
+    """
+    from getdist_tpu.ops.batched import all_1d_densities, all_2d_densities
+
+    samples = jnp.asarray(samples, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    p = samples.shape[1]
+    pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
+    pa = jnp.asarray(pairs[:, 0])
+    pb = jnp.asarray(pairs[:, 1])
+    cont = jnp.asarray(np.array(contours, np.float32))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(SAMPLE_AXIS, None), P(SAMPLE_AXIS), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _run(s, w, pa_, pb_, cont_):
+        norm = jax.lax.psum(jnp.sum(w), SAMPLE_AXIS)
+        neff = jnp.broadcast_to(norm**2 / jax.lax.psum(jnp.sum(w * w), SAMPLE_AXIS), (p,))
+        d1 = all_1d_densities(s, w, axis_name=SAMPLE_AXIS, neff_override=neff)
+        d2 = all_2d_densities(
+            s,
+            w,
+            pa_,
+            pb_,
+            d1["neff"],
+            d1["range"][0],
+            d1["range"][1],
+            cont_,
+            use_pallas=use_pallas,
+            static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
+            axis_name=SAMPLE_AXIS,
+        )
+        return d1, d2
+
+    return jax.jit(_run)(samples, weights, pa, pb, cont)

@@ -112,3 +112,34 @@ def test_sharded_pair_hists_pallas_matches_xla():
     ref = np.asarray(sharded_pair_hists(mesh, ix, w, pa, pb))
     got = np.asarray(sharded_pair_hists(mesh, ix, w, pa, pb, static_pairs=tuple(pairs), interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_triangle_densities_matches_single_device():
+    """Full fused pipeline under shard_map equals the single-device path
+    given the same N_eff proxy (fp-reduction-order tolerance)."""
+    import jax.numpy as jnp
+
+    from getdist_tpu.ops import batched
+    from getdist_tpu.parallel.mesh import make_mesh
+    from getdist_tpu.parallel.reductions import sharded_triangle_densities
+
+    rng = np.random.RandomState(8)
+    n, p = 8 * 4000, 4
+    s = rng.standard_normal((n, p)).astype(np.float32)
+    w = rng.randint(1, 4, n).astype(np.float32)
+    mesh = make_mesh()
+    d1s, d2s = sharded_triangle_densities(mesh, s, w)
+
+    # single-device with the same weight-proxy neff
+    sj, wj = jnp.asarray(s), jnp.asarray(w)
+    neff = jnp.broadcast_to(jnp.sum(wj) ** 2 / jnp.sum(wj * wj), (p,))
+    d1 = batched.all_1d_densities(sj, wj, neff_override=neff)
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+    pa = jnp.asarray(np.array([a for a, _ in pairs], np.int32))
+    pb = jnp.asarray(np.array([b for _, b in pairs], np.int32))
+    cont = jnp.asarray(np.array([0.68, 0.95], np.float32))
+    d2 = batched.all_2d_densities(sj, wj, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], cont)
+
+    np.testing.assert_allclose(np.asarray(d1s["P"]), np.asarray(d1["P"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d2s["P"]), np.asarray(d2["P"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(d2s["contours"]), np.asarray(d2["contours"]), rtol=2e-3)
