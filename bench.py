@@ -57,6 +57,7 @@ def run_ours(samples, weights, repeats=3):
 
     dev_s, dev_w = batched.prepare_chain(samples, weights)
     use_pallas = jax.default_backend() != "cpu"
+    int8_weights = bool(np.all(weights == np.round(weights)) and weights.min() >= 0 and weights.max() <= 127)
     p = dev_s.shape[1]
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
     pa = jnp.asarray(pairs[:, 0])
@@ -68,6 +69,7 @@ def run_ours(samples, weights, repeats=3):
         d2 = batched.all_2d_densities(
             dev_s, dev_w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], contours,
             use_pallas=use_pallas, static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
+            int8_weights=int8_weights,
         )
         return d1, d2
 

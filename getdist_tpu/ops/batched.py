@@ -641,7 +641,10 @@ def all_1d_densities(
     }
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas", "static_pairs", "axis_name"))
+@partial(
+    jax.jit,
+    static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas", "static_pairs", "axis_name", "int8_weights"),
+)
 def all_2d_densities(
     samples,
     weights,
@@ -660,6 +663,7 @@ def all_2d_densities(
     active_hi=None,
     periodic=None,
     axis_name=None,
+    int8_weights=False,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -706,7 +710,13 @@ def all_2d_densities(
         if static_pairs is not None:
             grp_a, grp_b, inv = group_pairs(static_pairs)
             hists = pair_histograms_grouped(
-                ix_pm, w_pad, jnp.asarray(grp_a), jnp.asarray(grp_b), jnp.asarray(inv), block=block
+                ix_pm,
+                w_pad,
+                jnp.asarray(grp_a),
+                jnp.asarray(grp_b),
+                jnp.asarray(inv),
+                block=block,
+                int8_weights=int8_weights,
             )
         else:
             hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
@@ -867,6 +877,9 @@ def triangle_densities(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    # integer weights in [0, 127] unlock the exact int8 MXU histogram path
+    w_host = np.asarray(weights)
+    int8_weights = bool(w_host.size and np.all(w_host == np.round(w_host)) and 0 <= w_host.min() and w_host.max() <= 127)
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
     has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
@@ -898,5 +911,6 @@ def triangle_densities(
         active_lo=d1["active_lo"] if has_limits else None,
         active_hi=d1["active_hi"] if has_limits else None,
         periodic=per,
+        int8_weights=int8_weights,
     )
     return d1, d2

@@ -127,7 +127,7 @@ def group_pairs(pairs, group=8):
     return np.array(grp_a, np.int32), np.array(grp_b, np.int32), inv
 
 
-def _make_grouped_kernel(group, block):
+def _make_grouped_kernel(group, block, int8_weights=False):
     def kernel(cols_ref, w_ref, out_ref):
         i = pl.program_id(1)
 
@@ -136,30 +136,45 @@ def _make_grouped_kernel(group, block):
             out_ref[...] = jnp.zeros_like(out_ref)
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
-        wb = w_ref[:, 0].astype(jnp.bfloat16)[:, None]
+        col_b = cols_ref[0, group].astype(jnp.int32)
         # one shared weighted b-side one-hot per step (the win over the
         # ungrouped kernel: 1 + G one-hot builds instead of 2G, one weight
         # multiply instead of G)
-        col_b = cols_ref[0, group].astype(jnp.int32)
-        weighted_b = (col_b[:, None] == lanes).astype(jnp.bfloat16) * wb
+        if int8_weights:
+            # int8 MXU runs at 2x the bf16 rate; int8*int8 elementwise
+            # multiply is unsupported in Mosaic, so weight via int32
+            w32 = w_ref[:, 0].astype(jnp.int32)[:, None]
+            weighted_b = ((col_b[:, None] == lanes).astype(jnp.int32) * w32).astype(jnp.int8)
+        else:
+            wb = w_ref[:, 0].astype(jnp.bfloat16)[:, None]
+            weighted_b = (col_b[:, None] == lanes).astype(jnp.bfloat16) * wb
+        oh_dtype = jnp.int8 if int8_weights else jnp.bfloat16
+        acc_dtype = jnp.int32 if int8_weights else jnp.float32
         for j in range(group):
             col_a = cols_ref[0, j].astype(jnp.int32)
-            onehot_a = (col_a[:, None] == lanes).astype(jnp.bfloat16)
+            onehot_a = (col_a[:, None] == lanes).astype(oh_dtype)
             out_ref[0, j] += jax.lax.dot_general(
-                weighted_b, onehot_a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                weighted_b, onehot_a, (((0,), (0,)), ((), ())), preferred_element_type=acc_dtype
             )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "group", "interpret"))
-def pair_histograms_grouped(ix_pm, weights, grp_a, grp_b, inv_perm, block=4096, group=8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("block", "group", "interpret", "int8_weights"))
+def pair_histograms_grouped(
+    ix_pm, weights, grp_a, grp_b, inv_perm, block=4096, group=8, interpret=False, int8_weights=False
+):
     """b-anchored variant of :func:`pair_histograms`: ~1.4x faster when the
     pair list is known statically (use :func:`group_pairs` host-side).
 
     ix_pm: (P, N) uint8 fine-bin indices, parameter-major; grp_a (Kg, group),
-    grp_b (Kg,), inv_perm (K,) from group_pairs. Returns (K, 256, 256) in
-    original pair order. N must be a multiple of ``block``.
+    grp_b (Kg,), inv_perm (K,) from group_pairs. Returns (K, 256, 256) f32
+    in original pair order. N must be a multiple of ``block``.
+
+    int8_weights: when all weights are integers in [0, 127], int8 one-hots
+    with int32 accumulation run the dots at 2x the bf16 MXU rate (measured
+    517 -> 441 ms at 30p/1M on v5e); exact, callers must guarantee the
+    weight range.
     """
     p, n = ix_pm.shape
     assert n % block == 0, "sample count must be a multiple of the block size"
@@ -167,15 +182,16 @@ def pair_histograms_grouped(ix_pm, weights, grp_a, grp_b, inv_perm, block=4096, 
     nrow = 2 * group  # rows: a_0..a_{G-1}, then b replicated to keep 8-row tiling
     rows = jnp.concatenate([grp_a, jnp.broadcast_to(grp_b[:, None], (kg, group))], axis=1)
     cols = jnp.take(ix_pm, rows.reshape(-1), axis=0).reshape(kg, nrow, n)
+    w_in = weights.astype(jnp.int8) if int8_weights else weights
     out = pl.pallas_call(
-        _make_grouped_kernel(group, block),
+        _make_grouped_kernel(group, block, int8_weights),
         grid=(kg, n // block),
         in_specs=[
             pl.BlockSpec((1, nrow, block), lambda kk, ii: (kk, 0, ii), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 1), lambda kk, ii: (ii, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, group, 256, 256), lambda kk, ii: (kk, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kg, group, 256, 256), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kg, group, 256, 256), jnp.int32 if int8_weights else jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 256 * 256 * n * kg * group,
             bytes_accessed=(nrow * ix_pm.dtype.itemsize + 4) * n * kg + 4 * group * 256 * 256 * kg,
@@ -183,5 +199,6 @@ def pair_histograms_grouped(ix_pm, weights, grp_a, grp_b, inv_perm, block=4096, 
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(cols, weights[:, None])
-    return jnp.take(out.reshape(kg * group, 256, 256), inv_perm, axis=0)
+    )(cols, w_in[:, None])
+    out = jnp.take(out.reshape(kg * group, 256, 256), inv_perm, axis=0)
+    return out.astype(jnp.float32) if int8_weights else out

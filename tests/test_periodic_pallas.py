@@ -110,3 +110,23 @@ def test_all_2d_static_pairs_matches_dynamic():
     # grouped-kernel interpret test above; here check static arg plumbs
     stat = batched.all_2d_densities(*args, use_pallas=False, static_pairs=tuple(pairs))
     np.testing.assert_array_equal(np.asarray(dyn["P"]), np.asarray(stat["P"]))
+
+
+def test_pallas_grouped_int8_exact():
+    """int8 MXU histogram variant is exact for integer weights in [0, 127]."""
+    from getdist_tpu.ops.pallas_kernels import group_pairs, pair_histograms_grouped
+
+    rng = np.random.RandomState(2)
+    p, n = 4, 4096
+    ix_pm = jnp.asarray(rng.randint(0, 256, (p, n)).astype(np.uint8))
+    w = jnp.asarray(rng.randint(0, 128, n).astype(np.float32))  # full int8 range incl. 0
+    pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
+    grp_a, grp_b, inv = group_pairs(pairs, group=4)
+    args = (jnp.asarray(grp_a), jnp.asarray(grp_b), jnp.asarray(inv))
+    h8 = np.asarray(pair_histograms_grouped(ix_pm, w, *args, group=4, interpret=True, int8_weights=True))
+    assert h8.dtype == np.float32
+    ixn, wn = np.asarray(ix_pm), np.asarray(w)
+    for k, (a, b) in enumerate(pairs):
+        expect = np.zeros((256, 256))
+        np.add.at(expect, (ixn[b], ixn[a]), wn)
+        np.testing.assert_array_equal(h8[k], expect)
