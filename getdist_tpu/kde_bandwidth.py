@@ -20,6 +20,8 @@ import logging
 import warnings
 
 import numpy as np
+
+from getdist_tpu.ops.fft import dct2d as dct2d  # re-export (reference kde_bandwidth.py:8)
 import scipy.fftpack as _fftpack
 from scipy.optimize import brentq, fsolve, minimize
 

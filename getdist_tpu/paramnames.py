@@ -93,6 +93,12 @@ class ParamInfo:
             raise ValueError("Parameter names must not contain spaces, * or ?")
         self.name = name
 
+    def nameEquals(self, name):
+        """True when ``name`` (a string or ParamInfo) names this parameter.
+        (The reference's version compares its argument to itself,
+        ``paramnames.py:91-95``; this implements the evident intent.)"""
+        return (name.name if isinstance(name, ParamInfo) else name) == self.name
+
     def setFromString(self, line):
         parts = line.split(None, 1)
         name = parts[0]
