@@ -110,15 +110,16 @@ int gdt_parse_chain(const char* path, long skip_rows, double** out_data, long* o
     int fd = open(path, O_RDONLY);
     if (fd < 0) return fail("cannot open file");
     struct stat st;
-    if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    if (fstat(fd, &st) != 0) {
         close(fd);
-        if (st.st_size == 0) {
-            *out_data = nullptr;
-            *out_rows = 0;
-            *out_cols = 0;
-            return 0;
-        }
         return fail("cannot stat file");
+    }
+    if (st.st_size == 0) {
+        close(fd);
+        *out_data = nullptr;
+        *out_rows = 0;
+        *out_cols = 0;
+        return 0;
     }
     const char* data = static_cast<const char*>(mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0));
     close(fd);

@@ -1,25 +1,31 @@
 """Merge .covmat files (earlier inputs take priority where parameters overlap).
 
 Usage: python -m getdist_tpu.covcomb out.covmat in1.covmat in2.covmat [...]
-(reference ``getdist/covcomb.py``).
+(role of reference ``getdist/covcomb.py``).
 """
 
 import sys
 
-from getdist_tpu import covmat
+from getdist_tpu.covmat import CovMat
+
+USAGE = "Usage: python -m getdist_tpu.covcomb out.covmat in1.covmat in2.covmat [in3.covmat...]"
+
+
+def combine_covmats(paths):
+    """Merge covmats left to right; earlier entries win on overlap."""
+    merged = CovMat(paths[0])
+    for path in paths[1:]:
+        print("merging: " + path)
+        merged = merged.mergeCovmatWhereNew(CovMat(path))
+    return merged
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
-        print("Usage: python -m getdist_tpu.covcomb out.covmat in1.covmat in2.covmat [in3.covmat...]")
+        print(USAGE)
         return 1
-    foutname = argv[0]
-    cov = covmat.CovMat(argv[1])
-    for fname in argv[2:]:
-        print("merging: " + fname)
-        cov = cov.mergeCovmatWhereNew(covmat.CovMat(fname))
-    cov.saveToFile(foutname)
+    combine_covmats(argv[1:]).saveToFile(argv[0])
     return 0
 
 

@@ -171,7 +171,7 @@ def _lag_grid(n, max_lag=4096, num=24):
     return tuple(int(k) for k in ks)
 
 
-def _neff_kde_batch(values, weights, sigmas, lags):
+def _neff_kde_batch(values, weights, sigmas, lags, axis_name=None, axis_size=1):
     """Gaussian-KDE effective sample numbers for all parameters.
 
     Approximates the reference estimator (``chains.py:477-574``) on a fixed
@@ -181,30 +181,103 @@ def _neff_kde_batch(values, weights, sigmas, lags):
     single lax.map body with a traced roll shift (an unrolled python loop
     here costs minutes of XLA compile time).
     values: (P, N), sigmas: (P,) fiducial scales. Returns (P,).
+
+    Sharded mode (``axis_name`` set, ``axis_size`` = mesh size): each shard
+    fetches the next shard's first max(lags) columns by ``ppermute`` (the
+    last shard receives zero weights, which exactly zero the out-of-range
+    pair terms), computes its local lag sums over the haloed block, and the
+    per-lag sums are ``psum``'d — so the short-lag pair sums are the true
+    global sums, not a weight proxy. The uncorrelated far-lag baseline
+    (global lag ~ N/2, as the reference uses) pairs each shard with the
+    shard half a mesh away via a second ppermute, so it too sums the same
+    global pairs as the single-device estimator.
     """
     n = values.shape[1]
     min_corr = 0.05
     kernel_std = sigmas * 0.2  # h = 0.2 fiducial kernel fraction
     inv2 = 1.0 / (4.0 * kernel_std**2)
 
+    def _ps(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
+    max_lag = int(max(lags))
+    if axis_name is not None and axis_size > 1:
+        # halo: receive the next shard's leading block; the last shard gets
+        # zeros (no wraparound pairs), whose zero weights kill those terms
+        perm = [(d, d - 1) for d in range(1, axis_size)]
+        halo_v = jax.lax.ppermute(values[:, :max_lag], axis_name, perm)
+        halo_w = jax.lax.ppermute(weights[:max_lag], axis_name, perm)
+        ext_values = jnp.concatenate([values, halo_v], axis=1)
+        ext_weights = jnp.concatenate([weights, halo_w])
+    else:
+        ext_values = values
+        ext_weights = weights
+
+    n_ext = ext_values.shape[1]
+
     def corr_at(k):
-        shifted = jnp.roll(values, -k, axis=1)
-        w_shift = jnp.roll(weights, -k)
-        valid = (jnp.arange(n) < n - k)[None, :]
+        # pairs (i, i+k) for local i in [0, n); in sharded mode i+k indexes
+        # the halo, in local mode the validity mask cuts the wraparound
+        k0 = jnp.zeros((), k.dtype)
+        shifted = jax.lax.dynamic_slice(ext_values, (k0, k), values.shape) if n_ext > n else jnp.roll(
+            values, -k, axis=1
+        )
+        w_shift = jax.lax.dynamic_slice(ext_weights, (k,), (n,)) if n_ext > n else jnp.roll(weights, -k)
+        valid = jnp.ones((1, n), bool) if n_ext > n else (jnp.arange(n) < n - k)[None, :]
         diff2 = (values - shifted) ** 2 * inv2[:, None]
         return jnp.sum(jnp.where(valid, jnp.exp(-diff2) * weights[None, :] * w_shift[None, :], 0.0), axis=1)
 
-    # uncorrelated baseline from 3 lags near n//2
-    base = n // 2
-    base_lags = jnp.asarray(np.array([base, base + 1, base + 2], np.int32))
-    uncorr = jnp.sum(jax.lax.map(corr_at, base_lags), axis=0)
-    nav = 3 * n - (3 * base + 3)
+    # uncorrelated baseline: 5 lags at the global half-length, as the
+    # reference does (chains.py:512-519). Sharded: pair with the shard half
+    # a mesh away so the SAME global pairs are summed.
+    n_base = 5
+    if axis_name is not None and axis_size > 1:
+        half = axis_size // 2
+        far_v = jax.lax.ppermute(values, axis_name, [(d, d - half) for d in range(half, axis_size)])
+        far_w = jax.lax.ppermute(weights, axis_name, [(d, d - half) for d in range(half, axis_size)])
+        head = n_base + 2
+        nxt_v = jax.lax.ppermute(
+            values[:, :head], axis_name, [(d, d - half - 1) for d in range(half + 1, axis_size)]
+        )
+        nxt_w = jax.lax.ppermute(
+            weights[:head], axis_name, [(d, d - half - 1) for d in range(half + 1, axis_size)]
+        )
+        base_v = jnp.concatenate([far_v, nxt_v], axis=1)
+        base_w = jnp.concatenate([far_w, nxt_w])
+        uncorr_len = half * n  # global lag of the offset-0 partner (~N/2)
+    else:
+        base_v = values
+        base_w = weights
+        uncorr_len = n // 2
+
+    n_global = axis_size * n
+
+    def base_at(j):
+        # partner offset within the half-shifted block; non-existent
+        # partners carry ppermute-zero weights and vanish from the sum
+        if axis_name is not None and axis_size > 1:
+            part = jax.lax.dynamic_slice(base_v, (0, j), values.shape)
+            pw = jax.lax.dynamic_slice(base_w, (j,), (n,))
+            valid = jnp.ones((1, n), bool)
+        else:
+            k = uncorr_len + j
+            part = jnp.roll(values, -k, axis=1)
+            pw = jnp.roll(weights, -k)
+            valid = (jnp.arange(n) < n - k)[None, :]
+        diff2 = (values - part) ** 2 * inv2[:, None]
+        return jnp.sum(jnp.where(valid, jnp.exp(-diff2) * weights[None, :] * pw[None, :], 0.0), axis=1)
+
+    uncorr = _ps(sum(base_at(j) for j in range(n_base)))
+    nav = sum(n_global - (uncorr_len + j) for j in range(n_base))
     uncorr_term = uncorr / nav
 
-    corr0 = jnp.sum(weights * weights)
+    corr0 = _ps(jnp.sum(weights * weights))
     lags_arr = jnp.asarray(np.array(lags, np.int32))
-    corr_k = jax.lax.map(corr_at, lags_arr)  # (L, P)
-    corr_k = corr_k - (n - lags_arr[:, None]) * uncorr_term[None, :]
+    corr_k = _ps(jax.lax.map(corr_at, lags_arr))  # (L, P)
+    # expected pair count at lag k (the halo supplies cross-shard pairs;
+    # only the final shard's tail is missing)
+    n_pairs_k = axis_size * n - lags_arr[:, None]
+    corr_k = corr_k - n_pairs_k * uncorr_term[None, :]
     threshold = min_corr * corr0
     alive = jnp.cumprod(corr_k >= threshold, axis=0).astype(corr_k.dtype)  # stop at first drop
     contrib = corr_k * alive
@@ -212,7 +285,7 @@ def _neff_kde_batch(values, weights, sigmas, lags):
     steps = np.diff(np.concatenate([[0], np.asarray(lags)])).astype(np.float64)
     weights_lag = jnp.asarray((steps + np.append(np.diff(np.asarray(lags)), 0)) / 2.0)
     total = corr0 + 2.0 * jnp.sum(contrib * weights_lag[:, None], axis=0)
-    norm = jnp.sum(weights)
+    norm = _ps(jnp.sum(weights))
     return norm**2 / total
 
 
@@ -415,7 +488,7 @@ def prepare_chain(samples, weights, dtype=jnp.float32):
     return jnp.asarray(samples, dtype=dtype), jnp.asarray(weights, dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "axis_name"))
+@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "axis_name", "axis_size"))
 def all_1d_densities(
     samples,
     weights,
@@ -425,6 +498,7 @@ def all_1d_densities(
     limits_hi=None,
     periodic=None,
     axis_name=None,
+    axis_size=1,
     neff_override=None,
 ):
     """All marginalized 1D densities in one program.
@@ -447,9 +521,10 @@ def all_1d_densities(
     boundary corrections.
 
     axis_name: when called inside shard_map with samples sharded on that
-    mesh axis, all sample reductions psum/pmin/pmax across shards and the
-    grid-local stages run replicated; ``neff_override`` must then supply
-    the effective sample sizes (the lag estimator is shard-local).
+    mesh axis (``axis_size`` = mesh size), all sample reductions
+    psum/pmin/pmax across shards and the grid-local stages run replicated;
+    the KDE N_eff lag estimator runs with a ppermute halo so its short-lag
+    pair sums are the true global sums. ``neff_override`` bypasses it.
     """
     n, p = samples.shape
     has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
@@ -508,8 +583,9 @@ def all_1d_densities(
     if neff_override is not None:
         neff = neff_override
     else:
-        assert axis_name is None, "sharded calls must pass neff_override"
-        neff = _neff_kde_batch(cols, weights, sigmas, _lag_grid(n))
+        # the halo can be at most one shard long, so cap lags at the shard size
+        lags = _lag_grid(n * axis_size, max_lag=min(4096, n))
+        neff = _neff_kde_batch(cols, weights, sigmas, lags, axis_name=axis_name, axis_size=axis_size)
     h_frac, ok = jax.vmap(_isj_bandwidth_1d)(bins, neff)
     fallback = 1.06 * sigmas * neff ** (-1.0 / 5) / (binmax - binmin)
     h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
@@ -565,9 +641,7 @@ def all_1d_densities(
         # Gaussian against the prior mask computed with analytic
         # frequency-domain kernel moments FT[x^m g]
         pos = jnp.arange(pad)
-        inside = (pos >= off) & (pos < off + fine_bins)
-        mask = jnp.where(inside, 1.0, 1.0).astype(samples.dtype)  # ones everywhere by default
-        mask_rows = jnp.broadcast_to(mask, (p, pad))
+        mask_rows = jnp.ones((p, pad), samples.dtype)
         lo_cut = jnp.where(active_lo[:, None], jnp.where(pos[None, :] < off, 0.0, 1.0), 1.0)
         lo_half = jnp.where(active_lo[:, None] & (pos[None, :] == off), 0.5, 1.0)
         hi_cut = jnp.where(active_hi[:, None], jnp.where(pos[None, :] >= off + fine_bins, 0.0, 1.0), 1.0)
@@ -866,6 +940,7 @@ def triangle_densities(
     limits_lo=None,
     limits_hi=None,
     periodic=None,
+    int8_weights=None,
 ):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
@@ -874,12 +949,25 @@ def triangle_densities(
     kernel is used automatically on TPU backends (use_pallas overrides).
     limits_lo/limits_hi: optional (P,) hard prior bounds (NaN = unbounded)
     enabling limit-snapped grids and boundary-kernel corrections.
+    int8_weights: force/deny the exact int8 MXU histogram path (integer
+    weights in [0, 127]); when None it is sniffed only from host (numpy)
+    weights — device arrays are never pulled back for sniffing.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    # integer weights in [0, 127] unlock the exact int8 MXU histogram path
-    w_host = np.asarray(weights)
-    int8_weights = bool(w_host.size and np.all(w_host == np.round(w_host)) and 0 <= w_host.min() and w_host.max() <= 127)
+    if int8_weights is None:
+        if isinstance(weights, np.ndarray) or np.isscalar(weights) or isinstance(weights, (list, tuple)):
+            w_host = np.asarray(weights)
+            int8_weights = bool(
+                w_host.size
+                and np.all(w_host == np.round(w_host))
+                and 0 <= w_host.min()
+                and w_host.max() <= 127
+                # int32 accumulators: total weight per bin must stay < 2^31
+                and w_host.size * float(w_host.max()) < 2**31
+            )
+        else:
+            int8_weights = False  # no device->host sync just to sniff
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
     has_limits = limits_lo is not None or limits_hi is not None or periodic is not None

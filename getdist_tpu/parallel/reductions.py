@@ -190,16 +190,18 @@ def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), us
     water-level contours) with every sample reduction psum'd over ICI and
     the grid-local stages replicated per device.
 
-    The effective sample sizes use the sharded weight proxy
-    norm^2 / psum(w^2) (the lag estimator needs cross-shard sample pairs);
-    single-chip results with the same proxy match to fp-reduction order.
-    Returns the (d1, d2) dicts (replicated).
+    The effective sample sizes come from the real lag estimator: each shard
+    exchanges a max-lag halo with its neighbor (ppermute) and the per-lag
+    pair sums are psum'd, so the short-lag sums are the exact global sums
+    (see ``ops.batched._neff_kde_batch``). Returns the (d1, d2) dicts
+    (replicated).
     """
     from getdist_tpu.ops.batched import all_1d_densities, all_2d_densities
 
     samples = jnp.asarray(samples, jnp.float32)
     weights = jnp.asarray(weights, jnp.float32)
     p = samples.shape[1]
+    n_dev = int(mesh.devices.size)
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
     pa = jnp.asarray(pairs[:, 0])
     pb = jnp.asarray(pairs[:, 1])
@@ -213,9 +215,7 @@ def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), us
         check_vma=False,
     )
     def _run(s, w, pa_, pb_, cont_):
-        norm = jax.lax.psum(jnp.sum(w), SAMPLE_AXIS)
-        neff = jnp.broadcast_to(norm**2 / jax.lax.psum(jnp.sum(w * w), SAMPLE_AXIS), (p,))
-        d1 = all_1d_densities(s, w, axis_name=SAMPLE_AXIS, neff_override=neff)
+        d1 = all_1d_densities(s, w, axis_name=SAMPLE_AXIS, axis_size=n_dev)
         d2 = all_2d_densities(
             s,
             w,

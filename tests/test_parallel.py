@@ -114,32 +114,86 @@ def test_sharded_pair_hists_pallas_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_sharded_triangle_densities_matches_single_device():
-    """Full fused pipeline under shard_map equals the single-device path
-    given the same N_eff proxy (fp-reduction-order tolerance)."""
-    import jax.numpy as jnp
+def _ar1_chain(n, p, rho=0.8, seed=8):
+    """Strongly autocorrelated AR(1) chain — the case where a weight proxy
+    for N_eff is wrong by ~an order of magnitude."""
+    rng = np.random.RandomState(seed)
+    innov = rng.standard_normal((n, p))
+    s = np.empty((n, p), np.float64)
+    s[0] = innov[0]
+    for i in range(1, n):
+        s[i] = rho * s[i - 1] + np.sqrt(1 - rho**2) * innov[i]
+    s += 0.3 * np.arange(p)
+    return s.astype(np.float32)
 
+
+def test_sharded_neff_real_lag_estimator():
+    """The sharded N_eff is the real psum'd lag estimator (halo exchange),
+    matching the single-device estimator on a rho=0.8 chain — not the
+    norm^2/sum(w^2) weight proxy, which grossly overestimates here."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from getdist_tpu.ops.batched import _lag_grid, _neff_kde_batch
+    from getdist_tpu.parallel.mesh import make_mesh
+
+    n, p = 8 * 4096, 3
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    w = np.random.RandomState(5).randint(1, 4, n).astype(np.float32)
+    proxy = w.sum() ** 2 / (w * w).sum()
+
+    for rho, proxy_frac in [(0.8, 0.7), (0.99, 0.2)]:
+        s = _ar1_chain(n, p, rho=rho)
+        sj, wj = jnp.asarray(s), jnp.asarray(w)
+        sigmas = jnp.std(sj, axis=0)
+        lags = _lag_grid(n, max_lag=min(4096, n // 8))
+
+        single = np.asarray(_neff_kde_batch(sj.T, wj, sigmas, lags))
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, "samples"), P("samples"), P()),
+            out_specs=P(),
+        )
+        def _sharded(cols, weights, sig):
+            return _neff_kde_batch(cols, weights, sig, lags, axis_name="samples", axis_size=n_dev)
+
+        sharded = np.asarray(jax.jit(_sharded)(sj.T, wj, sigmas))
+
+        # the real estimators sum the same global pairs -> fp-order agreement
+        np.testing.assert_allclose(sharded, single, rtol=1e-3)
+        # and both sit well below the weight proxy (which ignores sample
+        # autocorrelation; at rho=0.99 it overestimates N_eff >5x)
+        assert sharded.max() < proxy_frac * proxy
+        assert single.max() < proxy_frac * proxy
+
+
+def test_sharded_triangle_densities_matches_single_device():
+    """Full fused pipeline under shard_map equals the single-device path,
+    both running the REAL lag N_eff estimator, on a rho=0.8 chain."""
     from getdist_tpu.ops import batched
     from getdist_tpu.parallel.mesh import make_mesh
     from getdist_tpu.parallel.reductions import sharded_triangle_densities
 
-    rng = np.random.RandomState(8)
     n, p = 8 * 4000, 4
-    s = rng.standard_normal((n, p)).astype(np.float32)
-    w = rng.randint(1, 4, n).astype(np.float32)
+    s = _ar1_chain(n, p, seed=11)
+    w = np.random.RandomState(8).randint(1, 4, n).astype(np.float32)
     mesh = make_mesh()
     d1s, d2s = sharded_triangle_densities(mesh, s, w)
 
-    # single-device with the same weight-proxy neff
     sj, wj = jnp.asarray(s), jnp.asarray(w)
-    neff = jnp.broadcast_to(jnp.sum(wj) ** 2 / jnp.sum(wj * wj), (p,))
-    d1 = batched.all_1d_densities(sj, wj, neff_override=neff)
+    d1 = batched.all_1d_densities(sj, wj)
     pairs = [(i, j) for i in range(p) for j in range(i + 1, p)]
     pa = jnp.asarray(np.array([a for a, _ in pairs], np.int32))
     pb = jnp.asarray(np.array([b for _, b in pairs], np.int32))
     cont = jnp.asarray(np.array([0.68, 0.95], np.float32))
     d2 = batched.all_2d_densities(sj, wj, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], cont)
 
-    np.testing.assert_allclose(np.asarray(d1s["P"]), np.asarray(d1["P"]), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(d2s["P"]), np.asarray(d2["P"]), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(d2s["contours"]), np.asarray(d2["contours"]), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(d1s["neff"]), np.asarray(d1["neff"]), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(d1s["P"]), np.asarray(d1["P"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(d2s["P"]), np.asarray(d2["P"]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(d2s["contours"]), np.asarray(d2["contours"]), rtol=2e-2)
