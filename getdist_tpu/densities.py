@@ -1,10 +1,10 @@
 """Probability density grids: containers, credible intervals, contour levels.
 
 Host-facing layer consuming device-computed KDE grids (the plotting API
-surface of the reference's ``getdist/densities.py``). Grids are small
-(1024 / 256^2), so interpolation and limit-finding run host-side on numpy /
-scipy splines; the batched device path has its own contour-level kernel in
-``getdist_tpu.ops.kde``.
+surface; behavioral spec: reference ``getdist/densities.py:19-381``). Grids
+are small (1024 / 256^2), so interpolation and limit-finding run host-side
+on numpy / scipy splines; the batched device path has its own contour-level
+kernel in ``getdist_tpu.ops.batched``.
 
 Semantics match the reference: water-level contour levels by sort + cumsum
 with half-weighted edge bins, spline-upsampled equal-density credible
@@ -18,25 +18,30 @@ from scipy.interpolate import LinearNDInterpolator, RectBivariateSpline, splev, 
 
 __all__ = ["Density1D", "Density2D", "DensityND", "GridDensity", "getContourLevels", "DensitiesError"]
 
+defaultContours = (0.68, 0.95)
+
 
 class DensitiesError(Exception):
     pass
 
 
-defaultContours = (0.68, 0.95)
-
-
-class InterpGridCache:
-    __slots__ = "bign", "cumsum", "factor", "grid", "norm", "softgrid", "sortgrid"
+def _halve_edges(bins):
+    """Copy of a bins array with every boundary slab halved per axis."""
+    out = np.array(bins)
+    for axis in range(out.ndim):
+        edge = [slice(None)] * out.ndim
+        for end in (0, -1):
+            edge[axis] = end
+            out[tuple(edge)] /= 2
+    return out
 
 
 def getContourLevels(inbins, contours=defaultContours, missing_norm=0, half_edge=True):
     """Density levels enclosing the given probability fractions.
 
-    Water-level method (reference ``densities.py:19-56``): sort the bin
-    values, accumulate, and interpolate where the cumulative mass outside
-    crosses (1 - contour) * norm. Edge bins count half per boundary
-    dimension when half_edge is set.
+    Water-level method: sort the bin values, accumulate, and interpolate
+    where the cumulative mass outside crosses (1 - contour) * norm. Edge
+    bins count half per boundary dimension when half_edge is set.
 
     :param inbins: binned density (any dimension)
     :param contours: confidence fractions to solve for
@@ -44,32 +49,48 @@ def getContourLevels(inbins, contours=defaultContours, missing_norm=0, half_edge
     :param half_edge: half-weight edge bins in each direction
     :return: array of density levels
     """
-    if half_edge:
-        abins = np.array(inbins)
-        for axis in range(abins.ndim):
-            first = [slice(None)] * abins.ndim
-            last = [slice(None)] * abins.ndim
-            first[axis] = 0
-            last[axis] = -1
-            abins[tuple(first)] /= 2
-            abins[tuple(last)] /= 2
-    else:
-        abins = np.asarray(inbins)
-    norm = np.sum(abins)
-    targets = (1 - np.asarray(contours)) * norm - missing_norm
-    flat = abins.reshape(-1)
+    weighted = _halve_edges(inbins) if half_edge else np.asarray(inbins)
+    targets = (1 - np.asarray(contours)) * np.sum(weighted) - missing_norm
+    # rank by the RAW density values; accumulate the edge-weighted mass
     order = np.asarray(inbins).reshape(-1).argsort()
-    sortgrid = flat[order]
-    cumsum = np.cumsum(sortgrid)
-    ixs = np.searchsorted(cumsum, targets)
-    levels = np.zeros(len(targets))
-    for i, ix in enumerate(ixs):
-        if ix == 0:
-            raise DensitiesError("Contour level outside plotted ranges")
-        h = cumsum[ix] - cumsum[ix - 1]
-        d = (cumsum[ix] - targets[i]) / h
-        levels[i] = sortgrid[ix] * (1 - d) + d * sortgrid[ix - 1]
-    return levels
+    ranked = weighted.reshape(-1)[order]
+    cdf = np.cumsum(ranked)
+    cuts = np.searchsorted(cdf, targets)
+    if np.any(cuts == 0):
+        raise DensitiesError("Contour level outside plotted ranges")
+    overshoot = (cdf[cuts] - targets) / (cdf[cuts] - cdf[cuts - 1])
+    return ranked[cuts] * (1 - overshoot) + overshoot * ranked[cuts - 1]
+
+
+class _LimitGrid:
+    """Spline-upsampled view of a Density1D used to solve credible limits:
+    fine-grid values, their sorted order, and the cumulative mass."""
+
+    __slots__ = ("upsample", "size", "step", "values", "mass", "ranked", "cdf")
+
+    def __init__(self, density, upsample=None):
+        self.upsample = upsample if upsample is not None else max(2, 20000 // density.n)
+        self.size = (density.n - 1) * self.upsample + 1
+        self.step = density.spacing / self.upsample
+        fine_x = density.x[0] + np.arange(self.size) * self.step
+        self.values = splev(fine_x, density.spl)
+        self.mass = np.sum(self.values) - 0.5 * density.P[-1] - 0.5 * density.P[0]
+        self.ranked = np.sort(self.values)
+        self.cdf = np.cumsum(self.ranked)
+
+    def water_level(self, target):
+        """Density value whose superlevel set holds the target mass."""
+        cut = np.searchsorted(self.cdf, target)
+        level = self.ranked[cut]
+        if cut > 0:
+            gap = self.cdf[cut] - self.cdf[cut - 1]
+            frac = (self.cdf[cut] - target) / gap
+            level = (1 - frac) * level + frac * self.ranked[cut + 1]
+        return level
+
+
+# reference-compatible alias for the limit-grid cache object
+InterpGridCache = _LimitGrid
 
 
 class GridDensity:
@@ -78,46 +99,52 @@ class GridDensity:
     :ivar P: array of density values
     """
 
-    norm: float
-    axes: Sequence[np.ndarray]
     view_ranges: Sequence[Sequence[float]]
+    axes: Sequence[np.ndarray]
+    norm: float
 
     def setP(self, P=None):
         """Set grid values (validates shape against the axes)."""
-        if P is not None:
+        if P is None:
+            self.P = np.zeros([ax.size for ax in self.axes])
+        else:
             P = np.asarray(P)
-            for size, ax in zip(P.shape, self.axes):
-                if size != ax.size:
+            for ax, size in zip(self.axes, P.shape):
+                if ax.size != size:
                     raise DensitiesError(f"Array size mismatch in Density arrays: P {size}, axis {ax.size}")
             self.P = P
-        else:
-            self.P = np.zeros([ax.size for ax in self.axes])
         self.spl = None
+
+    def norm_integral(self):
+        return self.integrate(self.P)
+
+    def _spline(self):
+        if self.spl is None:
+            self._initSpline()
+        return self.spl
 
     def normalize(self, by="integral", in_place=False):
         """Normalize by 'integral' (unit mass) or 'max' (peak = 1)."""
-        if by == "integral":
-            norm = self.norm_integral()
-        elif by == "max":
-            norm = np.max(self.P)
-            if norm == 0:
+        if by == "max":
+            scale = np.max(self.P)
+            if scale == 0:
                 raise DensitiesError("no samples in bin")
+        elif by == "integral":
+            scale = self.norm_integral()
         else:
             raise DensitiesError("Density: unknown normalization")
         if in_place:
-            self.P /= norm
+            self.P /= scale
         else:
-            self.setP(self.P / norm)
+            self.setP(self.P / scale)
         self.spl = None
         return self
 
     def bounds(self):
         """(min, max) per axis in x, y, z order."""
-        if self.view_ranges is not None:
-            return self.view_ranges
-        b = [(ax[0], ax[-1]) for ax in self.axes]
-        b.reverse()
-        return b
+        if self.view_ranges is None:
+            return [(ax[0], ax[-1]) for ax in reversed(self.axes)]
+        return self.view_ranges
 
     def getContourLevels(self, contours=defaultContours):
         """Contour levels for the given confidence fractions."""
@@ -134,51 +161,58 @@ class Density1D(GridDensity):
         :param P: density values at x
         :param view_ranges: optional viewing range
         """
-        self.n = x.size
         self.x = np.asarray(x)
+        self.n = self.x.size
+        self.spacing = x[1] - x[0]
         self.axes = [self.x]
         self.view_ranges = view_ranges
-        self.spacing = x[1] - x[0]
         self.setP(P)
 
     def bounds(self):
         """(min, max) of the x range (or view_ranges)."""
-        if self.view_ranges is not None:
-            return self.view_ranges
-        return self.x[0], self.x[-1]
+        if self.view_ranges is None:
+            return self.x[0], self.x[-1]
+        return self.view_ranges
 
     def _initSpline(self):
         self.spl = splrep(self.x, self.P, s=0)
 
+    def integrate(self, P):
+        interior = np.sum(P[1:-1])
+        return ((P[0] + P[-1]) / 2 + interior) * self.spacing
+
     def Prob(self, x, derivative=0):
         """Interpolated density (or derivative) at x."""
-        if self.spl is None:
-            self._initSpline()
-        if isinstance(x, (np.ndarray, list, tuple)):
-            return splev(x, self.spl, derivative, ext=1)
-        return splev([x], self.spl, derivative, ext=1)[0]
+        scalar = not isinstance(x, (np.ndarray, list, tuple))
+        values = splev([x] if scalar else x, self._spline(), derivative, ext=1)
+        return values[0] if scalar else values
 
     __call__ = Prob
 
-    def integrate(self, P):
-        return ((P[0] + P[-1]) / 2 + np.sum(P[1:-1])) * self.spacing
-
-    def norm_integral(self):
-        return self.integrate(self.P)
-
     def initLimitGrids(self, factor=None):
         """Build the up-sampled spline grid cache used by getLimits."""
-        if self.spl is None:
-            self._initSpline()
-        g = InterpGridCache()
-        g.factor = factor if factor is not None else max(2, 20000 // self.n)
-        g.bign = (self.n - 1) * g.factor + 1
-        vecx = self.x[0] + np.arange(g.bign) * self.spacing / g.factor
-        g.grid = splev(vecx, self.spl)
-        g.norm = np.sum(g.grid) - 0.5 * self.P[-1] - 0.5 * self.P[0]
-        g.sortgrid = np.sort(g.grid)
-        g.cumsum = np.cumsum(g.sortgrid)
-        return g
+        self._spline()
+        return _LimitGrid(self, factor)
+
+    def _interval_at(self, cache, level):
+        """(min, max, hit_lower_edge, hit_upper_edge) where the fine grid
+        crosses the water level, linearly interpolated between fine bins."""
+        values = cache.values
+        at_bottom = values[0] >= level
+        if at_bottom:
+            lo = self.x[0]
+        else:
+            i = np.argmax(values > level)
+            excess = (values[i] - level) / (values[i] - values[i - 1])
+            lo = self.x[0] + (i - excess) * cache.step
+        at_top = values[-1] >= level
+        if at_top:
+            hi = self.x[-1]
+        else:
+            i = cache.size - np.argmax(values[::-1] > level) - 1
+            excess = (values[i] - level) / (values[i] - values[i + 1])
+            hi = self.x[0] + (i + excess) * cache.step
+        return lo, hi, at_bottom, at_top
 
     def getLimits(self, p, interpGrid=None, accuracy_factor=None):
         """Equal-density credible interval(s).
@@ -189,36 +223,10 @@ class Density1D(GridDensity):
         :return: (min, max, lim_bot, lim_top) where the booleans mark limits
             that hit the grid edge (one-tail cases); list when p is a list
         """
-        g = interpGrid or self.initLimitGrids(accuracy_factor)
-        parr = np.atleast_1d(p)
-        targets = (1 - parr) * g.norm
-        ixs = np.searchsorted(g.cumsum, targets)
-        results = []
-        for ix, target in zip(ixs, targets):
-            trial = g.sortgrid[ix]
-            if ix > 0:
-                d = g.cumsum[ix] - g.cumsum[ix - 1]
-                frac = (g.cumsum[ix] - target) / d
-                trial = (1 - frac) * trial + frac * g.sortgrid[ix + 1]
-            finespace = self.spacing / g.factor
-            lim_bot = g.grid[0] >= trial
-            if lim_bot:
-                mn = self.x[0]
-            else:
-                i = np.argmax(g.grid > trial)
-                d = (g.grid[i] - trial) / (g.grid[i] - g.grid[i - 1])
-                mn = self.x[0] + (i - d) * finespace
-            lim_top = g.grid[-1] >= trial
-            if lim_top:
-                mx = self.x[-1]
-            else:
-                i = g.bign - np.argmax(g.grid[::-1] > trial) - 1
-                d = (g.grid[i] - trial) / (g.grid[i] - g.grid[i + 1])
-                mx = self.x[0] + (i + d) * finespace
-            if parr is not p:
-                return mn, mx, lim_bot, lim_top
-            results.append((mn, mx, lim_bot, lim_top))
-        return results
+        cache = interpGrid or self.initLimitGrids(accuracy_factor)
+        fractions = np.atleast_1d(p)
+        intervals = [self._interval_at(cache, cache.water_level((1 - frac) * cache.mass)) for frac in fractions]
+        return intervals[0] if fractions is not p else intervals
 
 
 class Density2D(GridDensity):
@@ -235,34 +243,31 @@ class Density2D(GridDensity):
         """
         self.x = np.asarray(x)
         self.y = np.asarray(y)
+        dx = self.x[1] - self.x[0]
+        dy = self.y[1] - self.y[0]
+        self.spacing = dx * dy
         self.axes = [self.y, self.x]
-        self.view_ranges = view_ranges
         self.mask = mask
-        self.spacing = (self.x[1] - self.x[0]) * (self.y[1] - self.y[0])
+        self.view_ranges = view_ranges
         self.setP(P)
 
     def integrate(self, P):
-        norm = (
-            np.sum(P[1:-1, 1:-1])
-            + (P[0, 0] + P[0, -1] + P[-1, 0] + P[-1, -1]) / 4.0
-            + (np.sum(P[1:-1, 0]) + np.sum(P[0, 1:-1]) + np.sum(P[1:-1, -1]) + np.sum(P[-1, 1:-1])) / 2.0
-        )
-        return norm * self.spacing
-
-    def norm_integral(self):
-        return self.integrate(self.P)
+        # interior cells count fully, edge lines half, corners a quarter
+        interior = np.sum(P[1:-1, 1:-1])
+        corners = (P[0, 0] + P[0, -1] + P[-1, 0] + P[-1, -1]) / 4.0
+        sides = ((slice(1, -1), 0), (0, slice(1, -1)), (slice(1, -1), -1), (-1, slice(1, -1)))
+        edges = sum(np.sum(P[side]) for side in sides) / 2.0
+        return (interior + corners + edges) * self.spacing
 
     def _initSpline(self):
         self.spl = RectBivariateSpline(self.x, self.y, self.P.T, s=0)
 
+    def __call__(self, *args, **kwargs):
+        return self._spline()(*args, **kwargs)
+
     def Prob(self, x, y, grid=False):
         """Interpolated density at (x, y)."""
-        return self.__call__(x, y, grid=grid)
-
-    def __call__(self, *args, **kwargs):
-        if self.spl is None:
-            self._initSpline()
-        return self.spl(*args, **kwargs)
+        return self(x, y, grid=grid)
 
 
 class DensityND(GridDensity):
@@ -275,43 +280,31 @@ class DensityND(GridDensity):
         :param view_ranges: optional per-dimension view ranges
         """
         self.dim = len(xs)
-        self.x = xs[0]
-        if self.dim >= 2:
-            self.y = xs[1]
-        if self.dim >= 3:
-            self.z = xs[2]
         self.xs = xs
+        # x/y/z aliases for compatibility and tests
+        for name, ax in zip(("x", "y", "z"), xs):
+            setattr(self, name, ax)
         self.axes = xs[::-1]
         self.view_ranges = view_ranges
-        self.spacing = 1.0
-        for ax in xs:
-            self.spacing *= ax[1] - ax[0]
+        self.spacing = float(np.prod([ax[1] - ax[0] for ax in xs]))
         self.setP(P)
 
     def integrate(self, P):
-        # Edge hypersurfaces of codimension c get weight 2^-c.
-        ndim = P.ndim
-        norm = 0.0
+        # a cell on c boundary hyperplanes (codimension c) carries weight 2^-c
         weights = np.ones(P.shape)
-        for axis in range(ndim):
-            shape = [1] * ndim
+        for axis in range(P.ndim):
+            shape = [1] * P.ndim
             shape[axis] = P.shape[axis]
-            w = np.ones(P.shape[axis])
-            w[0] = w[-1] = 0.5
-            weights = weights * w.reshape(shape)
-        norm = np.sum(P * weights)
-        return norm
-
-    def norm_integral(self):
-        return self.integrate(self.P)
+            per_axis = np.ones(P.shape[axis])
+            per_axis[0] = per_axis[-1] = 0.5
+            weights = weights * per_axis.reshape(shape)
+        return np.sum(P * weights)
 
     def _initSpline(self):
         self.spl = LinearNDInterpolator(self.xs, self.P.T, rescale=True)
 
     def Prob(self, xs):
         """Interpolated density at the points xs."""
-        if self.spl is None:
-            self._initSpline()
-        return self.spl(xs)
+        return self._spline()(xs)
 
     __call__ = Prob

@@ -1,9 +1,12 @@
 """Kernel bandwidth selection: Botev Improved Sheather-Jones (ISJ).
 
 Implements the ISJ plug-in bandwidth of Botev, Grotowski & Kroese (2010,
-Annals of Statistics 38:2916, arXiv:1011.2602) in 1D, and the 2D extension
-with kernel-correlation estimation and numerical AMISE minimization used by
-the reference (``getdist/kde_bandwidth.py``).
+Annals of Statistics 38:2916, arXiv:1011.2602) in 1D, and a 2D extension
+with kernel-correlation estimation and numerical AMISE minimization
+(behavioral spec: reference ``getdist/kde_bandwidth.py:102-309``; the
+derivative-functional plug-in recursions there are evaluated here as
+level-by-level tables instead of tree recursion — same arithmetic, each
+functional computed once).
 
 Architecture note: this module is the *parity-exact host path*. Everything
 here operates on tiny O(grid) arrays (<= 2048 / 256^2), so it runs host-side
@@ -12,68 +15,55 @@ reference: the iterative optimizers (fsolve/brentq/TNC) amplify even 1e-16
 input perturbations into ~1e-4 bandwidth differences, so bit-identical
 transforms are required for 1e-6 density parity (verified empirically). The
 fused all-pairs TPU benchmark path instead uses the device DCT and
-lax.while_loop bisection (``getdist_tpu.ops.bandwidth``) and is tested to
-track this path within KDE tolerance.
+lax.while_loop bisection (``getdist_tpu.ops.batched``:
+``_isj_bandwidth_1d`` / ``_isj_bandwidth_2d``) and is tested to track this
+path within KDE tolerance.
 """
 
 import logging
 import warnings
 
 import numpy as np
-
-from getdist_tpu.ops.fft import dct2d as dct2d  # re-export (reference kde_bandwidth.py:8)
 import scipy.fftpack as _fftpack
 from scipy.optimize import brentq, fsolve, minimize
+
+from getdist_tpu.ops.fft import dct2d as dct2d  # re-export (role of reference kde_bandwidth.py:8)
 
 __all__ = ["gaussian_kde_bandwidth_binned", "gaussian_kde_bandwidth", "bin_samples", "KernelOptimizer2D"]
 
 _ROOT_PI = np.sqrt(np.pi)
 _PI_SQ = np.pi**2
 
-# Depth of the ISJ functional recursion (number of plug-in stages).
+
+def _double_factorial(j):
+    """(2j-1)!! for j >= 1 (== 1 for j in {0, 1})."""
+    return np.prod(np.arange(1, 2 * j, 2))
+
+
+# Depth of the 1D ISJ functional recursion (number of plug-in stages).
 ISJ_LMAX = 7
 
-# Stage constants xi_j = (1 + 2^{-j-1/2})/3 * (2j-1)!! / sqrt(pi/2),
-# for j = lmax-1 down to 2 (Botev eq. for the gamma^{[l]} recursion).
-_ISJ_STAGE_CONSTS = np.array(
-    [
-        (1 + 0.5 ** (j + 0.5)) / 3 * np.prod(np.arange(1, 2 * j, 2)) / (_ROOT_PI / np.sqrt(2.0))
-        for j in range(ISJ_LMAX - 1, 1, -1)
-    ]
-)
-
-
-def _isj_fixed_point_1d(h, N, I, logI, a2):
-    """The ISJ fixed-point residual f(h) = h - (2 N sqrt(pi) gamma(h))^{-1/5}.
-
-    ``I`` = squared DCT mode indices, ``a2`` = squared (halved) DCT
-    coefficients of the binned density; gamma chains ISJ_LMAX-1 derivative-
-    functional estimates down from an initial t = (pi h)^2 smoothing.
-    """
-    if h <= 0:
-        return h - 1
-    f = 2 * np.pi ** (2 * ISJ_LMAX) * np.dot(a2, np.exp(ISJ_LMAX * logI - I * (_PI_SQ * h**2)))
-    for j, const in zip(range(ISJ_LMAX - 1, 1, -1), _ISJ_STAGE_CONSTS):
-        t_j = (const / N / f) ** (2 / (3.0 + 2 * j))
-        f = 2 * np.pi ** (2 * j) * np.dot(a2, np.exp(j * logI - I * (_PI_SQ * t_j)))
-        if not f:
-            raise FloatingPointError("zero functional in ISJ fixed point (non-convergence)")
-    return h - (2 * N * _ROOT_PI * f) ** (-1.0 / 5)
+# Stage constants xi_j = (1 + 2^{-j-1/2})/3 * (2j-1)!! / sqrt(pi/2) keyed by
+# stage order j (Botev's gamma^{[l]} recursion).
+_STAGE_XI = {
+    j: (1 + 0.5 ** (j + 0.5)) / 3 * _double_factorial(j) / (_ROOT_PI / np.sqrt(2.0))
+    for j in range(2, ISJ_LMAX)
+}
 
 
 def bin_samples(samples, range_min=None, range_max=None, nbins=2046, edge_fac=0.1):
     """Map samples to integer bin indices over an edge-padded range.
 
     Returns (indices, range_width); the default range pads the data extent
-    by edge_fac on each side (reference ``kde_bandwidth.py:76-87``).
+    by edge_fac on each side (role of reference ``kde_bandwidth.py:76-87``).
     """
-    mx = np.max(samples)
-    mn = np.min(samples)
-    delta = mx - mn
+    lo = np.min(samples)
+    hi = np.max(samples)
+    pad = (hi - lo) * edge_fac
     if range_min is None:
-        range_min = mn - delta * edge_fac
+        range_min = lo - pad
     if range_max is None:
-        range_max = mx + delta * edge_fac
+        range_max = hi + pad
     width = range_max - range_min
     dx = width / (nbins - 1)
     return ((samples - range_min) / dx).astype(int), width
@@ -83,41 +73,76 @@ def gaussian_kde_bandwidth(samples, Neff=None, range_min=None, range_max=None, n
     """ISJ bandwidth for raw (unbinned) samples, in sample units."""
     if Neff is None:
         Neff = np.count_nonzero(np.diff(samples)) + 1
-    bins, width = bin_samples(samples, range_min, range_max, nbins)
-    data = np.bincount(bins, minlength=nbins)
-    h = gaussian_kde_bandwidth_binned(data, Neff)
+    indices, width = bin_samples(samples, range_min, range_max, nbins)
+    h = gaussian_kde_bandwidth_binned(np.bincount(indices, minlength=nbins), Neff)
     return None if h is None else h * width
+
+
+def _refine_bandwidth_root(modes, neff):
+    """fsolve from the 0.53 N^{-1/5} rule-of-thumb start; a suspiciously
+    small root (< 0.019 N^{-1/5}) triggers a bracketed brentq recheck
+    against the spurious-root regime."""
+    scale = neff ** (-1.0 / 5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        start = 0.53 * scale
+        root = fsolve(_isj_residual, start, (neff, modes), xtol=start / 20, factor=1)[0]
+    if root < 0.019 * scale:
+        try:
+            root = brentq(_isj_residual, 0.019 * scale, 0.5, (neff, modes), xtol=root / 20)
+        except Exception:
+            # No sign change in the bracket: the small root may be real (or
+            # the method failed, e.g. flat bounded distributions) — keep the
+            # fsolve answer.
+            pass
+    return root
+
+
+class _CosineModes1D:
+    """DCT-space view of a binned 1D density: squared mode indices, their
+    logs, and squared (halved) coefficients — everything the ISJ functional
+    chain consumes."""
+
+    __slots__ = ("i2", "log_i2", "coef2")
+
+    def __init__(self, data, a=None):
+        self.i2 = np.arange(1, np.asarray(data).size) ** 2
+        self.log_i2 = np.log(self.i2)
+        if a is None:
+            a = _fftpack.dct(data / np.sum(data))
+        self.coef2 = (a[1:] / 2) ** 2
+
+    def functional(self, j, t):
+        """||f^(j)||^2 estimate at squared smoothing scale t:
+        2 pi^{2j} sum_i coef2_i i^{2j} exp(-i^2 pi^2 t)."""
+        return 2 * np.pi ** (2 * j) * np.dot(self.coef2, np.exp(j * self.log_i2 - self.i2 * (_PI_SQ * t)))
+
+
+def _isj_residual(h, neff, modes):
+    """ISJ fixed-point residual f(h) = h - (2 N sqrt(pi) gamma(h))^{-1/5}.
+
+    gamma chains ISJ_LMAX-1 derivative-functional estimates down from an
+    initial t = h^2 smoothing; a root of f is the optimal bandwidth as a
+    fraction of the binned range.
+    """
+    if h <= 0:
+        return h - 1
+    estimate = modes.functional(ISJ_LMAX, h**2)
+    for j in range(ISJ_LMAX - 1, 1, -1):
+        t_j = (_STAGE_XI[j] / neff / estimate) ** (2 / (3.0 + 2 * j))
+        estimate = modes.functional(j, t_j)
+        if not estimate:
+            raise FloatingPointError("zero functional in ISJ fixed point (non-convergence)")
+    return h - (2 * neff * _ROOT_PI * estimate) ** (-1.0 / 5)
 
 
 def gaussian_kde_bandwidth_binned(data, Neff, a=None):
     """Optimal Gaussian kernel bandwidth for binned data, as a fraction of
     the data range, or None on failure (caller falls back to a rule of
-    thumb; reference ``kde_bandwidth.py:102-135``).
-
-    Solves the ISJ fixed point with scipy fsolve from the 0.53 N^{-1/5}
-    rule-of-thumb start; a suspiciously small root (< 0.019 N^{-1/5})
-    triggers a bracketed brentq recheck against the spurious-root regime.
-    """
-    I = np.arange(1, data.size, dtype=float) ** 2
-    logI = np.log(I)
-    if a is None:
-        a = _fftpack.dct(data / np.sum(data))
-    a2 = (a[1:] / 2) ** 2
+    thumb; spec: reference ``kde_bandwidth.py:102-135``)."""
+    modes = _CosineModes1D(data, a)
     try:
-        n_scaling = Neff ** (-1.0 / 5)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            hfrac = 0.53 * n_scaling
-            hfrac = fsolve(_isj_fixed_point_1d, hfrac, (Neff, I, logI, a2), xtol=hfrac / 20, factor=1)[0]
-        if hfrac < 0.019 * n_scaling:
-            try:
-                hfrac = brentq(_isj_fixed_point_1d, 0.019 * n_scaling, 0.5, (Neff, I, logI, a2), xtol=hfrac / 20)
-            except Exception:
-                # No sign change in the bracket: the small root may be real
-                # (or the method failed, e.g. flat bounded distributions) —
-                # keep the fsolve answer, as the reference does.
-                pass
-        return hfrac
+        return _refine_bandwidth_root(modes, Neff)
     except Exception as e:
         logging.warning("1D auto bandwidth failed. Using fallback: %s" % e)
         return None
@@ -127,178 +152,236 @@ def gaussian_kde_bandwidth_binned(data, Neff, a=None):
 # 2D
 # ---------------------------------------------------------------------------
 
-# K[j] = phi^(2j)(0) values: (-1)^j (2j-1)!! / sqrt(2 pi)
-_K_EVEN = np.array(
-    [1 / np.sqrt(2 * np.pi)]
-    + [(-1) ** j * np.prod(np.arange(1, 2 * j, 2)) / np.sqrt(2 * np.pi) for j in range(1, 5)]
-)
-# Odd-order kernel constants (for psi_odd recursion)
-_K_ODD = np.array([1] + [np.prod(np.arange(1, 2 * j, 2)) / 2.0 ** (j + 1) / np.sqrt(np.pi) for j in range(1, 9)])
+# Gaussian-kernel derivative values at zero, phi^(2j)(0) = (-1)^j (2j-1)!!/sqrt(2 pi)
+_PHI_EVEN = {j: (-1) ** j * _double_factorial(j) / np.sqrt(2 * np.pi) for j in range(5)}
+_PHI_EVEN[0] = 1 / np.sqrt(2 * np.pi)
+# odd-order kernel constants for the psi_odd plug-in stages
+_PHI_ODD = {0: 1.0, **{j: _double_factorial(j) / 2.0 ** (j + 1) / np.sqrt(np.pi) for j in range(1, 9)}}
+
+# Derivative orders needed per plug-in level. Even table: targets (0,2),
+# (2,0), (1,1) [+ (0,0)]; each level-s entry needs its two (+1)-children, so
+# level s holds every order reachable from the targets; level 5 seeds the
+# recursion directly from psi at t*. Odd table: targets (1,3)/(3,1) with
+# (+2)-children up to level 10.
+_EVEN_LEVELS = {
+    5: [(i, 5 - i) for i in range(6)],
+    4: [(i, 4 - i) for i in range(5)],
+    3: [(i, 3 - i) for i in range(4)],
+    2: [(i, 2 - i) for i in range(3)],
+    1: [(0, 1), (1, 0)],
+    0: [(0, 0)],
+}
+_ODD_LEVELS = {
+    10: [(7, 3), (5, 5), (3, 7), (1, 9), (9, 1)],
+    8: [(5, 3), (3, 5), (1, 7), (7, 1)],
+    6: [(3, 3), (1, 5), (5, 1)],
+    4: [(1, 3), (3, 1)],
+}
+
+
+class _CosineModes2D:
+    """Squared 2D DCT spectrum of a binned density (even psi functionals)."""
+
+    __slots__ = ("i2", "log_i2", "coef2")
+
+    def __init__(self, normed):
+        size = normed.shape[0]
+        self.coef2 = _fftpack.dct(_fftpack.dct(normed, axis=0), axis=1)[1:, 1:] ** 2
+        self.i2 = np.arange(1, size, dtype=np.float64) ** 2
+        self.log_i2 = np.log(self.i2)
+
+    def psi(self, sx, sy, t):
+        """Even derivative functional psi_{sx,sy} at squared bandwidth t.
+        sx weights the second (x) axis of the spectrum, sy the first (y)."""
+        damp = -self.i2 * (_PI_SQ * t)
+        wx = np.exp(damp + self.log_i2 * sx)
+        wy = np.exp(damp + self.log_i2 * sy)
+        return (-1) ** (sx + sy) * wy.dot(self.coef2).dot(wx.T) * np.pi ** (2 * (sx + sy)) / 4
+
+
+class _FourierPower2D:
+    """Full FFT power spectrum (odd functionals need signed frequencies)."""
+
+    __slots__ = ("power", "freqs")
+
+    def __init__(self, normed):
+        spec = np.fft.fft2(normed)
+        self.power = spec * np.conj(spec)
+        self.freqs = np.fft.fftfreq(self.power.shape[0], d=1.0 / self.power.shape[0])
+
+    def psi(self, sx, sy, t):
+        damp = np.exp(-(self.freqs**2) * (4 * _PI_SQ * t))
+        wx = damp * self.freqs**sx
+        wy = damp * self.freqs**sy
+        return wy.dot(self.power).real.dot(wx.T) * (2 * np.pi) ** (sx + sy)
+
+
+def _even_table(modes, neff, t_star, min_level=0):
+    """Plug-in estimates of the even functionals: evaluate level 5 at t*,
+    then each lower level at its own stage bandwidth derived from its
+    children (same arithmetic as the reference's tree recursion at
+    kde_bandwidth.py:188-196, each value computed once)."""
+    table = {s: modes.psi(*s, t_star) for s in _EVEN_LEVELS[5]}
+    for level in range(4, min_level - 1, -1):
+        for sx, sy in _EVEN_LEVELS[level]:
+            children = table[(sx + 1, sy)] + table[(sx, sy + 1)]
+            const = (1 + 0.5 ** (level + 1)) / 3
+            t_s = (-2 * const * _PHI_EVEN[sx] * _PHI_EVEN[sy] / neff / children) ** (1.0 / (2 + level))
+            table[(sx, sy)] = modes.psi(sx, sy, t_s)
+    return table
+
+
+def _odd_table(power, neff, p00, t_star):
+    """Plug-in estimates of the odd functionals psi_13/psi_31 (spec:
+    reference kde_bandwidth.py:198-213), via the same level-table scheme."""
+    table = {s: power.psi(*s, t_star) for s in _ODD_LEVELS[10]}
+    for level in (8, 6, 4):
+        for sx, sy in _ODD_LEVELS[level]:
+            children = table[(sx + 2, sy)] + table[(sx, sy + 2)]
+            const = 8 * (1 - 2.0 ** (-level - 1)) / 3.0
+            t_s = (const * p00 * _PHI_ODD[sx] * _PHI_ODD[sy] / neff**2 / children**2) ** (1.0 / (3 + level))
+            table[(sx, sy)] = power.psi(sx, sy, t_s)
+    return table
 
 
 class KernelOptimizer2D:
     """2D ISJ bandwidth matrix optimizer with kernel correlation.
 
-    Pipeline (reference ``kde_bandwidth.py:146-309``): squared 2D DCT
+    Pipeline (spec: reference ``kde_bandwidth.py:146-309``): squared 2D DCT
     coefficients give even psi functionals, the full FFT power spectrum
     gives odd ones; t* solves the 2D fixed point by brentq; closed-form
     diagonal bandwidths (hx, hy) come from psi(0,2)/psi(2,0)/psi(1,1); then
     numerical AMISE minimization (TNC, bounded) admits kernel correlation c.
 
-    The DCT/FFT transforms are device ops; psi sums are tiny (grid^2) host
-    matvecs; optimizer calls stay host-side for exact reference parity.
+    Bandwidths are fractions of the binned ranges. ``correlation`` is the
+    sample correlation used to seed/fix the AMISE search; ``fallback_t``
+    (plug-in squared width) replaces t* when the fixed point fails or badly
+    overshoots (bounded distributions).
     """
 
     def __init__(self, data, Neff, correlation, do_correlation=True, fallback_t=None):
-        size = data.shape[0]
-        if size != data.shape[1]:
+        if data.shape[0] != data.shape[1]:
             raise ValueError("KernelOptimizer2D only handles square arrays currently")
-        normed = np.asarray(data, dtype=float) / np.sum(data)
-        self.a2 = _fftpack.dct(_fftpack.dct(normed, axis=0), axis=1)[1:, 1:] ** 2
-        self.I = np.arange(1, size, dtype=np.float64) ** 2
-        self.logI = np.log(self.I)
-        self.do_correlation = do_correlation
-        if do_correlation:
-            aFFT = np.fft.fft2(normed)
-            self.aFFT = aFFT * np.conj(aFFT)
+        normed = data / np.sum(data)
+        self._modes = _CosineModes2D(normed)
+        self._power = _FourierPower2D(normed) if do_correlation else None
         self.N = Neff
         self.corr = correlation
+        self.do_correlation = do_correlation
+        self.t_star = self._solve_t_star(fallback_t)
+
+    def _solve_t_star(self, fallback_t):
         try:
-            # t* is the squared moment-estimation bandwidth from the 2D
-            # fixed point; with boundaries it can overshoot badly, in which
-            # case the plug-in fallback wins (reference :162-175).
-            self.t_star = brentq(self._fixed_point_2d, 0, 0.1, xtol=0.001**2)
-            if fallback_t and self.t_star > 0.01 and self.t_star > 2 * fallback_t:
-                logging.debug("KernelOptimizer2D using fallback (t* > 2*t_fallback)")
-                self.t_star = fallback_t
+            # t is the squared moment-estimation bandwidth from the 2D fixed
+            # point; with boundaries it can overshoot badly, in which case
+            # the plug-in fallback wins.
+            t_star = brentq(self._fixed_point_2d, 0, 0.1, xtol=0.001**2)
         except Exception:
-            if fallback_t is not None:
-                logging.debug("2D kernel density optimizer using fallback plugin width %s" % np.sqrt(fallback_t))
-                self.t_star = fallback_t
-            else:
+            if fallback_t is None:
                 raise
+            logging.debug("2D kernel density optimizer using fallback plugin width %s" % np.sqrt(fallback_t))
+            return fallback_t
+        if fallback_t and t_star > 0.01 and t_star > 2 * fallback_t:
+            logging.debug("KernelOptimizer2D using fallback (t* > 2*t_fallback)")
+            return fallback_t
+        return t_star
 
     def _fixed_point_2d(self, t):
-        sum_func = self.func2d([0, 2], t) + self.func2d([2, 0], t) + 2 * self.func2d([1, 1], t)
-        time = (2 * np.pi * self.N * sum_func) ** (-1.0 / 3)
-        return (t - time) / time
+        table = _even_table(self._modes, self.N, t, min_level=2)
+        curvature = table[(0, 2)] + table[(2, 0)] + 2 * table[(1, 1)]
+        implied = (2 * np.pi * self.N * curvature) ** (-1.0 / 3)
+        return (t - implied) / implied
 
-    def psi(self, s, time):
-        """Even psi functional of derivative orders s=(sx, sy) at squared
-        bandwidth `time`, from squared DCT coefficients."""
-        w = -self.I * (_PI_SQ * time)
-        wx = np.exp(w + self.logI * s[0])
-        wy = np.exp(w + self.logI * s[1])
-        return (-1) ** np.sum(s) * wy.dot(self.a2).dot(wx.T) * np.pi ** (2 * np.sum(s)) / 4
+    # kept as public helpers (reference API)
+    def psi(self, s, at):
+        return self._modes.psi(s[0], s[1], at)
 
-    def func2d(self, s, t):
-        """Recursive plug-in estimate of psi(s): bandwidths for low orders
-        come from the next-order functionals (Botev recursion, 2D form)."""
-        sums = np.sum(s)
-        if sums <= 4:
-            sum_func = self.func2d([s[0] + 1, s[1]], t) + self.func2d([s[0], s[1] + 1], t)
-            const = (1 + 0.5 ** (sums + 1)) / 3
-            time = (-2 * const * _K_EVEN[s[0]] * _K_EVEN[s[1]] / self.N / sum_func) ** (1.0 / (2 + sums))
-            return self.psi(s, time)
-        return self.psi(s, t)
-
-    def psi_odd(self, s, time):
-        """Odd psi functional from the full FFT power spectrum (odd DCT
-        moments vanish; needs signed frequencies)."""
-        f = np.fft.fftfreq(self.aFFT.shape[0], d=1.0 / self.aFFT.shape[0])
-        w = np.exp(-(f**2) * (4 * _PI_SQ * time))
-        wx = w * f ** s[0]
-        wy = w * f ** s[1]
-        return wy.dot(self.aFFT).real.dot(wx.T) * (2 * np.pi) ** np.sum(s)
-
-    def func2d_odd(self, s, t):
-        """Recursive plug-in estimate for odd-order psi functionals."""
-        sums = np.sum(s)
-        if sums <= 8:
-            sum_func = self.func2d_odd([s[0] + 2, s[1]], t) + self.func2d_odd([s[0], s[1] + 2], t)
-            const = 8 * (1 - 2.0 ** (-sums - 1)) / 3.0
-            time = (const * self.p00 * _K_ODD[s[0]] * _K_ODD[s[1]] / self.N**2 / sum_func**2) ** (1.0 / (3 + sums))
-            return self.psi_odd(s, time)
-        return self.psi_odd(s, t)
+    def psi_odd(self, s, at):
+        return self._power.psi(s[0], s[1], at)
 
     def AMISE(self, cov, corr=None):
-        """Asymptotic MISE for bandwidths (hx, hy[, c]) using the stored
-        psi-functional matrix; raises if the bias form is not positive."""
-        hx, hy = cov[0], cov[1]
-        c = corr if corr is not None else cov[2]
-        var = 1.0 / (4 * np.pi * hx * hy * np.sqrt(1 - c**2) * self.N)
-        bias = 0.25 * (
-            hx**4 * self.p[4, 0]
-            + hy**4 * self.p[0, 4]
-            + 2 * hx**2 * hy**2 * self.p[2, 2] * (2 * c**2 + 1)
-            + 4 * c * hx * hy * (hx**2 * self.p[3, 1] + hy**2 * self.p[1, 3])
+        """Asymptotic MISE for bandwidths (wx, wy[, rho]) using the stored
+        psi-functional table; raises if the bias form is not positive."""
+        wx, wy = cov[0], cov[1]
+        rho = cov[2] if corr is None else corr
+        table = self.p
+        variance = 1.0 / (4 * np.pi * wx * wy * np.sqrt(1 - rho**2) * self.N)
+        quartic = (
+            wx**4 * table[4, 0]
+            + wy**4 * table[0, 4]
+            + 2 * wx**2 * wy**2 * table[2, 2] * (2 * rho**2 + 1)
+            + 4 * rho * wx * wy * (wx**2 * table[3, 1] + wy**2 * table[1, 3])
         )
+        bias = 0.25 * quartic
         if bias < 0:
             raise FloatingPointError("bias not positive definite")
-        return var + bias
+        return variance + bias
+
+    def _diag_widths(self, table):
+        """Closed-form diagonal (wx, wy) from the curvature functionals."""
+        pyy = table[(0, 2)]
+        pxx = table[(2, 0)]
+        pxy = table[(1, 1)]
+        cross = pxy + np.sqrt(pxx * pyy)
+        wx = (pyy ** (3.0 / 4) / (4 * np.pi * self.N * pxx ** (3.0 / 4) * cross)) ** (1.0 / 6)
+        wy = (pxx ** (3.0 / 4) / (4 * np.pi * self.N * pyy ** (3.0 / 4) * cross)) ** (1.0 / 6)
+        return wx, wy, pyy, pxx, pxy
 
     def get_h(self, do_correlation=None):
         """(hx, hy, c): closed-form diagonal widths, then AMISE-optimized
-        correlated kernel when it clearly wins (reference :234-306)."""
+        correlated kernel when it clearly wins (spec: reference :234-306)."""
         if do_correlation is None:
             do_correlation = self.do_correlation
-        tpsi = self.t_star
-        p_02 = self.func2d([0, 2], tpsi)
-        p_20 = self.func2d([2, 0], tpsi)
-        p_11 = self.func2d([1, 1], tpsi)
-        h_x = (p_02 ** (3.0 / 4) / (4 * np.pi * self.N * p_20 ** (3.0 / 4) * (p_11 + np.sqrt(p_20 * p_02)))) ** (
-            1.0 / 6
-        )
-        h_y = (p_20 ** (3.0 / 4) / (4 * np.pi * self.N * p_02 ** (3.0 / 4) * (p_11 + np.sqrt(p_20 * p_02)))) ** (
-            1.0 / 6
-        )
-        corr = 0
+        table = _even_table(self._modes, self.N, self.t_star)
+        wx, wy, pyy, pxx, pxy = self._diag_widths(table)
+        rho = 0
         if not do_correlation:
-            return h_x, h_y, corr
+            return wx, wy, rho
 
-        p = np.zeros((5, 5))
-        p[0, 4] = p_02
-        p[4, 0] = p_20
-        p[2, 2] = p_11
-        p[0, 0] = self.func2d([0, 0], tpsi)
-        self.p00 = p[0, 0]
-        p[1, 3] = self.func2d_odd([1, 3], tpsi)
-        p[3, 1] = self.func2d_odd([3, 1], tpsi)
-        self.p = p
+        self.p00 = table[(0, 0)]
+        odd = _odd_table(self._power, self.N, self.p00, self.t_star)
+        functionals = np.zeros((5, 5))
+        for key, value in (
+            ((0, 4), pyy),
+            ((4, 0), pxx),
+            ((2, 2), pxy),
+            ((0, 0), self.p00),
+            ((1, 3), odd[(1, 3)]),
+            ((3, 1), odd[(3, 1)]),
+        ):
+            functionals[key] = value
+        self.p = functionals
 
-        best = self.AMISE(np.array([h_x, h_y, 0]))
+        best = self.AMISE(np.array([wx, wy, 0]))
         if self.corr:
             try:
-                res = minimize(
-                    self.AMISE,
-                    np.array([h_x, h_y]) / np.sqrt(1 - abs(self.corr)),
-                    (self.corr,),
-                    method="TNC",
-                    bounds=[(0.001, 0.3), (0.001, 0.3)],
-                )
-                if res.success:
-                    fixed_corr_amise = self.AMISE(res.x, self.corr)
-                    if fixed_corr_amise < best:
-                        h_x, h_y = res.x
-                        corr = self.corr
-                        best = fixed_corr_amise
+                shrink = np.sqrt(1 - abs(self.corr))
+                found = self._amise_search(np.array([wx, wy]) / shrink, fixed_corr=self.corr)
+                if found.success:
+                    candidate = self.AMISE(found.x, self.corr)
+                    if candidate < best:
+                        wx, wy = found.x
+                        rho = self.corr
+                        best = candidate
             except Exception:
                 logging.debug("AMISE fixed correlation optimization failed")
         try:
-            res = minimize(
-                self.AMISE,
-                np.array([h_x, h_y, self.corr]),
-                (None,),
-                method="TNC",
-                bounds=[(0.001, 0.3), (0.001, 0.3), (-0.99, 0.99)],
-            )
-            if res.success:
-                free_amise = self.AMISE(res.x)
-                if free_amise < best * 0.9:
-                    h_x, h_y, corr = res.x
+            found = self._amise_search(np.array([wx, wy, self.corr]))
+            if found.success and self.AMISE(found.x) < best * 0.9:
+                wx, wy, rho = found.x
         except Exception:
             logging.debug("AMISE optimization failed")
-        return h_x, h_y, corr
+        return wx, wy, rho
+
+    _WIDTH_BOUND = (0.001, 0.3)
+
+    def _amise_search(self, start, fixed_corr=None):
+        """One bounded TNC minimization of the AMISE (free-correlation when
+        start has 3 entries, fixed kernel correlation otherwise)."""
+        box = [self._WIDTH_BOUND] * 2
+        if len(start) == 3:
+            box.append((-0.99, 0.99))
+        return minimize(self.AMISE, start, (fixed_corr,), method="TNC", bounds=box)
 
     def get_hdiag(self):
         """Diagonal-only bandwidths (no kernel correlation)."""
