@@ -18,9 +18,9 @@ class CovMat:
     """
 
     def __init__(self, filename="", matrix=None, paramNames=None):
-        self.matrix = matrix
         self.paramNames = paramNames or []
-        self.size = matrix.shape[0] if matrix is not None else 0
+        self.matrix = matrix
+        self.size = 0 if matrix is None else matrix.shape[0]
         if filename:
             self.loadFromFile(filename)
 
@@ -34,14 +34,14 @@ class CovMat:
             header = handle.readline().strip()
             if not header.startswith("#"):
                 raise Exception(".covmat must now have parameter names header")
-            self.paramNames = header[1:].split()
+            self.paramNames = header.lstrip("#").split()
             self.size = len(self.paramNames)
             self.matrix = np.loadtxt(handle)
 
     def saveToFile(self, filename):
         """Write the .covmat text format (names header + %15.7E matrix)."""
         with open(filename, "wb") as handle:
-            handle.write(("# " + self.paramNameString() + "\n").encode("utf-8"))
+            handle.write(("# %s\n" % self.paramNameString()).encode("utf-8"))
             np.savetxt(handle, self.matrix, "%15.7E")
 
     def rescaleParameter(self, name, scale):
@@ -49,26 +49,23 @@ class CovMat:
         if name not in self.paramNames:
             print("Not in covmat: " + name)
             return
-        i = self.paramNames.index(name)
-        self.matrix[:, i] *= scale
-        self.matrix[i, :] *= scale
+        where = self.paramNames.index(name)
+        self.matrix[:, where] *= scale
+        self.matrix[where, :] *= scale
 
     def mergeCovmatWhereNew(self, cov2):
         """Union of parameters: keep this matrix's entries where present,
         fill blocks only covered by cov2 from cov2, zero cross terms."""
-        merged = CovMat()
-        merged.paramNames = list(self.paramNames)
-        merged.paramNames += [p for p in cov2.paramNames if p not in merged.paramNames]
-        n = len(merged.paramNames)
-        own = {p: i for i, p in enumerate(self.paramNames)}
-        other = {p: i for i, p in enumerate(cov2.paramNames)}
-        merged.matrix = np.zeros((n, n))
-        for i, pi in enumerate(merged.paramNames):
-            for j, pj in enumerate(merged.paramNames):
-                if pi in own and pj in own:
-                    merged.matrix[i, j] = self.matrix[own[pi], own[pj]]
-                elif pi in other and pj in other:
-                    merged.matrix[i, j] = cov2.matrix[other[pi], other[pj]]
+        names = list(self.paramNames)
+        names += [p for p in cov2.paramNames if p not in names]
+        n = len(names)
+        slot = {p: i for i, p in enumerate(names)}
+        merged = CovMat(matrix=np.zeros((n, n)), paramNames=names)
+        # write cov2's block first, then overwrite with this matrix's block
+        # (earlier matrix wins on overlap); cross terms stay zero
+        for source in (cov2, self):
+            where = np.array([slot[p] for p in source.paramNames], dtype=int)
+            merged.matrix[np.ix_(where, where)] = source.matrix
         return merged
 
     def correlation(self):
@@ -82,9 +79,10 @@ class CovMat:
 
         plt.pcolor(self.correlation())
         plt.colorbar()
-        ticks = np.arange(0.5, self.size + 0.5)
-        plt.yticks(ticks, list(range(1, self.size + 1)))
+        centers = np.arange(self.size) + 0.5
+        labels = [str(i + 1) for i in range(self.size)]
+        plt.yticks(centers, labels)
         plt.gca().set_yticklabels(self.paramNames)
-        plt.xticks(ticks, list(range(1, self.size + 1)))
+        plt.xticks(centers, labels)
         plt.xlim([0, self.size])
         plt.ylim([0, self.size])

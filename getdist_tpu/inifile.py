@@ -1,12 +1,10 @@
-"""Key=value settings files with inheritance (host-side config system).
+"""Key=value settings files with inheritance (.ini system).
 
-Implements the reference's extended .ini dialect (``getdist/inifile.py``):
-``INCLUDE(file)`` pulls in another file, ``DEFAULT(file)`` pulls one in
-without overriding already-set keys, ``$(VAR)`` expands environment
-variables, ``END`` stops parsing, booleans are ``T``/``F``, and typed
-getters cover scalars, lists, arrays and indexed ``name(i)`` entries.
-``setAttr`` writes a typed value onto an object, inferring the type from
-the attribute's current value — the mechanism analysis settings use.
+Behavioral spec: reference ``getdist/inifile.py:10-412``. Supports
+``INCLUDE(file)`` / ``DEFAULT(file)`` inheritance, ``$(ENVVAR)`` expansion,
+typed getters (bool as T/F, space-separated lists, ndarrays, indexed
+``name(i)`` entries), and ``setAttr`` reflection that writes typed values
+onto objects using the type of the current attribute value.
 """
 
 import os
@@ -20,64 +18,102 @@ class IniError(Exception):
     pass
 
 
-class IniFile:
-    """Ordered key=value store, readable/savable as extended .ini text.
+def _bracket_arg(line):
+    """The text inside the first (...) group of a directive line."""
+    return line[line.find("(") + 1 : line.rfind(")")]
 
-    :ivar params: dict of stored name -> value
-    :ivar comments: dict of name -> preceding comment lines
+
+def _ini_text(value):
+    """Render a python value the way .ini files expect (bools as T/F)."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, bool):
+        return "T" if value else "F"
+    return str(value)
+
+
+class IniFile:
+    """Stores option values; reads/saves .ini files with inheritance.
+
+    Unlike standard .ini files, a file can use INCLUDE(..) and DEFAULT(...)
+    to pull in or fall back to settings from another file.
+
+    :ivar params: dictionary of stored name -> value
+    :ivar comments: dictionary of optional comments per parameter name
     """
 
     def __init__(self, settings=None, keep_includes=False, expand_environment_variables=True):
         """
         :param settings: filename of a .ini file to read, or a dict of values
-        :param keep_includes: if True, record INCLUDE/DEFAULT names instead of
-            loading them (for re-saving); if False resolve them recursively
-        :param expand_environment_variables: expand $(VAR) in values
+        :param keep_includes:
+             - False: load all INCLUDE and DEFAULT files into one params dict
+             - True: only load the main file; store INCLUDE/DEFAULT names in
+               the includes and defaults lists
+        :param expand_environment_variables: expand $(var) placeholders in
+               values from the environment
         """
         self.params = {}
-        self.comments = {}
         self.readOrder = []
-        self.defaults = []
+        self.comments = {}
         self.includes = []
-        self.original_filename = None
+        self.defaults = []
         self.expand_environment_variables = expand_environment_variables
-        if isinstance(settings, str):
-            self.readFile(settings, keep_includes)
-        elif settings:
-            self.params.update(settings)
+        self.original_filename = None
+        if settings:
+            if isinstance(settings, str):
+                self.readFile(settings, keep_includes)
+            else:
+                self.params.update(settings)
 
-    # -- parsing ------------------------------------------------------------
     def expand_placeholders(self, s):
-        """Expand ``$(VAR)`` environment placeholders (``$$`` escapes ``$``)."""
+        """Expand $(var) placeholders from the environment ($$ = literal $,
+        bare $ dropped, unknown variables expand to nothing)."""
         if "$(" not in s:
             return s
-        out = []
+        pieces = []
         i = 0
         while i < len(s):
-            if s[i] == "$" and i + 1 < len(s):
-                if s[i + 1] == "$":
-                    out.append("$")
-                    i += 2
-                    continue
-                if s[i + 1] == "(":
-                    close = s.find(")", i + 2)
-                    if close != -1:
-                        var = s[i + 2 : close]
-                        out.append(os.environ.get(var, ""))
-                        i = close + 1
-                        continue
-            out.append(s[i])
-            i += 1
-        return "".join(out)
+            ch = s[i]
+            if ch != "$":
+                pieces.append(ch)
+                i += 1
+                continue
+            after = s[i + 1] if i + 1 < len(s) else ""
+            if after == "$":
+                pieces.append("$")
+                i += 2
+            elif after == "(":
+                close = s.index(")", i + 2)
+                pieces.append(os.environ.get(s[i + 2 : close], ""))
+                i = close + 1
+            else:
+                i += 1
+        return "".join(pieces)
+
+    def _store(self, line, filename, if_not_defined, pending_comments):
+        if "=" not in line:
+            return False
+        key, _, raw = line.partition("=")
+        key = key.strip()
+        if key in self.params:
+            if if_not_defined:
+                return True
+            raise IniError("Error: duplicate key: " + key + " in " + filename)
+        value = self.expand_placeholders(raw.strip()) if self.expand_environment_variables else raw.strip()
+        self.params[key] = value
+        self.readOrder.append(key)
+        if pending_comments:
+            self.comments[key] = list(pending_comments)
+        return True
 
     def readFile(self, filename, keep_includes=False, if_not_defined=False):
         try:
+            included = []
+            defaulted = []
             self.original_filename = filename
-            found_includes = []
-            found_defaults = []
             pending_comments = []
-            with open(filename, encoding="utf-8-sig") as handle:
-                for raw in handle:
+            with open(filename, encoding="utf-8-sig") as stream:
+                for raw in stream:
                     line = raw.strip()
                     if line == "END":
                         break
@@ -85,128 +121,104 @@ class IniFile:
                         pending_comments.append(line[1:].rstrip())
                         continue
                     if line.startswith("INCLUDE("):
-                        found_includes.append(line[line.find("(") + 1 : line.rfind(")")])
+                        included.append(_bracket_arg(line))
                     elif line.startswith("DEFAULT("):
-                        found_defaults.append(line[line.find("(") + 1 : line.rfind(")")])
+                        defaulted.append(_bracket_arg(line))
                     elif line:
-                        eq = line.find("=")
-                        if eq >= 0:
-                            key = line[:eq].strip()
-                            if key in self.params:
-                                if if_not_defined:
-                                    pending_comments = []
-                                    continue
-                                raise IniError(f"Error: duplicate key: {key} in {filename}")
-                            value = line[eq + 1 :].strip()
-                            if self.expand_environment_variables:
-                                value = self.expand_placeholders(value)
-                            self.params[key] = value
-                            self.readOrder.append(key)
-                            if pending_comments:
-                                self.comments[key] = pending_comments
+                        self._store(line, filename, if_not_defined, pending_comments)
                     pending_comments = []
 
             if keep_includes:
-                self.includes += found_includes
-                self.defaults += found_defaults
+                self.includes += included
+                self.defaults += defaulted
             else:
-                base = os.path.dirname(filename)
-                for inc in found_includes:
-                    path = inc if os.path.isabs(inc) else os.path.join(base, inc)
-                    self.readFile(path, if_not_defined=if_not_defined)
-                for dft in found_defaults:
-                    path = dft if os.path.isabs(dft) else os.path.join(base, dft)
-                    self.readFile(path, if_not_defined=True)
+                base_dir = os.path.dirname(filename)
+
+                def resolve(inherited):
+                    return inherited if os.path.isabs(inherited) else os.path.join(base_dir, inherited)
+
+                for inherited in included:
+                    self.readFile(resolve(inherited), if_not_defined=if_not_defined)
+                for inherited in defaulted:
+                    self.readFile(resolve(inherited), if_not_defined=True)
             return self.params
         except Exception:
-            print("Error in " + filename)
+            print("Error in %s" % filename)
             raise
-
-    # -- serialization ------------------------------------------------------
-    def fileLines(self):
-        def render(value):
-            if isinstance(value, str):
-                return value
-            if isinstance(value, bool):
-                return "T" if value else "F"
-            return str(value)
-
-        lines = [f"INCLUDE({inc})" for inc in self.includes]
-        lines += [f"DEFAULT({dft})" for dft in self.defaults]
-        remaining = sorted(self.params.keys())
-        for key in self.readOrder:
-            if key in remaining:
-                lines.append(key + "=" + render(self.params[key]))
-                remaining.remove(key)
-        lines.extend(key + "=" + render(self.params[key]) for key in remaining)
-        return lines
 
     def __str__(self):
         return "\n".join(self.fileLines())
 
     def saveFile(self, filename=None):
-        """Write back to .ini text."""
-        filename = filename or self.original_filename
-        if not filename:
+        """Write the settings back to a .ini file."""
+        target = filename or self.original_filename
+        if not target:
             raise IniError("No filename for iniFile.saveFile()")
-        with open(filename, "w", encoding="utf-8") as handle:
-            handle.write(str(self))
+        with open(target, "w", encoding="utf-8") as stream:
+            stream.write("\n".join(self.fileLines()))
 
-    # -- mutation helpers ----------------------------------------------------
+    def fileLines(self):
+        lines = ["INCLUDE(%s)" % inc for inc in self.includes]
+        lines += ["DEFAULT(%s)" % d for d in self.defaults]
+        emitted = set()
+        ordered = [k for k in self.readOrder if k in self.params and not (k in emitted or emitted.add(k))]
+        ordered += sorted(k for k in self.params if k not in emitted)
+        lines += ["%s=%s" % (key, _ini_text(self.params[key])) for key in ordered]
+        return lines
+
     def replaceTags(self, placeholder, text):
-        for key in self.params:
-            self.params[key] = self.params[key].replace(placeholder, text)
+        self.params = {key: value.replace(placeholder, text) for key, value in self.params.items()}
         return self.params
 
     def delete_keys(self, keys):
         for key in keys:
             self.params.pop(key, None)
 
-    # -- typed access ---------------------------------------------------------
     def _undefined(self, name):
         raise IniError("parameter not defined: " + name)
 
     def hasKey(self, name):
-        """Whether the key exists at all."""
+        """True when the parameter name exists."""
         return name in self.params
 
     def isSet(self, name, allowEmpty=False):
-        """Whether the key exists and (unless allowEmpty) is non-empty."""
-        return name in self.params and (allowEmpty or self.params[name] != "")
+        """True when the parameter exists and (unless allowEmpty) is non-empty."""
+        if name not in self.params:
+            return False
+        return allowEmpty or self.params[name] != ""
 
     def asType(self, name, tp, default=None, allowEmpty=False):
         if self.isSet(name, allowEmpty):
-            if tp is bool:
-                return self.bool(name, default)
-            if tp is list:
-                return self.split(name, default)
-            if tp is np.ndarray:
-                return self.ndarray(name, default)
+            special = {bool: self.bool, list: self.split, np.ndarray: self.ndarray}
+            reader = special.get(tp)
+            if reader:
+                return reader(name, default)
             return tp(self.params[name])
         if default is not None:
             return default
         self._undefined(name)
 
     def setAttr(self, name, instance, default=None, allowEmpty=False):
-        """Set ``instance.<name>`` from this ini, typed like its current value."""
-        default = getattr(instance, name, default)
-        setattr(instance, name, self.asType(name, type(default), default, allowEmpty=allowEmpty))
+        """Set instance.name from the parameter, cast to the type of the
+        attribute's current (or default) value."""
+        current = getattr(instance, name, default)
+        typed = self.asType(name, type(current), current, allowEmpty=allowEmpty)
+        setattr(instance, name, typed)
 
     def getAttr(self, instance, name, default=None, comment=None):
-        """Record ``instance.<name>`` into this ini (for saving settings)."""
         self.params[name] = getattr(instance, name, default)
         if comment:
             self.comments[name] = comment
 
     def bool(self, name, default=False):
-        """Boolean value; text must start with T or F."""
+        """Boolean value (text starting T = True, F = False)."""
         if self.isSet(name):
-            value = self.params[name]
-            if isinstance(value, bool):
-                return value
-            if value[0] == "T":
+            text = self.params[name]
+            if isinstance(text, bool):
+                return text
+            if text.startswith("T"):
                 return True
-            if value[0] == "F":
+            if text.startswith("F"):
                 return False
             raise IniError("parameter does not have valid T(rue) or F(alse) boolean value: " + name)
         if default is not None:
@@ -226,20 +238,22 @@ class IniFile:
         return self.asType(name, int, default)
 
     def split(self, name, default=None, tp=None):
-        """Space-separated list of values, optionally cast to tp."""
-        if name in self.params and isinstance(self.params[name], (list, tuple)):
-            return list(self.params[name]) if tp is None else [tp(x) for x in self.params[name]]
-        s = self.string(name, default)
-        if isinstance(s, str):
-            return s.split() if tp is None else [tp(x) for x in s.split()]
-        return s
+        """List of values from a space-separated entry, optionally cast to tp."""
+        stored = self.params.get(name)
+        if isinstance(stored, (list, tuple)):
+            return stored if tp is None else [tp(x) for x in stored]
+        text = self.string(name, default)
+        if not isinstance(text, str):
+            return text
+        parts = text.split()
+        return parts if tp is None else [tp(x) for x in parts]
 
     def list(self, name, default=None, tp=None):
-        """List of values (see :meth:`split`)."""
+        """List of values (space-separated)."""
         return self.split(name, default or [], tp)
 
     def bool_list(self, name, default=None):
-        """List of booleans (``name = T F T``)."""
+        """List of booleans, e.g. from ``name = T F T``."""
         return self.split(name, default or [], tp=bool)
 
     def float_list(self, name, default=None):
@@ -252,26 +266,32 @@ class IniFile:
 
     def ndarray(self, name, default=None, tp=np.float64):
         """Numpy array of values."""
-        return np.array(self.split(name, default, tp=tp))
+        values = self.split(name, default, tp=tp)
+        return np.array(values)
 
-    def array_int(self, name, index=1, default=None):
-        """Int from an indexed ``name(i)`` entry."""
-        return self.int("%s(%u)" % (name, index), default)
 
-    def array_string(self, name, index=1, default=None):
-        """String from an indexed ``name(i)`` entry."""
-        return self.string("%s(%u)" % (name, index), default)
+
+
 
     def array_bool(self, name, index=1, default=None):
-        """Bool from an indexed ``name(i)`` entry."""
+        """Bool entry of the indexed form ``name(index)``."""
         return self.bool("%s(%u)" % (name, index), default)
 
     def array_float(self, name, index=1, default=None):
-        """Float from an indexed ``name(i)`` entry."""
+        """Float entry of the indexed form ``name(index)``."""
         return self.float("%s(%u)" % (name, index), default)
 
+    def array_int(self, name, index=1, default=None):
+        """Int entry of the indexed form ``name(index)``."""
+        return self.int("%s(%u)" % (name, index), default)
+
+    def array_string(self, name, index=1, default=None):
+        """String entry of the indexed form ``name(index)``."""
+        return self.string("%s(%u)" % (name, index), default)
+
     def relativeFileName(self, name, default=None):
-        s = self.string(name, default)
-        if not os.path.isabs(s) and self.original_filename is not None:
-            return os.path.join(os.path.dirname(self.original_filename), s)
-        return s
+        path = self.string(name, default)
+        if os.path.isabs(path) or self.original_filename is None:
+            return path
+        base = os.path.dirname(self.original_filename)
+        return os.path.join(base, path)

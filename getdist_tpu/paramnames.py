@@ -76,13 +76,13 @@ class ParamInfo:
 
     def __init__(self, line=None, name="", label="", comment="", derived=False, renames=None, number=None):
         self.setName(name)
-        self.isDerived = derived
         self.label = label or name
         self.comment = comment
-        self.filenameLoadedFrom = ""
-        self.number = number
+        self.isDerived = derived
         self.renames = makeList(renames or [])
+        self.number = number
         self.periodic = False
+        self.filenameLoadedFrom = ""
         if line is not None:
             self.setFromString(line)
 
@@ -113,9 +113,10 @@ class ParamInfo:
         return self
 
     def setFromStringWithComment(self, items):
-        self.setFromString(items[0])
-        if items[1] != "NULL":
-            self.comment = items[1]
+        line, comment = items[0], items[1]
+        self.setFromString(line)
+        if comment != "NULL":
+            self.comment = comment
 
     def getLabel(self):
         return self.label or self.name
@@ -133,8 +134,10 @@ class ParamInfo:
         return self.string()
 
     def __setstate__(self, state):
+        # backward-compatible unpickling for objects predating new fields
         self.__dict__.update(state)
         self.__dict__.setdefault("periodic", False)
+        self.__dict__.setdefault("renames", [])
 
 
 class ParamList:
@@ -144,23 +147,23 @@ class ParamList:
 
     def __init__(self, fileName=None, setParamNameFile=None, default=0, names=None, labels=None):
         self.names = []
-        self.info_dict = None
+        self.info_dict = None  # raw Cobaya yaml info when loaded from yaml
         if default:
             self.setDefault(default)
-        if names is not None:
-            self.setWithNames(names)
-        if fileName is not None:
-            self.loadFromFile(fileName)
-        if setParamNameFile is not None:
-            self.setLabelsFromParamNames(setParamNameFile)
-        if labels is not None:
-            self.setLabels(labels)
+        for value, apply in (
+            (names, self.setWithNames),
+            (fileName, self.loadFromFile),
+            (setParamNameFile, self.setLabelsFromParamNames),
+            (labels, self.setLabels),
+        ):
+            if value is not None:
+                apply(value)
 
     def loadFromFile(self, fileName):  # pragma: no cover - overridden in ParamNames
         raise NotImplementedError
 
     def setDefault(self, n):
-        self.names = [ParamInfo(name=f"param{i + 1}", label="p_{%i}" % (i + 1)) for i in range(n)]
+        self.names = [ParamInfo(name="param%d" % i, label="p_{%i}" % i) for i in range(1, n + 1)]
         return self
 
     def setWithNames(self, names):
@@ -181,7 +184,7 @@ class ParamList:
         return [info.label for info in self.names]
 
     def listString(self):
-        return " ".join(self.list())
+        return " ".join(info.name for info in self.names)
 
     def numParams(self):
         return len(self.names)
@@ -231,10 +234,7 @@ class ParamList:
     def numberOfName(self, name):
         """Index of the parameter with exactly this name, or -1."""
         self._require_name_str(name)
-        for i, info in enumerate(self.names):
-            if info.name == name:
-                return i
-        return -1
+        return next((i for i, info in enumerate(self.names) if info.name == name), -1)
 
     def hasParam(self, name):
         return self.numberOfName(name) != -1
@@ -245,8 +245,7 @@ class ParamList:
         if isinstance(names, str):
             names = [names]
         errors = makeList(error)
-        if len(errors) < len(names):
-            errors = errors * len(names)
+        errors = errors * len(names) if len(errors) < len(names) else errors
         out = []
         for name, err in zip(names, errors):
             if isinstance(name, ParamInfo):
@@ -358,20 +357,20 @@ class ParamNames(ParamList):
 
             self.info_dict = yaml_tools.yaml_load_file(fileName)
             info_params = get_info_params(self.info_dict)
-            self.names = [
-                ParamInfo(name=p, label=(info or {}).get(_p_label, p), renames=(info or {}).get(_p_renames))
-                for p, info in info_params.items()
-                if is_sampled_param(info)
-            ] + [
-                ParamInfo(
-                    name=p,
-                    label=(info or {}).get(_p_label, p),
-                    renames=(info or {}).get(_p_renames),
-                    derived=True,
-                )
-                for p, info in info_params.items()
-                if is_derived_param(info)
-            ]
+
+            def entries(pred, derived):
+                for p, info in info_params.items():
+                    if pred(info):
+                        detail = info or {}
+                        yield ParamInfo(
+                            name=p,
+                            label=detail.get(_p_label, p),
+                            renames=detail.get(_p_renames),
+                            derived=derived,
+                        )
+
+            # sampled parameters first, then derived
+            self.names = list(entries(is_sampled_param, False)) + list(entries(is_derived_param, True))
         else:
             raise ValueError(f"ParamNames must load from .paramnames or .yaml/.yml, got {fileName}")
 
@@ -386,7 +385,8 @@ class ParamNames(ParamList):
         return total
 
     def saveKeyWords(self, keywordProvider):
-        keywordProvider.setKeyWord_int("num_params_used", len(self.names) - self.numDerived())
-        keywordProvider.setKeyWord_int("num_derived_params", self.numDerived())
-        for i, info in enumerate(self.names):
-            keywordProvider.setKeyWord(f"param_{i + 1}", info.string(False).replace("\\", "!"), info.comment)
+        derived_count = self.numDerived()
+        keywordProvider.setKeyWord_int("num_params_used", len(self.names) - derived_count)
+        keywordProvider.setKeyWord_int("num_derived_params", derived_count)
+        for i, info in enumerate(self.names, start=1):
+            keywordProvider.setKeyWord("param_%d" % i, info.string(False).replace("\\", "!"), info.comment)

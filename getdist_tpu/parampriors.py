@@ -25,9 +25,9 @@ class ParamBounds:
 
     def __init__(self, fileName=None):
         self.names = []
+        self.periodic = set()
         self.lower = {}
         self.upper = {}
-        self.periodic = set()
         if fileName is not None:
             self.loadFromFile(fileName)
 
@@ -49,24 +49,42 @@ class ParamBounds:
         else:
             raise ValueError(f"ParamBounds must load from .bounds, .ranges or .yaml/.yml, not {fileName}")
 
+    @staticmethod
+    def _bound_value(token, open_marker):
+        """float bound, or None for an unbounded marker ('N'/None/+-inf)."""
+        if token is None or token == "N" or token == open_marker:
+            return None
+        return float(token)
+
+    def _mark_periodic(self, name, flag):
+        verdict = flag
+        if isinstance(flag, str):
+            spelled = flag.upper()
+            if spelled in ("T", "TRUE", "PERIODIC"):
+                verdict = True
+            elif spelled in ("F", "FALSE"):
+                verdict = False
+        if verdict is True:
+            if name not in self.upper or name not in self.lower:
+                raise ValueError(f"Periodic parameter must have lower and upper bound: {name}")
+            self.periodic.add(name)
+        elif verdict is not False:
+            raise ValueError(f"Unknown value for periodic range settings for param {name}: {flag}")
+
     def setRange(self, name, strings):
         """Set bounds from a (lower, upper[, periodic]) tuple of strings or
         numbers; 'N'/None/inf mean unbounded."""
         if strings[0] is None and strings[1] is None:
             return
         self._require_name(name)
-        if strings[0] != "N" and strings[0] is not None and strings[0] != -np.inf:
-            self.lower[name] = float(strings[0])
-        if strings[1] != "N" and strings[1] is not None and strings[1] != np.inf:
-            self.upper[name] = float(strings[1])
+        low = self._bound_value(strings[0], -np.inf)
+        if low is not None:
+            self.lower[name] = low
+        high = self._bound_value(strings[1], np.inf)
+        if high is not None:
+            self.upper[name] = high
         if len(strings) > 2:
-            flag = strings[2]
-            if flag is True or (isinstance(flag, str) and flag.upper() in ("T", "TRUE", "PERIODIC")):
-                if name not in self.upper or name not in self.lower:
-                    raise ValueError(f"Periodic parameter must have lower and upper bound: {name}")
-                self.periodic.add(name)
-            elif flag is not False and (not isinstance(flag, str) or flag.upper() not in ("F", "FALSE")):
-                raise ValueError(f"Unknown value for periodic range settings for param {name}: {flag}")
+            self._mark_periodic(name, strings[2])
         if name not in self.names:
             self.names.append(name)
 
@@ -97,12 +115,8 @@ class ParamBounds:
 
     def fixedValueDict(self):
         """Dict of all parameters pinned to a single value."""
-        out = {}
-        for name in self.names:
-            value = self.fixedValue(name)
-            if value is not None:
-                out[name] = value
-        return out
+        pinned = ((name, self.fixedValue(name)) for name in self.names)
+        return {name: value for name, value in pinned if value is not None}
 
     def __str__(self):
         lines = []
