@@ -1,19 +1,23 @@
-"""Gaussian mixture models: analytic truth distributions and Fisher-style
-plotting inputs.
+"""Analytic Gaussian-mixture distributions.
 
-Behavior-compatible with the reference ``getdist/gaussian_mixtures.py``:
-mixtures with optional hard limits support pdf evaluation, analytic 1D/2D
-density grids, marginalization and conditioning, rejection sampling under
-bounds, and minting of :class:`~.mcsamples.MCSamples` objects. Sampling uses
-numpy Generators with the same call sequence as the reference so seeded test
-fixtures are bit-reproducible (do NOT reorder the RNG calls in
-:func:`_rejection_sample` or the Random* constructors).
+These serve two roles, matching the capabilities of the reference
+``getdist/gaussian_mixtures.py``: (a) test oracles — mixtures with known
+marginals against which KDE output is scored, and (b) Fisher-style plotting
+inputs (draw confidence ellipses for a forecast covariance without samples).
 
-The numerical cores live in module-level helpers; the classes are thin
-state-holders over them.
+Capabilities: pdf evaluation, analytic 1D/2D density grids, marginalization
+and conditioning (Schur complement), rejection sampling under hard bounds,
+and minting :class:`~.mcsamples.MCSamples` sets for the plotting layer.
+
+Reproducibility contract: seeded fixtures depend on the *order* of numpy
+Generator calls in :meth:`MixtureND.sim` (one multinomial per round, then one
+multivariate_normal per non-empty component, a final permutation only when
+more than one block was drawn) and in :class:`RandomTestMixtureND` (component
+covariances before means).  Do not reorder those calls.
 """
 
 import copy
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -33,403 +37,440 @@ __all__ = [
     "make_2D_Cov",
 ]
 
+_BIG_DRAW = 100000  # minimum top-up block for rejection sampling
+
 
 def make_2D_Cov(sigmax, sigmay, corr):
-    return np.array([[sigmax**2, sigmax * sigmay * corr], [sigmax * sigmay * corr, sigmay**2]])
+    off_diag = corr * sigmax * sigmay
+    return np.array([[sigmax * sigmax, off_diag], [off_diag, sigmay * sigmay]])
 
 
-# ---------------------------------------------------------------------------
-# numerical cores
-# ---------------------------------------------------------------------------
+@dataclass
+class _Gauss:
+    """One mixture component with cached inverse and normalization."""
 
+    mean: np.ndarray
+    cov: np.ndarray
+    icov: np.ndarray
+    norm: float
 
-def _apply_hard_limits(draws, lims):
-    """Drop rows outside the per-parameter (min, max) bounds."""
-    for axis, (lower, upper) in enumerate(lims):
-        if lower is not None:
-            draws = draws[draws[:, axis] >= lower]
-        if upper is not None:
-            draws = draws[draws[:, axis] <= upper]
-    return draws
+    @classmethod
+    def build(cls, mean, cov):
+        cov = np.array(cov)
+        ndim = cov.shape[0]
+        return cls(
+            mean=np.asarray(mean, dtype=np.float64),
+            cov=cov,
+            icov=np.linalg.inv(cov),
+            norm=float(np.sqrt(np.linalg.det(cov)) * (2 * np.pi) ** (ndim / 2.0)),
+        )
 
+    def density(self, pts):
+        """Normalized Gaussian density at pts, shape (..., dim)."""
+        diff = pts - self.mean
+        quad = ((diff @ self.icov) * diff).sum(axis=-1)
+        return np.exp(-0.5 * quad) / self.norm
 
-def _rejection_sample(mixture, size, random_state):
-    """Rejection-sample ``size`` points from the (possibly bounded) mixture.
-
-    RNG call order (multinomial per round, then one multivariate_normal per
-    non-empty component, final permutation when multiple blocks) must stay
-    identical for seed-reproducible fixtures.
-    """
-    accepted = 0
-    chunks = []
-    round_size = None
-    rng = np.random.default_rng(random_state)
-    while True:
-        counts = rng.multinomial(round_size or size, mixture.weights)
-        for count, mean, cov in zip(counts, mixture.means, mixture.covs):
-            if count > 0:
-                draws = rng.multivariate_normal(mean, cov, size=count)
-                if mixture.lims is not None:
-                    draws = _apply_hard_limits(draws, mixture.lims)
-                accepted += draws.shape[0]
-                chunks.append(draws)
-        if accepted >= size:
-            break
-        if round_size is None:
-            round_size = min(max(size, 100000), int(1.1 * (size * (size - accepted))) // max(accepted, 1) + 1)
-    samples = np.vstack(chunks)
-    if len(chunks) > 1:
-        samples = rng.permutation(samples)
-    if accepted != size:
-        samples = samples[: -(accepted - size), :]
-    return samples
-
-
-def _mixture_pdf(means, invcovs, weights, norms, x):
-    """Weighted sum of Gaussian component densities at x (vector or batch).
-    Components accumulate in order (bit-reproducible fixture loglikes)."""
-    total = None
-    x = np.asarray(x)
-    for i, (mean, icov, weight, norm) in enumerate(zip(means, invcovs, weights, norms)):
-        offset = x - mean
-        if len(x.shape) == 1:
-            component = np.exp(-icov.dot(offset).dot(offset) / 2) / norm
-        else:
-            component = np.exp(-np.einsum("ik,km,im->i", offset, icov, offset) / 2) / norm
-        total = component * weight if not i else total + component * weight
-    return total
-
-
-def _marginal_pdf(means, covs, weights, index, x):
-    """Analytic 1D marginal: weighted sum of the per-component normals."""
-    total = None
-    for i, (mean, cov, weight) in enumerate(zip(means, covs, weights)):
-        offset = x - mean[index]
-        var = cov[index, index]
-        component = np.exp(-(offset**2) / var / 2) / np.sqrt(2 * np.pi * var)
-        total = component * weight if not i else total + component * weight
-    return total
-
-
-def _sigma_ranges(mixture, sigma_max, lims):
-    """Per-parameter plot ranges: hard limits where given, otherwise the
-    union of mean +/- sigma_max*sigma over components."""
-    out = []
-    if lims is None:
-        lims = mixture.lims
-    if lims is None:
-        lims = [(None, None) for _ in range(mixture.dim)]
-    for axis, (lower, upper) in enumerate(lims):
-        span_lo = span_hi = None
-        if lower is None or upper is None:
-            for mean, cov in zip(mixture.means, mixture.covs):
-                sigma = np.sqrt(cov[axis, axis])
-                lo, hi = mean[axis] - sigma_max * sigma, mean[axis] + sigma_max * sigma
-                if lower is not None:
-                    hi = max(hi, lower + sigma_max * sigma)
-                if upper is not None:
-                    lo = min(lo, upper - sigma_max * sigma)
-                span_lo = lo if span_lo is None else min(lo, span_lo)
-                span_hi = hi if span_hi is None else max(hi, span_hi)
-        out.append((span_lo if lower is None else lower, span_hi if upper is None else upper))
-    return out
-
-
-def _condition_component(mean, cov, invcov, fixed, kept, values):
-    """One component of a conditional mixture: (new_mean, new_cov, -2lnw)."""
-    deltas = np.asarray(values) - mean[fixed]
-    new_cov = np.linalg.inv(invcov[np.ix_(kept, kept)])
-    new_mean = mean[kept] - new_cov.dot(invcov[np.ix_(kept, fixed)].dot(deltas))
-    schur = cov[np.ix_(fixed, fixed)] - cov[np.ix_(fixed, kept)].dot(
-        np.linalg.inv(cov[np.ix_(kept, kept)]).dot(cov[np.ix_(kept, fixed)])
-    )
-    logw = invcov[np.ix_(fixed, fixed)].dot(deltas).dot(deltas) + np.log(np.linalg.det(schur))
-    return new_mean, new_cov, logw
-
-
-# ---------------------------------------------------------------------------
-# mixture classes
-# ---------------------------------------------------------------------------
+    def density_axis(self, axis, x):
+        """1D marginal of this component along one axis."""
+        var = self.cov[axis, axis]
+        z = x - self.mean[axis]
+        return np.exp(-0.5 * z * z / var) / np.sqrt(2 * np.pi * var)
 
 
 class MixtureND:
-    """Gaussian mixture with optional per-parameter hard limits; supports
-    sampling, pdf evaluation, projection and conditioning."""
+    """Weighted sum of multivariate Gaussians, with optional per-parameter
+    hard bounds (``lims``).  With bounds set, ``pdf`` is unnormalized and
+    analytic marginalization is refused for bounded directions."""
 
     def __init__(self, means, covs, weights=None, lims=None, names=None, label="", labels=None):
         """
-        :param means: list of component means
-        :param covs: list of component covariance matrices
-        :param weights: component weights (default equal)
-        :param lims: [[min, max], ...] hard limits per parameter (None = none)
-        :param names: parameter names (default param1, param2...)
-        :param label: label for the mixture
-        :param labels: latex labels per parameter
+        :param means: iterable of component mean vectors
+        :param covs: iterable of component covariance matrices
+        :param weights: relative component weights (default: equal)
+        :param lims: optional [(min, max), ...] hard bounds, None entries open
+        :param names: parameter names (defaults to param1, param2, ...)
+        :param label: legend label for the mixture
+        :param labels: latex labels for the parameters
         """
-        self.means = np.asarray(means)
-        self.dim = self.means.shape[1]
-        self.covs = [np.array(cov) for cov in covs]
-        self.invcovs = [np.linalg.inv(cov) for cov in self.covs]
-        if weights is None:
-            weights = [1.0 / len(means)] * len(means)
-        self.weights = np.array(weights, dtype=np.float64)
-        if np.sum(self.weights) <= 0:
+        self._components = [_Gauss.build(m, c) for m, c in zip(means, covs)]
+        k = len(self._components)
+        w = np.full(k, 1.0 / k) if weights is None else np.array(weights, dtype=np.float64)
+        wsum = w.sum()
+        if wsum <= 0:
             raise ValueError("Weight <= 0 in MixtureND")
-        self.weights /= np.sum(weights)
-        self.norms = (2 * np.pi) ** (0.5 * self.dim) * np.array([np.sqrt(np.linalg.det(cov)) for cov in self.covs])
+        self.weights = w / wsum
         self.lims = lims
+        self.label = label
         self.paramNames = ParamNames(names=names, default=self.dim, labels=labels)
         self.names = self.paramNames.list()
-        self.label = label
-        self.total_mean = np.atleast_1d(np.dot(self.weights, self.means))
-        self.total_cov = np.zeros((self.dim, self.dim))
-        for mean, cov, weight, totmean in zip(self.means, self.covs, self.weights, self.total_mean):
-            self.total_cov += weight * (cov + np.outer(mean - totmean, mean - totmean))
+        # moments of the full mixture (law of total mean/covariance)
+        mu = self.weights @ self.means
+        self.total_mean = np.atleast_1d(mu)
+        scatter = self.means - mu
+        self.total_cov = np.einsum("k,kij->ij", self.weights, np.stack(self.covs)) + np.einsum(
+            "k,ki,kj->ij", self.weights, scatter, scatter
+        )
+
+    # -- array views kept for API compatibility with the reference ---------
+
+    @property
+    def dim(self):
+        return self._components[0].mean.size
+
+    @property
+    def means(self):
+        return np.stack([g.mean for g in self._components])
+
+    @property
+    def covs(self):
+        return [g.cov for g in self._components]
+
+    @property
+    def invcovs(self):
+        return [g.icov for g in self._components]
+
+    @property
+    def norms(self):
+        return np.array([g.norm for g in self._components])
+
+    # -- evaluation ---------------------------------------------------------
+
+    def pdf(self, x):
+        """Mixture density at x (point or batch).  Points are assumed to lie
+        inside any hard bounds; with bounds set the result is unnormalized."""
+        x = np.asarray(x)
+        out = 0.0
+        for w, g in zip(self.weights, self._components):
+            out = out + w * g.density(x)
+        return out
+
+    def pdf_marged(self, index, x, no_limit_marge=False):
+        """Analytic marginal density along one parameter (by index or name).
+        Refused when other parameters carry hard bounds."""
+        axis = self._axis_of(index)
+        if not no_limit_marge:
+            self.checkNoLimits([axis])
+        out = 0.0
+        for w, g in zip(self.weights, self._components):
+            out = out + w * g.density_axis(axis, x)
+        return out
+
+    def _axis_of(self, index):
+        return self.names.index(index) if isinstance(index, str) else index
+
+    def checkNoLimits(self, keep_params):
+        if self.lims is None:
+            return
+        for i, (lo, hi) in enumerate(self.lims):
+            if i not in keep_params and not (lo is None and hi is None):
+                raise Exception(
+                    "In general can only marginalize analytically if no hard boundary limits: " + self.label
+                )
+
+    def getLower(self, name):
+        return None if self.lims is None else self.lims[self.names.index(name)][0]
+
+    def getUpper(self, name):
+        return None if self.lims is None else self.lims[self.names.index(name)][1]
+
+    # -- plot ranges and analytic density grids ------------------------------
+
+    def autoRanges(self, sigma_max=4, lims=None):
+        """Per-parameter (min, max) plot ranges: the hard bound where one is
+        set, otherwise the envelope of mean +/- sigma_max*sigma over the
+        components (widened past a one-sided bound by sigma_max*sigma)."""
+        bounds = lims if lims is not None else (self.lims or [(None, None)] * self.dim)
+        ranges = []
+        for axis, (lo_bound, hi_bound) in enumerate(bounds):
+            if lo_bound is not None and hi_bound is not None:
+                ranges.append((lo_bound, hi_bound))
+                continue
+            sig = sigma_max * np.sqrt([g.cov[axis, axis] for g in self._components])
+            centers = self.means[:, axis]
+            his = centers + sig
+            los = centers - sig
+            if lo_bound is not None:
+                his = np.maximum(his, lo_bound + sig)
+            if hi_bound is not None:
+                los = np.minimum(los, hi_bound - sig)
+            ranges.append(
+                (lo_bound if lo_bound is not None else los.min(), hi_bound if hi_bound is not None else his.max())
+            )
+        return ranges
+
+    def density1D(self, index=0, num_points=1024, sigma_max=4, no_limit_marge=False):
+        """Analytic marginalized :class:`~.densities.Density1D` grid."""
+        axis = self._axis_of(index)
+        if not no_limit_marge:
+            self.checkNoLimits([axis])
+        lo, hi = self.autoRanges(sigma_max)[axis]
+        x = np.linspace(lo, hi, num_points)
+        return Density1D(x, self.pdf_marged(axis, x, no_limit_marge=True))
+
+    def density2D(self, params=None, num_points=1024, xmin=None, xmax=None, ymin=None, ymax=None, sigma_max=5):
+        """Analytic marginalized :class:`~.densities.Density2D` grid for two
+        parameters (default: the first two / the only two)."""
+        if isinstance(self, Mixture2D) and params is None and self.dim == 2:
+            pair = self
+        elif self.dim < 2:
+            raise Exception("density2D requires at least two dimensions")
+        else:
+            pair = self.marginalizedMixture(params=params)
+        return pair._density2D(
+            num_points=num_points, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax, sigma_max=sigma_max
+        )
+
+    # -- reduction ------------------------------------------------------------
+
+    def _indices_for(self, params):
+        indexed = []
+        for p in params if params is not None else self.names:
+            if isinstance(p, str):
+                indexed.append(self.names.index(p))
+            elif hasattr(p, "name"):
+                indexed.append(self.names.index(p.name))
+            else:
+                indexed.append(p)
+        return indexed
+
+    def marginalizedMixture(self, params, label=None, no_limit_marge=False) -> "MixtureND":
+        """The mixture projected onto a subset of parameters."""
+        keep = self._indices_for(params)
+        if not no_limit_marge:
+            self.checkNoLimits(keep)
+        keep = np.array(keep)
+        cls = Mixture2D if keep.size == 2 else MixtureND
+        reduced = cls(
+            [g.mean[keep] for g in self._components],
+            [g.cov[np.ix_(keep, keep)] for g in self._components],
+            self.weights,
+            lims=None if self.lims is None else [self.lims[i] for i in keep],
+            names=None if self.names is None else [self.names[i] for i in keep],
+            label=self.label if label is None else label,
+        )
+        reduced.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
+        return reduced
+
+    def conditionalMixture(self, fixed_params, fixed_param_values, label=None):
+        """The mixture conditioned on fixing some parameters to given values.
+
+        Per component the conditional covariance is the inverse of the kept
+        block of the precision matrix, the mean shifts by the cross-precision
+        term, and the component weight is rescaled by the likelihood of the
+        fixed values under the component's marginal (Schur complement).
+        """
+        fixed = self._indices_for(fixed_params)
+        self.checkNoLimits(fixed)
+        kept = [i for i in range(self.dim) if i not in fixed]
+        if not kept:
+            raise ValueError("conditionalMixture must leave at least one non-fixed parameter")
+        new_means, new_covs, chisqs = [], [], []
+        for g in self._components:
+            shift = np.asarray(fixed_param_values) - g.mean[fixed]
+            prec_kk = g.icov[np.ix_(kept, kept)]
+            cov_c = np.linalg.inv(prec_kk)
+            new_covs.append(cov_c)
+            new_means.append(g.mean[kept] - cov_c @ (g.icov[np.ix_(kept, fixed)] @ shift))
+            # -2 log of the fixed-value marginal likelihood, up to a constant
+            marg_cov = g.cov[np.ix_(fixed, fixed)] - g.cov[np.ix_(fixed, kept)] @ (
+                np.linalg.inv(g.cov[np.ix_(kept, kept)]) @ g.cov[np.ix_(kept, fixed)]
+            )
+            chisqs.append(shift @ (g.icov[np.ix_(fixed, fixed)] @ shift) + np.log(np.linalg.det(marg_cov)))
+        chisqs = np.asarray(chisqs)
+        out = MixtureND(
+            new_means,
+            new_covs,
+            np.exp(-0.5 * (chisqs - chisqs.min())),
+            names=None if self.names is None else [self.names[i] for i in kept],
+            label=label,
+        )
+        out.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
+        return out
+
+    # -- sampling ---------------------------------------------------------------
+
+    def _within_bounds(self, pts):
+        if self.lims is None:
+            return pts
+        for axis, (lo, hi) in enumerate(self.lims):
+            if lo is not None:
+                pts = pts[pts[:, axis] >= lo]
+            if hi is not None:
+                pts = pts[pts[:, axis] <= hi]
+        return pts
 
     def sim(self, size, random_state=None):
-        """Independent samples from the mixture (rejection sampling when
-        hard limits are set)."""
-        return _rejection_sample(self, size, random_state)
+        """``size`` independent draws; rejection sampling under hard bounds.
+
+        RNG call order is a fixture-reproducibility contract (see module
+        docstring); cf. reference ``gaussian_mixtures.py:53-86``.
+        """
+        rng = np.random.default_rng(random_state)
+        blocks = []
+        kept = 0
+        ask = size
+        retry_size_set = False
+        while True:
+            split = rng.multinomial(ask, self.weights)
+            for n, g in zip(split, self._components):
+                if n > 0:
+                    batch = self._within_bounds(rng.multivariate_normal(g.mean, g.cov, size=n))
+                    kept += batch.shape[0]
+                    blocks.append(batch)
+            if kept >= size:
+                break
+            if not retry_size_set:
+                # one generous top-up block sized from the observed accept rate
+                ask = min(max(size, _BIG_DRAW), int(1.1 * (size * (size - kept))) // max(kept, 1) + 1)
+                retry_size_set = True
+        draws = np.vstack(blocks)
+        if len(blocks) > 1:
+            draws = rng.permutation(draws)
+        if kept != size:
+            draws = draws[: -(kept - size), :]
+        return draws
 
     def MCSamples(self, size, names=None, logLikes=False, random_state=None, **kwargs):
-        """Draw samples and wrap them in an :class:`~.mcsamples.MCSamples`
-        ready for plotting."""
-        samples = self.sim(size, random_state=random_state)
-        loglikes = -np.log(self.pdf(samples)) if logLikes else None
+        """Draw ``size`` samples and wrap them as
+        :class:`~.mcsamples.MCSamples` (optionally with -log(pdf) values)."""
+        pts = self.sim(size, random_state=random_state)
         return MCSamples(
-            samples=samples,
-            loglikes=loglikes,
+            samples=pts,
+            loglikes=-np.log(self.pdf(pts)) if logLikes else None,
             paramNamesFile=copy.deepcopy(self.paramNames),
             names=names,
             ranges=self.lims,
             **kwargs,
         )
 
-    def autoRanges(self, sigma_max=4, lims=None):
-        return _sigma_ranges(self, sigma_max, lims)
 
-    def pdf(self, x):
-        """Mixture pdf at x (assumes x inside any boundaries; normalized
-        only when there are no boundaries)."""
-        return _mixture_pdf(self.means, self.invcovs, self.weights, self.norms, x)
-
-    def pdf_marged(self, index, x, no_limit_marge=False):
-        """Analytic 1D marginal pdf (requires no limits on marginalized
-        parameters)."""
-        if isinstance(index, str):
-            index = self.names.index(index)
-        if not no_limit_marge:
-            self.checkNoLimits([index])
-        return _marginal_pdf(self.means, self.covs, self.weights, index, x)
-
-    def density1D(self, index=0, num_points=1024, sigma_max=4, no_limit_marge=False):
-        """Analytic marginalized Density1D grid."""
-        if isinstance(index, str):
-            index = self.names.index(index)
-        if not no_limit_marge:
-            self.checkNoLimits([index])
-        lo, hi = self.autoRanges(sigma_max)[index]
-        grid = np.linspace(lo, hi, num_points)
-        return Density1D(grid, self.pdf_marged(index, grid))
-
-    def density2D(self, params=None, num_points=1024, xmin=None, xmax=None, ymin=None, ymax=None, sigma_max=5):
-        """Analytic marginalized Density2D grid for a pair of parameters."""
-        if self.dim > 2 or params is not None or not isinstance(self, Mixture2D):
-            mixture = self.marginalizedMixture(params=params)
-        elif self.dim != 2:
-            raise Exception("density2D requires at least two dimensions")
-        else:
-            mixture = self
-        return mixture._density2D(num_points=num_points, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax, sigma_max=sigma_max)
-
-    def _params_to_indices(self, params):
-        if params is None:
-            params = self.names
-        out = []
-        for p in params:
-            if isinstance(p, str):
-                out.append(self.names.index(p))
-            elif hasattr(p, "name"):
-                out.append(self.names.index(p.name))
-            else:
-                out.append(p)
-        return out
-
-    def marginalizedMixture(self, params, label=None, no_limit_marge=False) -> "MixtureND":
-        """Reduced mixture marginalized to the given parameters."""
-        indices = self._params_to_indices(params)
-        if not no_limit_marge:
-            self.checkNoLimits(indices)
-        indices = np.array(indices)
-        names = [self.names[i] for i in indices] if self.names is not None else None
-        lims = [self.lims[i] for i in indices] if self.lims is not None else None
-        if label is None:
-            label = self.label
-        sub_covs = [cov[np.ix_(indices, indices)] for cov in self.covs]
-        sub_means = [mean[indices] for mean in self.means]
-        klass = Mixture2D if len(indices) == 2 else MixtureND
-        reduced = klass(sub_means, sub_covs, self.weights, lims=lims, names=names, label=label)
-        reduced.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
-        return reduced
-
-    def conditionalMixture(self, fixed_params, fixed_param_values, label=None):
-        """Conditional mixture with some parameters fixed: covariances are
-        inverses of the projected inverse covariances, means shifted, and
-        component weights reweighted by the conditioning likelihood."""
-        fixed = self._params_to_indices(fixed_params)
-        self.checkNoLimits(fixed)
-        kept = [i for i in range(self.dim) if i not in fixed]
-        if not len(kept):
-            raise ValueError("conditionalMixture must leave at least one non-fixed parameter")
-        cond_means, cond_covs, logws = [], [], []
-        for mean, cov, invcov in zip(self.means, self.covs, self.invcovs):
-            new_mean, new_cov, logw = _condition_component(mean, cov, invcov, fixed, kept, fixed_param_values)
-            cond_means.append(new_mean)
-            cond_covs.append(new_cov)
-            logws.append(logw)
-        cond_weights = np.exp(-(np.asarray(logws) - min(logws)) / 2)
-        names = [self.names[i] for i in kept] if self.names is not None else None
-        conditioned = MixtureND(cond_means, cond_covs, cond_weights, names=names, label=label)
-        conditioned.paramNames.setLabelsAndDerivedFromParamNames(self.paramNames)
-        return conditioned
-
-    def checkNoLimits(self, keep_params):
-        if self.lims is None:
-            return
-        for i, lim in enumerate(self.lims):
-            if i not in keep_params and (lim[0] is not None or lim[1] is not None):
-                raise Exception("In general can only marginalize analytically if no hard boundary limits: " + self.label)
-
-    def getUpper(self, name):
-        if self.lims is None:
-            return None
-        return self.lims[self.names.index(name)][1]
-
-    def getLower(self, name):
-        if self.lims is None:
-            return None
-        return self.lims[self.names.index(name)][0]
+def _cov_from_spec(spec):
+    """Accept a full 2x2 matrix or a (sigma_x, sigma_y, corr) triplet."""
+    if np.ndim(spec) == 1 and len(spec) == 3:
+        return make_2D_Cov(*spec)
+    return spec
 
 
 class Mixture2D(MixtureND):
-    """2D Gaussian mixture with optional x/y bounds; covariances can be
-    given as [sigma_x, sigma_y, corr] triplets."""
+    """Two-parameter mixture; covariances may be (sx, sy, corr) triplets and
+    bounds may be passed as xmin/xmax/ymin/ymax keywords."""
 
     def __init__(
-        self, means, covs, weights=None, lims=None, names=("x", "y"), xmin=None, xmax=None, ymin=None, ymax=None, **kwargs
+        self,
+        means,
+        covs,
+        weights=None,
+        lims=None,
+        names=("x", "y"),
+        xmin=None,
+        xmax=None,
+        ymin=None,
+        ymax=None,
+        **kwargs,
     ):
-        if lims is not None:
-            limits = self._updateLimits(lims, xmin, xmax, ymin, ymax)
-        else:
-            limits = [(xmin, xmax), (ymin, ymax)]
-        expanded = [
-            make_2D_Cov(*cov)
-            if isinstance(cov, (list, tuple)) and len(cov) == 3 and not isinstance(cov[0], (list, tuple))
-            else cov
-            for cov in covs
-        ]
-        super().__init__(means, expanded, weights, limits, names=names, **kwargs)
-
-    def _updateLimits(self, lims, xmin=None, xmax=None, ymin=None, ymax=None):
-        xlo = xmin if xmin is not None else lims[0][0]
-        xhi = xmax if xmax is not None else lims[0][1]
-        ylo = ymin if ymin is not None else lims[1][0]
-        yhi = ymax if ymax is not None else lims[1][1]
-        return [(xlo, xhi), (ylo, yhi)]
+        base = lims if lims is not None else [(None, None), (None, None)]
+        merged = _override_box(base, xmin, xmax, ymin, ymax)
+        super().__init__(means, [_cov_from_spec(c) for c in covs], weights, merged, names=names, **kwargs)
 
     def _density2D(self, num_points=1024, xmin=None, xmax=None, ymin=None, ymax=None, sigma_max=5):
-        bounds = self._updateLimits(self.lims, xmin, xmax, ymin, ymax)
-        (xlo, xhi), (ylo, yhi) = self.autoRanges(sigma_max, lims=bounds)
-        gx = np.linspace(xlo, xhi, num_points)
-        gy = np.linspace(ylo, yhi, num_points)
-        xx, yy = np.meshgrid(gx, gy)
-        return Density2D(gx, gy, self.pdf(xx, yy))
+        box = _override_box(self.lims, xmin, xmax, ymin, ymax)
+        (x0, x1), (y0, y1) = self.autoRanges(sigma_max, lims=box)
+        xg = np.linspace(x0, x1, num_points)
+        yg = np.linspace(y0, y1, num_points)
+        mx, my = np.meshgrid(xg, yg)
+        return Density2D(xg, yg, self.pdf(mx, my))
 
     def pdf(self, x, y=None):
-        """pdf at (x, y), or the 1D x-marginal when y is omitted."""
+        """Density at (x, y); with y omitted, the analytic x-marginal."""
         if y is None:
             return super().pdf(x)
-        total = None
-        for i, (mean, icov, weight, norm) in enumerate(zip(self.means, self.invcovs, self.weights, self.norms)):
-            dx = x - mean[0]
-            dy = y - mean[1]
-            component = np.exp(-(dx**2 * icov[0, 0] + 2 * dx * dy * icov[0, 1] + dy**2 * icov[1, 1]) / 2) / norm
-            total = component * weight if not i else total + component * weight
-        return total
+        out = 0.0
+        for w, g in zip(self.weights, self._components):
+            u, v = x - g.mean[0], y - g.mean[1]
+            quad = u * u * g.icov[0, 0] + 2 * u * v * g.icov[0, 1] + v * v * g.icov[1, 1]
+            out = out + w * np.exp(-0.5 * quad) / g.norm
+        return out
+
+
+def _override_box(base, xmin, xmax, ymin, ymax):
+    """2D bounds with per-edge keyword overrides applied."""
+    (x0, x1), (y0, y1) = base
+    return [
+        (x0 if xmin is None else xmin, x1 if xmax is None else xmax),
+        (y0 if ymin is None else ymin, y1 if ymax is None else ymax),
+    ]
 
 
 class Gaussian2D(Mixture2D):
-    """Single 2D Gaussian."""
+    """A single 2D Gaussian."""
 
     def __init__(self, mean, cov, **kwargs):
         super().__init__([mean], [cov], **kwargs)
 
 
-class GaussianND(MixtureND):
-    """Single ND Gaussian; mean/cov may be text filenames, and cov may be
-    an inverse covariance."""
-
-    def __init__(self, mean, cov, is_inv_cov=False, **kwargs):
-        if isinstance(mean, str):
-            mean = np.loadtxt(mean)
-        if isinstance(cov, str):
-            cov = np.loadtxt(cov)
-        if is_inv_cov:
-            cov = np.linalg.inv(cov)
-        super().__init__([mean], [cov], **kwargs)
-
-
 class Mixture1D(MixtureND):
-    """1D Gaussian mixture with optional bounds."""
+    """One-parameter mixture specified by means and sigmas."""
 
     def __init__(self, means, sigmas, weights=None, lims=None, name="x", xmin=None, xmax=None, **kwargs):
-        if lims is not None:
-            limits = [(xmin if xmin is not None else lims[0], xmax if xmax is not None else lims[1])]
-        else:
-            limits = [(xmin, xmax)]
+        lo, hi = lims if lims is not None else (None, None)
+        bound = [(lo if xmin is None else xmin, hi if xmax is None else xmax)]
         super().__init__(
-            [[mean] for mean in means],
-            [np.atleast_2d(sigma**2) for sigma in sigmas],
+            np.reshape(means, (-1, 1)),
+            [np.array([[s * s]], dtype=np.float64) for s in sigmas],
             weights,
-            limits,
+            bound,
             names=[name],
             **kwargs,
         )
 
     def pdf(self, x):
-        return self.pdf_marged(0, x)
+        return self.pdf_marged(0, x, no_limit_marge=True)
 
 
 class Gaussian1D(Mixture1D):
-    """Single 1D Gaussian."""
+    """A single 1D Gaussian."""
 
     def __init__(self, mean, sigma, **kwargs):
         super().__init__([mean], [sigma], **kwargs)
 
 
+class GaussianND(MixtureND):
+    """A single ND Gaussian; mean/cov may be filenames of text arrays, and
+    the matrix may be given as an inverse covariance."""
+
+    def __init__(self, mean, cov, is_inv_cov=False, **kwargs):
+        mean = np.loadtxt(mean) if isinstance(mean, str) else mean
+        cov = np.loadtxt(cov) if isinstance(cov, str) else cov
+        if is_inv_cov:
+            cov = np.linalg.inv(cov)
+        super().__init__([mean], [cov], **kwargs)
+
+
 class RandomTestMixtureND(MixtureND):
-    """Randomly-generated ND mixture (random parameters) for tests."""
+    """Mixture with randomly-generated component parameters, for tests.
+
+    RNG order (covariances first, then all means) is part of the seeded
+    fixture contract.
+    """
 
     def __init__(self, ndim=4, ncomponent=1, names=None, weights=None, seed=None, label="RandomMixture"):
         rng = np.random.default_rng(seed)
         covs = []
         for _ in range(ncomponent):
-            A = rng.random((ndim, ndim))
-            covs.append(np.dot(A, A.T))
-        super().__init__(rng.random((ncomponent, ndim)), covs, weights=weights, lims=None, names=names, label=label)
+            root = rng.random((ndim, ndim))
+            covs.append(root @ root.T)
+        means = rng.random((ncomponent, ndim))
+        super().__init__(means, covs, weights=weights, lims=None, names=names, label=label)
 
 
 def randomTestMCSamples(ndim=4, ncomponent=1, nsamp=10009, nMCSamples=1, seed=10, names=None, labels=None):
-    """MCSamples instance(s) drawn from random test mixtures."""
-    if names is None:
-        names = ["x%s" % i for i in range(ndim)]
-    if labels is None:
-        labels = ["x_{%s}" % i for i in range(ndim)]
-    seed = np.random.default_rng(seed)
-    result = [
-        RandomTestMixtureND(ndim, ncomponent, names, seed=seed).MCSamples(
-            nsamp, labels=labels, name_tag="Sim %s" % (i + 1), random_state=seed
-        )
-        for i in range(nMCSamples)
-    ]
-    return result if nMCSamples > 1 else result[0]
+    """One or more MCSamples sets drawn from random test mixtures."""
+    names = names or ["x%s" % i for i in range(ndim)]
+    labels = labels or ["x_{%s}" % i for i in range(ndim)]
+    gen = np.random.default_rng(seed)
+    made = []
+    for i in range(nMCSamples):
+        mixture = RandomTestMixtureND(ndim, ncomponent, names, seed=gen)
+        made.append(mixture.MCSamples(nsamp, labels=labels, name_tag="Sim %s" % (i + 1), random_state=gen))
+    return made if nMCSamples > 1 else made[0]
