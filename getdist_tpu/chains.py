@@ -1,21 +1,23 @@
 """Weighted sample containers and multi-chain management.
 
-Getdist-compatible API (reference ``getdist/chains.py``) over a TPU-native
-core: chain arrays live as device (JAX) arrays for the heavy statistics —
-weighted moments are MXU matmuls, confidence limits device sorts, the
-KDE effective-sample estimators device lag kernels (``getdist_tpu.ops.stats``)
-— while file discovery, name indexing and mutation (thin/filter/burn) stay
-host-side numpy, where data-dependent shapes are natural.
+Getdist-compatible API (reference ``getdist/chains.py``) in two layers:
 
-Design difference from the reference: instead of caching per-parameter
-Python vectors, a device-array cache of (samples, weights, loglikes) is kept
-per object and invalidated on mutation; all per-parameter work is batched.
+* :mod:`getdist_tpu.samplemath` — stateless array algorithms (thinning,
+  confidence tables, lag estimators, Gelman-Rubin), testable in isolation;
+* this module — the stateful containers: :class:`WeightedSamples` caches
+  moments and a device-array mirror, :class:`Chains` adds parameter naming
+  and per-chain offset views.
+
+Heavy statistics (weighted moments as MXU matmuls, sorts, lag kernels) run
+on device via ``getdist_tpu.ops.stats`` when the backend keeps reference
+accuracy; one-shot host paths otherwise.  Mutations (thin/filter/burn) are
+host-side numpy, where data-dependent shapes are natural, and invalidate the
+device mirror.
 """
 
 import os
 import pickle
 import re
-from collections import namedtuple
 from collections.abc import Sequence
 from copy import deepcopy
 from warnings import warn
@@ -24,10 +26,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from getdist_tpu import samplemath as smath
 from getdist_tpu.ops import autoConvolve
-from getdist_tpu.ops.fft import next_fast_len as _np_next_fast_len
 from getdist_tpu.ops import stats as _stats
 from getdist_tpu.paramnames import ParamInfo, ParamNames, escapeLatex
+from getdist_tpu.samplemath import ParamConfidenceData  # noqa: F401  (public re-export)
 
 # Whether to print chain names and burn-in details when loading from file.
 print_load_details = True
@@ -39,32 +42,7 @@ print_load_details = True
 # accelerator is local). Bulk fused pipelines are always device-resident.
 _use_device_ops = bool(os.environ.get("GETDIST_TPU_DEVICE_OPS"))
 
-
-def _autoconvolve_host(d, n):
-    """Host twin of ops.autoConvolve with normalize=True: each lag k is
-    divided by its number of overlapping terms (reference convolve.py:477)."""
-    s = _np_next_fast_len(2 * d.shape[0])
-    spec = np.fft.rfft(d, s)
-    res = np.fft.irfft(spec * np.conj(spec), s)[:n]
-    return res / np.arange(d.shape[0], d.shape[0] - n, -1)
-
-
-def _kde_lag_term_host(d, w, k, kernel_std):
-    """Host twin of ops.stats.kde_lag_correlation."""
-    diff = d[:-k] - d[k:]
-    return float(np.sum(np.exp(-(diff**2) / (4.0 * kernel_std**2)) * w[:-k] * w[k:]))
-
-
-def _kde_lag_term_2d_host(d1, d2, w, k, kernel_inv):
-    """Host twin of ops.stats.kde_lag_correlation_2d."""
-    e1 = d1[:-k] - d1[k:]
-    e2 = d2[:-k] - d2[k:]
-    m = kernel_inv[0, 0] * e1**2 + 2 * kernel_inv[0, 1] * e1 * e2 + kernel_inv[1, 1] * e2**2
-    return float(np.sum(np.exp(-m / 4.0) * w[:-k] * w[k:]))
-
 _int_types = (int, np.integer)
-
-ParamConfidenceData = namedtuple("ParamConfidenceData", ("paramVec", "norm", "indexes", "cumsum"))
 
 
 class WeightedSampleError(Exception):
@@ -100,44 +78,20 @@ def slice_or_none(x, start=None, end=None):
 
 
 def chainFiles(root, chain_indices=None, ext=".txt", separator="_", first_chain=0, last_chain=-1, chain_exclude=None):
-    """List chain sample files for a root name, applying index filters.
-
-    Matches the reference's name conventions (``chains.py:77-108``):
-    ``root.txt``, ``root_1.txt`` / ``root.1.txt``, or all ``N.txt`` files in
-    a directory when root ends with a path separator.
-    """
-    folder = os.path.dirname(root) or "."
-    if root.endswith((os.sep, "/")):
-        pattern = re.compile("(?P<num>[0-9]+)?" + re.escape(ext))
-    else:
-        base = os.path.basename(root)
-        pattern = re.compile(re.escape(base) + "(" + re.escape(separator) + "(?P<num>[0-9]+))?" + re.escape(ext))
-    files = []
-    for fname in sorted(os.listdir(folder)):
-        match = pattern.fullmatch(fname)
-        if not match:
-            continue
-        index = int(match.group("num") or 0)
-        if (
-            (chain_indices is None or index in chain_indices)
-            and (chain_exclude is None or index not in chain_exclude)
-            and index >= first_chain
-            and (last_chain < 0 or index <= last_chain)
-        ):
-            files.append(os.path.join(folder, fname))
-    return files
+    """List chain sample files for a root name, applying index filters."""
+    return smath.match_chain_files(root, chain_indices, ext, separator, first_chain, last_chain, chain_exclude)
 
 
 def hasChainFiles(file_root, ext=".txt"):
-    return any(chainFiles(file_root, ext=ext, separator=sep, last_chain=1) for sep in ["_", "."])
+    return any(chainFiles(file_root, ext=ext, separator=sep, last_chain=1) for sep in ("_", "."))
 
 
 def findChainFileRoot(chain_dir, root, search_subdirectories=True):
     """Find a chain root under a directory tree; returns full path root or None."""
-    root = root.replace("/", os.sep).replace("\\", os.sep)
-    file_root = os.path.join(chain_dir, root)
-    if hasChainFiles(file_root):
-        return file_root
+    root = re.sub(r"[/\\]", re.escape(os.sep), root)
+    direct = os.path.join(chain_dir, root)
+    if hasChainFiles(direct):
+        return direct
     if search_subdirectories:
         for base, dirs, _files in os.walk(chain_dir):
             for subdir in dirs:
@@ -169,27 +123,16 @@ def loadNumpyTxt(fname, skiprows=None):
 
 def covToCorr(cov, copy=True):
     """Covariance matrix -> correlation matrix (zero-variance rows kept)."""
-    if copy:
-        cov = np.array(cov)
-    for i, di in enumerate(np.sqrt(cov.diagonal())):
-        if di:
-            cov[i, :] /= di
-            cov[:, i] /= di
-    return cov
+    return smath.corr_from_cov(cov, copy=copy)
 
 
 def getSignalToNoise(C, noise=None, R=None, eigs_only=False):
     """Signal-to-noise eigen-analysis: eigenvalues (and rotation) of
     R C R^T with R the inverse Cholesky root of the noise matrix."""
-    if R is None:
-        if noise is None:
-            raise WeightedSampleError("Must give noise or rotation R")
-        R = np.linalg.inv(np.linalg.cholesky(noise))
-    M = R @ C @ R.T
-    if eigs_only:
-        return np.linalg.eigvalsh(M)
-    w, U = np.linalg.eigh(M)
-    return w, U.T @ R
+    try:
+        return smath.sn_eigendecomp(C, noise, R, eigs_only)
+    except ValueError as e:
+        raise WeightedSampleError(str(e)) from None
 
 
 # ---------------------------------------------------------------------------
@@ -232,22 +175,22 @@ class WeightedSamples:
         self.min_weight_ratio = min_weight_ratio
         self._device_cache = None
         if filename:
-            cols = loadNumpyTxt(filename, skiprows=ignore_rows)
-            if not len(cols):
-                raise WeightedSampleError("Empty chain: %s" % filename)
-            self.setColData(cols, are_chains=files_are_chains)
             self.name_tag = name_tag or os.path.basename(filename)
+            table = loadNumpyTxt(filename, skiprows=ignore_rows)
+            if not len(table):
+                raise WeightedSampleError("Empty chain: %s" % filename)
+            self.setColData(table, are_chains=files_are_chains)
         else:
+            self.name_tag = name_tag
+            if samples is not None and int(ignore_rows):
+                print_load_line("Removed %s lines as burn in" % ignore_rows)
             self.setSamples(
                 slice_or_none(samples, ignore_rows),
                 slice_or_none(weights, ignore_rows),
                 slice_or_none(loglikes, ignore_rows),
             )
-            self.name_tag = name_tag
-            if samples is not None and int(ignore_rows):
-                print_load_line("Removed %s lines as burn in" % ignore_rows)
-        self.label = label
         self.needs_update = True
+        self.label = label
 
     # -- setup ---------------------------------------------------------------
     def setColData(self, coldata, are_chains=True):
@@ -258,25 +201,29 @@ class WeightedSamples:
         else:
             self.setSamples(coldata)
 
+    @staticmethod
+    def _as_sample_matrix(samples):
+        """Coerce vectors / vector lists / arrays to a contiguous (N, n) f64."""
+        if isinstance(samples, (list, tuple)):
+            samples = np.column_stack(samples)
+        samples = np.asarray(samples, dtype=np.float64)
+        if samples.ndim < 2:
+            samples = samples.reshape(-1, 1)
+        return np.ascontiguousarray(samples)
+
     def setSamples(self, samples, weights=None, loglikes=None, min_weight_ratio=None):
         """Set samples/weights/loglikes from arrays; applies the min-weight
         filter unless min_weight_ratio is negative."""
         self.weights = None if weights is None else np.ascontiguousarray(weights, dtype=np.float64)
         self.loglikes = None if loglikes is None else np.ascontiguousarray(loglikes, dtype=np.float64)
-        self.samples = samples
-        if samples is not None:
-            if isinstance(samples, (list, tuple)):
-                samples = np.column_stack(samples)
-            samples = np.asarray(samples, dtype=np.float64)
-            if samples.ndim == 1:
-                samples = samples[:, None]
-            self.samples = np.ascontiguousarray(samples)
-            self.n = self.samples.shape[1]
-            self.numrows = self.samples.shape[0]
-            if min_weight_ratio is None:
-                min_weight_ratio = self.min_weight_ratio
-            if min_weight_ratio is not None and min_weight_ratio >= 0:
-                self.setMinWeightRatio(min_weight_ratio)
+        if samples is None:
+            self.samples = None
+        else:
+            self.samples = self._as_sample_matrix(samples)
+            self.numrows, self.n = self.samples.shape
+            ratio = self.min_weight_ratio if min_weight_ratio is None else min_weight_ratio
+            if ratio is not None and ratio >= 0:
+                self.setMinWeightRatio(ratio)
         self._weightsChanged()
 
     def changeSamples(self, samples):
@@ -289,13 +236,8 @@ class WeightedSamples:
         elif self.samples is not None:
             self.weights = np.ones(self.numrows)
             self.norm = np.float64(self.numrows)
-        self.means = None
-        self.mean_loglike = None
-        self.diffs = None
-        self.fullcov = None
-        self.correlationMatrix = None
-        self.vars = None
-        self.sddev = None
+        for stale in ("means", "mean_loglike", "diffs", "fullcov", "correlationMatrix", "vars", "sddev"):
+            setattr(self, stale, None)
         self.needs_update = True
         self._device_cache = None
 
@@ -332,17 +274,17 @@ class WeightedSamples:
 
     # -- parameter access --------------------------------------------------------
     def _makeParamvec(self, par):
-        if isinstance(par, _int_types):
-            if 0 <= par < self.n:
-                return self.samples[:, par]
-            if par == -1:
-                if self.loglikes is None:
-                    raise WeightedSampleError("Samples do not have logLikes (par=-1)")
-                return self.loglikes
-            if par == -2:
-                return self.weights
-            raise WeightedSampleError("Parameter %i does not exist" % par)
-        return par
+        if not isinstance(par, _int_types):
+            return par
+        if 0 <= par < self.n:
+            return self.samples[:, par]
+        if par == -1:
+            if self.loglikes is None:
+                raise WeightedSampleError("Samples do not have logLikes (par=-1)")
+            return self.loglikes
+        if par == -2:
+            return self.weights
+        raise WeightedSampleError("Parameter %i does not exist" % par)
 
     def __getitem__(self, item):
         return self._makeParamvec(item)
@@ -350,38 +292,35 @@ class WeightedSamples:
     # -- moments -------------------------------------------------------------
     def setMeans(self):
         """Compute and cache weighted means (device matvec)."""
-        if not self._device_stats_ok():
-            self.means = self.weights.dot(self.samples) / self.norm
+        if self._device_stats_ok():
+            dev_samples, dev_weights, dev_loglikes = self._dev()
+            self.means = np.array(_stats.weighted_mean(dev_samples, dev_weights))
             self.mean_loglike = (
-                float(self.weights.dot(self.loglikes) / self.norm) if self.loglikes is not None else None
+                None
+                if self.loglikes is None
+                else float(np.asarray(_stats.weighted_mean(dev_loglikes, dev_weights)))
             )
-            return self.means
-        dev_samples, dev_weights, dev_loglikes = self._dev()
-        self.means = np.array(_stats.weighted_mean(dev_samples, dev_weights))
-        if self.loglikes is not None:
-            self.mean_loglike = float(np.asarray(_stats.weighted_mean(dev_loglikes, dev_weights)))
         else:
-            self.mean_loglike = None
+            self.means = self.weights @ self.samples / self.norm
+            self.mean_loglike = (
+                None if self.loglikes is None else float(self.weights @ self.loglikes / self.norm)
+            )
         return self.means
 
     def getMeans(self, pars=None):
         """Weighted parameter means (cached)."""
-        if self.means is None:
-            self.setMeans()
-        if pars is None:
-            return self.means
-        return np.array([self.means[i] for i in pars])
+        means = self.means if self.means is not None else self.setMeans()
+        return means if pars is None else np.array([means[i] for i in pars])
 
     def getVars(self):
         """Weighted parameter variances (cached; also sets sddev)."""
-        if self.means is None:
-            self.setMeans()
-        if not self._device_stats_ok():
-            diffs = self.samples - self.means
-            self.vars = self.weights.dot(diffs * diffs) / self.norm
-        else:
+        means = self.getMeans()
+        if self._device_stats_ok():
             dev_samples, dev_weights, _ = self._dev()
-            self.vars = np.array(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(self.means)))
+            self.vars = np.array(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(means)))
+        else:
+            centered = self.samples - means
+            self.vars = self.weights @ (centered * centered) / self.norm
         self.sddev = np.sqrt(self.vars)
         return self.vars
 
@@ -392,18 +331,16 @@ class WeightedSamples:
 
     def weighted_sum(self, paramVec, where=None):
         """sum_i w_i p_i (optionally over a sample filter)."""
-        paramVec = self._makeParamvec(paramVec)
-        if where is None:
-            return self.weights.dot(paramVec)
-        return np.dot(paramVec[where], self.weights[where])
+        vec = self._makeParamvec(paramVec)
+        return self.weights @ vec if where is None else vec[where] @ self.weights[where]
 
     def get_norm(self, where=None):
         """Sum of sample weights."""
-        if where is None:
-            if self.norm is None:
-                self.norm = np.sum(self.weights)
-            return self.norm
-        return np.sum(self.weights[where])
+        if where is not None:
+            return np.sum(self.weights[where])
+        if self.norm is None:
+            self.norm = np.sum(self.weights)
+        return self.norm
 
     def mean(self, paramVec, where=None):
         """Weighted mean of a parameter vector (or list of them)."""
@@ -417,29 +354,29 @@ class WeightedSamples:
             if self.diffs is not None:
                 return self.diffs[paramVec]
             return self.samples[:, paramVec] - self.getMeans()[paramVec]
-        paramVec = self._makeParamvec(paramVec)
-        if where is None:
-            return paramVec - self.mean(paramVec)
-        return paramVec[where] - self.mean(paramVec, where)
+        vec = self._makeParamvec(paramVec)
+        if where is not None:
+            return vec[where] - self.mean(vec, where)
+        return vec - self.mean(vec)
 
     def mean_diffs(self, pars=None, where=None) -> Sequence:
         """List of p_i - mean(p_i) arrays."""
         if pars is None:
             pars = self.n
-        if isinstance(pars, _int_types) and pars >= 0 and where is None:
-            means = self.getMeans()
-            return [self.samples[:, i] - means[i] for i in range(pars)]
         if isinstance(pars, _int_types) and pars >= 0:
-            return [self.mean_diff(i, where) for i in range(pars)]
+            if where is None:
+                means = self.getMeans()
+                return [self.samples[:, i] - means[i] for i in range(pars)]
+            pars = range(pars)
         return [self.mean_diff(i, where) for i in pars]
 
     def var(self, paramVec, where=None):
         """Weighted variance of a parameter vector (or list of them)."""
         if isinstance(paramVec, (list, tuple)):
             return np.array([self.var(p) for p in paramVec])
-        if where is not None:
-            return np.dot(self.mean_diff(paramVec, where) ** 2, self.weights[where]) / self.get_norm(where)
-        return np.dot(self.mean_diff(paramVec) ** 2, self.weights) / self.get_norm()
+        centered = self.mean_diff(paramVec, where)
+        w = self.weights if where is None else self.weights[where]
+        return (centered * centered) @ w / self.get_norm(where)
 
     def std(self, paramVec, where=None):
         """Weighted standard deviation."""
@@ -450,17 +387,15 @@ class WeightedSamples:
         (all parameters by default). All-parameter case runs as a single
         device matmul."""
         if pars is None and where is None:
-            if not self._device_stats_ok():
-                diffs = self.samples - self.getMeans()
-                return (diffs * self.weights[:, None]).T @ diffs / self.norm
-            dev_samples, dev_weights, _ = self._dev()
-            # writable: callers legitimately mutate covariances (covToCorr copy=False)
-            return np.array(_stats.weighted_cov(dev_samples, dev_weights))
-        diffs = self.mean_diffs(pars, where)
-        weights = self.weights if where is None else self.weights[where]
-        stacked = np.column_stack(diffs)
-        cov = (stacked * weights[:, None]).T @ stacked
-        return cov / self.get_norm(where)
+            if self._device_stats_ok():
+                dev_samples, dev_weights, _ = self._dev()
+                # writable: callers legitimately mutate covariances (covToCorr copy=False)
+                return np.array(_stats.weighted_cov(dev_samples, dev_weights))
+            centered = self.samples - self.getMeans()
+            return (centered * self.weights[:, None]).T @ centered / self.norm
+        block = np.column_stack(self.mean_diffs(pars, where))
+        w = self.weights if where is None else self.weights[where]
+        return (block * w[:, None]).T @ block / self.get_norm(where)
 
     def corr(self, pars=None):
         """Weighted correlation matrix."""
@@ -490,42 +425,36 @@ class WeightedSamples:
 
     # -- correlation structure --------------------------------------------------
     def getAutocorrelation(self, paramVec, maxOff=None, weight_units=True, normalized=True):
-        """Weighted autocorrelation of a parameter (device FFT), in weight
-        units by default (reference ``chains.py:423-447``)."""
+        """Weighted autocorrelation of a parameter, in weight units by
+        default (reference ``chains.py:423-447``)."""
         if maxOff is None:
             maxOff = self.n - 1
-        d = self.mean_diff(paramVec) * self.weights
+        weighted = self.mean_diff(paramVec) * self.weights
         if _use_device_ops:
-            corr = np.array(autoConvolve(jnp.asarray(d), n=maxOff + 1, normalize=True))
+            curve = np.array(autoConvolve(jnp.asarray(weighted), n=maxOff + 1, normalize=True))
         else:
-            corr = _autoconvolve_host(np.asarray(d), maxOff + 1)
+            curve = smath.autocorr_fft(np.asarray(weighted), maxOff + 1)
         if normalized:
-            corr /= self.var(paramVec)
-        if weight_units:
-            return corr * d.size / self.get_norm()
-        return corr
+            curve = curve / self.var(paramVec)
+        return curve * len(weighted) / self.get_norm() if weight_units else curve
 
     def getCorrelationLength(self, j, weight_units=True, min_corr=0.05, corr=None):
-        """Autocorrelation length: corr[0] + 2 sum of positive tail above
-        min_corr (reference ``chains.py:449-466``)."""
+        """Autocorrelation length (reference ``chains.py:449-466``)."""
         if corr is None:
             corr = self.getAutocorrelation(j, self.numrows // 10, weight_units=weight_units)
-        ix = np.argmin(corr > min_corr * corr[0])
-        return corr[0] + 2 * np.sum(corr[1:ix])
+        return smath.acl_from_curve(corr, min_corr)
 
     def getEffectiveSamples(self, j=0, min_corr=0.05):
         """N_eff = sum(w) / correlation length for parameter j."""
         return self.get_norm() / self.getCorrelationLength(j, min_corr=min_corr)
 
-    def _kde_uncorr_term(self, corr_fn, base_lag):
-        # Expected pair term for uncorrelated samples, averaged over 5 lags
-        # near numrows//2 (reference chains.py:510-518, 613-622).
-        uncorr_term = 0.0
-        nav = 0
-        for k in range(base_lag, base_lag + 5):
-            nav += self.numrows - k
-            uncorr_term += corr_fn(k)
-        return uncorr_term / nav
+    def _independent_draws(self):
+        """True when the sampler produces uncorrelated draws, making the
+        KDE N_eff the simple weight-based formula."""
+        return getattr(self, "sampler", "") in ("nested", "uncorrelated")
+
+    def _weight_based_neff(self):
+        return self.get_norm() ** 2 / float(self.weights @ self.weights)
 
     def getEffectiveSamplesGaussianKDE(self, paramVec, h=0.2, scale=None, maxoff=None, min_corr=0.05):
         """Effective sample number for the leading MISE term of a Gaussian
@@ -534,270 +463,163 @@ class WeightedSamples:
         Semantics match the reference (``chains.py:477-574``): a fiducial
         kernel of width h*sigma, pair sums over lags with a subtracted
         uncorrelated baseline, early exit below min_corr, and step-sampled
-        lags for long correlation lengths. Each lag term is one device
-        kernel launch (``ops.stats.kde_lag_correlation``).
+        lags for long correlation lengths; the lag drivers live in
+        :func:`getdist_tpu.samplemath.kde_pair_sum_adaptive`.
         """
-        if getattr(self, "sampler", "") in ("nested", "uncorrelated"):
-            return self.get_norm() ** 2 / np.dot(self.weights, self.weights)
+        if self._independent_draws():
+            return self._weight_based_neff()
         d = self._makeParamvec(paramVec)
-        kernel_std = (scale or self.std(d)) * h
+        if not scale:
+            scale = self.std(d)
+        kernel_std = h * scale
         if maxoff is None:
-            maxoff = int(self.getCorrelationLength(d, weight_units=False) * 1.5) + 4
+            maxoff = 4 + int(1.5 * self.getCorrelationLength(d, weight_units=False))
         maxoff = min(maxoff, self.numrows // 10)
 
-        n = float(self.numrows)
-        uncorr_len = self.numrows // 2
-
         if _use_device_ops:
-            dev_d = jnp.asarray(d)
-            dev_w = jnp.asarray(self.weights)
+            dev_d, dev_w = jnp.asarray(d), jnp.asarray(self.weights)
 
-            def raw_term(k):
+            def pair_term(k):
                 return float(_stats.kde_lag_correlation(dev_d, dev_w, k, kernel_std))
 
         else:
-            host_d = np.asarray(d, float)
-            host_w = np.asarray(self.weights, float)
+            host_d, host_w = np.asarray(d, float), np.asarray(self.weights, float)
 
-            def raw_term(k):
-                return _kde_lag_term_host(host_d, host_w, k, kernel_std)
+            def pair_term(k):
+                return smath.kde_lag_term_1d(host_d, host_w, k, kernel_std)
 
-        uncorr_term = self._kde_uncorr_term(raw_term, uncorr_len)
-
-        def corr_k(k):
-            return raw_term(k) - (n - k) * uncorr_term
-
-        corr0 = float(np.dot(self.weights, self.weights))
-        threshold = min_corr * corr0
-        corr1 = corr_k(1)
-        if corr1 < threshold:
-            N = corr0
-        else:
-            corr2 = corr_k(2)
-            if corr2 > threshold:
-                max_k = maxoff
-                # find the largest lag scale still above threshold, by thirds
-                while max_k > 10:
-                    if corr_k(max_k // 3) >= threshold:
-                        break
-                    max_k //= 3
-                step_size = 1 if max_k < 20 else max_k // 10
-                cum_sum = corr1 + corr2
-                for k in range(3, maxoff + 1, step_size):
-                    test_val = corr_k(k)
-                    if test_val < threshold:
-                        break
-                    if k > 3:
-                        cum_sum += test_val * step_size
-                    else:
-                        cum_sum += (test_val * step_size) / 2
-                N = corr0 + 2 * cum_sum
-            else:
-                N = corr0 + 2 * corr1
+        N = smath.kde_pair_sum_adaptive(pair_term, self.weights, self.numrows, maxoff, min_corr)
         return self.get_norm() ** 2 / N
 
     def getEffectiveSamplesGaussianKDE_2d(self, i, j, h=0.3, maxoff=None, min_corr=0.05):
         """2D variant of the KDE effective-sample estimate (reference
         ``chains.py:576-635``)."""
-        if getattr(self, "sampler", "") in ("nested", "uncorrelated"):
-            return self.get_norm() ** 2 / np.dot(self.weights, self.weights)
-        d1 = self._makeParamvec(i)
-        d2 = self._makeParamvec(j)
-        cov = self.cov([d1, d2])
-        if abs(cov[0, 1]) > np.sqrt(cov[0, 0] * cov[1, 1]) * 0.999:
+        if self._independent_draws():
+            return self._weight_based_neff()
+        d1, d2 = self._makeParamvec(i), self._makeParamvec(j)
+        pair_cov = self.cov([d1, d2])
+        if abs(pair_cov[0, 1]) > 0.999 * np.sqrt(pair_cov[0, 0] * pair_cov[1, 1]):
+            # fully degenerate pair: the 1D estimate is the right answer
             return self.getEffectiveSamplesGaussianKDE(i, h=h, min_corr=min_corr)
-        kernel_inv = np.linalg.inv(cov) / h**2
+        kernel_inv = np.linalg.inv(pair_cov) / h**2
         if maxoff is None:
-            maxoff = (
-                int(
-                    max(
-                        self.getCorrelationLength(d1, weight_units=False),
-                        self.getCorrelationLength(d2, weight_units=False),
-                    )
-                    * 1.5
-                )
-                + 4
-            )
+            acl = max(self.getCorrelationLength(d, weight_units=False) for d in (d1, d2))
+            maxoff = int(acl * 1.5) + 4
         maxoff = min(maxoff, self.numrows // 10)
 
-        n = float(self.numrows)
-        uncorr_len = self.numrows // 2
-
         if _use_device_ops:
-            dev_d1 = jnp.asarray(d1)
-            dev_d2 = jnp.asarray(d2)
-            dev_w = jnp.asarray(self.weights)
-
+            dev1, dev2, dev_w = jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(self.weights)
             dev_kinv = jnp.asarray(kernel_inv)
 
-            def raw_term(k):
-                return float(_stats.kde_lag_correlation_2d(dev_d1, dev_d2, dev_w, k, dev_kinv))
+            def pair_term(k):
+                return float(_stats.kde_lag_correlation_2d(dev1, dev2, dev_w, k, dev_kinv))
 
         else:
-            h_d1 = np.asarray(d1, float)
-            h_d2 = np.asarray(d2, float)
-            h_w = np.asarray(self.weights, float)
-            h_kinv = np.asarray(kernel_inv, float)
+            h1, h2, hw = np.asarray(d1, float), np.asarray(d2, float), np.asarray(self.weights, float)
 
-            def raw_term(k):
-                return _kde_lag_term_2d_host(h_d1, h_d2, h_w, k, h_kinv)
+            def pair_term(k):
+                return smath.kde_lag_term_2d(h1, h2, hw, k, kernel_inv)
 
-        uncorr_term = self._kde_uncorr_term(raw_term, uncorr_len)
-        corr0 = float(np.dot(self.weights, self.weights))
-        total = corr0
-        for k in range(1, maxoff + 1):
-            term = raw_term(k) - (n - k) * uncorr_term
-            if term < min_corr * corr0:
-                break
-            total += 2 * term
-        return self.get_norm() ** 2 / total
+        N = smath.kde_pair_sum_scan(pair_term, self.weights, self.numrows, maxoff, min_corr)
+        return self.get_norm() ** 2 / N
 
     # -- confidence limits ------------------------------------------------------
     def twoTailLimits(self, paramVec, confidence):
         """Two-tail equal-area confidence limits by sample counting."""
-        limits = np.array([(1 - confidence) / 2, 1 - (1 - confidence) / 2])
-        return self.confidence(paramVec, limits)
+        tail = (1 - confidence) / 2
+        return self.confidence(paramVec, np.array([tail, 1 - tail]))
 
     def initParamConfidenceData(self, paramVec, start=0, end=None, weights=None):
         """Cache sorted values/cumulative weights for repeated confidence
         queries on one parameter."""
-        if weights is None:
-            weights = self.weights
-        paramVec = self._makeParamvec(paramVec)[start:end]
-        if _use_device_ops:
-            indices = np.asarray(jnp.argsort(jnp.asarray(paramVec)))
-        else:
-            indices = np.argsort(paramVec)
-        return ParamConfidenceData(
-            paramVec=paramVec,
-            norm=np.sum(weights[start:end]),
-            indexes=indices,
-            cumsum=np.cumsum(weights[start + indices]),
-        )
+        w = self.weights if weights is None else weights
+        values = self._makeParamvec(paramVec)[start:end]
+        argsort = (lambda v: np.asarray(jnp.argsort(jnp.asarray(v)))) if _use_device_ops else np.argsort
+        return smath.sorted_weight_table(values, w[start : start + len(values)], argsort=argsort)
 
     def confidence(self, paramVec, limfrac, upper=False, start=0, end=None, weights=None):
         """Tail-count confidence limit(s): the parameter value where limfrac
         of the total weight is further in the tail."""
         if isinstance(paramVec, ParamConfidenceData):
-            d = paramVec
+            table = paramVec
         else:
-            d = self.initParamConfidenceData(paramVec, start, end, weights)
-        target = d.norm * (1 - limfrac) if upper else d.norm * limfrac
-        ix = np.searchsorted(d.cumsum, target)
-        return d.paramVec[d.indexes[np.minimum(ix, d.indexes.shape[0] - 1)]]
+            table = self.initParamConfidenceData(paramVec, start, end, weights)
+        return smath.tail_value(table, limfrac, upper)
 
     # -- thinning / reweighting ---------------------------------------------------
     def thin_indices(self, factor, weights=None):
         """Indices making unit-weight samples, assuming integer weights."""
-        if weights is None:
-            weights = self.weights
-        return WeightedSamples.thin_indices_single_samples(factor, weights)
+        return self.thin_indices_single_samples(factor, self.weights if weights is None else weights)
 
     @staticmethod
     def thin_indices_and_weights(factor, weights):
         """(unique indices, new counts) for weight-preserving thinning."""
-        thin_ix = WeightedSamples.thin_indices_single_samples(factor, weights)
-        return np.unique(thin_ix, return_counts=True)
+        ix = WeightedSamples.thin_indices_single_samples(factor, weights)
+        return np.unique(ix, return_counts=True)
 
     @staticmethod
     def thin_indices_single_samples(factor, weights):
-        """Exact integer-weight partition thinning (reference
-        ``chains.py:878-916``): walk the weight multiplicities emitting one
-        index per `factor` accumulated weight."""
-        numrows = len(weights)
-        norm1 = np.sum(weights)
-        weights = weights.astype(int)
-        norm = np.sum(weights)
-        if abs(norm - norm1) > 1e-4:
-            raise WeightedSampleError("Can only thin with integer weights")
-        if factor != int(factor):
-            raise WeightedSampleError("Thin factor must be integer")
-        factor = int(factor)
-        if factor >= np.max(weights):
-            cumsum = np.cumsum(weights) // factor
-            _, thin_ix = np.unique(cumsum, return_index=True)
-            return thin_ix
-        thin_ix = np.empty(norm // factor, dtype=int)
-        tot = 0
-        ix = 0
-        i = 0
-        mult = weights[0]
-        while i < numrows:
-            if mult + tot < factor:
-                tot += mult
-                i += 1
-                if i < numrows:
-                    mult = weights[i]
-            else:
-                thin_ix[ix] = i
-                ix += 1
-                if mult == factor - tot:
-                    i += 1
-                    if i < numrows:
-                        mult = weights[i]
-                else:
-                    mult -= factor - tot
-                tot = 0
-        return thin_ix
+        """Exact integer-weight partition thinning (see
+        :func:`getdist_tpu.samplemath.thin_exact`)."""
+        try:
+            return smath.thin_exact(factor, weights)
+        except ValueError as e:
+            raise WeightedSampleError(str(e)) from None
 
     def random_single_samples_indices(self, random_state=None, thin=None, max_samples=None):
         """Random unit-weight sample indices drawn proportionally to weight."""
         if max_samples is None:
             thin = thin or 1
+        elif thin is not None:
+            raise WeightedSampleError("Cannot set thin and max_samples")
         else:
-            if thin is not None:
-                raise WeightedSampleError("Cannot set thin and max_samples")
             thin = max(1, self.norm / np.max(self.weights) / max_samples)
-        random_state = np.random.default_rng(random_state)
-        rand = random_state.random(self.numrows)
-        return np.nonzero(rand <= self.weights / (np.max(self.weights) * thin))[0]
+        rng = np.random.default_rng(random_state)
+        keep_prob = self.weights / (np.max(self.weights) * thin)
+        return np.nonzero(rng.random(self.numrows) <= keep_prob)[0]
 
     def thin(self, factor):
         """Thin to unit-weight samples by the given integer factor."""
-        thin_ix = self.thin_indices(factor)
+        ix = self.thin_indices(factor)
         self.setSamples(
-            self.samples[thin_ix, :],
-            loglikes=None if self.loglikes is None else self.loglikes[thin_ix],
+            self.samples[ix, :],
+            loglikes=None if self.loglikes is None else self.loglikes[ix],
             min_weight_ratio=-1,
         )
 
     def weighted_thin(self, factor):
         """Thin preserving (integer) weights."""
-        unique, counts = self.thin_indices_and_weights(factor, self.weights)
+        ix, counts = self.thin_indices_and_weights(factor, self.weights)
         self.setSamples(
-            self.samples[unique, :],
-            loglikes=None if self.loglikes is None else self.loglikes[unique],
+            self.samples[ix, :],
+            loglikes=None if self.loglikes is None else self.loglikes[ix],
             weights=counts,
             min_weight_ratio=-1,
         )
 
     def filter(self, where):
         """Keep only samples matching the index list / boolean filter."""
-        self.setSamples(
-            self.samples[where, :],
-            self.weights[where],
-            None if self.loglikes is None else self.loglikes[where],
-            min_weight_ratio=-1,
-        )
+        kept_loglikes = self.loglikes[where] if self.loglikes is not None else None
+        self.setSamples(self.samples[where, :], self.weights[where], kept_loglikes, min_weight_ratio=-1)
 
     def reweightAddingLogLikes(self, logLikes):
         """Importance-reweight by adding -log(likelihood) values."""
-        scale = np.min(logLikes)
+        offset = np.min(logLikes)
         if self.loglikes is not None:
             self.loglikes = self.loglikes + logLikes
-        self.weights = np.asarray(self.weights, dtype=np.float64) * np.exp(-(logLikes - scale))
+        self.weights = np.asarray(self.weights, dtype=np.float64) * np.exp(offset - logLikes)
         self._weightsChanged()
 
     def cool(self, cool):
         """Multiply -log(likes) by ``cool`` and reweight accordingly."""
         if self.loglikes is None:
             raise WeightedSampleError("Samples have no likelihood values, required to cool")
-        MaxL = np.min(self.loglikes)
-        newL = self.loglikes * cool
+        best = np.min(self.loglikes)
+        cooled = self.loglikes * cool
         self.weights = np.asarray(self.weights, dtype=np.float64) * np.exp(
-            -(newL - self.loglikes) - MaxL * (1 - cool)
+            (self.loglikes - cooled) - best * (1 - cool)
         )
-        self.loglikes = newL
+        self.loglikes = cooled
         self._weightsChanged()
 
     def deleteZeros(self):
@@ -806,46 +628,46 @@ class WeightedSamples:
 
     def setMinWeightRatio(self, min_weight_ratio=1e-30):
         """Remove samples below min_weight_ratio of the maximum weight."""
-        if self.weights is not None and min_weight_ratio >= 0:
-            max_weight = np.max(self.weights)
-            if np.min(self.weights) < max_weight * min_weight_ratio:
-                self.filter(self.weights > max_weight * min_weight_ratio)
+        if self.weights is None or min_weight_ratio < 0:
+            return
+        cutoff = np.max(self.weights) * min_weight_ratio
+        if np.min(self.weights) < cutoff:
+            self.filter(self.weights > cutoff)
 
     def deleteFixedParams(self):
         """Remove parameters that never vary; returns (indices, values)."""
-        fixed = []
-        values = []
-        for i in range(self.samples.shape[1]):
-            if np.isclose(self.samples[0, i], self.samples[-1, i], equal_nan=True):
-                mean = np.average(self.samples[:, i])
-                if np.allclose(self.samples[:, i], mean, rtol=1e-12, atol=0, equal_nan=True):
-                    fixed.append(i)
-                    values.append(mean)
+        fixed, values = [], []
+        for col in range(self.samples.shape[1]):
+            vec = self.samples[:, col]
+            # cheap first/last probe before the full-column scan
+            if np.isclose(vec[0], vec[-1], equal_nan=True):
+                center = np.average(vec)
+                if np.allclose(vec, center, rtol=1e-12, atol=0, equal_nan=True):
+                    fixed.append(col)
+                    values.append(center)
         self.changeSamples(np.delete(self.samples, fixed, 1))
         return fixed, values
 
     def removeBurn(self, remove=0.3):
         """Remove burn-in: a fraction (< 1) or number (>= 1) of initial rows."""
-        ix = int(remove) if remove >= 1 else int(round(self.numrows * remove))
+        cut = int(remove) if remove >= 1 else int(round(self.numrows * remove))
         if self.weights is not None:
-            self.weights = self.weights[ix:]
+            self.weights = self.weights[cut:]
         if self.loglikes is not None:
-            self.loglikes = self.loglikes[ix:]
-        self.changeSamples(self.samples[ix:, :])
+            self.loglikes = self.loglikes[cut:]
+        self.changeSamples(self.samples[cut:, :])
 
     # -- output -------------------------------------------------------------
     def saveAsText(self, root, chain_index=None, make_dirs=False):
         """Save as a getdist-format text chain file."""
-        loglikes = self.loglikes if self.loglikes is not None else np.zeros(self.numrows)
         if make_dirs and not os.path.exists(os.path.dirname(root)):
             os.makedirs(os.path.dirname(root))
         if root.endswith(".txt"):
             root = root[:-4]
-        np.savetxt(
-            root + ("" if chain_index is None else "_" + str(chain_index + 1)) + ".txt",
-            np.hstack((self.weights.reshape(-1, 1), loglikes.reshape(-1, 1), self.samples)),
-            fmt=self.precision,
-        )
+        suffix = "" if chain_index is None else "_" + str(chain_index + 1)
+        loglikes = np.zeros(self.numrows) if self.loglikes is None else self.loglikes
+        columns = np.hstack((self.weights.reshape(-1, 1), loglikes.reshape(-1, 1), self.samples))
+        np.savetxt(root + suffix + ".txt", columns, fmt=self.precision)
 
 
 # ---------------------------------------------------------------------------
@@ -885,14 +707,7 @@ class Chains(WeightedSamples):
         self.jobItem = jobItem
         self.ignore_lines = float(kwargs.get("ignore_rows", 0))
         self.root = root
-        if not paramNamesFile and root:
-            if os.path.exists(root + ".paramnames"):
-                paramNamesFile = root + ".paramnames"
-            else:
-                from getdist_tpu import cobaya_interface
-
-                paramNamesFile = cobaya_interface.cobaya_params_file(root)
-        self.setParamNames(paramNamesFile or names)
+        self.setParamNames(paramNamesFile or self._sidecar_names(root) or names)
         if labels is not None:
             self.paramNames.setLabels(labels)
         if renames is not None:
@@ -901,6 +716,19 @@ class Chains(WeightedSamples):
             self.setSampler(sampler)
         else:
             self.sampler = "mcmc"
+
+    @staticmethod
+    def _sidecar_names(root):
+        """A names source next to the chain files: .paramnames text or a
+        Cobaya yaml."""
+        if not root:
+            return None
+        candidate = root + ".paramnames"
+        if os.path.exists(candidate):
+            return candidate
+        from getdist_tpu import cobaya_interface
+
+        return cobaya_interface.cobaya_params_file(root)
 
     def setSampler(self, sampler):
         """Set the sampler type ('mcmc', 'nested' or 'uncorrelated')."""
@@ -912,15 +740,15 @@ class Chains(WeightedSamples):
 
     def setParamNames(self, names=None):
         """Set parameter names from a ParamNames, filename, or name list."""
-        self.paramNames = None
-        if isinstance(names, ParamNames):
-            self.paramNames = deepcopy(names)
-        elif isinstance(names, str):
-            self.paramNames = ParamNames(names)
-        elif names is not None:
-            self.paramNames = ParamNames(names=names)
-        elif self.samples is not None:
-            self.paramNames = ParamNames(default=self.n)
+        match names:
+            case ParamNames():
+                self.paramNames = deepcopy(names)
+            case str():
+                self.paramNames = ParamNames(names)
+            case None:
+                self.paramNames = ParamNames(default=self.n) if self.samples is not None else None
+            case _:
+                self.paramNames = ParamNames(names=names)
         if self.paramNames:
             self._getParamIndices()
         self.needs_update = True
@@ -930,10 +758,10 @@ class Chains(WeightedSamples):
         return self.paramNames
 
     def _getParamIndices(self):
-        if self.samples is not None and len(self.paramNames.names) != self.n:
+        declared = len(self.paramNames.names)
+        if self.samples is not None and declared != self.n:
             raise WeightedSampleError(
-                "paramNames size (%s) does not match number of parameters in samples (%s)"
-                % (len(self.paramNames.names), self.n)
+                "paramNames size (%s) does not match number of parameters in samples (%s)" % (declared, self.n)
             )
         self.index = {info.name: i for i, info in enumerate(self.paramNames.names)}
         return self.index
@@ -962,62 +790,65 @@ class Chains(WeightedSamples):
     def setParams(self, obj):
         """Attach obj.<name> sample vectors for every parameter; dotted
         names create sub-objects (obj.aa.bb.cc)."""
-        for second in (False, True):
-            for i, info in enumerate(self.paramNames.names):
-                path = info.name.split(".")
-                node = obj
-                for part in path[:-1]:
-                    if not hasattr(node, part):
-                        setattr(node, part, ParSamples())
-                    node = getattr(node, part)
-                if second:
-                    if isinstance(getattr(node, path[-1], None), ParSamples):
-                        getattr(node, path[-1]).value = self.samples[:, i]
-                    else:
-                        setattr(node, path[-1], self.samples[:, i])
+        # two passes: first grow every intermediate node, then bind values —
+        # a leaf that is also a prefix of another name gets its vector on
+        # node.value instead of clobbering the sub-object
+        paths = [info.name.split(".") for info in self.paramNames.names]
+        for path in paths:
+            node = obj
+            for part in path[:-1]:
+                if not hasattr(node, part):
+                    setattr(node, part, ParSamples())
+                node = getattr(node, part)
+        for column, path in enumerate(paths):
+            node = obj
+            for part in path[:-1]:
+                node = getattr(node, part)
+            leaf = getattr(node, path[-1], None)
+            if isinstance(leaf, ParSamples):
+                leaf.value = self.samples[:, column]
+            else:
+                setattr(node, path[-1], self.samples[:, column])
         return obj
 
     def getParams(self):
         """A ParSamples bundle with a vector attribute per parameter."""
-        pars = ParSamples()
-        self.setParams(pars)
-        return pars
+        return self.setParams(ParSamples())
 
     def getParamSampleDict(self, ix, want_derived=True):
         """Dict of parameter values for one sample row."""
-        res = {
+        row = {
             "weight": self.weights[ix],
             "loglike": None if self.loglikes is None else self.loglikes[ix],
         }
         for i, info in enumerate(self.paramNames.names):
             if want_derived or not info.isDerived:
-                res[info.name] = self.samples[ix, i]
-        return res
+                row[info.name] = self.samples[ix, i]
+        return row
 
     def _makeParamvec(self, par):
         if self.needs_update:
             self.updateBaseStatistics()
         if isinstance(par, ParamInfo):
             par = par.name
-        if isinstance(par, str):
-            index = self.index.get(par)
-            if index is not None:
-                return self.samples[:, index]
-            if par == "weight":
-                return self.weights
-            if par == "loglike":
-                return self.loglikes
-            raise ParamError("Unknown parameter %s" % par)
-        return super()._makeParamvec(par)
+        if not isinstance(par, str):
+            return super()._makeParamvec(par)
+        column = self.index.get(par)
+        if column is not None:
+            return self.samples[:, column]
+        special = {"weight": self.weights, "loglike": self.loglikes}
+        if par in special:
+            return special[par]
+        raise ParamError("Unknown parameter %s" % par)
 
     def updateBaseStatistics(self):
         """Recompute means/vars and multiplicity stats after changes."""
+        self.needs_update = False
         self.setMeans()
         self.getVars()
-        self.mean_mult = self.norm / self.numrows
-        self.max_mult = np.max(self.weights)
         self._getParamIndices()
-        self.needs_update = False
+        self.max_mult = np.max(self.weights)
+        self.mean_mult = self.norm / self.numrows
         return self
 
     def updateChainBaseStatistics(self):
@@ -1032,6 +863,18 @@ class Chains(WeightedSamples):
         return self.paramNames.addDerived(name, **kwargs)
 
     # -- multi-chain management ----------------------------------------------
+    @staticmethod
+    def _nesting_depth(obj):
+        """How many times obj can be indexed at [0] (1 = vector, 2 = array,
+        3 = list of arrays)."""
+        depth = 0
+        while True:
+            try:
+                obj = obj[0]
+                depth += 1
+            except (TypeError, IndexError):
+                return depth
+
     def loadChains(self, root, files_or_samples, weights=None, loglikes=None, ignore_lines=None):
         """Load chains from a list of files, a single array, or a list of
         arrays; returns True if anything was loaded."""
@@ -1041,73 +884,76 @@ class Chains(WeightedSamples):
         self.loglikes = None
         if ignore_lines is None:
             ignore_lines = self.ignore_lines
-        ws_args = {"ignore_rows": ignore_lines, "min_weight_ratio": self.min_weight_ratio}
         if files_or_samples is None or (hasattr(files_or_samples, "__len__") and not len(files_or_samples)):
             raise ValueError("files_or_samples empty in loadChains")
-        if isinstance(files_or_samples, str) or isinstance(files_or_samples[0], str):
+        from_files = isinstance(files_or_samples, str) or isinstance(files_or_samples[0], str)
+        if from_files:
             if weights is not None or loglikes is not None:
                 raise ValueError("weights and loglikes not needed reading from file")
-            if isinstance(files_or_samples, str):
-                files_or_samples = [files_or_samples]
-            self.name_tag = self.name_tag or os.path.basename(root)
-            for fname in files_or_samples:
-                print_load_line(fname)
-                try:
-                    self.chains.append(WeightedSamples(fname, **ws_args))
-                except WeightedSampleError:
-                    print_load_line("Ignored file %s (likely empty)" % fname)
-            nchains = len(self.chains)
-            if not nchains:
-                raise WeightedSampleError("loadChains - no chains found for " + root)
+            count = self._chains_from_files(root, files_or_samples, ignore_lines)
         else:
-
-            def array_dimension(a):
-                d = 0
-                while True:
-                    try:
-                        a = a[0]
-                        d += 1
-                    except (TypeError, IndexError):
-                        return d
-
-            dim = array_dimension(files_or_samples)
-            if dim in (1, 2):
-                self.chains = None
-                self.setSamples(
-                    slice_or_none(files_or_samples, ignore_lines),
-                    slice_or_none(weights, ignore_lines),
-                    slice_or_none(loglikes, ignore_lines),
-                    self.min_weight_ratio,
-                )
-                if self.paramNames is None:
-                    self.paramNames = ParamNames(default=self.n)
-                nchains = 1
-            elif dim == 3:
-                for i, samples_i in enumerate(files_or_samples):
-                    self.chains.append(
-                        WeightedSamples(
-                            samples=samples_i,
-                            loglikes=None if loglikes is None else loglikes[i],
-                            weights=None if weights is None else weights[i],
-                            **ws_args,
-                        )
-                    )
-                if self.paramNames is None:
-                    self.paramNames = ParamNames(default=self.chains[0].n)
-                nchains = len(self.chains)
-            else:
-                raise ValueError("samples or files must be an array of samples, or a list of arrays or files")
+            count = self._chains_from_arrays(files_or_samples, weights, loglikes, ignore_lines)
         self._weightsChanged()
-        return nchains > 0
+        return count > 0
+
+    def _chains_from_files(self, root, files, ignore_lines):
+        if isinstance(files, str):
+            files = [files]
+        self.name_tag = self.name_tag or os.path.basename(root)
+        for fname in files:
+            print_load_line(fname)
+            try:
+                self.chains.append(
+                    WeightedSamples(fname, ignore_rows=ignore_lines, min_weight_ratio=self.min_weight_ratio)
+                )
+            except WeightedSampleError:
+                print_load_line("Ignored file %s (likely empty)" % fname)
+        if not self.chains:
+            raise WeightedSampleError("loadChains - no chains found for " + root)
+        return len(self.chains)
+
+    def _chains_from_arrays(self, arrays, weights, loglikes, ignore_lines):
+        depth = self._nesting_depth(arrays)
+        if depth in (1, 2):
+            self.chains = None
+            self.setSamples(
+                slice_or_none(arrays, ignore_lines),
+                slice_or_none(weights, ignore_lines),
+                slice_or_none(loglikes, ignore_lines),
+                self.min_weight_ratio,
+            )
+            if self.paramNames is None:
+                self.paramNames = ParamNames(default=self.n)
+            return 1
+        if depth != 3:
+            raise ValueError("samples or files must be an array of samples, or a list of arrays or files")
+        for i, block in enumerate(arrays):
+            self.chains.append(
+                WeightedSamples(
+                    samples=block,
+                    loglikes=None if loglikes is None else loglikes[i],
+                    weights=None if weights is None else weights[i],
+                    ignore_rows=ignore_lines,
+                    min_weight_ratio=self.min_weight_ratio,
+                )
+            )
+        if self.paramNames is None:
+            self.paramNames = ParamNames(default=self.chains[0].n)
+        return len(self.chains)
 
     def makeSingle(self):
         """Concatenate separate chains into one array, recording offsets."""
         if not self.chains:
             raise ValueError("There are no separated chains for makeSingle()")
-        self.chain_offsets = np.cumsum(np.array([0] + [chain.samples.shape[0] for chain in self.chains]))
-        weights = None if self.chains[0].weights is None else np.hstack([c.weights for c in self.chains])
-        loglikes = None if self.chains[0].loglikes is None else np.hstack([c.loglikes for c in self.chains])
-        self.setSamples(np.vstack([c.samples for c in self.chains]), weights, loglikes, min_weight_ratio=-1)
+        lengths = [chain.samples.shape[0] for chain in self.chains]
+        self.chain_offsets = np.cumsum(np.array([0] + lengths))
+        first = self.chains[0]
+        self.setSamples(
+            np.vstack([c.samples for c in self.chains]),
+            None if first.weights is None else np.hstack([c.weights for c in self.chains]),
+            None if first.loglikes is None else np.hstack([c.loglikes for c in self.chains]),
+            min_weight_ratio=-1,
+        )
         self.chains = None
         self.needs_update = True
         return self
@@ -1120,86 +966,80 @@ class Chains(WeightedSamples):
             raise WeightedSampleError("Samples were not combined from separate chains")
         return [
             WeightedSamples(
-                samples=self.samples[off1:off2],
-                weights=self.weights[off1:off2],
-                loglikes=None if self.loglikes is None else self.loglikes[off1:off2],
+                samples=self.samples[lo:hi],
+                weights=self.weights[lo:hi],
+                loglikes=None if self.loglikes is None else self.loglikes[lo:hi],
             )
-            for off1, off2 in zip(self.chain_offsets[:-1], self.chain_offsets[1:])
+            for lo, hi in zip(self.chain_offsets[:-1], self.chain_offsets[1:])
         ]
 
     def filter(self, where):
         """Filter samples, fixing up chain offsets so chains stay splittable."""
-        if self.chains is None:
-            if self.chain_offsets is not None:
-                lens = [0]
-                for off1, off2 in zip(self.chain_offsets[:-1], self.chain_offsets[1:]):
-                    lens.append(np.count_nonzero(where[off1:off2]))
-                self.chain_offsets = np.cumsum(np.array(lens))
-            super().filter(where)
-        else:
+        if self.chains is not None:
             raise ValueError("chains are separated, makeSingle first or call filter on individual chains")
+        if self.chain_offsets is not None:
+            kept = [
+                np.count_nonzero(where[lo:hi])
+                for lo, hi in zip(self.chain_offsets[:-1], self.chain_offsets[1:])
+            ]
+            self.chain_offsets = np.cumsum(np.array([0] + kept))
+        super().filter(where)
 
     def weighted_thin(self, factor):
         """Weight-preserving thin, applied per chain when chains exist."""
         if not self.chains and self.chain_offsets is None:
             return super().weighted_thin(factor)
-        has_chains = self.chains
-        chains = self.getSeparateChains()
-        for chain in chains:
-            chain.weighted_thin(factor)
-        self.chains = chains
-        if not has_chains:
+        was_split = self.chains
+        parts = self.getSeparateChains()
+        for part in parts:
+            part.weighted_thin(factor)
+        self.chains = parts
+        if not was_split:
             self.makeSingle()
         self.needs_update = True
 
     def removeBurnFraction(self, ignore_frac):
         """Remove burn-in fraction from combined samples or each chain."""
-        if self.samples is not None:
-            self.removeBurn(ignore_frac)
-            self.chains = None
-            self.needs_update = True
-        else:
+        if self.samples is None:
             for chain in self.chains:
                 chain.removeBurn(ignore_frac)
+            return
+        self.removeBurn(ignore_frac)
+        self.chains = None
+        self.needs_update = True
 
     def deleteFixedParams(self):
         """Delete non-varying parameters, updating names and any ranges."""
-        if self.samples is not None:
+        if self.samples is None:
+            # separated chains: detect on the first, drop from the rest
+            lead, *rest = self.chains
+            fixed, values = lead.deleteFixedParams()
+            for chain in rest:
+                chain.changeSamples(np.delete(chain.samples, fixed, 1))
+        else:
             fixed, values = super().deleteFixedParams()
             self.chains = None
-        else:
-            fixed, values = self.chains[0].deleteFixedParams()
-            for chain in self.chains[1:]:
-                chain.changeSamples(np.delete(chain.samples, fixed, 1))
-        if hasattr(self, "ranges"):
+        bounds = getattr(self, "ranges", None)
+        if bounds is not None:
             for ix, value in zip(fixed, values):
-                self.ranges.setFixed(self.paramNames.names[ix].name, value)
+                bounds.setFixed(self.paramNames.names[ix].name, value)
         self.paramNames.deleteIndices(fixed)
         self._getParamIndices()
 
     # -- convergence ------------------------------------------------------------
     def getGelmanRubinEigenvalues(self, nparam=None, chainlist=None):
         """var(mean)/mean(var) eigenvalues over orthogonalized parameters
-        (Brooks & Gelman); vectorized over chains on device."""
+        (Brooks & Gelman)."""
         if chainlist is None:
             chainlist = self.getSeparateChains()
         nparam = nparam or self.paramNames.numNonDerived()
         # Per-chain moments are device reductions; the (p, p) eigen-solve is
         # tiny and runs on host with numpy for bit-stable diagnostics text.
-        means = self.getMeans()[:nparam]
-        meanscov = np.zeros((nparam, nparam))
-        meancov = np.zeros((nparam, nparam))
-        for chain in chainlist:
-            diff = chain.getMeans()[:nparam] - means
-            meanscov += np.outer(diff, diff)
-            meancov += chain.getCov(nparam)
-        meanscov /= len(chainlist) - 1
-        meancov /= len(chainlist)
-        w, U = np.linalg.eigh(meancov)
-        if np.min(w) > 0:
-            U /= np.sqrt(w)
-            return np.linalg.eigvalsh(U.T @ meanscov @ U)
-        return None
+        return smath.gelman_rubin_eigs(
+            self.getMeans()[:nparam],
+            [chain.getMeans()[:nparam] for chain in chainlist],
+            [chain.getCov(nparam) for chain in chainlist],
+        )
 
     def getGelmanRubin(self, nparam=None, chainlist=None):
         """Worst-eigenvalue R-1 statistic (should be << 1 when converged)."""
