@@ -13,19 +13,24 @@ from getdist_tpu.mcsamples import MCSamples
 __all__ = ["arviz_to_mcsamples"]
 
 
+# latex-special characters and their escaped forms, applied in order
+# (backslash first so the escapes themselves survive)
+_TEX_ESCAPES = {
+    "\\": r"\textbackslash{}",
+    "{": r"\{",
+    "}": r"\}",
+    "_": r"\_",
+    "^": r"\^{}",
+    "~": r"\textasciitilde{}",
+    "%": r"\%",
+    "$": r"\$",
+    "#": r"\#",
+    "&": r"\&",
+}
+
+
 def _escape_latex_text(text: str) -> str:
-    for char, escaped in [
-        ("\\", r"\textbackslash{}"),
-        ("{", r"\{"),
-        ("}", r"\}"),
-        ("_", r"\_"),
-        ("^", r"\^{}"),
-        ("~", r"\textasciitilde{}"),
-        ("%", r"\%"),
-        ("$", r"\$"),
-        ("#", r"\#"),
-        ("&", r"\&"),
-    ]:
+    for char, escaped in _TEX_ESCAPES.items():
         text = text.replace(char, escaped)
     return text
 
@@ -71,6 +76,39 @@ def _name_suffix(data_array, core_dim_names, multi_idx, include_coords):
     return [str(i) for i in multi_idx]
 
 
+def _posterior_dims(idata):
+    """(n_chains, n_draws) after validating the posterior group exists."""
+    if not hasattr(idata, "posterior"):
+        raise ValueError("InferenceData object must have a 'posterior' group.")
+    sizes = idata.posterior.sizes
+    if not {"chain", "draw"} <= set(sizes):
+        raise ValueError("InferenceData posterior must have 'chain' and 'draw' dimensions.")
+    return sizes["chain"], sizes["draw"]
+
+
+def _per_chain_scalar(idata, var, groups, expect_shape, kind, sum_extra_dims):
+    """A per-chain list of (draw,) vectors for a named scalar variable found
+    in the first matching idata group; None when no variable is requested."""
+    if not var:
+        return None
+    raw = None
+    for group in groups:
+        block = getattr(idata, group, None) if group in idata else None
+        if block is not None and var in block:
+            raw = block[var].values
+            break
+    if raw is None:
+        places = " or ".join("idata." + g for g in groups)
+        raise ValueError(f"{kind} variable '{var}' not found in {places}.")
+    qualifier = ""
+    if sum_extra_dims and raw.ndim > 2:
+        raw = raw.sum(axis=tuple(range(2, raw.ndim)))
+        qualifier = " (after sum)"
+    if raw.shape != expect_shape:
+        raise ValueError(f"{kind} variable '{var}'{qualifier} must have shape (chain, draw). Found {raw.shape}.")
+    return list(raw)
+
+
 def arviz_to_mcsamples(
     idata,
     var_names=None,
@@ -95,13 +133,7 @@ def arviz_to_mcsamples(
     :param arviz_labeller: optional arviz BaseLabeller for default labels
     :return: a new :class:`MCSamples` (multi-chain structure preserved)
     """
-    if not hasattr(idata, "posterior"):
-        raise ValueError("InferenceData object must have a 'posterior' group.")
-    if "chain" not in idata.posterior.sizes or "draw" not in idata.posterior.sizes:
-        raise ValueError("InferenceData posterior must have 'chain' and 'draw' dimensions.")
-
-    n_chains = idata.posterior.sizes["chain"]
-    n_draws = idata.posterior.sizes["draw"]
+    n_chains, n_draws = _posterior_dims(idata)
     custom_labels = custom_labels or {}
     custom_ranges = custom_ranges or {}
 
@@ -176,35 +208,24 @@ def arviz_to_mcsamples(
     if not chain_arrays and names and n_chains > 0 and n_draws > 0:
         raise ValueError("Samples array is empty, but parameter names were generated.")
 
-    weights = None
-    if weights_var:
-        if "sample_stats" in idata and weights_var in idata.sample_stats:
-            raw = idata.sample_stats[weights_var].values
-        elif "posterior" in idata and weights_var in idata.posterior:
-            raw = idata.posterior[weights_var].values
-        else:
-            raise ValueError(f"Weights variable '{weights_var}' not found in idata.sample_stats or idata.posterior.")
-        if not (raw.ndim == 2 and raw.shape == (n_chains, n_draws)):
-            raise ValueError(f"Weights variable '{weights_var}' must have shape (chain, draw). Found {raw.shape}.")
-        weights = [raw[c, :] for c in range(n_chains)]
-
-    loglikes = None
-    if loglikes_var:
-        if "log_likelihood" in idata and loglikes_var in idata.log_likelihood:
-            raw = idata.log_likelihood[loglikes_var].values
-        elif "sample_stats" in idata and loglikes_var in idata.sample_stats:
-            raw = idata.sample_stats[loglikes_var].values
-        else:
-            raise ValueError(
-                f"LogLikes variable '{loglikes_var}' not found in idata.log_likelihood or idata.sample_stats."
-            )
-        if raw.ndim > 2:
-            raw = np.sum(raw, axis=tuple(range(2, raw.ndim)))
-        if not (raw.ndim == 2 and raw.shape == (n_chains, n_draws)):
-            raise ValueError(
-                f"LogLikes variable '{loglikes_var}' (after sum) must have shape (chain, draw). Found {raw.shape}."
-            )
-        loglikes = [-raw[c, :] for c in range(n_chains)]
+    weights = _per_chain_scalar(
+        idata,
+        weights_var,
+        ("sample_stats", "posterior"),
+        (n_chains, n_draws),
+        kind="Weights",
+        sum_extra_dims=False,
+    )
+    loglikes = _per_chain_scalar(
+        idata,
+        loglikes_var,
+        ("log_likelihood", "sample_stats"),
+        (n_chains, n_draws),
+        kind="LogLikes",
+        sum_extra_dims=True,
+    )
+    if loglikes is not None:
+        loglikes = [-ll for ll in loglikes]
 
     if n_chains == 1:
         if chain_arrays:

@@ -126,20 +126,23 @@ class _BatchRun:
             self.fail("Chain Root file name not given ")
         self.rootname = os.path.basename(self.in_root)
 
-        if self.args.ignore_rows is not None:
-            self.burn_fraction = self.args.ignore_rows
-        else:
-            self.burn_fraction = ini.float("ignore_rows", 0.0)
-
-        self.no_plots = ini.bool("no_plots", self.implicit_no_plots)
-        self.plots_only = ini.bool("plots_only", False)
-        self.no_tests = self.plots_only or ini.bool("no_tests", False)
-        self.plot_ext = ini.string("plot_ext", "py")
-        self.finish_run_command = ini.string("finish_run_command", "")
-        self.thin_factor = ini.int("thin_factor", 0)
-        self.thin_cool = ini.float("thin_cool", 1.0)
-        self.cool_factor = ini.float("cool", 1.0)
+        # attribute <- (typed getter, ini key, default)
+        option_table = {
+            "no_plots": (ini.bool, "no_plots", self.implicit_no_plots),
+            "plots_only": (ini.bool, "plots_only", False),
+            "plot_ext": (ini.string, "plot_ext", "py"),
+            "finish_run_command": (ini.string, "finish_run_command", ""),
+            "thin_factor": (ini.int, "thin_factor", 0),
+            "thin_cool": (ini.float, "thin_cool", 1.0),
+            "cool_factor": (ini.float, "cool", 1.0),
+        }
+        for attr, (getter, key, default) in option_table.items():
+            setattr(self, attr, getter(key, default))
         self.chain_exclude = ini.int_list("exclude_chain")
+        self.no_tests = self.plots_only or ini.bool("no_tests", False)
+        self.burn_fraction = (
+            self.args.ignore_rows if self.args.ignore_rows is not None else ini.float("ignore_rows", 0.0)
+        )
 
         if "do_minimal_1d_intervals" in ini.params:
             self.fail("do_minimal_1d_intervals no longer used; set credible_interval_threshold instead")
@@ -165,8 +168,7 @@ class _BatchRun:
 
         out_dir = ini.string("out_dir", "./")
         if out_dir:
-            if not os.path.isdir(out_dir):
-                os.mkdir(out_dir)
+            os.path.isdir(out_dir) or os.mkdir(out_dir)
             self.say("producing files in directory ", out_dir)
         mc.out_dir = out_dir
 
@@ -189,19 +191,14 @@ class _BatchRun:
             self.pca_func = ini.string("PCA_func", "") or ["N"] * self.pca_num
             self.pca_norm_param = ini.string("PCA_normparam", "") or None
 
-        first_chain = ini.int("first_chain", 0)
-        last_chain = ini.int("chain_num", -1)
-        chain_files = []
-        for separator in ["_", "."]:
-            chain_files = chains.chainFiles(
-                self.in_root,
-                first_chain=first_chain,
-                last_chain=last_chain,
-                chain_exclude=self.chain_exclude,
-                separator=separator,
-            )
-            if chain_files:
-                break
+        index_filters = dict(
+            first_chain=ini.int("first_chain", 0),
+            last_chain=ini.int("chain_num", -1),
+            chain_exclude=self.chain_exclude,
+        )
+        chain_files = chains.chainFiles(self.in_root, separator="_", **index_filters) or chains.chainFiles(
+            self.in_root, separator=".", **index_filters
+        )
 
         mc.loadChains(self.in_root, chain_files)
         mc.removeBurnFraction(self.burn_fraction)
@@ -339,35 +336,45 @@ def make_param_file(file_name, feedback=True):
         print("Template .ini file written to " + file_name)
 
 
+# (name, argparse options) for the console-script parser, in -h order
+_CLI_ARGS = (
+    ("ini_file", dict(nargs="?", help=".ini file with analysis settings (optional, if omitted uses defaults)")),
+    (
+        "chain_root",
+        dict(
+            nargs="?",
+            help="Root name of chain to analyse (e.g. chains/test), required unless file_root specified in ini_file",
+        ),
+    ),
+    (
+        "--ignore_rows",
+        dict(
+            type=float,
+            help="set initial fraction of chains to cut as burn in (fraction of total rows"
+            ", or >1 number of rows); overrides any value in ini_file if set",
+        ),
+    ),
+    (
+        "--make_param_file",
+        dict(help="Produce a sample distparams.ini file that you can edit and use when running"),
+    ),
+    ("--make_plots", dict(action="store_true", help="Make PDFs from any requested plot script files")),
+)
+
+
 def getdist_command(args=None):
     """Entry point for the ``getdist-tpu`` console script."""
     import argparse
 
     parser = argparse.ArgumentParser(description="GetDist-TPU sample analyser")
-    parser.add_argument(
-        "ini_file", nargs="?", help=".ini file with analysis settings (optional, if omitted uses defaults)"
-    )
-    parser.add_argument(
-        "chain_root",
-        nargs="?",
-        help="Root name of chain to analyse (e.g. chains/test), required unless file_root specified in ini_file",
-    )
-    parser.add_argument(
-        "--ignore_rows",
-        type=float,
-        help="set initial fraction of chains to cut as burn in (fraction of total rows"
-        ", or >1 number of rows); overrides any value in ini_file if set",
-    )
-    parser.add_argument(
-        "--make_param_file", help="Produce a sample distparams.ini file that you can edit and use when running"
-    )
-    parser.add_argument("--make_plots", action="store_true", help="Make PDFs from any requested plot script files")
+    for name, options in _CLI_ARGS:
+        parser.add_argument(name, **options)
     parser.add_argument("-V", "--version", action="version", version="%(prog)s " + getdist_tpu.__version__)
     args = parser.parse_args(args)
     if args.make_param_file:
         make_param_file(args.make_param_file)
-    else:
-        return getdist_script(args)
+        return None
+    return getdist_script(args)
 
 
 def getdist_gui():
@@ -386,5 +393,5 @@ def getdist_streamlit():
     if importlib.util.find_spec("streamlit") is None:
         print("Please pip install streamlit first")
         return
-    path = os.path.join(os.path.dirname(gui.__file__), "streamlit_app.py")
-    subprocess.Popen(["streamlit", "run", path] + ["--"] + sys.argv[1:], env=os.environ)
+    app = os.path.dirname(gui.__file__) + os.sep + "streamlit_app.py"
+    subprocess.Popen(["streamlit", "run", app, "--", *sys.argv[1:]], env=os.environ)

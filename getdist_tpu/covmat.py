@@ -18,9 +18,9 @@ class CovMat:
     """
 
     def __init__(self, filename="", matrix=None, paramNames=None):
-        self.paramNames = paramNames or []
         self.matrix = matrix
-        self.size = 0 if matrix is None else matrix.shape[0]
+        self.size = matrix.shape[0] if matrix is not None else 0
+        self.paramNames = paramNames or []
         if filename:
             self.loadFromFile(filename)
 
@@ -46,12 +46,13 @@ class CovMat:
 
     def rescaleParameter(self, name, scale):
         """Rescale row+column of one parameter (for renormalized parameters)."""
-        if name not in self.paramNames:
+        try:
+            where = self.paramNames.index(name)
+        except ValueError:
             print("Not in covmat: " + name)
             return
-        where = self.paramNames.index(name)
-        self.matrix[:, where] *= scale
         self.matrix[where, :] *= scale
+        self.matrix[:, where] *= scale
 
     def mergeCovmatWhereNew(self, cov2):
         """Union of parameters: keep this matrix's entries where present,
@@ -75,14 +76,14 @@ class CovMat:
 
     def plot(self):
         """Plot the correlation matrix as a colored grid."""
-        import matplotlib.pyplot as plt
+        from matplotlib import pyplot
 
-        plt.pcolor(self.correlation())
-        plt.colorbar()
-        centers = np.arange(self.size) + 0.5
-        labels = [str(i + 1) for i in range(self.size)]
-        plt.yticks(centers, labels)
-        plt.gca().set_yticklabels(self.paramNames)
-        plt.xticks(centers, labels)
-        plt.xlim([0, self.size])
-        plt.ylim([0, self.size])
+        pyplot.pcolor(self.correlation())
+        pyplot.colorbar()
+        centers = 0.5 + np.arange(self.size)
+        numbers = [str(i) for i in range(1, self.size + 1)]
+        pyplot.yticks(centers, numbers)
+        pyplot.gca().set_yticklabels(self.paramNames)
+        pyplot.xticks(centers, numbers)
+        pyplot.xlim([0, self.size])
+        pyplot.ylim([0, self.size])

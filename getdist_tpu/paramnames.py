@@ -20,15 +20,20 @@ def makeList(obj):
     return obj if isinstance(obj, (list, tuple)) else [obj]
 
 
+def _require_name_str(name):
+    if not isinstance(name, str):
+        raise ValueError(f"parameter name must be a string, got {type(name)}: {name}")
+
+
 def escapeLatex(text):
     """Escape underscores when matplotlib is in usetex mode (cf. reference
     ``paramnames.py:20-26``)."""
-    if text:
-        import matplotlib
+    if not text:
+        return text
+    import matplotlib as mpl
 
-        if matplotlib.rcParams["text.usetex"]:
-            return text.replace("_", "{\\textunderscore}")
-    return text
+    usetex = mpl.rcParams["text.usetex"]
+    return text.replace("_", "{\\textunderscore}") if usetex else text
 
 
 def mergeRenames(*dicts, keep_names_1st=False):
@@ -75,20 +80,19 @@ class ParamInfo:
     """
 
     def __init__(self, line=None, name="", label="", comment="", derived=False, renames=None, number=None):
-        self.setName(name)
-        self.label = label or name
-        self.comment = comment
-        self.isDerived = derived
-        self.renames = makeList(renames or [])
-        self.number = number
-        self.periodic = False
         self.filenameLoadedFrom = ""
+        self.periodic = False
+        self.number = number
+        self.renames = makeList(renames or [])
+        self.isDerived = derived
+        self.comment = comment
+        self.label = label or name
+        self.setName(name)
         if line is not None:
             self.setFromString(line)
 
     def setName(self, name):
-        if not isinstance(name, str):
-            raise ValueError(f"parameter name must be a string, got {type(name)}: {name}")
+        _require_name_str(name)
         if any(ch in name for ch in "*? \t"):
             raise ValueError("Parameter names must not contain spaces, * or ?")
         self.name = name
@@ -130,14 +134,13 @@ class ParamInfo:
             out += "\t#" + self.comment
         return out
 
-    def __str__(self):
-        return self.string()
+    __str__ = string
 
     def __setstate__(self, state):
         # backward-compatible unpickling for objects predating new fields
         self.__dict__.update(state)
-        self.__dict__.setdefault("periodic", False)
-        self.__dict__.setdefault("renames", [])
+        for missing, default in (("periodic", False), ("renames", [])):
+            self.__dict__.setdefault(missing, default)
 
 
 class ParamList:
@@ -163,11 +166,13 @@ class ParamList:
         raise NotImplementedError
 
     def setDefault(self, n):
-        self.names = [ParamInfo(name="param%d" % i, label="p_{%i}" % i) for i in range(1, n + 1)]
+        self.names = []
+        for i in range(1, n + 1):
+            self.names.append(ParamInfo(name="param%d" % i, label="p_{%i}" % i))
         return self
 
     def setWithNames(self, names):
-        self.names = [ParamInfo(name) for name in names]
+        self.names = list(map(ParamInfo, names))
         return self
 
     def setLabels(self, labels):
@@ -209,15 +214,10 @@ class ParamList:
                 return info
         return None
 
-    @staticmethod
-    def _require_name_str(name):
-        if not isinstance(name, str):
-            raise ValueError(f"parameter name must be a string, got {type(name)}: {name}")
-
     def parWithName(self, name, error=False, renames=None):
         """Find the :class:`ParamInfo` with the given name, honoring each
         parameter's stored aliases plus an optional extra rename dict."""
-        self._require_name_str(name)
+        _require_name_str(name)
         aliases = {name}
         if renames:
             aliases.update(makeList(renames.get(name, [])))
@@ -233,11 +233,11 @@ class ParamList:
 
     def numberOfName(self, name):
         """Index of the parameter with exactly this name, or -1."""
-        self._require_name_str(name)
+        _require_name_str(name)
         return next((i for i, info in enumerate(self.names) if info.name == name), -1)
 
     def hasParam(self, name):
-        return self.numberOfName(name) != -1
+        return self.numberOfName(name) >= 0
 
     def parsWithNames(self, names, error=False, renames=None):
         """Resolve a list of name strings (globs expand to all matches) to
@@ -277,7 +277,7 @@ class ParamList:
         """Append a new (by default derived) parameter and return its info."""
         if kwargs.get("derived") is None:
             kwargs["derived"] = True
-        self._require_name_str(name)
+        _require_name_str(name)
         self.names.append(ParamInfo(name=name, **{k: v for k, v in kwargs.items() if k != "name"}))
         return self.names[-1]
 
