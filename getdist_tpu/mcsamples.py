@@ -173,6 +173,43 @@ def loadMCSamples(
     return samples
 
 
+# defaults applied as attributes of every MCSamples before settings merge;
+# keys mirror analysis_defaults.ini (values here are the hard-coded floor)
+_BASE_ANALYSIS_SETTINGS = dict(
+    range_ND_contour=1,
+    range_confidence=0.001,
+    num_bins=128,
+    fine_bins=1024,
+    num_bins_2D=40,
+    fine_bins_2D=256,
+    smooth_scale_1D=-1.0,
+    smooth_scale_2D=-1.0,
+    num_bins_ND=12,
+    boundary_correction_order=1,
+    mult_bias_correction_order=1,
+    max_corr_2D=0.95,
+    use_effective_samples_2D=False,
+    max_scatter_points=2000,
+    credible_interval_threshold=0.05,
+    shade_likes_is_mean_loglikes=False,
+    max_mult=0.0,
+    mean_mult=0.0,
+    plot_data_dir="",
+    rootdirname="",
+    indep_thin=0,
+    subplot_size_inch=4.0,
+    subplot_size_inch3=6.0,
+    out_dir="",
+    no_warning_chi2_params=True,
+    max_split_tests=4,
+    force_twotail=False,
+    corr_length_thin=0,
+    corr_length_steps=15,
+    converge_test_limit=0.95,
+    done_1Dbins=False,
+)
+
+
 class Kernel1D:
     """Discrete normalized Gaussian window over [-winw, winw] bins."""
 
@@ -230,58 +267,24 @@ class MCSamples(Chains):
         if ranges is not None:
             self.setRanges(ranges)
 
-        self.range_ND_contour: int = 1
-        self.range_confidence: float = 0.001
-        self.num_bins: int = 128
-        self.fine_bins: int = 1024
-        self.num_bins_2D: int = 40
-        self.fine_bins_2D: int = 256
-        self.smooth_scale_1D: float = -1.0
-        self.smooth_scale_2D: float = -1.0
-        self.num_bins_ND: int = 12
-        self.boundary_correction_order: int = 1
-        self.mult_bias_correction_order: int = 1
-        self.max_corr_2D: float = 0.95
-        self.use_effective_samples_2D = False
+        # baseline analysis settings (overridden by analysis_defaults.ini /
+        # user ini / settings dict in updateSettings below)
+        for key, value in _BASE_ANALYSIS_SETTINGS.items():
+            setattr(self, key, value)
         self.contours = np.array([0.68, 0.95])
-        self.max_scatter_points: int = 2000
-        self.credible_interval_threshold: float = 0.05
-
-        self.shade_likes_is_mean_loglikes = False
-
         self.likeStats = None
-        self.max_mult: float = 0
-        self.mean_mult: float = 0
-        self.plot_data_dir = ""
+        self.no_warning_params = []
+        self.density1D = dict()
+        self.plot_output = getdist_tpu.default_plot_output
+        self.subplot_size_inch2 = self.subplot_size_inch
         self.rootname = os.path.basename(root) if root else ""
 
-        self.rootdirname = ""
-        self.indep_thin = 0
         if "ignore_rows" in kwargs:
-            if settings is None:
-                settings = {}
-            settings = dict(settings)
+            settings = dict(settings or {})
             settings["ignore_rows"] = kwargs["ignore_rows"]
         self.ignore_rows = float(kwargs.get("ignore_rows", 0))
         if self.sampler == "nested" and not np.isclose(self.ignore_rows, 0):
             raise ValueError("Should not remove burn-in from Nested Sampler samples.")
-        self.subplot_size_inch = 4.0
-        self.subplot_size_inch2 = self.subplot_size_inch
-        self.subplot_size_inch3 = 6.0
-        self.plot_output = getdist_tpu.default_plot_output
-        self.out_dir = ""
-        self.no_warning_params = []
-        self.no_warning_chi2_params = True
-
-        self.max_split_tests = 4
-        self.force_twotail = False
-
-        self.corr_length_thin = 0
-        self.corr_length_steps = 15
-        self.converge_test_limit = 0.95
-
-        self.done_1Dbins = False
-        self.density1D = dict()
 
         self.updateSettings(ini=ini, settings=settings)
 
@@ -375,6 +378,240 @@ class MCSamples(Chains):
             text += "g.plots_1d(roots, markers=markers)"
         self._WritePlotFile(filename, self.subplot_size_inch, text, "", ext)
 
+    class _RLAbort(Exception):
+        """Raftery-Lewis hit a degenerate fitted count; abort the battery."""
+
+    class _RLChainFail(Exception):
+        """This chain cannot be RL-analysed (zero transitions)."""
+
+    @staticmethod
+    def _rl_binary_transitions(values, threshold, order):
+        """Transition-count tensor of the thresholded binary chain: shape
+        (2,)*(order+1), counting order+1-grams."""
+        bits = (values < threshold).astype(int)
+        grams = 0
+        for shift in range(order + 1):
+            stop = bits.size - order + shift
+            grams = grams * 2 + bits[shift:stop]
+        return np.bincount(grams, minlength=2 ** (order + 1)).reshape((2,) * (order + 1))
+
+    @staticmethod
+    def _rl_g2_second_vs_markov(tran):
+        """2 * G^2 likelihood-ratio of a 2nd-order binary process against
+        1st-order, from the (2,2,2) trigram counts."""
+        lead = tran.sum(axis=2, keepdims=True)
+        trail = tran.sum(axis=0, keepdims=True)
+        mid = tran.sum(axis=(0, 2), keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fitted = lead * trail / mid
+            pieces = np.where(tran != 0, np.log(tran / fitted) * tran, 0.0)
+        return 2 * pieces.sum()
+
+    def _rl_g2_markov_vs_indep(self, tran2, thin_rows):
+        """2 * G^2 of a Markov binary process against independence, from the
+        (2,2) bigram counts; aborts the battery on degenerate fits."""
+        expected = tran2.sum(axis=1, keepdims=True) * tran2.sum(axis=0, keepdims=True) / float(thin_rows - 1)
+        live = tran2 != 0
+        if np.any(live & ((expected <= 0) | (tran2 <= 0))):
+            raise self._RLAbort()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pieces = np.where(live, np.log(tran2 / expected) * tran2, 0.0)
+        return 2 * pieces.sum()
+
+    def _rl_analyse_chain(self, chain, limits, nparamMC, test_confidence, shared):
+        """Raftery-Lewis numbers for one chain: (markov_thin, indep_thin,
+        nburn).  ``shared`` carries the hardest (param, end) across chains.
+        Cf. reference ``mcsamples.py:1039-1181``.
+        """
+        epsilon = 0.001
+        thin_fac = int(round(np.max(chain.weights)))
+        nburn = 0
+        for j in range(nparamMC):
+            confids = self.confidence(chain.samples[:, j], limits, weights=chain.weights)
+            for endb in (0, 1):
+                # grow the thinning until 2nd-order structure is gone (BIC)
+                tran = None
+                while True:
+                    thin_ix = self.thin_indices(thin_fac, chain.weights)
+                    thin_rows = len(thin_ix)
+                    if thin_rows < 2:
+                        break
+                    tran = self._rl_binary_transitions(chain.samples[thin_ix, j], confids[endb], order=2)
+                    if self._rl_g2_second_vs_markov(tran) - math.log(float(thin_rows - 2)) * 2 < 0:
+                        break
+                    thin_fac += 1
+                # burn-in from the thinned chain's Markov transition rates
+                if tran is None or not (tran[:, 0, 1].sum() and tran[:, 1, 0].sum()):
+                    raise self._RLChainFail()
+                alpha = tran[:, 0, 1].sum() / float(tran[:, 0, 0].sum() + tran[:, 0, 1].sum())
+                beta = tran[:, 1, 0].sum() / float(tran[:, 1, 0].sum() + tran[:, 1, 1].sum())
+                switch_rate = alpha + beta
+                decay = math.log(switch_rate * epsilon / max(alpha, beta)) / math.log(abs(1.0 - switch_rate))
+                if int(decay + 1) * thin_fac > nburn:
+                    nburn = int(decay + 1) * thin_fac
+                    shared["hardest"] = j
+                    shared["hardestend"] = endb
+
+        markov_thin = thin_fac
+        # continue growing until even Markov structure is gone -> independence
+        hardest = max(shared["hardest"], 0)
+        u = self.confidence(
+            self.samples[:, hardest], (1 - test_confidence) / 2, shared["hardestend"] == 0
+        )
+        while True:
+            thin_ix = self.thin_indices(thin_fac, chain.weights)
+            thin_rows = len(thin_ix)
+            if thin_rows < 2:
+                break
+            tran2 = self._rl_binary_transitions(chain.samples[thin_ix, hardest], u, order=1)
+            if self._rl_g2_markov_vs_indep(tran2, thin_rows) - np.log(float(thin_rows - 1)) < 0:
+                break
+            thin_fac += 1
+        if thin_rows < 2:
+            thin_fac = 0
+        return markov_thin, thin_fac, nburn
+
+    def _report_corr_lengths(self, out, chainlist, parNames, parForm):
+        out.append(
+            "Parameter autocorrelation lengths (effective number of samples N_eff = tot weight/weight length)\n"
+        )
+        out.append("\n")
+        out.append(parForm % "" + "%15s %15s %15s\n" % ("Weight Length", "Sample length", "N_eff"))
+        maxoff = min(chain.weights.size // 10 for chain in chainlist)
+        form = "%15.2f" if self.mean_mult > 1 else "%15.2E"
+        longest = 0
+        for j in range(self.n):
+            curve = sum(chain.getAutocorrelation(j, maxoff, normalized=False) * chain.norm for chain in chainlist)
+            curve /= self.norm * self.vars[j]
+            cut = np.argmin(curve > 0.05 * curve[0])
+            N = curve[0] + 2 * np.sum(curve[1:cut])
+            longest = max(N, longest)
+            out.append(parNames[j] + form % N + " %15.2f %15i\n" % (N / self.mean_mult, self.norm / N))
+        self.indep_thin = longest
+        out.append("\n")
+
+    def _report_mean_var(self, out, chainlist, parNames):
+        out.append("\n")
+        out.append("mean convergence stats using remaining chains\n")
+        out.append("param sqrt(var(chain mean)/mean(chain var))\n")
+        out.append("\n")
+        between = sum((chain.means - self.means) ** 2 for chain in chainlist) / (len(chainlist) - 1)
+        within = (
+            np.array([[np.dot(chain.weights, d * d) for d in chain.diffs] for chain in chainlist]).sum(axis=0)
+            / self.norm
+        )
+        for j in range(self.n):
+            out.append(parNames[j] + f"{math.sqrt(between[j] / within[j]):10.4f}  {self.parLabel(j)}\n")
+        out.append("\n")
+
+    def _report_gelman_rubin(self, out, chainlist, feedback):
+        D = self.getGelmanRubinEigenvalues(chainlist=chainlist)
+        if D is None:
+            self.GelmanRubin = None
+            summary = "Gelman-Rubin covariance not invertible (parameter not moved?)"
+            logging.warning(summary)
+        else:
+            self.GelmanRubin = np.max(D)
+            out.append("var(mean)/mean(var) for eigenvalues of covariance of y of orthonormalized parameters\n")
+            out.extend("%3i%13.5f\n" % (jj + 1, Di) for jj, Di in enumerate(D))
+            summary = " var(mean)/mean(var), remaining chains, worst e-value: R-1 = %13.5F" % self.GelmanRubin
+        if feedback:
+            print(summary)
+        out.append("\n")
+
+    def _report_split_test(self, out, parNames, limits):
+        out.append(
+            "Split tests: rms_n([delta(upper/lower quantile)]/sd) n={2,3,4}, limit=%.0f%%:\n"
+            % (100 * self.converge_test_limit)
+        )
+        out.append("i.e. mean sample splitting change in the quantiles in units of the st. dev.\n")
+        out.append("\n")
+        n_splits = self.max_split_tests - 1
+        partitions = [self.getFractionIndices(self.weights, k + 2) for k in range(n_splits)]
+        for j in range(self.n):
+            column = self.samples[:, j]
+            whole = self.confidence(column, limits)
+            rms = np.zeros((n_splits, 2))
+            for ix, cuts in enumerate(partitions):
+                for lo, hi in zip(cuts[:-1], cuts[1:]):
+                    rms[ix] += (self.confidence(column, limits, start=lo, end=hi) - whole) ** 2
+                rms[ix] = np.sqrt(rms[ix] / (ix + 2)) / self.sddev[j]
+            for endb, typestr in enumerate(["upper", "lower"]):
+                out.append(parNames[j] + "".join("%9.4f" % rms[ix, endb] for ix in range(n_splits)) + " %s\n" % typestr)
+        out.append("\n")
+
+    def _report_raftery_lewis(self, out, chainlist, limits, nparamMC, test_confidence, feedback):
+        num = len(chainlist)
+        markov_thin = np.zeros(num, dtype=int)
+        thin_fac = np.zeros(num, dtype=int)
+        nburn = np.zeros(num, dtype=int)
+        shared = {"hardest": -1, "hardestend": 0}
+        for ix, chain in enumerate(chainlist):
+            try:
+                markov_thin[ix], thin_fac[ix], nburn[ix] = self._rl_analyse_chain(
+                    chain, limits, nparamMC, test_confidence, shared
+                )
+            except self._RLAbort:
+                raise
+            except Exception:
+                # numerical failure on this chain -> reported as Failed
+                thin_fac[ix] = 0
+        out.append("Raftery&Lewis statistics\n")
+        out.append("\n")
+        out.append("chain  markov_thin  indep_thin    nburn\n")
+        for ix in range(num):
+            if thin_fac[ix] == 0:
+                out.append("%4i      Failed/not enough samples\n" % ix)
+            else:
+                out.append("%4i%12i%12i%12i\n" % (ix, markov_thin[ix], thin_fac[ix], nburn[ix]))
+        self.RL_indep_thin = np.max(thin_fac)
+        if feedback:
+            if not np.all(thin_fac != 0):
+                print("RL: Not enough samples to estimate convergence stats")
+            else:
+                print("RL: Thin for Markov: ", np.max(markov_thin))
+                print("RL: Thin for indep samples:  ", str(self.RL_indep_thin))
+                print(
+                    "RL: Estimated burn in steps: ",
+                    np.max(nburn),
+                    " (",
+                    int(round(np.max(nburn) / self.mean_mult)),
+                    " rows)",
+                )
+        out.append("\n")
+
+    def _report_corr_steps(self, out, chainlist, parNames, parForm):
+        out.append("Parameter auto-correlations as function of step separation\n")
+        out.append("\n")
+        if self.corr_length_thin != 0:
+            autocorr_thin = self.corr_length_thin
+        elif self.indep_thin == 0:
+            autocorr_thin = 20
+        elif self.indep_thin <= 30:
+            autocorr_thin = 5
+        else:
+            autocorr_thin = int(5 * (self.indep_thin / 30))
+
+        thin_rows = len(self.thin_indices(autocorr_thin))
+        maxoff = int(min(self.corr_length_steps, thin_rows // (2 * len(chainlist))))
+        if maxoff <= 0:
+            return
+        corrs = np.zeros([maxoff, self.n])
+        for chain in chainlist:
+            thin_ix = chain.thin_indices(autocorr_thin)
+            thin_rows = len(thin_ix)
+            maxoff = min(maxoff, thin_rows // autocorr_thin)
+            for j in range(self.n):
+                thinned = chain.diffs[j][thin_ix]
+                for off in range(1, maxoff + 1):
+                    corrs[off - 1][j] += (
+                        np.dot(thinned[off:], thinned[:-off]) / (thin_rows - off) / self.vars[j]
+                    )
+        corrs /= len(chainlist)
+        out.append(parForm % "" + "".join("%8i" % ((i + 1) * autocorr_thin) for i in range(maxoff)) + "\n")
+        for j in range(self.n):
+            out.append(parNames[j] + "".join("%8.3f" % corrs[i][j] for i in range(maxoff)) + " %s\n" % self.parLabel(j))
+
     def getConvergeTests(
         self,
         test_confidence=0.95,
@@ -390,10 +627,11 @@ class MCSamples(Chains):
         mean)/mean(chain var))), GelmanRubin (worst orthogonalized
         eigenvalue R-1), SplitTest (quantile rms over 2..4 equal-weight
         splits), RafteryLewis (binary-chain BIC thinning/burn, integer
-        weights only), CorrSteps table.
+        weights only), CorrSteps table.  Each test is a ``_report_*``
+        method appending to the shared line list; the report text is
+        byte-compatible with the reference ``.converge`` format.
         """
-        lines = ""
-        nparam = self.n
+        out = []
         chainlist = self.getSeparateChains()
         num_chains_used = len(chainlist)
         if num_chains_used > 1 and feedback:
@@ -401,255 +639,31 @@ class MCSamples(Chains):
         for chain in chainlist:
             chain.setDiffs()
         parForm = self.paramNames.parFormat()
-        parNames = [parForm % self.parName(j) for j in range(nparam)]
+        parNames = [parForm % self.parName(j) for j in range(self.n)]
         limits = np.array([1 - (1 - test_confidence) / 2, (1 - test_confidence) / 2])
 
         if "CorrLengths" in what:
-            lines += (
-                "Parameter autocorrelation lengths (effective number of samples N_eff = tot weight/weight length)\n"
-            )
-            lines += "\n"
-            lines += parForm % "" + "%15s %15s %15s\n" % ("Weight Length", "Sample length", "N_eff")
-            maxoff = np.min([chain.weights.size // 10 for chain in chainlist])
-            maxN = 0
-            for j in range(nparam):
-                corr = np.zeros(maxoff + 1)
-                for chain in chainlist:
-                    corr += chain.getAutocorrelation(j, maxoff, normalized=False) * chain.norm
-                corr /= self.norm * self.vars[j]
-                ix = np.argmin(corr > 0.05 * corr[0])
-                N = corr[0] + 2 * np.sum(corr[1:ix])
-                maxN = max(N, maxN)
-                form = "%15.2f" if self.mean_mult > 1 else "%15.2E"
-                lines += parNames[j] + form % N + " %15.2f %15i\n" % (N / self.mean_mult, self.norm / N)
-            self.indep_thin = maxN
-            lines += "\n"
-
+            self._report_corr_lengths(out, chainlist, parNames, parForm)
         if num_chains_used > 1 and "MeanVar" in what:
-            lines += "\n"
-            lines += "mean convergence stats using remaining chains\n"
-            lines += "param sqrt(var(chain mean)/mean(chain var))\n"
-            lines += "\n"
-            between_chain_var = np.zeros(nparam)
-            in_chain_var = np.zeros(nparam)
-            for chain in chainlist:
-                between_chain_var += (chain.means - self.means) ** 2
-            between_chain_var /= num_chains_used - 1
-            for j in range(nparam):
-                for chain in chainlist:
-                    in_chain_var[j] += np.dot(chain.weights, chain.diffs[j] ** 2)
-                in_chain_var[j] /= self.norm
-                lines += (
-                    parNames[j] + f"{math.sqrt(between_chain_var[j] / in_chain_var[j]):10.4f}  {self.parLabel(j)}\n"
-                )
-            lines += "\n"
-
+            self._report_mean_var(out, chainlist, parNames)
         nparamMC = self.paramNames.numNonDerived()
         if num_chains_used > 1 and nparamMC > 0 and "GelmanRubin" in what:
-            D = self.getGelmanRubinEigenvalues(chainlist=chainlist)
-            if D is not None:
-                self.GelmanRubin = np.max(D)
-                lines += "var(mean)/mean(var) for eigenvalues of covariance of y of orthonormalized parameters\n"
-                for jj, Di in enumerate(D):
-                    lines += "%3i%13.5f\n" % (jj + 1, Di)
-                GRSummary = " var(mean)/mean(var), remaining chains, worst e-value: R-1 = %13.5F" % self.GelmanRubin
-            else:
-                self.GelmanRubin = None
-                GRSummary = "Gelman-Rubin covariance not invertible (parameter not moved?)"
-                logging.warning(GRSummary)
-            if feedback:
-                print(GRSummary)
-            lines += "\n"
-
+            self._report_gelman_rubin(out, chainlist, feedback)
         if "SplitTest" in what:
-            # rms quantile shifts when splitting the samples into 2..max sets
-            lines += "Split tests: rms_n([delta(upper/lower quantile)]/sd) n={2,3,4}, limit=%.0f%%:\n" % (
-                100 * self.converge_test_limit
-            )
-            lines += "i.e. mean sample splitting change in the quantiles in units of the st. dev.\n"
-            lines += "\n"
-            frac_indices = []
-            for i in range(self.max_split_tests - 1):
-                frac_indices.append(self.getFractionIndices(self.weights, i + 2))
-            for j in range(nparam):
-                split_tests = np.zeros((self.max_split_tests - 1, 2))
-                confids = self.confidence(self.samples[:, j], limits)
-                for ix, frac in enumerate(frac_indices):
-                    split_n = 2 + ix
-                    for f1, f2 in zip(frac[:-1], frac[1:]):
-                        split_tests[ix, :] += (
-                            self.confidence(self.samples[:, j], limits, start=f1, end=f2) - confids
-                        ) ** 2
-                    split_tests[ix, :] = np.sqrt(split_tests[ix, :] / split_n) / self.sddev[j]
-                for endb, typestr in enumerate(["upper", "lower"]):
-                    lines += parNames[j]
-                    for ix in range(self.max_split_tests - 1):
-                        lines += "%9.4f" % (split_tests[ix, endb])
-                    lines += " %s\n" % typestr
-            lines += "\n"
+            self._report_split_test(out, parNames, limits)
 
-        class LoopException(Exception):
-            pass
-
-        if np.all(np.abs(self.weights - self.weights.astype(int)) < 1e-4 / self.max_mult):
+        integer_weights = np.all(np.abs(self.weights - self.weights.astype(int)) < 1e-4 / self.max_mult)
+        if integer_weights:
             if "RafteryLewis" in what:
-                # binary-chain BIC 2nd-order-Markov thinning + burn-in
-                thin_fac = np.empty(num_chains_used, dtype=int)
-                epsilon = 0.001
-                nburn = np.zeros(num_chains_used, dtype=int)
-                markov_thin = np.zeros(num_chains_used, dtype=int)
-                hardest = -1
-                hardestend = 0
-                for ix, chain in enumerate(chainlist):
-                    thin_fac[ix] = int(round(np.max(chain.weights)))
-                    try:
-                        for j in range(nparamMC):
-                            confids = self.confidence(chain.samples[:, j], limits, weights=chain.weights)
-                            for endb in [0, 1]:
-                                u = confids[endb]
-                                while True:
-                                    thin_ix = self.thin_indices(thin_fac[ix], chain.weights)
-                                    thin_rows = len(thin_ix)
-                                    if thin_rows < 2:
-                                        break
-                                    binchain = np.ones(thin_rows, dtype=int)
-                                    binchain[chain.samples[thin_ix, j] >= u] = 0
-                                    indexes = binchain[:-2] * 4 + binchain[1:-1] * 2 + binchain[2:]
-                                    # transition counts for the 2nd-order process
-                                    tran = np.bincount(indexes, minlength=8).reshape((2, 2, 2))
-                                    # BIC test: is 2nd order better than Markov?
-                                    g2 = 0
-                                    for i1 in [0, 1]:
-                                        for i2 in [0, 1]:
-                                            for i3 in [0, 1]:
-                                                if tran[i1][i2][i3] != 0:
-                                                    fitted = float(
-                                                        (tran[i1][i2][0] + tran[i1][i2][1])
-                                                        * (tran[0][i2][i3] + tran[1][i2][i3])
-                                                    ) / float(
-                                                        tran[0][i2][0]
-                                                        + tran[0][i2][1]
-                                                        + tran[1][i2][0]
-                                                        + tran[1][i2][1]
-                                                    )
-                                                    focus = float(tran[i1][i2][i3])
-                                                    g2 += math.log(focus / fitted) * focus
-                                    g2 *= 2
-                                    if g2 - math.log(float(thin_rows - 2)) * 2 < 0:
-                                        break
-                                    thin_fac[ix] += 1
-
-                                # Markov transition probabilities for the binary chain
-                                if np.sum(tran[:, 0, 1]) == 0 or np.sum(tran[:, 1, 0]) == 0:
-                                    thin_fac[ix] = 0
-                                    raise LoopException()
-                                alpha = np.sum(tran[:, 0, 1]) / float(np.sum(tran[:, 0, 0]) + np.sum(tran[:, 0, 1]))
-                                beta = np.sum(tran[:, 1, 0]) / float(np.sum(tran[:, 1, 0]) + np.sum(tran[:, 1, 1]))
-                                probsum = alpha + beta
-                                tmp1 = math.log(probsum * epsilon / max(alpha, beta)) / math.log(abs(1.0 - probsum))
-                                if int(tmp1 + 1) * thin_fac[ix] > nburn[ix]:
-                                    nburn[ix] = int(tmp1 + 1) * thin_fac[ix]
-                                    hardest = j
-                                    hardestend = endb
-
-                        markov_thin[ix] = thin_fac[ix]
-                        # thin factor for independent (not just Markov) samples
-                        hardest = max(hardest, 0)
-                        u = self.confidence(self.samples[:, hardest], (1 - test_confidence) / 2, hardestend == 0)
-                        while True:
-                            thin_ix = self.thin_indices(thin_fac[ix], chain.weights)
-                            thin_rows = len(thin_ix)
-                            if thin_rows < 2:
-                                break
-                            binchain = np.ones(thin_rows, dtype=int)
-                            binchain[chain.samples[thin_ix, hardest] >= u] = 0
-                            indexes = binchain[:-1] * 2 + binchain[1:]
-                            tran2 = np.bincount(indexes, minlength=4).reshape(2, 2)
-                            # BIC test: is Markov better than independence?
-                            g2 = 0
-                            for i1 in [0, 1]:
-                                for i2 in [0, 1]:
-                                    if tran2[i1][i2] != 0:
-                                        fitted = float(
-                                            (tran2[i1][0] + tran2[i1][1]) * (tran2[0][i2] + tran2[1][i2])
-                                        ) / float(thin_rows - 1)
-                                        focus = float(tran2[i1][i2])
-                                        if fitted <= 0 or focus <= 0:
-                                            print("Raftery and Lewis estimator had problems")
-                                            return
-                                        g2 += np.log(focus / fitted) * focus
-                            g2 *= 2
-                            if g2 - np.log(float(thin_rows - 1)) < 0:
-                                break
-                            thin_fac[ix] += 1
-                    except LoopException:
-                        pass
-                    except Exception:
-                        thin_fac[ix] = 0
-                    if thin_fac[ix] and thin_rows < 2:
-                        thin_fac[ix] = 0
-
-                lines += "Raftery&Lewis statistics\n"
-                lines += "\n"
-                lines += "chain  markov_thin  indep_thin    nburn\n"
-                for ix in range(num_chains_used):
-                    if thin_fac[ix] == 0:
-                        lines += "%4i      Failed/not enough samples\n" % ix
-                    else:
-                        lines += "%4i%12i%12i%12i\n" % (ix, markov_thin[ix], thin_fac[ix], nburn[ix])
-                self.RL_indep_thin = np.max(thin_fac)
-                if feedback:
-                    if not np.all(thin_fac != 0):
-                        print("RL: Not enough samples to estimate convergence stats")
-                    else:
-                        print("RL: Thin for Markov: ", np.max(markov_thin))
-                        print("RL: Thin for indep samples:  ", str(self.RL_indep_thin))
-                        print(
-                            "RL: Estimated burn in steps: ",
-                            np.max(nburn),
-                            " (",
-                            int(round(np.max(nburn) / self.mean_mult)),
-                            " rows)",
-                        )
-                lines += "\n"
-
+                try:
+                    self._report_raftery_lewis(out, chainlist, limits, nparamMC, test_confidence, feedback)
+                except self._RLAbort:
+                    print("Raftery and Lewis estimator had problems")
+                    return
             if "CorrSteps" in what:
-                lines += "Parameter auto-correlations as function of step separation\n"
-                lines += "\n"
-                if self.corr_length_thin != 0:
-                    autocorr_thin = self.corr_length_thin
-                else:
-                    if self.indep_thin == 0:
-                        autocorr_thin = 20
-                    elif self.indep_thin <= 30:
-                        autocorr_thin = 5
-                    else:
-                        autocorr_thin = int(5 * (self.indep_thin / 30))
+                self._report_corr_steps(out, chainlist, parNames, parForm)
 
-                thin_ix = self.thin_indices(autocorr_thin)
-                thin_rows = len(thin_ix)
-                maxoff = int(min(self.corr_length_steps, thin_rows // (2 * num_chains_used)))
-                if maxoff > 0:
-                    corrs = np.zeros([maxoff, nparam])
-                    for chain in chainlist:
-                        thin_ix = chain.thin_indices(autocorr_thin)
-                        thin_rows = len(thin_ix)
-                        maxoff = min(maxoff, thin_rows // autocorr_thin)
-                        for j in range(nparam):
-                            diff = chain.diffs[j][thin_ix]
-                            for off in range(1, maxoff + 1):
-                                corrs[off - 1][j] += np.dot(diff[off:], diff[:-off]) / (thin_rows - off) / self.vars[j]
-                    corrs /= len(chainlist)
-                    lines += parForm % ""
-                    for i in range(maxoff):
-                        lines += "%8i" % ((i + 1) * autocorr_thin)
-                    lines += "\n"
-                    for j in range(nparam):
-                        lines += parNames[j]
-                        for i in range(maxoff):
-                            lines += "%8.3f" % corrs[i][j]
-                        lines += " %s\n" % self.parLabel(j)
-
+        lines = "".join(out)
         if writeDataToFile:
             with open(filename or (self.rootdirname + ".converge"), "w", encoding="utf-8") as f:
                 f.write(lines)
@@ -1820,10 +1834,11 @@ class MCSamples(Chains):
                 N_eff = self.getEffectiveSamplesGaussianKDE_2d(paramx, paramy)
             else:
                 N_eff = min(self._get1DNeff(parx, paramx), self._get1DNeff(pary, paramy))
-
         logging.debug("%s %s AutoBandwidth2D: N_eff=%s, corr=%s", parx.name, pary.name, N_eff, corr)
-        has_limits = parx.has_limits or pary.has_limits
-        do_correlated = not parx.has_limits or not pary.has_limits
+
+        plugin_width = N_eff ** (-1.0 / 6)
+        clipped_corr = np.clip(corr, -self.max_corr_2D, self.max_corr_2D)
+        both_limited = parx.has_limits and pary.has_limits
 
         def fallback_widths(ex):
             msg = (
@@ -1832,65 +1847,21 @@ class MCSamples(Chains):
             if getattr(self, "raise_on_bandwidth_errors", False):
                 raise BandwidthError(msg)
             logging.warning(msg)
-            _hx = parx.sigma_range / N_eff ** (1.0 / 6)
-            _hy = pary.sigma_range / N_eff ** (1.0 / 6)
-            return _hx, _hy, max(min(corr, self.max_corr_2D), -self.max_corr_2D)
+            return parx.sigma_range * plugin_width, pary.sigma_range * plugin_width, clipped_corr
 
-        if min_corr < abs(corr) <= self.max_corr_2D and do_correlated:
-            # shear to decorrelate (keeping any single bounded axis fixed),
-            # rebin in sheared coordinates, optimize there, un-shear the
-            # resulting kernel covariance
-            i, j = paramx, paramy
-            imax, imin = None, None
-            if parx.has_limits_bot:
-                imin = parx.range_min
-            if parx.has_limits_top:
-                imax = parx.range_max
-            if pary.has_limits:
-                i, j = j, i
-                if pary.has_limits_bot:
-                    imin = pary.range_min
-                if pary.has_limits_top:
-                    imax = pary.range_max
-
-            cov = self.getCov(pars=[i, j])
-            S = np.linalg.cholesky(cov)
-            ichol = np.linalg.inv(S)
-            S *= ichol[0, 0]
-            r = ichol[1, :] / ichol[0, 0]
-            p1 = self.samples[:, i]
-            p2 = r[0] * self.samples[:, i] + r[1] * self.samples[:, j]
-
-            bin1, r1 = kde.bin_samples(p1, nbins=base_fine_bins_2D, range_min=imin, range_max=imax)
-            bin2, r2 = kde.bin_samples(p2, nbins=base_fine_bins_2D)
-            rotbins, _ = self._make2Dhist(bin1, bin2, base_fine_bins_2D, base_fine_bins_2D)
+        if abs(corr) > self.max_corr_2D or (both_limited and corr > 0.8):
+            # too degenerate to optimize: plug-in widths at clipped correlation
+            hx, hy, c = parx.sigma_range * plugin_width, pary.sigma_range * plugin_width, clipped_corr
+        elif abs(corr) > min_corr and not both_limited:
             try:
-                opt = kde.KernelOptimizer2D(rotbins, N_eff, 0, do_correlation=not has_limits)
-                hx, hy, c = opt.get_h()
-                hx *= r1
-                hy *= r2
-                kernelC = S.dot(np.array([[hx**2, hx * hy * c], [hx * hy * c, hy**2]])).dot(S.T)
-                hx, hy, c = (
-                    np.sqrt(kernelC[0, 0]),
-                    np.sqrt(kernelC[1, 1]),
-                    kernelC[0, 1] / np.sqrt(kernelC[0, 0] * kernelC[1, 1]),
-                )
-                if pary.has_limits:
-                    hx, hy = hy, hx
+                hx, hy, c = self._optimize_bandwidth_sheared(parx, pary, paramx, paramy, N_eff, base_fine_bins_2D)
             except ValueError as e:
                 hx, hy, c = fallback_widths(e)
-        elif abs(corr) > self.max_corr_2D or not do_correlated and corr > 0.8:
-            c = max(min(corr, self.max_corr_2D), -self.max_corr_2D)
-            hx = parx.sigma_range / N_eff ** (1.0 / 6)
-            hy = pary.sigma_range / N_eff ** (1.0 / 6)
         else:
+            seed_t = (min(pary.sigma_range / rangey, parx.sigma_range / rangex) * plugin_width) ** 2
             try:
                 opt = kde.KernelOptimizer2D(
-                    bins,
-                    N_eff,
-                    corr,
-                    do_correlation=not has_limits,
-                    fallback_t=(min(pary.sigma_range / rangey, parx.sigma_range / rangex) / N_eff ** (1.0 / 6)) ** 2,
+                    bins, N_eff, corr, do_correlation=not (parx.has_limits or pary.has_limits), fallback_t=seed_t
                 )
                 hx, hy, c = opt.get_h()
                 hx *= rangex
@@ -1898,15 +1869,50 @@ class MCSamples(Chains):
             except ValueError as e:
                 hx, hy, c = fallback_widths(e)
 
+        logging.debug("hx/sig, hy/sig, corr =%s, %s, %s", hx / parx.err, hy / pary.err, c)
         if mult_bias_correction_order is None:
             mult_bias_correction_order = self.mult_bias_correction_order
-        logging.debug("hx/sig, hy/sig, corr =%s, %s, %s", hx / parx.err, hy / pary.err, c)
         if mult_bias_correction_order:
+            # higher-order estimator: widen by the N-scaling mismatch factor
             scale = 1.1 * N_eff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_correction_order)))
             hx *= scale
             hy *= scale
             logging.debug("hx/sig, hy/sig, corr, scale =%s, %s, %s, %s", hx / parx.err, hy / pary.err, c, scale)
         return hx, hy, c
+
+    def _optimize_bandwidth_sheared(self, parx, pary, paramx, paramy, N_eff, nbins):
+        """2D bandwidth for a correlated pair: shear the samples so the pair
+        decorrelates (keeping a bounded axis untouched as the first
+        coordinate), optimize an axis-aligned kernel on the sheared
+        histogram, and map the kernel covariance back through the shear
+        (reference ``mcsamples.py:1347-1391``)."""
+        lead_par, other = (pary, paramx) if pary.has_limits else (parx, paramy)
+        lead = paramy if pary.has_limits else paramx
+        bound_lo = lead_par.range_min if lead_par.has_limits_bot else None
+        bound_hi = lead_par.range_max if lead_par.has_limits_top else None
+
+        pair_cov = self.getCov(pars=[lead, other])
+        root = np.linalg.cholesky(pair_cov)
+        # second coordinate = residual of `other` against `lead`, rescaled to
+        # the lead's sigma; unshear maps unit-lead coords back to parameters
+        unshear = root / root[0, 0]
+        sheared = (root[0, 0] * self.samples[:, other] - root[1, 0] * self.samples[:, lead]) / root[1, 1]
+
+        lead_ix, lead_scale = kde.bin_samples(
+            self.samples[:, lead], nbins=nbins, range_min=bound_lo, range_max=bound_hi
+        )
+        resid_ix, resid_scale = kde.bin_samples(sheared, nbins=nbins)
+        hist, _ = self._make2Dhist(lead_ix, resid_ix, nbins, nbins)
+        opt = kde.KernelOptimizer2D(hist, N_eff, 0, do_correlation=not (parx.has_limits or pary.has_limits))
+        h1, h2, c12 = opt.get_h()
+        h1 *= lead_scale
+        h2 *= resid_scale
+        kernel_cov = unshear @ np.array([[h1 * h1, h1 * h2 * c12], [h1 * h2 * c12, h2 * h2]]) @ unshear.T
+        widths = np.sqrt(kernel_cov.diagonal())
+        c = kernel_cov[0, 1] / (widths[0] * widths[1])
+        if pary.has_limits:
+            return widths[1], widths[0], c
+        return widths[0], widths[1], c
 
     # -- 1D densities ---------------------------------------------------------------
 
@@ -1963,57 +1969,60 @@ class MCSamples(Chains):
         ix = ((paramVec - binmin) / fine_width + 0.5).astype(int)
         return ix, fine_width, binmin, binmax
 
-    def _initParam(self, par, paramVec, mean=None, sddev=None, paramConfid=None):
-        """Set par.err/mean/param_min/param_max/range_min/range_max and the
-        peak-structure scale sigma_range (reference ``mcsamples.py:
-        1427-1484``); snaps range ends to hard limits when nearby."""
-        if mean is None:
-            mean = paramVec.mean()
-        if sddev is None:
-            sddev = paramVec.std()
-        par.err = sddev
-        par.mean = mean
-        par.param_min = np.min(paramVec)
-        par.param_max = np.max(paramVec)
-        paramConfid = paramConfid or self.initParamConfidenceData(paramVec)
-        # quantile-spacing peak-scale estimate (simplified Janssen 95)
-        confid_points = np.linspace(0.1, 0.9, 9)
-        confids = self.confidence(
-            paramConfid, np.array([self.range_confidence, 1 - self.range_confidence] + list(confid_points))
-        )
-        par.range_min, par.range_max = confids[0:2]
-        confids[1:-1] = confids[2:]
-        confids[0] = par.param_min
-        confids[-1] = par.param_max
-        diffs = confids[4:] - confids[:-4]
-        scale = np.min(diffs) / 1.049
-        if np.all(diffs > par.err * 1.049) and np.all(diffs < scale * 1.5):
-            par.sigma_range = scale  # very flat distribution
-        else:
-            par.sigma_range = min(par.err, scale)
-        if self.range_ND_contour >= 0 and self.likeStats:
-            if self.range_ND_contour >= par.ND_limit_bot.size:
-                raise SettingError("range_ND_contour should be -1 (off), or an index into the computed contour levels")
-            par.range_min = min(max(par.range_min - par.err, par.ND_limit_bot[self.range_ND_contour]), par.range_min)
-            par.range_max = max(max(par.range_max + par.err, par.ND_limit_top[self.range_ND_contour]), par.range_max)
+    @staticmethod
+    def _peak_scale(quantiles, lo, hi, err):
+        """Peak-structure width from 10%-quantile spacings (simplified
+        Janssen 95): the smallest span of 4 consecutive deciles, in sigma
+        units of a unit Gaussian (whose tightest such span is 1.049 sd)."""
+        knots = np.concatenate(([lo], quantiles, [hi]))
+        spans = knots[4:] - knots[:-4]
+        tightest = np.min(spans) / 1.049
+        if np.all(spans > err * 1.049) and np.all(spans < tightest * 1.5):
+            return tightest  # very flat distribution
+        return min(err, tightest)
 
-        smooth_1D = par.sigma_range * 0.4
-
+    def _snap_range_to_limits(self, par, smooth_1D):
+        """Pull range ends onto nearby hard priors, or drop the limit flag
+        (and pad the range) when the samples sit far from the bound."""
         if par.has_limits_bot:
-            if par.range_min - par.limmin > 2 * smooth_1D and par.param_min - par.limmin > smooth_1D:
-                par.has_limits_bot = False  # data is far from the limit
+            clear_of_limit = par.range_min - par.limmin > 2 * smooth_1D and par.param_min - par.limmin > smooth_1D
+            if clear_of_limit:
+                par.has_limits_bot = False
             else:
                 par.range_min = par.limmin
         if par.has_limits_top:
-            if par.limmax - par.range_max > 2 * smooth_1D and par.limmax - par.param_max > smooth_1D:
+            clear_of_limit = par.limmax - par.range_max > 2 * smooth_1D and par.limmax - par.param_max > smooth_1D
+            if clear_of_limit:
                 par.has_limits_top = False
             else:
                 par.range_max = par.limmax
         if not par.has_limits_bot:
-            par.range_min -= smooth_1D * 2
+            par.range_min -= 2 * smooth_1D
         if not par.has_limits_top:
-            par.range_max += smooth_1D * 2
+            par.range_max += 2 * smooth_1D
         par.has_limits = par.has_limits_top or par.has_limits_bot
+
+    def _initParam(self, par, paramVec, mean=None, sddev=None, paramConfid=None):
+        """Set par.err/mean/param_min/param_max/range_min/range_max and the
+        peak-structure scale sigma_range (reference ``mcsamples.py:
+        1427-1484``); snaps range ends to hard limits when nearby."""
+        par.mean = paramVec.mean() if mean is None else mean
+        par.err = paramVec.std() if sddev is None else sddev
+        par.param_min = np.min(paramVec)
+        par.param_max = np.max(paramVec)
+        paramConfid = paramConfid or self.initParamConfidenceData(paramVec)
+        probe = np.concatenate(([self.range_confidence, 1 - self.range_confidence], np.linspace(0.1, 0.9, 9)))
+        levels = self.confidence(paramConfid, probe)
+        par.range_min, par.range_max = levels[0], levels[1]
+        par.sigma_range = self._peak_scale(levels[2:], par.param_min, par.param_max, par.err)
+        if self.range_ND_contour >= 0 and self.likeStats:
+            if self.range_ND_contour >= par.ND_limit_bot.size:
+                raise SettingError("range_ND_contour should be -1 (off), or an index into the computed contour levels")
+            nd_lo = par.ND_limit_bot[self.range_ND_contour]
+            nd_hi = par.ND_limit_top[self.range_ND_contour]
+            par.range_min = min(max(par.range_min - par.err, nd_lo), par.range_min)
+            par.range_max = max(max(par.range_max + par.err, nd_hi), par.range_max)
+        self._snap_range_to_limits(par, par.sigma_range * 0.4)
         return par
 
     def _initParamRanges(self, j, paramConfid=None):
