@@ -671,6 +671,17 @@ class MCSamples(Chains):
 
     # -- plot-script writers (for the CLI) ---------------------------------------------
 
+    def _pca_log_map(self, params, nparams):
+        """Auto-select N (linear) / L (log) mapping per parameter: log when
+        the samples sit well away from zero (reference ``mcsamples.py:
+        706-713``)."""
+        chosen = ""
+        for par in self.paramNames.parsWithNames(params):
+            self._initParamRanges(par.name)
+            span10 = (par.param_max - par.param_min) / 10
+            chosen += "N" if (par.param_max < 0 or par.param_min < span10) else "L"
+        return chosen
+
     def PCA(
         self,
         params,
@@ -688,162 +699,126 @@ class MCSamples(Chains):
         logging.info("Doing PCA for %s parameters", len(params))
         if len(conditional_params):
             logging.info("conditional %u fixed parameters", len(conditional_params))
-        PCAtext = "PCA for parameters:\n"
+        text = ["PCA for parameters:\n"]
 
         params = [name for name in params if self.paramNames.parWithName(name)]
         nparams = len(params)
-        indices = [self.index[param] for param in params]
-        conditional_params = [self.index[param] for param in conditional_params]
-        indices += conditional_params
-
-        if normparam:
-            normparam = params.index(normparam) if normparam in params else -1
-        else:
-            normparam = -1
-
-        n = len(indices)
-        PCdata = self.samples[:, indices].copy()
-        PClabs = []
-        PCmean = np.zeros(n)
-        sd = np.zeros(n)
-        newmean = np.zeros(n)
-        newsd = np.zeros(n)
+        indices = [self.index[param] for param in params] + [self.index[p] for p in conditional_params]
+        normparam = params.index(normparam) if normparam and normparam in params else -1
         if param_map is None:
-            param_map = ""
-            for par in self.paramNames.parsWithNames(params):
-                self._initParamRanges(par.name)
-                if par.param_max < 0 or par.param_min < (par.param_max - par.param_min) / 10:
-                    param_map += "N"
-                else:
-                    param_map += "L"
+            param_map = self._pca_log_map(params, nparams)
 
+        # map (ln / ln(-) / identity) and standardize each column
+        n = len(indices)
+        table = self.samples[:, indices].copy()
         doexp = False
-        for i, parix in enumerate(indices):
-            if i < nparams:
-                label = self.parLabel(parix)
-                if param_map[i] == "L":
-                    doexp = True
-                    PCdata[:, i] = np.log(PCdata[:, i])
-                    PClabs.append("ln(" + label + ")")
-                elif param_map[i] == "M":
-                    doexp = True
-                    PCdata[:, i] = np.log(-1.0 * PCdata[:, i])
-                    PClabs.append("ln(-" + label + ")")
-                else:
-                    PClabs.append(label)
-                PCAtext += "%10s :%s\n" % (str(parix + 1), str(PClabs[i]))
-            PCmean[i] = np.dot(self.weights, PCdata[:, i]) / self.norm
-            PCdata[:, i] -= PCmean[i]
-            sd[i] = np.sqrt(np.dot(self.weights, PCdata[:, i] ** 2) / self.norm)
+        for i in range(nparams):
+            label = self.parLabel(indices[i])
+            mapped = label
+            if param_map[i] == "L":
+                doexp = True
+                table[:, i] = np.log(table[:, i])
+                mapped = "ln(" + label + ")"
+            elif param_map[i] == "M":
+                doexp = True
+                table[:, i] = np.log(-1.0 * table[:, i])
+                mapped = "ln(-" + label + ")"
+            text.append("%10s :%s\n" % (str(indices[i] + 1), str(mapped)))
+        center = np.empty(n)
+        sd = np.empty(n)
+        for i in range(n):
+            center[i] = np.dot(self.weights, table[:, i]) / self.norm
+            table[:, i] -= center[i]
+            sd[i] = np.sqrt(np.dot(self.weights, table[:, i] ** 2) / self.norm)
             if sd[i] != 0:
-                PCdata[:, i] /= sd[i]
+                table[:, i] /= sd[i]
 
-        PCAtext += "\n"
-        PCAtext += "Correlation matrix for reduced parameters\n"
-        correlationMatrix = np.ones((n, n))
+        text.append("\n")
+        text.append("Correlation matrix for reduced parameters\n")
+        correlation = np.ones((n, n))
         for i in range(n):
             for j in range(i):
-                correlationMatrix[j][i] = np.dot(self.weights, PCdata[:, i] * PCdata[:, j]) / self.norm
-                correlationMatrix[i][j] = correlationMatrix[j][i]
+                correlation[j][i] = np.dot(self.weights, table[:, i] * table[:, j]) / self.norm
+                correlation[i][j] = correlation[j][i]
         for i in range(nparams):
-            PCAtext += "%12s :" % params[i]
-            for j in range(n):
-                PCAtext += "%8.4f" % correlationMatrix[j][i]
-            PCAtext += "\n"
+            text.append("%12s :" % params[i] + "".join("%8.4f" % correlation[j][i] for j in range(n)) + "\n")
 
         if len(conditional_params):
-            u = np.linalg.inv(correlationMatrix)
-            u = u[np.ix_(list(range(len(params))), list(range(len(params))))]
-            u = np.linalg.inv(u)
+            # marginalize out the conditional block via the precision matrix
+            keep = list(range(nparams))
+            reduced = np.linalg.inv(np.linalg.inv(correlation)[np.ix_(keep, keep)])
             n = nparams
-            PCdata = PCdata[:, :nparams]
+            table = table[:, :nparams]
         else:
-            u = correlationMatrix
-        evals, evects = np.linalg.eig(u)
-        isorted = evals.argsort()
-        u = np.transpose(evects[:, isorted])
+            reduced = correlation
+        evals, evects = np.linalg.eig(reduced)
+        by_size = evals.argsort()
+        modes = np.transpose(evects[:, by_size])
 
-        PCAtext += "\n"
-        PCAtext += "e-values of correlation matrix\n"
-        for i in range(n):
-            PCAtext += "PC%2i: %8.4f\n" % (i + 1, evals[isorted[i]])
-
-        PCAtext += "\n"
-        PCAtext += "e-vectors\n"
+        text.append("\n")
+        text.append("e-values of correlation matrix\n")
+        text.extend("PC%2i: %8.4f\n" % (i + 1, evals[by_size[i]]) for i in range(n))
+        text.append("\n")
+        text.append("e-vectors\n")
         for j in range(n):
-            PCAtext += "%3i:" % (indices[j] + 1)
-            for i in range(n):
-                PCAtext += "%8.4f" % (evects[j][isorted[i]])
-            PCAtext += "\n"
+            text.append("%3i:" % (indices[j] + 1) + "".join("%8.4f" % evects[j][by_size[i]] for i in range(n)) + "\n")
 
-        if normparam != -1:
-            for i in range(n):
-                u[i, :] = u[i, :] / u[i, normparam] * sd[normparam]
-        else:
-            for i in range(n):
-                maxi = np.abs(u[i, :]).argmax()
-                u[i, :] = u[i, :] / u[i, maxi] * sd[maxi]
-
-        nrows = PCdata.shape[0]
-        for i in range(nrows):
-            PCdata[i, :] = np.dot(u, PCdata[i, :])
-            if doexp:
-                PCdata[i, :] = np.exp(PCdata[i, :])
-
-        PCAtext += "\n"
-        PCAtext += "Principal components\n"
-        PCAmodeTexts = []
+        # scale each mode so the pivot parameter enters with its own sd
         for i in range(n):
-            isort = isorted[i]
-            summary = "PC%i (e-value: %f)\n" % (i + 1, evals[isort])
+            pivot = normparam if normparam != -1 else np.abs(modes[i, :]).argmax()
+            modes[i, :] = modes[i, :] / modes[i, pivot] * sd[pivot]
+
+        for row in range(table.shape[0]):
+            table[row, :] = np.dot(modes, table[row, :])
+            if doexp:
+                table[row, :] = np.exp(table[row, :])
+
+        text.append("\n")
+        text.append("Principal components\n")
+        mode_texts = []
+        pc_mean = np.empty(n)
+        pc_sd = np.empty(n)
+        for i in range(n):
+            block = "PC%i (e-value: %f)\n" % (i + 1, evals[by_size[i]])
             for j in range(n):
                 label = self.parLabel(indices[j])
-                if param_map[j] in ["L", "M"]:
-                    expo = "%f" % (1.0 / sd[j] * u[i][j])
-                    if param_map[j] == "M":
-                        div = "%f" % (-np.exp(PCmean[j]))
-                    else:
-                        div = "%f" % (np.exp(PCmean[j]))
-                    summary += f"[{u[i][j]:f}]  ({label}/{div})^{{{expo}}}\n"
+                weight_tag = f"[{modes[i][j]:f}]"
+                if param_map[j] in ("L", "M"):
+                    expo = "%f" % (1.0 / sd[j] * modes[i][j])
+                    sign = -1.0 if param_map[j] == "M" else 1.0
+                    div = "%f" % (sign * np.exp(center[j]))
+                    block += f"{weight_tag}  ({label}/{div})^{{{expo}}}\n"
                 else:
-                    expo = "%f" % (sd[j] / u[i][j])
-                    if doexp:
-                        summary += f"[{u[i][j]:f}]   exp(({label}-{PCmean[j]:f})/{expo})\n"
-                    else:
-                        summary += f"[{u[i][j]:f}]   ({label}-{PCmean[j]:f})/{expo}\n"
-            newmean[i] = self.mean(PCdata[:, i])
-            newsd[i] = np.sqrt(self.mean((PCdata[:, i] - newmean[i]) ** 2))
-            summary += f"          = {newmean[i]:f} +- {newsd[i]:f}\n"
-            summary += "\n"
-            PCAmodeTexts += [summary]
-            PCAtext += summary
+                    expo = "%f" % (sd[j] / modes[i][j])
+                    form = f"exp(({label}-{center[j]:f})/{expo})" if doexp else f"({label}-{center[j]:f})/{expo}"
+                    block += f"{weight_tag}   {form}\n"
+            pc_mean[i] = self.mean(table[:, i])
+            pc_sd[i] = np.sqrt(self.mean((table[:, i] - pc_mean[i]) ** 2))
+            block += f"          = {pc_mean[i]:f} +- {pc_sd[i]:f}\n"
+            block += "\n"
+            mode_texts.append(block)
+        text.extend(mode_texts)
 
-        PCAtext += "Correlations of principal components\n"
-        PCAtext += "%s\n" % ("".join("%8i" % i for i in range(1, n + 1)))
+        text.append("Correlations of principal components\n")
+        text.append("%s\n" % ("".join("%8i" % i for i in range(1, n + 1))))
         for i in range(n):
-            PCdata[:, i] = (PCdata[:, i] - newmean[i]) / newsd[i]
+            table[:, i] = (table[:, i] - pc_mean[i]) / pc_sd[i]
         for j in range(n):
-            PCAtext += "PC%2i" % (j + 1)
-            for i in range(n):
-                PCAtext += "%8.3f" % (self.mean(PCdata[:, i] * PCdata[:, j]))
-            PCAtext += "\n"
+            text.append("PC%2i" % (j + 1) + "".join("%8.3f" % self.mean(table[:, i] * table[:, j]) for i in range(n)) + "\n")
         for j in range(self.n):
-            PCAtext += "%4i" % (j + 1)
+            row = "%4i" % (j + 1)
+            scaled = (self.samples[:, j] - self.means[j]) / self.sddev[j]
             for i in range(n):
-                PCAtext += "%8.3f" % (
-                    np.sum(self.weights * PCdata[:, i] * (self.samples[:, j] - self.means[j]) / self.sddev[j])
-                    / self.norm
-                )
-            PCAtext += "   (%s)\n" % (self.parLabel(j))
+                row += "%8.3f" % (np.sum(self.weights * table[:, i] * scaled) / self.norm)
+            text.append(row + "   (%s)\n" % self.parLabel(j))
 
+        report = "".join(text)
         if writeDataToFile:
             with open(filename or self.rootdirname + ".PCA", "w", encoding="utf-8") as f:
-                f.write(PCAtext)
+                f.write(report)
         if n_best_only:
-            if n_best_only == 1:
-                return PCAmodeTexts[0]
-            return PCAmodeTexts[:n_best_only]
-        return PCAtext
+            return mode_texts[0] if n_best_only == 1 else mode_texts[:n_best_only]
+        return report
 
     # -- convergence battery ---------------------------------------------------------
 
@@ -1523,44 +1498,19 @@ class MCSamples(Chains):
 
         if has_prior and boundary_correction_order >= 0 and not (parx.periodic and pary.periodic):
             self._setEdgeMask2D(parx, pary, prior_mask, winw)
-            a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
-            ix = a00 * bins2D > np.max(bins2D) * 1e-8
-            a00 = a00[ix]
-            normed = bins2D[ix] / a00
-            if boundary_correction_order == 0:
-                bins2D[ix] = normed
-            elif boundary_correction_order == 1:
-                # linear boundary kernel in 2D
-                indexes = np.arange(-winw, winw + 1)
-                y = np.empty(Win.shape)
-                for i in range(Win.shape[0]):
-                    y[:, i] = indexes
-                winx = Win * indexes
-                winy = Win * y
-                a10 = convolve2D(prior_mask, winx, "valid", largest_size=convolvesize)[ix]
-                a01 = convolve2D(prior_mask, winy, "valid", largest_size=convolvesize)[ix]
-                a20 = convolve2D(prior_mask, winx * indexes, "valid", largest_size=convolvesize)[ix]
-                a02 = convolve2D(prior_mask, winy * y, "valid", largest_size=convolvesize)[ix]
-                a11 = convolve2D(prior_mask, winy * indexes, "valid", largest_size=convolvesize)[ix]
-                xP = convolve2D(histbins, winx, convolution_mode, largest_size=convolvesize)[ix]
-                yP = convolve2D(histbins, winy, convolution_mode, largest_size=convolvesize)[ix]
-                denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
-                A = a11**2 - a02 * a20
-                Ax = a10 * a02 - a01 * a11
-                Ay = a01 * a20 - a10 * a11
-                corrected = (bins2D[ix] * A + xP * Ax + yP * Ay) / denom
-                bins2D[ix] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
-            else:
-                raise SettingError("unknown boundary_correction_order (expected 0 or 1)")
+            self._boundary_correct_2d(
+                bins2D, histbins, prior_mask, Win, winw, boundary_correction_order, convolution_mode, convolvesize
+            )
 
         if mult_bias_correction_order and not (parx.periodic and pary.periodic):
             self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
             a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
             for _ in range(mult_bias_correction_order):
-                box = histbins.copy()
-                ix2 = bins2D > np.max(bins2D) * 1e-8
-                box[ix2] /= bins2D[ix2]
-                bins2D *= convolve2D(box, Win, convolution_mode, largest_size=convolvesize)
+                # divide out the current estimate, re-smooth, multiply back
+                flattened = histbins.copy()
+                significant = bins2D > np.max(bins2D) * 1e-8
+                flattened[significant] /= bins2D[significant]
+                bins2D *= convolve2D(flattened, Win, convolution_mode, largest_size=convolvesize)
                 if mask_function:
                     bins2D[~bool_mask] /= a00[~bool_mask]
                 else:
@@ -1620,6 +1570,45 @@ class MCSamples(Chains):
         if lim_bot or lim_top:
             return (mx - mn) / 0.675
         return (mx - mn) / (2 * 0.675)
+
+    @staticmethod
+    def _boundary_correct_2d(bins2D, histbins, prior_mask, Win, winw, order, mode, convolvesize):
+        """Boundary-kernel correction in place: renormalize by the clipped
+        window mass (order 0), or solve the 2D linear boundary-kernel system
+        (order 1, Jones 1993 family) wherever the mask convolution carries
+        weight (reference ``mcsamples.py:1921-1961``)."""
+
+        def mask_conv(window):
+            return convolve2D(prior_mask, window, "valid", largest_size=convolvesize)
+
+        a00 = mask_conv(Win)
+        live = a00 * bins2D > np.max(bins2D) * 1e-8
+        a00 = a00[live]
+        normed = bins2D[live] / a00
+        if order == 0:
+            bins2D[live] = normed
+            return
+        if order != 1:
+            raise SettingError("unknown boundary_correction_order (expected 0 or 1)")
+        # window moments against the mask: subscripts are (x-power, y-power)
+        offsets = np.arange(-winw, winw + 1)
+        wx = Win * offsets[None, :]
+        wy = Win * offsets[:, None]
+        a10 = mask_conv(wx)[live]
+        a01 = mask_conv(wy)[live]
+        a20 = mask_conv(wx * offsets[None, :])[live]
+        a02 = mask_conv(wy * offsets[:, None])[live]
+        a11 = mask_conv(wy * offsets[None, :])[live]
+        xP = convolve2D(histbins, wx, mode, largest_size=convolvesize)[live]
+        yP = convolve2D(histbins, wy, mode, largest_size=convolvesize)[live]
+        denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
+        corrected = (
+            bins2D[live] * (a11**2 - a02 * a20)
+            + xP * (a10 * a02 - a01 * a11)
+            + yP * (a01 * a20 - a10 * a11)
+        ) / denom
+        # clamped log-space update keeps the correction positive and bounded
+        bins2D[live] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
 
     def _setAllEdgeMask2D(self, prior_mask, winw, periodic_x=False, periodic_y=False):
         if not periodic_x:
@@ -1716,67 +1705,22 @@ class MCSamples(Chains):
             rawbins = conv.copy()
 
         if par.has_limits and not par.periodic and boundary_correction_order >= 0:
-            # renormalize over the boundary-clipped window, with optional
-            # linear/quadratic boundary kernels (Jones 1993 family)
-            prior_mask = np.ones(fine_bins + 2 * winw)
-            if par.has_limits_bot:
-                prior_mask[winw] = 0.5
-                prior_mask[:winw] = 0
-            if par.has_limits_top:
-                prior_mask[-(winw + 1)] = 0.5
-                prior_mask[-winw:] = 0
-            a0 = convolve1D(prior_mask, kernel.Win, "valid")
-            ix = np.nonzero(a0 * density1D.P)
-            a0 = a0[ix]
-            normed = density1D.P[ix] / a0
-            if boundary_correction_order == 0:
-                density1D.P[ix] = normed
-            elif boundary_correction_order <= 2:
-                xWin = kernel.Win * kernel.x
-                a1 = convolve1D(prior_mask, xWin, "valid")[ix]
-                a2 = convolve1D(prior_mask, xWin * kernel.x, "valid")[ix]
-                xP = convolve1D(bins, xWin, "same")[ix]
-                if boundary_correction_order == 1:
-                    corrected = (density1D.P[ix] * a2 - xP * a1) / (a0 * a2 - a1**2)
-                else:
-                    a3 = convolve1D(prior_mask, xWin * kernel.x**2, "valid")[ix]
-                    a4 = convolve1D(prior_mask, xWin * kernel.x**3, "valid")[ix]
-                    x2P = convolve1D(bins, xWin * kernel.x, "same")[ix]
-                    denom = a4 * a2 * a0 - a4 * a1**2 - a2**3 - a3**2 * a0 + 2 * a1 * a2 * a3
-                    A = a4 * a2 - a3**2
-                    B = a2 * a3 - a4 * a1
-                    C = a3 * a1 - a2**2
-                    corrected = (density1D.P[ix] * A + xP * B + x2P * C) / denom
-                density1D.P[ix] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
-            else:
-                raise SettingError("Unknown boundary_correction_order (expected 0, 1, 2)")
+            self._boundary_correct_1d(density1D, bins, par, kernel, winw, fine_bins, boundary_correction_order)
         elif not par.periodic and boundary_correction_order == 2:
-            # higher-order kernel in the interior
+            # higher-order kernel in the interior (no boundary): subtract the
+            # second-moment bias term in clamped log space
             xWin2 = kernel.Win * kernel.x**2
             x2P = convolve1D(bins, xWin2, "same")
             a2 = np.sum(xWin2)
             a4 = np.dot(xWin2, kernel.x**2)
             corrected = (density1D.P * a4 - a2 * x2P) / (a4 - a2**2)
-            ix = density1D.P > 0
-            density1D.P[ix] *= np.exp(np.minimum(corrected[ix] / density1D.P[ix], 2) - 1)
+            positive = density1D.P > 0
+            density1D.P[positive] *= np.exp(np.minimum(corrected[positive] / density1D.P[positive], 2) - 1)
 
         if mult_bias_correction_order:
-            # iterate on flattened bins to cancel second-order smoothing bias
-            if not par.periodic:
-                prior_mask = np.ones(fine_bins)
-                if par.has_limits_bot:
-                    prior_mask[0] *= 0.5
-                if par.has_limits_top:
-                    prior_mask[-1] *= 0.5
-                a0 = convolve1D(prior_mask, kernel.Win, "same")
-            for _ in range(mult_bias_correction_order):
-                prob1 = density1D.P.copy()
-                prob1[prob1 == 0] = 1
-                fine = bins / prob1
-                conv = convolve1D(fine, kernel.Win, convolution_mode)
-                density1D.setP(density1D.P * conv)
-                if not par.periodic:
-                    density1D.P /= a0
+            self._mult_bias_correct_1d(
+                density1D, bins, par, kernel, fine_bins, convolution_mode, mult_bias_correction_order
+            )
 
         density1D.normalize("max", in_place=True)
         if not kwargs:
@@ -1799,6 +1743,69 @@ class MCSamples(Chains):
         return density1D
 
     # -- 2D densities ---------------------------------------------------------------
+
+    @staticmethod
+    def _boundary_correct_1d(density1D, bins, par, kernel, winw, fine_bins, order):
+        """Boundary-kernel correction in place: renormalize by the clipped
+        window mass (order 0) or solve the linear/quadratic boundary-kernel
+        moment system (orders 1/2, Jones 1993 family); reference
+        ``mcsamples.py:1600-1647``."""
+        prior_mask = np.ones(fine_bins + 2 * winw)
+        if par.has_limits_bot:
+            prior_mask[winw] = 0.5
+            prior_mask[:winw] = 0
+        if par.has_limits_top:
+            prior_mask[-(winw + 1)] = 0.5
+            prior_mask[-winw:] = 0
+
+        def mask_conv(window):
+            return convolve1D(prior_mask, window, "valid")
+
+        a0 = mask_conv(kernel.Win)
+        live = np.nonzero(a0 * density1D.P)
+        a0 = a0[live]
+        normed = density1D.P[live] / a0
+        if order == 0:
+            density1D.P[live] = normed
+            return
+        if order > 2:
+            raise SettingError("Unknown boundary_correction_order (expected 0, 1, 2)")
+        xWin = kernel.Win * kernel.x
+        a1 = mask_conv(xWin)[live]
+        a2 = mask_conv(xWin * kernel.x)[live]
+        xP = convolve1D(bins, xWin, "same")[live]
+        if order == 1:
+            corrected = (density1D.P[live] * a2 - xP * a1) / (a0 * a2 - a1**2)
+        else:
+            a3 = mask_conv(xWin * kernel.x**2)[live]
+            a4 = mask_conv(xWin * kernel.x**3)[live]
+            x2P = convolve1D(bins, xWin * kernel.x, "same")[live]
+            denom = a4 * a2 * a0 - a4 * a1**2 - a2**3 - a3**2 * a0 + 2 * a1 * a2 * a3
+            corrected = (
+                density1D.P[live] * (a4 * a2 - a3**2) + xP * (a2 * a3 - a4 * a1) + x2P * (a3 * a1 - a2**2)
+            ) / denom
+        # clamped log-space update keeps the correction positive and bounded
+        density1D.P[live] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
+
+    @staticmethod
+    def _mult_bias_correct_1d(density1D, bins, par, kernel, fine_bins, convolution_mode, order):
+        """Multiplicative bias iterations in place: divide out the current
+        estimate, re-smooth, multiply back (reference
+        ``mcsamples.py:1649-1666``)."""
+        if not par.periodic:
+            edge_weight = np.ones(fine_bins)
+            if par.has_limits_bot:
+                edge_weight[0] *= 0.5
+            if par.has_limits_top:
+                edge_weight[-1] *= 0.5
+            a0 = convolve1D(edge_weight, kernel.Win, "same")
+        for _ in range(order):
+            current = density1D.P.copy()
+            current[current == 0] = 1
+            resmoothed = convolve1D(bins / current, kernel.Win, convolution_mode)
+            density1D.setP(density1D.P * resmoothed)
+            if not par.periodic:
+                density1D.P /= a0
 
     def get1DDensity(self, name, **kwargs):
         """Cached Density1D for a named parameter."""
