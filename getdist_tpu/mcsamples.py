@@ -120,48 +120,15 @@ def loadMCSamples(
     """
     if chain_exclude:
         no_cache = True
-    files = chainFiles(file_root, chain_exclude=chain_exclude)
-    if not files:
-        files = chainFiles(file_root, separator=".", chain_exclude=chain_exclude)
-    path, name = os.path.split(file_root)
-    cache_dir = getdist_tpu.make_cache_dir()
-    if cache_dir:
-        import hashlib
-
-        cache_name = name + "_" + hashlib.md5(os.path.abspath(path).encode("utf-8")).hexdigest()[:10]
-        path = cache_dir
-    else:
-        cache_name = name
-    if not os.path.exists(path):
-        os.mkdir(path)
-    cachefile = os.path.join(path, cache_name) + ".py_mcsamples"
+    files = chainFiles(file_root, chain_exclude=chain_exclude) or chainFiles(
+        file_root, separator=".", chain_exclude=chain_exclude
+    )
+    cachefile = _cache_path(file_root)
     samples = MCSamples(file_root, jobItem=jobItem, ini=ini, settings=settings)
-    if os.path.isfile(file_root + ".paramnames"):
-        allfiles = files + [file_root + ".ranges", file_root + ".paramnames", file_root + ".properties.ini"]
-    else:  # Cobaya
-        folder = os.path.dirname(file_root)
-        prefix = os.path.basename(file_root)
-        allfiles = files + [
-            os.path.join(folder, f)
-            for f in os.listdir(folder)
-            if f.startswith(prefix) and any(f.lower().endswith(end) for end in ("updated.yaml", "full.yaml"))
-        ]
-    if not no_cache and os.path.exists(cachefile) and last_modified(allfiles) < os.path.getmtime(cachefile):
-        try:
-            with open(cachefile, "rb") as handle:
-                cache = pickle.load(handle)
-            if (
-                cache.version == pickle_version
-                and samples.ignore_rows == cache.ignore_rows
-                and samples.min_weight_ratio == cache.min_weight_ratio
-            ):
-                changed = len(samples.contours) != len(cache.contours) or np.any(
-                    np.array(samples.contours) != np.array(cache.contours)
-                )
-                cache.updateSettings(ini=ini, settings=settings, doUpdate=changed)
-                return cache
-        except Exception:
-            pass
+    if not no_cache:
+        cached = _load_valid_cache(cachefile, _source_files(file_root, files), samples, ini, settings)
+        if cached is not None:
+            return cached
     if not len(files):
         raise OSError("No chains found: " + file_root)
     samples.readChains(files)
@@ -171,6 +138,60 @@ def loadMCSamples(
     else:
         samples.savePickle(cachefile)
     return samples
+
+
+def _cache_path(file_root):
+    """Pickle-cache filename: in the package cache dir keyed by a path hash,
+    or next to the chains when no cache dir is configured."""
+    folder, name = os.path.split(file_root)
+    cache_dir = getdist_tpu.make_cache_dir()
+    if cache_dir:
+        import hashlib
+
+        name += "_" + hashlib.md5(os.path.abspath(folder).encode("utf-8")).hexdigest()[:10]
+        folder = cache_dir
+    if not os.path.exists(folder):
+        os.mkdir(folder)
+    return os.path.join(folder, name) + ".py_mcsamples"
+
+
+def _source_files(file_root, files):
+    """Chain files plus the metadata sidecars whose mtimes gate the cache."""
+    if os.path.isfile(file_root + ".paramnames"):
+        return files + [file_root + ext for ext in (".ranges", ".paramnames", ".properties.ini")]
+    # Cobaya: any updated/full yaml next to the chains
+    folder = os.path.dirname(file_root)
+    prefix = os.path.basename(file_root)
+    yamls = [
+        os.path.join(folder, f)
+        for f in os.listdir(folder)
+        if f.startswith(prefix) and f.lower().endswith(("updated.yaml", "full.yaml"))
+    ]
+    return files + yamls
+
+
+def _load_valid_cache(cachefile, source_files, samples, ini, settings):
+    """The cached analyzed object, when newer than every source and built
+    with the same version/burn/weight-filter settings; else None.  A
+    contour-set change refreshes settings on the cached object in place."""
+    if not os.path.exists(cachefile) or last_modified(source_files) >= os.path.getmtime(cachefile):
+        return None
+    try:
+        with open(cachefile, "rb") as handle:
+            cache = pickle.load(handle)
+        if not (
+            cache.version == pickle_version
+            and samples.ignore_rows == cache.ignore_rows
+            and samples.min_weight_ratio == cache.min_weight_ratio
+        ):
+            return None
+        contours_changed = len(samples.contours) != len(cache.contours) or np.any(
+            np.array(samples.contours) != np.array(cache.contours)
+        )
+        cache.updateSettings(ini=ini, settings=settings, doUpdate=contours_changed)
+        return cache
+    except Exception:
+        return None
 
 
 # defaults applied as attributes of every MCSamples before settings merge;
@@ -289,38 +310,48 @@ class MCSamples(Chains):
         self.updateSettings(ini=ini, settings=settings)
 
         if root and os.path.exists(root + ".properties.ini"):
-            # per-chain .properties.ini overrides the generic settings
-            self.properties = IniFile(root + ".properties.ini")
-            self._setBurnOptions(self.properties)
-            if self.properties.bool("burn_removed", False):
-                self.ignore_frac = 0.0
-                self.ignore_lines = 0
-            self.label = self.label or self.properties.params.get("label", None)
-            if "sampler" not in kwargs:
-                self.setSampler(self.properties.string("sampler", self.sampler))
+            self._adopt_properties_ini(root, kwargs)
         else:
-            self.properties = IniFile()
-            if root and self.paramNames and self.paramNames.info_dict:
-                if cobaya_interface.get_burn_removed(self.paramNames.info_dict):
-                    self.properties.params["burn_removed"] = True
-                    self.ignore_frac = 0.0
-                    self.ignore_lines = 0
-                if not self.label:
-                    self.label = cobaya_interface.get_sample_label(self.paramNames.info_dict)
-                    if self.label:
-                        self.properties.params["label"] = self.label
-                if "sampler" not in kwargs:
-                    self.setSampler(cobaya_interface.get_sampler_type(self.paramNames.info_dict))
-                self.properties.params["sampler"] = self.sampler
-                if temperature is None:
-                    temperature = cobaya_interface.get_sampler_temperature(self.paramNames.info_dict)
-            if temperature is not None and temperature != 1:
-                self.properties.params["temperature"] = temperature
+            self._adopt_cobaya_properties(root, kwargs, temperature)
         if self.ignore_frac or self.ignore_rows:
             self.properties.params["burn_removed"] = True
 
         if samples is not None:
             self.readChains(samples, weights, loglikes)
+
+    def _mark_burn_removed(self):
+        self.ignore_frac = 0.0
+        self.ignore_lines = 0
+
+    def _adopt_properties_ini(self, root, kwargs):
+        """Per-chain .properties.ini overrides the generic settings."""
+        self.properties = IniFile(root + ".properties.ini")
+        self._setBurnOptions(self.properties)
+        if self.properties.bool("burn_removed", False):
+            self._mark_burn_removed()
+        self.label = self.label or self.properties.params.get("label", None)
+        if "sampler" not in kwargs:
+            self.setSampler(self.properties.string("sampler", self.sampler))
+
+    def _adopt_cobaya_properties(self, root, kwargs, temperature):
+        """Chain properties inferred from a Cobaya yaml info block, if any."""
+        self.properties = IniFile()
+        info = self.paramNames.info_dict if root and self.paramNames else None
+        if info:
+            if cobaya_interface.get_burn_removed(info):
+                self.properties.params["burn_removed"] = True
+                self._mark_burn_removed()
+            if not self.label:
+                self.label = cobaya_interface.get_sample_label(info)
+                if self.label:
+                    self.properties.params["label"] = self.label
+            if "sampler" not in kwargs:
+                self.setSampler(cobaya_interface.get_sampler_type(info))
+            self.properties.params["sampler"] = self.sampler
+            if temperature is None:
+                temperature = cobaya_interface.get_sampler_temperature(info)
+        if temperature is not None and temperature != 1:
+            self.properties.params["temperature"] = temperature
 
     def _WritePlotFile(self, filename, subplot_size, text, tag, ext=None):
         if not self.root:
@@ -1347,6 +1378,71 @@ class MCSamples(Chains):
                 prior_mask[tuple(slices)] /= 2
                 slices[i] = slice(None)
 
+    def _pair_correlation(self, j, j2, parx, pary):
+        """(working corr, raw corr) for a pair: zeroed when negligible,
+        clipped to max_corr_2D when fully degenerate."""
+        if abs(self.max_corr_2D) > 1:
+            raise SettingError("max_corr_2D cannot be >=1")
+        raw = self.getCorrelationMatrix()[j2][j]
+        corr = raw
+        if abs(abs(corr) - 1.0) <= 1e-8:
+            logging.warning("Parameters are 100%% correlated: %s, %s", parx.name, pary.name)
+            corr = np.sign(corr) * self.max_corr_2D
+        logging.debug("Doing 2D: %s - %s", parx.name, pary.name)
+        logging.debug("sample x_err, y_err, correlation: %s, %s, %s", parx.err, pary.err, corr)
+        if abs(corr) < 0.1:
+            corr = 0.0
+        return corr, raw
+
+    def _degeneracy_adapted_bins(self, corr, base_fine_bins):
+        """(fine_bins, coarse nbin2D): more bins along tight degeneracies
+        (reference ``mcsamples.py:1812-1819``)."""
+        angle_scale = max(0.2, np.sqrt(1 - min(self.max_corr_2D, abs(corr)) ** 2))
+        nbin2D = int(round(self.num_bins_2D / angle_scale))
+        fine_bins = base_fine_bins
+        if corr:
+            stretched = 192 * int(3 / angle_scale) // 3
+            if base_fine_bins < stretched and int(1 / angle_scale) > 1:
+                fine_bins = stretched
+        return fine_bins, nbin2D
+
+    @staticmethod
+    def _anisotropic_window(rx, ry, corr, winw):
+        """Normalized 2D Gaussian window with covariance [[ry^2, rxy],
+        [rxy, rx^2]] over a (2 winw+1)^2 stencil."""
+        precision = np.linalg.inv(np.array([[ry**2, rx * ry * corr], [rx * ry * corr, rx**2]]))
+        gy, gx = np.mgrid[-winw : winw + 1, -winw : winw + 1]
+        quad = gy**2 * precision[0, 0] + gx**2 * precision[1, 1] + 2 * precision[1, 0] * gy * gx
+        window = np.exp(-quad / 2)
+        return window / np.sum(window)
+
+    @staticmethod
+    def _conv_mode_2d(parx, pary):
+        if parx.periodic:
+            return "periodic_both" if pary.periodic else "periodic_x"
+        return "periodic_y" if pary.periodic else "same"
+
+    def _meanlikes_fine_2d(self, flatix, xsize, ysize):
+        like_w = self.weights * np.exp(self.mean_loglike - self.loglikes)
+        # np.array: mutated in place later (device arrays view read-only)
+        return np.array(_bincount(flatix, like_w, xsize * ysize)).reshape((ysize, xsize))
+
+    @staticmethod
+    def _meanlikes_smooth_2d(finebinlikes, bins2D, Win, mode, convolvesize, mult_bias_order):
+        """Smoothed mean-likelihood surface, de-biased like the density and
+        divided by it where it carries weight."""
+        smoothed = convolve2D(finebinlikes, Win, mode, largest_size=convolvesize)
+        if mult_bias_order:
+            carried = smoothed > 0
+            finebinlikes[carried] /= smoothed[carried]
+            second = convolve2D(finebinlikes, Win, mode, largest_size=convolvesize)
+            second[carried] *= smoothed[carried]
+            smoothed = second
+        floor = 1e-4 * np.max(bins2D)
+        smoothed[bins2D > floor] /= bins2D[bins2D > floor]
+        smoothed[bins2D <= floor] = 0
+        return smoothed
+
     def get2DDensityGridData(
         self,
         j,
@@ -1372,55 +1468,30 @@ class MCSamples(Chains):
         j2, pary = self._parAndNumber(j2)
         if j is None or j2 is None:
             return None
-
         self._initParamRanges(j)
         self._initParamRanges(j2)
 
-        base_fine_bins_2D = kwargs.get("fine_bins_2D", self.fine_bins_2D)
-        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
-        mult_bias_correction_order = kwargs.get("mult_bias_correction_order", self.mult_bias_correction_order)
-        smooth_scale_2D = float(kwargs.get("smooth_scale_2D", self.smooth_scale_2D))
+        def setting(name):
+            return kwargs.get(name, getattr(self, name))
 
+        base_fine_bins_2D = setting("fine_bins_2D")
+        boundary_correction_order = setting("boundary_correction_order")
+        mult_bias_correction_order = setting("mult_bias_correction_order")
+        smooth_scale_2D = float(setting("smooth_scale_2D"))
         has_prior = parx.has_limits or pary.has_limits or mask_function
 
-        corr = self.getCorrelationMatrix()[j2][j]
-        actual_corr = corr
-        if abs(abs(corr) - 1.0) <= 1e-8:
-            logging.warning("Parameters are 100%% correlated: %s, %s", parx.name, pary.name)
-            corr = np.sign(corr) * self.max_corr_2D
-
-        logging.debug("Doing 2D: %s - %s", parx.name, pary.name)
-        logging.debug("sample x_err, y_err, correlation: %s, %s, %s", parx.err, pary.err, corr)
-
-        if abs(self.max_corr_2D) > 1:
-            raise SettingError("max_corr_2D cannot be >=1")
-        if abs(corr) < 0.1:
-            corr = 0.0
-
-        # increase bin density along tight degeneracies
-        angle_scale = max(0.2, np.sqrt(1 - min(self.max_corr_2D, abs(corr)) ** 2))
-        nbin2D = int(round(self.num_bins_2D / angle_scale))
-        fine_bins_2D = base_fine_bins_2D
-        if corr:
-            scaled = 192 * int(3 / angle_scale) // 3
-            if base_fine_bins_2D < scaled and int(1 / angle_scale) > 1:
-                fine_bins_2D = scaled
+        corr, actual_corr = self._pair_correlation(j, j2, parx, pary)
+        fine_bins_2D, nbin2D = self._degeneracy_adapted_bins(corr, base_fine_bins_2D)
+        xsize = ysize = fine_bins_2D
 
         ixs, finewidthx, xbinmin, xbinmax = self._binSamples(self.samples[:, j], parx, fine_bins_2D)
         iys, finewidthy, ybinmin, ybinmax = self._binSamples(self.samples[:, j2], pary, fine_bins_2D)
-
-        xsize = fine_bins_2D
-        ysize = fine_bins_2D
         histbins, flatix = self._make2Dhist(ixs, iys, xsize, ysize)
+        finebinlikes = self._meanlikes_fine_2d(flatix, xsize, ysize) if meanlikes else None
 
-        if meanlikes:
-            likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            # np.array: mutated in place below (device arrays view read-only)
-            finebinlikes = np.array(_bincount(flatix, likeweights, xsize * ysize)).reshape((ysize, xsize))
-
-        # rx/ry are in fine-bin units
+        # rx/ry are kernel widths in fine-bin units
         if smooth_scale_2D < 0:
-            rx, ry, corr = self.getAutoBandwidth2D(
+            hx, hy, corr = self.getAutoBandwidth2D(
                 histbins,
                 parx,
                 pary,
@@ -1432,55 +1503,33 @@ class MCSamples(Chains):
                 base_fine_bins_2D,
                 mult_bias_correction_order=mult_bias_correction_order,
             )
-            rx = rx * abs(smooth_scale_2D) / finewidthx
-            ry = ry * abs(smooth_scale_2D) / finewidthy
+            rx = hx * abs(smooth_scale_2D) / finewidthx
+            ry = hy * abs(smooth_scale_2D) / finewidthy
         elif smooth_scale_2D < 1.0:
             rx = smooth_scale_2D * parx.err / finewidthx
             ry = smooth_scale_2D * pary.err / finewidthy
         else:
-            rx = smooth_scale_2D * fine_bins_2D / nbin2D
-            ry = smooth_scale_2D * fine_bins_2D / nbin2D
+            rx = ry = smooth_scale_2D * fine_bins_2D / nbin2D
 
         smooth_scale = float(max(rx, ry))
         logging.debug("corr, rx, ry: %s, %s, %s", corr, rx, ry)
         if smooth_scale < 2:
             logging.warning("fine_bins_2D not large enough for optimal density: %s, %s", parx.name, pary.name)
-
         winw = max(1, int(round(2.5 * smooth_scale)))
-        Cinv = np.linalg.inv(np.array([[ry**2, rx * ry * corr], [rx * ry * corr, rx**2]]))
-        ix1, ix2 = np.mgrid[-winw : winw + 1, -winw : winw + 1]
-        Win = np.exp(-(ix1**2 * Cinv[0, 0] + ix2**2 * Cinv[1, 1] + 2 * Cinv[1, 0] * ix1 * ix2) / 2)
-        Win /= np.sum(Win)
+        Win = self._anisotropic_window(rx, ry, corr, winw)
 
         logging.debug("time 2D binning and bandwidth: %s ; bins: %s", time.time() - start, fine_bins_2D)
         start = time.time()
         convolvesize = xsize + 2 * winw + Win.shape[0]  # oversized for fast fft padding choice
-
-        if parx.periodic and pary.periodic:
-            convolution_mode = "periodic_both"
-        elif parx.periodic:
-            convolution_mode = "periodic_x"
-        elif pary.periodic:
-            convolution_mode = "periodic_y"
-        else:
-            convolution_mode = "same"
-
+        convolution_mode = self._conv_mode_2d(parx, pary)
         bins2D = convolve2D(histbins, Win, convolution_mode, largest_size=convolvesize)
 
+        bin2Dlikes = None
         if meanlikes:
-            bin2Dlikes = convolve2D(finebinlikes, Win, convolution_mode, largest_size=convolvesize)
-            if mult_bias_correction_order:
-                ix = bin2Dlikes > 0
-                finebinlikes[ix] /= bin2Dlikes[ix]
-                likes2 = convolve2D(finebinlikes, Win, convolution_mode, largest_size=convolvesize)
-                likes2[ix] *= bin2Dlikes[ix]
-                bin2Dlikes = likes2
+            bin2Dlikes = self._meanlikes_smooth_2d(
+                finebinlikes, bins2D, Win, convolution_mode, convolvesize, mult_bias_correction_order
+            )
             del finebinlikes
-            mx = 1e-4 * np.max(bins2D)
-            bin2Dlikes[bins2D > mx] /= bins2D[bins2D > mx]
-            bin2Dlikes[bins2D <= mx] = 0
-        else:
-            bin2Dlikes = None
 
         bool_mask = None
         if has_prior and boundary_correction_order >= 0 or mult_bias_correction_order or mask_function:
@@ -1496,13 +1545,14 @@ class MCSamples(Chains):
                 )
                 bool_mask = prior_mask[winw:-winw, winw:-winw] < 1e-8
 
-        if has_prior and boundary_correction_order >= 0 and not (parx.periodic and pary.periodic):
+        fully_periodic = parx.periodic and pary.periodic
+        if has_prior and boundary_correction_order >= 0 and not fully_periodic:
             self._setEdgeMask2D(parx, pary, prior_mask, winw)
             self._boundary_correct_2d(
                 bins2D, histbins, prior_mask, Win, winw, boundary_correction_order, convolution_mode, convolvesize
             )
 
-        if mult_bias_correction_order and not (parx.periodic and pary.periodic):
+        if mult_bias_correction_order and not fully_periodic:
             self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
             a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
             for _ in range(mult_bias_correction_order):
@@ -1519,11 +1569,9 @@ class MCSamples(Chains):
         if mask_function:
             bins2D[bool_mask] = 0
 
-        x = np.linspace(xbinmin, xbinmax, xsize)
-        y = np.linspace(ybinmin, ybinmax, ysize)
         density = Density2D(
-            x,
-            y,
+            np.linspace(xbinmin, xbinmax, xsize),
+            np.linspace(ybinmin, ybinmax, ysize),
             bins2D,
             mask=None if not mask_function else np.asarray(bool_mask),
             view_ranges=[(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)],
@@ -1535,16 +1583,11 @@ class MCSamples(Chains):
         ncontours = len(self.contours)
         if num_plot_contours:
             ncontours = min(num_plot_contours, ncontours)
-        contours = self.contours[:ncontours]
-
         logging.debug("time 2D convolutions: %s", time.time() - start)
-        density.contours = density.getContourLevels(contours)
-
+        density.contours = density.getContourLevels(self.contours[:ncontours])
         if meanlikes:
             bin2Dlikes /= np.max(bin2Dlikes)
-            density.likes = bin2Dlikes
-        else:
-            density.likes = None
+        density.likes = bin2Dlikes
         return density
 
     # -- ND densities ---------------------------------------------------------------
