@@ -58,6 +58,73 @@ def extend_list_zip(*args):
         yield [v[i if i < len(v) else -1] for v in vals]
 
 
+# default value of every public GetDistPlotSettings knob (reference
+# ``plots.py:58-251`` documents each); list/dict values are copied per
+# instance in __init__
+_PLOT_SETTING_DEFAULTS = dict(
+    scaling=True,
+    scaling_reference_size=3.5,
+    scaling_factor=2,
+    direct_scaling=False,
+    plot_meanlikes=False,
+    prob_label=None,
+    norm_prob_label="P",
+    prob_y_ticks=False,
+    norm_1d_density=False,
+    line_styles=["-k", "-r", "-b", "-g", "-m", "-c", "-y", "--k", "--r", "--b", "--g", "--m"],
+    plot_args=None,
+    line_dash_styles={"--": (3, 2), "-.": (4, 1, 1, 1)},
+    line_labels=True,
+    num_shades=80,
+    shade_level_scale=1.8,
+    progress=False,
+    tight_layout=True,
+    constrained_layout=False,
+    no_triangle_axis_labels=True,
+    colormap="Blues",
+    colormap_scatter="jet",
+    colorbar_tick_rotation=None,
+    colorbar_label_pad=0.0,
+    colorbar_label_rotation=-90.0,
+    colorbar_axes_fontsize=11.0,
+    subplot_size_ratio=None,
+    param_names_for_labels=None,
+    legend_colored_text=False,
+    legend_loc="best",
+    legend_frac_subplot_margin=0.05,
+    legend_fontsize=12.0,
+    legend_frame=True,
+    legend_rect_border=False,
+    figure_legend_loc="upper center",
+    figure_legend_frame=True,
+    figure_legend_ncol=0,
+    linewidth=1.0,
+    linewidth_contour=0.6,
+    linewidth_meanlikes=0.5,
+    num_plot_contours=2,
+    solid_contour_palefactor=0.6,
+    solid_colors=["#006FED", "#E03424", "gray", "#009966", "#000866", "#336600", "#006633", "m", "r"],
+    alpha_filled_add=0.85,
+    alpha_factor_contour_lines=0.5,
+    shade_meanlikes=False,
+    axes_fontsize=11.0,
+    axes_labelsize=14.0,
+    axis_marker_color="gray",
+    axis_marker_ls="--",
+    axis_marker_lw=0.5,
+    axis_tick_powerlimits=(-4, 5),
+    axis_tick_max_labels=7,
+    axis_tick_step_groups=[[1, 2, 5, 10], [2.5, 3, 4, 6, 8], [1.5, 7, 9]],
+    axis_tick_x_rotation=0.0,
+    axis_tick_y_rotation=0.0,
+    scatter_size=3.0,
+    fontsize=12.0,
+    title_limit=0,
+    title_limit_labels=True,
+    title_limit_fontsize=None,
+)
+
+
 class GetDistPlotSettings(_BaseObject):
     """Plot style settings (colors, sizes, fonts, contours...).
 
@@ -87,86 +154,12 @@ class GetDistPlotSettings(_BaseObject):
         :param subplot_size_inch: subplot size (determines default fonts)
         :param fig_width_inch: if set, fixed total figure width in inches
         """
-        self.scaling = True
-        self.scaling_reference_size = 3.5
+        for knob, value in _PLOT_SETTING_DEFAULTS.items():
+            # fresh containers per instance so edits never leak between plotters
+            setattr(self, knob, copy.copy(value) if isinstance(value, (list, dict)) else value)
         self.scaling_max_axis_size: float | None = self.scaling_reference_size
-        self.scaling_factor = 2
-        self.direct_scaling = False
-
-        self.plot_meanlikes = False
-        self.prob_label = None
-        self.norm_prob_label = "P"
-        self.prob_y_ticks = False
-        self.norm_1d_density = False
-        self.line_styles: Sequence[str] = ["-k", "-r", "-b", "-g", "-m", "-c", "-y", "--k", "--r", "--b", "--g", "--m"]
-
-        self.plot_args = None
-        self.line_dash_styles: Mapping[str, Sequence[float]] = {"--": (3, 2), "-.": (4, 1, 1, 1)}
-        self.line_labels = True
-        self.num_shades = 80
-        self.shade_level_scale = 1.8
-
-        self.progress = False
-
         self.fig_width_inch = fig_width_inch
-        self.tight_layout = True
-        self.constrained_layout = False
-        self.no_triangle_axis_labels = True
-
-        self.colormap = "Blues"
-        self.colormap_scatter = "jet"
-        self.colorbar_tick_rotation = None
-        self.colorbar_label_pad: float = 0
-        self.colorbar_label_rotation: float = -90
-        self.colorbar_axes_fontsize: float = 11
-
         self.subplot_size_inch: float = subplot_size_inch
-        self.subplot_size_ratio = None
-
-        self.param_names_for_labels = None
-
-        self.legend_colored_text = False
-        self.legend_loc = "best"
-        self.legend_frac_subplot_margin = 0.05
-        self.legend_fontsize: float = 12
-        self.legend_frame = True
-        self.legend_rect_border = False
-
-        self.figure_legend_loc = "upper center"
-        self.figure_legend_frame = True
-        self.figure_legend_ncol = 0
-
-        self.linewidth: float = 1
-        self.linewidth_contour = 0.6
-        self.linewidth_meanlikes = 0.5
-
-        self.num_plot_contours: int = 2
-        self.solid_contour_palefactor = 0.6
-        self.solid_colors = ["#006FED", "#E03424", "gray", "#009966", "#000866", "#336600", "#006633", "m", "r"]
-        self.alpha_filled_add = 0.85
-        self.alpha_factor_contour_lines = 0.5
-        self.shade_meanlikes = False
-
-        self.axes_fontsize: float = 11
-        self.axes_labelsize: float = 14
-
-        self.axis_marker_color = "gray"
-        self.axis_marker_ls = "--"
-        self.axis_marker_lw = 0.5
-
-        self.axis_tick_powerlimits: tuple[int, int] = (-4, 5)
-        self.axis_tick_max_labels: int = 7
-        self.axis_tick_step_groups: Sequence[Sequence[float]] = [[1, 2, 5, 10], [2.5, 3, 4, 6, 8], [1.5, 7, 9]]
-        self.axis_tick_x_rotation: float = 0
-        self.axis_tick_y_rotation: float = 0
-
-        self.scatter_size: float = 3
-
-        self.fontsize: float = 12
-
-        self.title_limit: int = 0
-        self.title_limit_labels = True
-        self.title_limit_fontsize: float | None = None
         self._fail_on_not_exist = True
 
     def _numerical_fontsize(self, size):
@@ -371,26 +364,7 @@ class MCSampleAnalysis(_BaseObject):
         job_item = None
         dist_settings = dict(settings) if (settings and self.chain_settings_have_priority) else {}
         if not file_root:
-            for chain_dir in self.chain_dirs:
-                if is_grid_object(chain_dir):
-                    if hasattr(chain_dir, "resolve_root"):
-                        job_item = chain_dir.resolve_root(root)
-                    else:
-                        job_item = chain_dir.resolveRoot(root)
-                    if job_item:
-                        file_root = job_item.chainRoot
-                        if hasattr(chain_dir, "getdist_options"):
-                            dist_settings.update(chain_dir.getdist_options)
-                        if hasattr(job_item, "dist_settings"):
-                            dist_settings.update(job_item.dist_settings)
-                        break
-                else:
-                    file_root = findChainFileRoot(chain_dir, root)
-                    dir_ini = os.path.join(chain_dir, "getdist.ini")
-                    if os.path.exists(dir_ini):
-                        dist_settings.update(IniFile(dir_ini).params)
-                    if file_root:
-                        break
+            file_root, job_item = self._search_chain_dirs(root, dist_settings)
         if not file_root:
             raise GetDistPlotError("chain not found: " + root)
         if not self.chain_settings_have_priority:
@@ -399,6 +373,27 @@ class MCSampleAnalysis(_BaseObject):
                 dist_settings.update(settings)
         self.mcsamples[root] = loadMCSamples(file_root, self.ini, job_item, settings=dist_settings)
         return self.mcsamples[root]
+
+    def _search_chain_dirs(self, root, dist_settings):
+        """Locate a root in the registered chain dirs / grid objects,
+        folding any per-grid or per-directory settings into dist_settings.
+        Returns (file_root or None, grid job item or None)."""
+        for chain_dir in self.chain_dirs:
+            if is_grid_object(chain_dir):
+                resolver = getattr(chain_dir, "resolve_root", None) or chain_dir.resolveRoot
+                job_item = resolver(root)
+                if job_item:
+                    dist_settings.update(getattr(chain_dir, "getdist_options", {}))
+                    dist_settings.update(getattr(job_item, "dist_settings", {}))
+                    return job_item.chainRoot, job_item
+            else:
+                file_root = findChainFileRoot(chain_dir, root)
+                dir_ini = os.path.join(chain_dir, "getdist.ini")
+                if os.path.exists(dir_ini):
+                    dist_settings.update(IniFile(dir_ini).params)
+                if file_root:
+                    return file_root, None
+        return None, None
 
     def reset(self, settings=None, chain_settings_have_priority=True):
         """Clear caches; optionally set new analysis settings."""
@@ -901,38 +896,45 @@ class GetDistPlotter(_BaseObject):
     ):
         """Grid of 2D plots: all xparams against all yparams (see reference
         ``plots.py:2990-3115``)."""
+        if sum(map(bool, (roots, yroots, plot_roots))) > 1:
+            raise GetDistPlotError("rectangle plot: must have one of roots, yroots, plot_roots")
         xparams = makeList(xparams)
         yparams = makeList(yparams)
-        self.make_figure(nx=len(xparams), ny=len(yparams), sharex=bool(yparams), sharey=bool(xparams))
-        sharey = None
-        yshares = []
-        xshares = []
-        ax_arr = []
-        if plot_roots and yroots or roots and yroots or plot_roots and roots:
-            raise GetDistPlotError("rectangle plot: must have one of roots, yroots, plot_roots")
         if roots:
             roots = makeList(roots)
+        self.make_figure(nx=len(xparams), ny=len(yparams), sharex=bool(yparams), sharey=bool(xparams))
+
+        last_row = len(yparams) - 1
         limits = dict()
+        yshares = []  # first-column axes, y-range owners per row
+        xshares = []  # first-row axes, x-range owners per column
+        ax_arr = []
         for x, xparam in enumerate(xparams):
-            sharex = None
+            # roots per cell in this column
             if plot_roots:
-                yroots = plot_roots[x]
+                column_roots = plot_roots[x]
             elif roots:
-                yroots = [roots for _ in yparams]
-            axarray = []
+                column_roots = [roots] * len(yparams)
+            else:
+                column_roots = yroots
             xmarker = self._get_marker(xmarkers, x, xparam)
-            for y, (yparam, subplot_roots) in enumerate(zip(yparams, yroots)):
-                if x > 0:
-                    sharey = yshares[y]
-                ax = self._subplot(x, y, pars=(xparam, yparam), sharex=sharex, sharey=sharey)
+            column_axes = []
+            for y, (yparam, cell_roots) in enumerate(zip(yparams, column_roots)):
+                ax = self._subplot(
+                    x,
+                    y,
+                    pars=(xparam, yparam),
+                    sharex=column_axes[0] if y > 0 else None,
+                    sharey=yshares[y] if x > 0 else None,
+                )
                 if y == 0:
-                    sharex = ax
                     xshares.append(ax)
-                ymarker = self._get_marker(ymarkers, y, yparam)
-                res = self.plot_2d(
-                    subplot_roots,
+                if x == 0:
+                    yshares.append(ax)
+                bounds = self.plot_2d(
+                    cell_roots,
                     param_pair=[xparam, yparam],
-                    do_xlabel=y == len(yparams) - 1,
+                    do_xlabel=y == last_row,
                     do_ylabel=x == 0,
                     add_legend_proxy=x == 0 and y == 0,
                     ax=ax,
@@ -940,20 +942,22 @@ class GetDistPlotter(_BaseObject):
                 )
                 if xmarker is not None:
                     self.add_x_marker(xmarker, ax=ax, **marker_args)
+                ymarker = self._get_marker(ymarkers, y, yparam)
                 if ymarker is not None:
                     self.add_y_marker(ymarker, ax=ax, **marker_args)
-                limits[xparam], limits[yparam] = self._update_limits(res, limits.get(xparam), limits.get(yparam))
-                if y != len(yparams) - 1:
+                limits[xparam], limits[yparam] = self._update_limits(
+                    bounds, limits.get(xparam), limits.get(yparam)
+                )
+                if y != last_row:
                     self._no_x_ticklabels(ax)
                 if x != 0:
                     self._no_y_ticklabels(ax)
-                if x == 0:
-                    yshares.append(ax)
                 if plot_texts and plot_texts[x][y]:
                     self.add_text_left(plot_texts[x][y], y=0.9, ax=ax)
                 self._inner_ticks(ax)
-                axarray.append(ax)
-            ax_arr.append(axarray)
+                column_axes.append(ax)
+            ax_arr.append(column_axes)
+
         for xparam, ax in zip(xparams, xshares):
             ax.set_xlim(param_limits.get(xparam, limits[xparam]))
         for yparam, ax in zip(yparams, yshares):
@@ -969,6 +973,102 @@ class GetDistPlotter(_BaseObject):
         return ax_arr
 
     # -- ticks/colorbars/scatter ---------------------------------------------
+
+    @staticmethod
+    def _sync_x_from_y(_ax):
+        # keep a diagonal/first-column partner's x range equal to our y range
+        _lims = _ax.get_ylim()
+        other = _ax._shared_x_axis
+        if other is not None and _lims != other.get_xlim():
+            other.set_xlim(_lims)
+
+    @staticmethod
+    def _sync_y_from_x(_ax):
+        _lims = _ax.get_xlim()
+        other = _ax._shared_y_axis
+        if other is not None and _lims != other.get_ylim():
+            other.set_ylim(_lims)
+
+    def _tie_axis(self, ax, partner, via_x):
+        """Register a lim-changed callback propagating to a partner axis."""
+        if via_x:
+            ax._shared_y_axis = partner
+            ax.callbacks.connect("xlim_changed", self._sync_y_from_x)
+        else:
+            ax._shared_x_axis = partner
+            ax.callbacks.connect("ylim_changed", self._sync_x_from_y)
+
+    def _line_args_from_contours(self, cont_args, cont_colors):
+        """1D line colors implied by the 2D contour style set."""
+        cols = []
+        for plotno, _arg in enumerate(cont_args):
+            if _arg.get("filled"):
+                cols.append(
+                    _arg.get("color")
+                    or self._get_color_at_index(self.settings.solid_colors, len(cont_args) - plotno - 1)
+                )
+            elif cont_colors is not None and len(cont_colors) > plotno:
+                cols.append(cont_colors[plotno])
+            else:
+                cols.append(None)
+        made = []
+        for col in cols:
+            if col is None:
+                made.append({})
+                continue
+            if isinstance(col, (tuple, list)) and not matplotlib.colors.is_color_like(col):
+                col = col[-1]
+            made.append({"color": col})
+        return made
+
+    def _triangle_upper_styles(self, upper_roots, upper_kwargs, filled, contour_args, contour_colors, contour_ls, contour_lws):
+        """(contour args, line args) for the upper-triangle sample sets."""
+        upper_contour_args = self._make_contour_args(
+            len(upper_roots),
+            filled=upper_kwargs.get("filled", filled),
+            contour_args=upper_kwargs.get("contour_args", contour_args),
+            colors=upper_kwargs.get("contour_colors", contour_colors),
+            ls=upper_kwargs.get("contour_ls", contour_ls),
+            lws=upper_kwargs.get("contour_lws", contour_lws),
+        )
+        upper_line_args = upper_kwargs.get("line_args") or self._line_args_from_contours(
+            upper_contour_args, upper_kwargs.get("contour_colors", contour_colors)
+        )
+        upargs = self._make_line_args(
+            len(upper_roots),
+            line_args=upper_line_args,
+            ls=upper_kwargs.get("contour_ls", contour_ls),
+            lws=upper_kwargs.get("contour_lws", contour_lws),
+        )
+        return upper_contour_args, upargs
+
+    def _triangle_upper_label_axis(self, params, lims, upper_label_right, bottom):
+        """Axis carrying the first-row y label; a left twin unless labels go
+        on the right."""
+        if upper_label_right:
+            return self.subplots[0, bottom]
+        label_ax = self.subplots[0, 0].twinx()
+        self._inner_ticks(label_ax)
+        label_ax.yaxis.tick_left()
+        label_ax.yaxis.set_label_position("left")
+        label_ax.yaxis.set_offset_position("left")
+        label_ax.set_ylim(lims[0])
+        self.set_ylabel(params[0], ax=label_ax)
+        self._set_main_axis_properties(label_ax.yaxis, False)
+        self.subplots[0, 0].yaxis.set_visible(False)
+        return label_ax
+
+    def _triangle_colorbar(self, n_params, col_param):
+        bottom_frac = 0.6 if n_params == 2 else 0.5
+        cb = self.fig.colorbar(self.last_scatter, cax=self.fig.add_axes([0.9, bottom_frac, 0.03, 0.35]))
+        cb.ax.yaxis.set_ticks_position("left")
+        cb.ax.yaxis.set_label_position("left")
+        self.rotate_yticklabels(
+            cb.ax,
+            rotation=self.settings.colorbar_tick_rotation or 0,
+            labelsize=self.settings.colorbar_axes_fontsize,
+        )
+        self.add_colorbar_label(cb, col_param, label_rotation=-self.settings.colorbar_label_rotation)
 
     def triangle_plot(
         self,
@@ -1002,80 +1102,29 @@ class GetDistPlotter(_BaseObject):
         roots = makeList(roots)
         params = self.get_param_array(roots, params)
         plot_col = len(params)
+        bottom = plot_col - 1
         if plot_3d_with_param is not None:
             col_param = self._check_param(roots[0], plot_3d_with_param)
-        self.make_figure(
-            nx=plot_col,
-            ny=plot_col,
-            sharex=self.settings.no_triangle_axis_labels,
-            sharey=self.settings.no_triangle_axis_labels,
-        )
-        lims = dict()
+        share_all = self.settings.no_triangle_axis_labels
+        self.make_figure(nx=plot_col, ny=plot_col, sharex=share_all, sharey=share_all)
         if kwargs.pop("filled_compare", False):
             filled = True
-
-        def _axis_y_limit_changed(_ax):
-            _lims = _ax.get_ylim()
-            other = _ax._shared_x_axis
-            if other is not None and _lims != other.get_xlim():
-                other.set_xlim(_lims)
-
-        def _axis_x_limit_changed(_ax):
-            _lims = _ax.get_xlim()
-            other = _ax._shared_y_axis
-            if other is not None and _lims != other.get_ylim():
-                other.set_ylim(_lims)
-
-        def def_line_args(cont_args, cont_colors):
-            cols = []
-            for plotno, _arg in enumerate(cont_args):
-                if not _arg.get("filled"):
-                    if cont_colors is not None and len(cont_colors) > plotno:
-                        cols.append(cont_colors[plotno])
-                    else:
-                        cols.append(None)
-                else:
-                    cols.append(
-                        _arg.get("color")
-                        or self._get_color_at_index(self.settings.solid_colors, len(cont_args) - plotno - 1)
-                    )
-            _line_args = []
-            for col in cols:
-                if col is None:
-                    _line_args.append({})
-                else:
-                    if isinstance(col, (tuple, list)) and not matplotlib.colors.is_color_like(col):
-                        col = col[-1]
-                    _line_args += [{"color": col}]
-            return _line_args
 
         if upper_roots is not None:
             if plot_3d_with_param is not None:
                 logging.warning("triangle_plot upper_roots currently doesn't work with plot_3d_with_param")
-            upper_contour_args = self._make_contour_args(
-                len(upper_roots),
-                filled=upper_kwargs.get("filled", filled),
-                contour_args=upper_kwargs.get("contour_args", contour_args),
-                colors=upper_kwargs.get("contour_colors", contour_colors),
-                ls=upper_kwargs.get("contour_ls", contour_ls),
-                lws=upper_kwargs.get("contour_lws", contour_lws),
-            )
-            upper_line_args = upper_kwargs.get("line_args") or def_line_args(
-                upper_contour_args, upper_kwargs.get("contour_colors", contour_colors)
-            )
-            upargs = self._make_line_args(
-                len(upper_roots),
-                line_args=upper_line_args,
-                ls=upper_kwargs.get("contour_ls", contour_ls),
-                lws=upper_kwargs.get("contour_lws", contour_lws),
+            upper_contour_args, upargs = self._triangle_upper_styles(
+                upper_roots, upper_kwargs, filled, contour_args, contour_colors, contour_ls, contour_lws
             )
 
         contour_args = self._make_contour_args(
             len(roots), filled=filled, contour_args=contour_args, colors=contour_colors, ls=contour_ls, lws=contour_lws
         )
         if line_args is None:
-            line_args = def_line_args(contour_args, contour_colors)
+            line_args = self._line_args_from_contours(contour_args, contour_colors)
         line_args = self._make_line_args(len(roots), line_args=line_args, ls=contour_ls, lws=contour_lws)
+
+        # upper-triangle-only sample sets can also appear on the diagonal
         roots1d = copy.copy(roots)
         if upper_roots is not None:
             show_1d = upper_kwargs.get("show_1d", True)
@@ -1086,7 +1135,9 @@ class GetDistPlotter(_BaseObject):
                     roots1d.append(root)
                     line_args.append(arg)
 
-        bottom = len(params) - 1
+        # create the grid column by column (lower cells then the diagonal)
+        # and draw the diagonal 1D plots, collecting per-parameter x ranges
+        lims = dict()
         for i, param in enumerate(params):
             for i2 in range(bottom, i, -1):
                 self._subplot(
@@ -1097,14 +1148,13 @@ class GetDistPlotter(_BaseObject):
                     sharey=self.subplots[i2, 0] if i > 0 else None,
                 )
             ax = self._subplot(i, i, pars=(param,), sharex=self.subplots[bottom, i] if i != bottom else None)
-            marker = self._get_marker(markers, i, param.name)
             self._inner_ticks(ax, False)
-            xlim = self.plot_1d(
+            lims[i] = self.plot_1d(
                 roots1d,
                 param,
-                marker=marker,
+                marker=self._get_marker(markers, i, param.name),
                 do_xlabel=i == plot_col - 1,
-                no_label_no_numbers=self.settings.no_triangle_axis_labels,
+                no_label_no_numbers=share_all,
                 title_limit=title_limit,
                 label_right=True,
                 no_zero=True,
@@ -1117,25 +1167,11 @@ class GetDistPlotter(_BaseObject):
                 marker_args=marker_args,
                 **diag1d_kwargs,
             )
-            lims[i] = xlim
             if i > 0:
-                ax._shared_y_axis = self.subplots[i, 0]
-                ax.callbacks.connect("xlim_changed", _axis_x_limit_changed)
+                self._tie_axis(ax, self.subplots[i, 0], via_x=True)
 
         if upper_roots is not None:
-            if not upper_label_right:
-                # borrow a twin to label the first-row y axes consistently
-                label_ax = self.subplots[0, 0].twinx()
-                self._inner_ticks(label_ax)
-                label_ax.yaxis.tick_left()
-                label_ax.yaxis.set_label_position("left")
-                label_ax.yaxis.set_offset_position("left")
-                label_ax.set_ylim(lims[0])
-                self.set_ylabel(params[0], ax=label_ax)
-                self._set_main_axis_properties(label_ax.yaxis, False)
-                self.subplots[0, 0].yaxis.set_visible(False)
-            else:
-                label_ax = self.subplots[0, bottom]
+            label_ax = self._triangle_upper_label_axis(params, lims, upper_label_right, bottom)
             for y, param in enumerate(params[:-1]):
                 for x in range(bottom, y, -1):
                     if y > 0:
@@ -1146,32 +1182,31 @@ class GetDistPlotter(_BaseObject):
 
         for i, param in enumerate(params):
             marker = self._get_marker(markers, i, param.name)
-            for i2 in range(i + 1, len(params)):
+            for i2 in range(i + 1, plot_col):
                 param2 = params[i2]
-                pair = [param, param2]
                 marker2 = self._get_marker(markers, i2, param2.name)
                 ax = self.subplots[i2, i]
                 if plot_3d_with_param is not None:
                     self.plot_3d(
                         roots,
-                        pair + [col_param],
+                        [param, param2, col_param],
                         color_bar=False,
                         line_offset=1,
                         add_legend_proxy=False,
                         do_xlabel=i2 == plot_col - 1,
                         do_ylabel=i == 0,
                         contour_args=contour_args,
-                        no_label_no_numbers=self.settings.no_triangle_axis_labels,
+                        no_label_no_numbers=share_all,
                         ax=ax,
                         **kwargs,
                     )
                 else:
                     self.plot_2d(
                         roots,
-                        param_pair=pair,
+                        param_pair=[param, param2],
                         do_xlabel=i2 == plot_col - 1,
                         do_ylabel=i == 0,
-                        no_label_no_numbers=self.settings.no_triangle_axis_labels,
+                        no_label_no_numbers=share_all,
                         shaded=shaded,
                         add_legend_proxy=i == 0 and i2 == 1,
                         contour_args=contour_args,
@@ -1185,77 +1220,105 @@ class GetDistPlotter(_BaseObject):
                 self._inner_ticks(ax)
                 if i != i2:
                     ax.set_ylim(lims[i2])
-                ax._shared_x_axis = self.subplots[bottom, i2]
-                ax.callbacks.connect("ylim_changed", _axis_y_limit_changed)
+                self._tie_axis(ax, self.subplots[bottom, i2], via_x=False)
                 if i2 == bottom:
                     ax.set_xlim(lims[i])
                 if i > 0:
-                    ax._shared_y_axis = self.subplots[i, 0]
-                    ax.callbacks.connect("xlim_changed", _axis_x_limit_changed)
+                    self._tie_axis(ax, self.subplots[i, 0], via_x=True)
 
                 if upper_roots is not None:
                     if i == 0:
-                        ax._shared_y_axis = label_ax
-                        ax.callbacks.connect("xlim_changed", _axis_x_limit_changed)
-                    ax = self.subplots[i, i2]
-                    pair.reverse()
-                    if plot_3d_with_param is not None:
-                        self.plot_3d(
-                            upper_roots,
-                            pair + [col_param],
-                            color_bar=False,
-                            line_offset=1,
-                            add_legend_proxy=False,
-                            ax=ax,
-                            do_xlabel=False,
-                            do_ylabel=upper_label_right and i2 == bottom,
-                            contour_args=upper_contour_args,
-                            no_label_no_numbers=self.settings.no_triangle_axis_labels,
-                        )
-                    else:
-                        self.plot_2d(
-                            upper_roots,
-                            param_pair=pair,
-                            do_xlabel=False,
-                            do_ylabel=upper_label_right and i2 == bottom,
-                            no_label_no_numbers=self.settings.no_triangle_axis_labels,
-                            shaded=shaded,
-                            add_legend_proxy=i == 0 and i2 == 1,
-                            ax=ax,
-                            proxy_root_exclude=[root for root in upper_roots if root in roots],
-                            contour_args=upper_contour_args,
-                        )
-                    if marker is not None:
-                        self.add_y_marker(marker, ax=ax, **marker_args)
-                    if marker2 is not None:
-                        self.add_x_marker(marker2, ax=ax, **marker_args)
-                    if upper_label_right and i2 == bottom:
-                        ax.yaxis.set_label_position("right")
-                        ax.yaxis.set_offset_position("right")
-                        ax.yaxis.set_tick_params(which="both", labelright=True, labelleft=False)
-                        self.set_ylabel(param, ax=ax, rotation=-90, va="bottom")
-                    ax.set_xlim(lims[i2])
-                    ax.set_ylim(lims[i])
-                    ax._shared_x_axis = self.subplots[bottom, i]
-                    ax.callbacks.connect("ylim_changed", _axis_y_limit_changed)
-                    self._inner_ticks(ax)
+                        self._tie_axis(ax, label_ax, via_x=True)
+                    self._triangle_upper_cell(
+                        upper_roots,
+                        params,
+                        i,
+                        i2,
+                        bottom,
+                        lims,
+                        marker,
+                        marker2,
+                        marker_args,
+                        upper_contour_args,
+                        upper_label_right,
+                        shaded,
+                        plot_3d_with_param,
+                        col_param if plot_3d_with_param is not None else None,
+                        roots,
+                    )
 
         self._subplots_adjust()
-
         if plot_3d_with_param is not None:
-            bottom_frac = 0.5
-            if len(params) == 2:
-                bottom_frac += 0.1
-            cb = self.fig.colorbar(self.last_scatter, cax=self.fig.add_axes([0.9, bottom_frac, 0.03, 0.35]))
-            cb.ax.yaxis.set_ticks_position("left")
-            cb.ax.yaxis.set_label_position("left")
-            self.rotate_yticklabels(
-                cb.ax,
-                rotation=self.settings.colorbar_tick_rotation or 0,
-                labelsize=self.settings.colorbar_axes_fontsize,
-            )
-            self.add_colorbar_label(cb, col_param, label_rotation=-self.settings.colorbar_label_rotation)
+            self._triangle_colorbar(plot_col, col_param)
+        self._triangle_legend(
+            roots1d, params, legend_labels, legend_loc, legend_ncol, label_order, title_limit, upper_roots
+        )
 
+    def _triangle_upper_cell(
+        self,
+        upper_roots,
+        params,
+        i,
+        i2,
+        bottom,
+        lims,
+        marker,
+        marker2,
+        marker_args,
+        upper_contour_args,
+        upper_label_right,
+        shaded,
+        plot_3d_with_param,
+        col_param,
+        roots,
+    ):
+        """One mirrored cell above the diagonal (second sample set)."""
+        ax = self.subplots[i, i2]
+        pair = [params[i2], params[i]]
+        right_edge_label = upper_label_right and i2 == bottom
+        if plot_3d_with_param is not None:
+            self.plot_3d(
+                upper_roots,
+                pair + [col_param],
+                color_bar=False,
+                line_offset=1,
+                add_legend_proxy=False,
+                ax=ax,
+                do_xlabel=False,
+                do_ylabel=right_edge_label,
+                contour_args=upper_contour_args,
+                no_label_no_numbers=self.settings.no_triangle_axis_labels,
+            )
+        else:
+            self.plot_2d(
+                upper_roots,
+                param_pair=pair,
+                do_xlabel=False,
+                do_ylabel=right_edge_label,
+                no_label_no_numbers=self.settings.no_triangle_axis_labels,
+                shaded=shaded,
+                add_legend_proxy=i == 0 and i2 == 1,
+                ax=ax,
+                proxy_root_exclude=[root for root in upper_roots if root in roots],
+                contour_args=upper_contour_args,
+            )
+        if marker is not None:
+            self.add_y_marker(marker, ax=ax, **marker_args)
+        if marker2 is not None:
+            self.add_x_marker(marker2, ax=ax, **marker_args)
+        if right_edge_label:
+            ax.yaxis.set_label_position("right")
+            ax.yaxis.set_offset_position("right")
+            ax.yaxis.set_tick_params(which="both", labelright=True, labelleft=False)
+            self.set_ylabel(params[i], ax=ax, rotation=-90, va="bottom")
+        ax.set_xlim(lims[i2])
+        ax.set_ylim(lims[i])
+        self._tie_axis(ax, self.subplots[bottom, i], via_x=False)
+        self._inner_ticks(ax)
+
+    def _triangle_legend(
+        self, roots1d, params, legend_labels, legend_loc, legend_ncol, label_order, title_limit, upper_roots
+    ):
         labels = self._default_legend_labels(legend_labels, roots1d)
         if (
             not legend_loc
@@ -1271,7 +1334,6 @@ class GetDistPlotter(_BaseObject):
             args["bbox_to_anchor"] = (self.plot_col / (2 if "center" in legend_loc else 1), 1)
             args["bbox_transform"] = self.subplots[0, 0].transAxes
             args["borderaxespad"] = 0
-
         self.finish_plot(
             labels,
             label_order=label_order,
@@ -1283,6 +1345,7 @@ class GetDistPlotter(_BaseObject):
             no_tight=title_limit or self.settings.title_limit,
             **args,
         )
+
 
     def _add_marker_list(self, markers, ax, marker_args, y=False, color=None):
         add_proc = self.add_y_marker if y else self.add_x_marker
@@ -1596,36 +1659,14 @@ class GetDistPlotter(_BaseObject):
         ``plots.py:2065-2199``)."""
         if legend_loc is None:
             legend_loc = self.settings.figure_legend_loc if figure else self.settings.legend_loc
-        legend_ncol = legend_ncol or self.settings.figure_legend_ncol or 1
         if colored_text is None:
             colored_text = self.settings.legend_colored_text
-        lines = []
-        if len(self.contours_added) == 0:
-            for i in range(len(legend_labels)):
-                args = self.lines_added.get(i)
-                if not args:
-                    if not figure:
-                        ax_lines = self.get_axes(ax).lines
-                        if len(ax_lines) > i:
-                            lines.append(ax_lines[i])
-                            continue
-                    args = self._get_line_styles(i + line_offset)
-                args.pop("filled", None)
-                lines.append(matplotlib.lines.Line2D([0, 1], [0, 1], **args))
-        else:
-            lines = self.contours_added
-            for i, contour in enumerate(lines):
-                if contour is None:
-                    args = self.lines_added.get(i)
-                    if args:
-                        args.pop("filled", None)
-                        lines[i] = matplotlib.lines.Line2D([0, 1], [0, 1], **args)
+        lines = self._legend_handles(legend_labels, line_offset, figure, ax)
 
         args = kwargs.copy()
-        args["ncol"] = legend_ncol
-        args["prop"] = {
-            "size": self._scaled_fontsize(fontsize or self.settings.legend_fontsize or self.settings.axes_labelsize)
-        }
+        args["ncol"] = legend_ncol or self.settings.figure_legend_ncol or 1
+        size = self._scaled_fontsize(fontsize or self.settings.legend_fontsize or self.settings.axes_labelsize)
+        args["prop"] = {"size": size}
         if colored_text:
             args["handlelength"] = 0
             args["handletextpad"] = 0
@@ -1634,38 +1675,68 @@ class GetDistPlotter(_BaseObject):
                 label_order = list(reversed(range(len(lines))))
             lines = [lines[i] for i in label_order]
             legend_labels = [legend_labels[i] for i in label_order]
+
         if figure:
             if figure_legend_outside and args.get("bbox_to_anchor") is None:
-                if legend_loc in ["best", "center"]:
-                    legend_loc = "upper center"
-                loc1, loc2 = legend_loc.split(" ")
-                if loc1 == "center":
-                    raise ValueError("Cannot use centre location for figure legend outside")
-                subloc = ("upper", "center", "lower")[["lower", "center", "upper"].index(loc1)]
-                new_legend_loc = subloc + " " + loc2
-                frac = self.settings.legend_frac_subplot_margin
-                if loc1 == "upper":
-                    args["bbox_to_anchor"] = (
-                        0 if loc2 == "left" else (self.plot_col if loc2 == "right" else self.plot_col / 2),
-                        1 + frac,
-                    )
-                    args["bbox_transform"] = self.subplots[0, 0].transAxes
-                else:
-                    args["bbox_to_anchor"] = (
-                        0 if loc2 == "left" else (1 if loc2 == "right" else 0.5),
-                        -frac / self.plot_row,
-                    )
-                    args["bbox_transform"] = self.fig.transFigure
-                args["borderaxespad"] = 0
-                legend_loc = new_legend_loc
-                self.legend = self.fig.legend(lines, legend_labels, loc=legend_loc, **args)
-            else:
-                self.legend = self.fig.legend(lines, legend_labels, loc=legend_loc, **args)
+                legend_loc = self._anchor_figure_legend(legend_loc, args)
+            self.legend = self.fig.legend(lines, legend_labels, loc=legend_loc, **args)
             if not self.settings.figure_legend_frame:
                 self.legend.get_frame().set_edgecolor("none")
         else:
             args["frameon"] = self.settings.legend_frame and not colored_text
             self.legend = self.get_axes(ax).legend(lines, legend_labels, loc=legend_loc, **args)
+        self._style_legend(colored_text, align_right)
+        return self.legend
+
+    def _legend_handles(self, legend_labels, line_offset, figure, ax):
+        """Proxy artists for the legend: registered contour proxies when any
+        contours were drawn, otherwise per-line styles / existing axis lines."""
+        if self.contours_added:
+            handles = self.contours_added
+            for i, entry in enumerate(handles):
+                if entry is None:
+                    args = self.lines_added.get(i)
+                    if args:
+                        args.pop("filled", None)
+                        handles[i] = matplotlib.lines.Line2D([0, 1], [0, 1], **args)
+            return handles
+        handles = []
+        for i in range(len(legend_labels)):
+            args = self.lines_added.get(i)
+            if not args:
+                if not figure:
+                    ax_lines = self.get_axes(ax).lines
+                    if len(ax_lines) > i:
+                        handles.append(ax_lines[i])
+                        continue
+                args = self._get_line_styles(i + line_offset)
+            args.pop("filled", None)
+            handles.append(matplotlib.lines.Line2D([0, 1], [0, 1], **args))
+        return handles
+
+    def _anchor_figure_legend(self, legend_loc, args):
+        """Anchor an outside-the-subplots figure legend; mutates args and
+        returns the flipped location string."""
+        if legend_loc in ["best", "center"]:
+            legend_loc = "upper center"
+        loc1, loc2 = legend_loc.split(" ")
+        if loc1 == "center":
+            raise ValueError("Cannot use centre location for figure legend outside")
+        frac = self.settings.legend_frac_subplot_margin
+        if loc1 == "upper":
+            x = 0 if loc2 == "left" else (self.plot_col if loc2 == "right" else self.plot_col / 2)
+            args["bbox_to_anchor"] = (x, 1 + frac)
+            args["bbox_transform"] = self.subplots[0, 0].transAxes
+        else:
+            x = 0 if loc2 == "left" else (1 if loc2 == "right" else 0.5)
+            args["bbox_to_anchor"] = (x, -frac / self.plot_row)
+            args["bbox_transform"] = self.fig.transFigure
+        args["borderaxespad"] = 0
+        # anchor from the opposite edge so the box hangs outside the grid
+        flipped = ("upper", "center", "lower")[["lower", "center", "upper"].index(loc1)]
+        return flipped + " " + loc2
+
+    def _style_legend(self, colored_text, align_right):
         if align_right:
             vp = self.legend._legend_box._children[-1]._children[0]
             for c in vp._children:
@@ -1674,17 +1745,14 @@ class GetDistPlotter(_BaseObject):
         if not self.settings.legend_rect_border:
             for rect in self.legend.get_patches():
                 rect.set_edgecolor(rect.get_facecolor())
-        if colored_text:
-            for h, text in zip(self.legend.legend_handles, self.legend.get_texts()):
-                h.set_visible(False)
-                if isinstance(h, matplotlib.lines.Line2D):
-                    c = h.get_color()
-                elif isinstance(h, matplotlib.patches.Patch):
-                    c = h.get_facecolor()
-                else:
-                    continue
-                text.set_color(c)
-        return self.legend
+        if not colored_text:
+            return
+        for handle, text in zip(self.legend.legend_handles, self.legend.get_texts()):
+            handle.set_visible(False)
+            if isinstance(handle, matplotlib.lines.Line2D):
+                text.set_color(handle.get_color())
+            elif isinstance(handle, matplotlib.patches.Patch):
+                text.set_color(handle.get_facecolor())
 
     def param_latex_label(self, root, name, label_params=None):
         """Latex label for a parameter of a root."""
@@ -2205,6 +2273,99 @@ class GetDistPlotter(_BaseObject):
         ax.contourf(density.x, density.y, points, self.settings.num_shades, colors=cols, levels=levels, **kwargs)
         ax.contour(density.x, density.y, points, self.settings.num_shades, colors=cols, levels=levels, **kwargs)
 
+    def _density_for_contours(self, root, ax, param1, param2, param_pair, mask_function):
+        """Resolve the Density2D to contour for a root (sample cache, an
+        analytic mixture, or a masked recomputation)."""
+        param1, param2 = self.get_param_array(root, param_pair or [param1, param2])
+        ax.getdist_params = (param1, param2)
+        if mask_function is not None:
+            return self.samples_for_root(root).get2DDensityGridData(
+                param1.name,
+                param2.name,
+                mask_function=mask_function,
+                num_plot_contours=self.settings.num_plot_contours,
+                meanlikes=self.settings.shade_meanlikes,
+            )
+        if isinstance(root, MixtureND):
+            return root.marginalizedMixture(params=[param1, param2]).density2D()
+        return self.sample_analyser.get_density_grid(
+            root, param1, param2, conts=self.settings.num_plot_contours, likes=self.settings.shade_meanlikes
+        )
+
+    def _claim_contour_proxy(self, add_legend_proxy, plotno):
+        """Slot index in contours_added this contour set should fill for the
+        legend, or -1 when it should not register a proxy."""
+        if add_legend_proxy:
+            self.contours_added.append(None)
+            return len(self.contours_added) - 1
+        if None in self.contours_added and self.contours_added.index(None) == plotno:
+            return plotno
+        return -1
+
+    @staticmethod
+    def _non_style_kwargs(args):
+        return {k: v for k, v in args.items() if k not in ("color", "ls", "lw")}
+
+    def _filled_contour_colors(self, cols, contour_levels, plotno, of, **kwargs):
+        if cols is not None:
+            return cols
+        color = kwargs.get("color") or self._get_color_at_index(
+            self.settings.solid_colors, (of - plotno - 1) if of is not None else plotno
+        )
+        if isinstance(color, str) or self._is_color_like(color):
+            return self._get_paler_colors(color, len(contour_levels))
+        return color
+
+    def _draw_filled_contours(self, ax, density, z, contour_levels, cols, alpha, proxy_ix, **kwargs):
+        levels = sorted(np.append([density.P.max() + 1], contour_levels))
+        passthrough = self._non_style_kwargs(kwargs)
+        cs = ax.contourf(density.x, density.y, z, levels, colors=cols, alpha=alpha, **passthrough)
+        # outline in the deepest fill color; also the legend proxy color
+        fc = tuple(cs.to_rgba(cs.cvalues[-1], cs.alpha))
+        if proxy_ix >= 0:
+            self.contours_added[proxy_ix] = matplotlib.patches.Rectangle((0, 0), 1, 1, fc=fc)
+        lw = self.settings.linewidth_contour if kwargs.get("lw") is None else kwargs["lw"]
+        ax.contour(
+            density.x,
+            density.y,
+            z,
+            levels[:1],
+            colors=(fc,),
+            linewidths=self._scaled_linewidth(lw),
+            linestyles=kwargs.get("ls"),
+            alpha=alpha * self.settings.alpha_factor_contour_lines,
+            **passthrough,
+        )
+
+    def _draw_line_contours(self, ax, density, z, contour_levels, alpha, proxy_ix, plotno, **kwargs):
+        style = self._get_line_styles(plotno, **kwargs)
+        plot_args = self._get_plot_args(plotno, **kwargs)
+        plot_args["alpha"] = alpha
+        cs = ax.contour(
+            density.x,
+            density.y,
+            z,
+            sorted(contour_levels),
+            colors=[style["color"]],
+            linestyles=[style["ls"]],
+            linewidths=style["lw"],
+            **self._non_style_kwargs(plot_args),
+        )
+        dashes = style.get("dashes")
+        if dashes:
+            if hasattr(cs, "collections"):
+                for c in cs.collections:
+                    c.set_dashes([(0, dashes)])
+            else:
+                cs.set_dashes([(0, dashes)] * len(cs.levels))
+        if proxy_ix >= 0:
+            line = matplotlib.lines.Line2D(
+                [0, 1], [0, 1], ls=style["ls"], lw=style["lw"], color=style["color"], alpha=style.get("alpha")
+            )
+            if dashes:
+                line.set_dashes(dashes)
+            self.contours_added[proxy_ix] = line
+
     def add_2d_contours(
         self,
         root,
@@ -2226,23 +2387,7 @@ class GetDistPlotter(_BaseObject):
         reference ``plots.py:1063-1217``). Returns density bounds."""
         ax = self.get_axes(ax)
         if density is None:
-            param1, param2 = self.get_param_array(root, param_pair or [param1, param2])
-            ax.getdist_params = (param1, param2)
-            if mask_function is not None:
-                samples = self.samples_for_root(root)
-                density = samples.get2DDensityGridData(
-                    param1.name,
-                    param2.name,
-                    mask_function=mask_function,
-                    num_plot_contours=self.settings.num_plot_contours,
-                    meanlikes=self.settings.shade_meanlikes,
-                )
-            elif isinstance(root, MixtureND):
-                density = root.marginalizedMixture(params=[param1, param2]).density2D()
-            else:
-                density = self.sample_analyser.get_density_grid(
-                    root, param1, param2, conts=self.settings.num_plot_contours, likes=self.settings.shade_meanlikes
-                )
+            density = self._density_for_contours(root, ax, param1, param2, param_pair, mask_function)
             if density is None:
                 if add_legend_proxy:
                     self.contours_added.append(None)
@@ -2251,83 +2396,19 @@ class GetDistPlotter(_BaseObject):
             alpha = self._get_alpha_2d(plotno, **kwargs)
         if contour_levels is None:
             if not hasattr(density, "contours"):
-                contours = self.sample_analyser.ini.ndarray("contours")
-                if contours is not None:
-                    contours = contours[: self.settings.num_plot_contours]
-                density.contours = density.getContourLevels(contours)
+                wanted = self.sample_analyser.ini.ndarray("contours")
+                if wanted is not None:
+                    wanted = wanted[: self.settings.num_plot_contours]
+                density.contours = density.getContourLevels(wanted)
             contour_levels = density.contours
 
-        if add_legend_proxy:
-            proxy_ix = len(self.contours_added)
-            self.contours_added.append(None)
-        elif None in self.contours_added and self.contours_added.index(None) == plotno:
-            proxy_ix = plotno
-        else:
-            proxy_ix = -1
-
-        def clean_args(_args):
-            return {k: v for k, v in _args.items() if k not in ("color", "ls", "lw")}
-
+        proxy_ix = self._claim_contour_proxy(add_legend_proxy, plotno)
         z = density.P if density.mask is None else np.ma.masked_where(density.mask, density.P)
         if kwargs.get("filled"):
-            if cols is None:
-                color = kwargs.get("color")
-                if color is None:
-                    color = self._get_color_at_index(
-                        self.settings.solid_colors, (of - plotno - 1) if of is not None else plotno
-                    )
-                if isinstance(color, str) or self._is_color_like(color):
-                    cols = self._get_paler_colors(color, len(contour_levels))
-                else:
-                    cols = color
-            levels = sorted(np.append([density.P.max() + 1], contour_levels))
-            cs = ax.contourf(density.x, density.y, z, levels, colors=cols, alpha=alpha, **clean_args(kwargs))
-            fc = tuple(cs.to_rgba(cs.cvalues[-1], cs.alpha))
-            if proxy_ix >= 0:
-                self.contours_added[proxy_ix] = matplotlib.patches.Rectangle((0, 0), 1, 1, fc=fc)
-            ax.contour(
-                density.x,
-                density.y,
-                z,
-                levels[:1],
-                colors=(fc,),
-                linewidths=self._scaled_linewidth(
-                    self.settings.linewidth_contour if kwargs.get("lw") is None else kwargs["lw"]
-                ),
-                linestyles=kwargs.get("ls"),
-                alpha=alpha * self.settings.alpha_factor_contour_lines,
-                **clean_args(kwargs),
-            )
+            cols = self._filled_contour_colors(cols, contour_levels, plotno, of, **kwargs)
+            self._draw_filled_contours(ax, density, z, contour_levels, cols, alpha, proxy_ix, **kwargs)
         else:
-            args = self._get_line_styles(plotno, **kwargs)
-            linestyles = [args["ls"]]
-            cols = [args["color"]]
-            lws = args["lw"]
-            kwargs = self._get_plot_args(plotno, **kwargs)
-            kwargs["alpha"] = alpha
-            cs = ax.contour(
-                density.x,
-                density.y,
-                z,
-                sorted(contour_levels),
-                colors=cols,
-                linestyles=linestyles,
-                linewidths=lws,
-                **clean_args(kwargs),
-            )
-            if dashes := args.get("dashes"):
-                if hasattr(cs, "collections"):
-                    for c in cs.collections:
-                        c.set_dashes([(0, dashes)])
-                else:
-                    cs.set_dashes([(0, dashes)] * len(cs.levels))
-            if proxy_ix >= 0:
-                line = matplotlib.lines.Line2D(
-                    [0, 1], [0, 1], ls=linestyles[0], lw=lws, color=cols[0], alpha=args.get("alpha")
-                )
-                if dashes:
-                    line.set_dashes(dashes)
-                self.contours_added[proxy_ix] = line
+            self._draw_line_contours(ax, density, z, contour_levels, alpha, proxy_ix, plotno, **kwargs)
         return density.bounds()
 
     def _is_color_like(self, color):
@@ -2579,7 +2660,11 @@ style_name = "default"
 
 
 class StyleManager:
-    """Registry mapping style names to plotter classes + rcParams."""
+    """Registry mapping style names to plotter classes + rcParams.
+
+    Switching styles snapshots the pre-style rcParams once and restores that
+    snapshot before applying the next style, so styles never stack.
+    """
 
     def __init__(self):
         self._plot_styles = {style_name: GetDistPlotter}
@@ -2591,24 +2676,28 @@ class StyleManager:
             self.set_active_style(style)
         return self._plot_styles[self.active_style]
 
+    def _restore_rc_snapshot(self):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rcParams.clear()
+            rcParams.update(self._orig_rc)
+
     def set_active_style(self, name=None):
         name = name or style_name
-        old_style = self.active_style
-        if name != self.active_style:
-            if name not in self._plot_styles:
-                raise ValueError("Unknown style %s. Make sure you have imported the relevant style module." % name)
-            if self._orig_rc is None:
-                self._orig_rc = rcParams.copy()
-            else:
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore")
-                    rcParams.clear()
-                    rcParams.update(self._orig_rc)
-            self.active_style = name
-            rcParams.update(self._plot_styles[name]._style_rc)
-            if name == style_name:
-                self._orig_rc = None
-        return old_style
+        previous = self.active_style
+        if name == previous:
+            return previous
+        if name not in self._plot_styles:
+            raise ValueError("Unknown style %s. Make sure you have imported the relevant style module." % name)
+        if self._orig_rc is None:
+            self._orig_rc = rcParams.copy()
+        else:
+            self._restore_rc_snapshot()
+        self.active_style = name
+        rcParams.update(self._plot_styles[name]._style_rc)
+        if name == style_name:
+            self._orig_rc = None
+        return previous
 
     def add_plotter_style(self, name, cls, activate=False):
         self._plot_styles[name] = cls
