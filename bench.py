@@ -64,14 +64,14 @@ def run_ours(samples, weights, repeats=3):
     pb = jnp.asarray(pairs[:, 1])
     contours = jnp.asarray(np.array([0.68, 0.95], np.float32))
 
+    static_pairs = tuple(map(tuple, pairs.tolist())) if use_pallas else None
+
     def full():
-        d1 = batched.all_1d_densities(dev_s, dev_w)
-        d2 = batched.all_2d_densities(
-            dev_s, dev_w, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], contours,
-            use_pallas=use_pallas, static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
-            int8_weights=int8_weights,
+        # single fused program = single device dispatch
+        return batched._triangle_program(
+            dev_s, dev_w, pa, pb, contours, None, None, None,
+            256, use_pallas, static_pairs, int8_weights, False,
         )
-        return d1, d2
 
     # compile + settle (block_until_ready is unreliable through the axon
     # tunnel: force a host readback of data depending on everything)

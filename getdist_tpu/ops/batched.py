@@ -775,24 +775,31 @@ def all_2d_densities(
         # (no HBM one-hot traffic); pad samples to the block size with
         # zero-weight rows. With a static pair list the b-anchored grouped
         # kernel shares one weighted one-hot per group (another ~1.4x).
-        from getdist_tpu.ops.pallas_kernels import group_pairs, pair_histograms, pair_histograms_grouped
+        from getdist_tpu.ops.pallas_kernels import pair_histograms, pair_histograms_tiled, tile_plan
 
-        block = 4096
-        n_pad = (-n) % block
-        ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
-        w_pad = jnp.pad(weights, (0, n_pad))
         if static_pairs is not None:
-            grp_a, grp_b, inv = group_pairs(static_pairs)
-            hists = pair_histograms_grouped(
+            # v6 tiled kernel: one-hot stacks materialized per sample chunk
+            # sized to bound the transient HBM footprint (~2.5 GB)
+            chunk_cap = 262144 if int8_weights else 131072
+            n_chunks = max(1, int(np.ceil(n / chunk_cap)))
+            quantum = n_chunks * 16384  # lcm of builder/dot block sizes
+            n_pad = (-n) % quantum
+            ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
+            w_pad = jnp.pad(weights, (0, n_pad))
+            _, _, _, gather = tile_plan(p, static_pairs)
+            hists = pair_histograms_tiled(
                 ix_pm,
                 w_pad,
-                jnp.asarray(grp_a),
-                jnp.asarray(grp_b),
-                jnp.asarray(inv),
-                block=block,
+                p,
+                tuple(int(g) for g in gather),
+                n_chunks=n_chunks,
                 int8_weights=int8_weights,
             )
         else:
+            block = 4096
+            n_pad = (-n) % block
+            ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
+            w_pad = jnp.pad(weights, (0, n_pad))
             hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
         hists = _ps2(hists)
     else:
@@ -931,6 +938,52 @@ def all_2d_densities(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=("fine_bins_2d", "use_pallas", "static_pairs", "int8_weights", "has_limits"),
+)
+def _triangle_program(
+    samples,
+    weights,
+    pair_a,
+    pair_b,
+    contours,
+    limits_lo,
+    limits_hi,
+    periodic,
+    fine_bins_2d,
+    use_pallas,
+    static_pairs,
+    int8_weights,
+    has_limits,
+):
+    """The full 1D + all-pairs-2D analysis as ONE jitted program (a single
+    device dispatch costs ~26 ms on remote-accelerator environments, so the
+    two stages are fused here rather than dispatched separately)."""
+    if has_limits:
+        d1 = all_1d_densities(samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=periodic)
+    else:
+        d1 = all_1d_densities(samples, weights)
+    d2 = all_2d_densities(
+        samples,
+        weights,
+        pair_a,
+        pair_b,
+        d1["neff"],
+        d1["range"][0],
+        d1["range"][1],
+        contours,
+        fine_bins=fine_bins_2d,
+        use_pallas=use_pallas,
+        static_pairs=static_pairs,
+        active_lo=d1["active_lo"] if has_limits else None,
+        active_hi=d1["active_hi"] if has_limits else None,
+        periodic=periodic,
+        int8_weights=int8_weights,
+    )
+    return d1, d2
+
+
 def triangle_densities(
     samples,
     weights,
@@ -978,27 +1031,22 @@ def triangle_densities(
         limits_hi = jnp.asarray(
             np.full(p, np.nan, np.float32) if limits_hi is None else np.asarray(limits_hi, np.float32)
         )
-        per = None if periodic is None else jnp.asarray(np.asarray(periodic, bool))
-        d1 = all_1d_densities(samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=per)
     else:
-        per = None
-        d1 = all_1d_densities(samples, weights)
+        limits_lo = limits_hi = None
+    per = None if periodic is None else jnp.asarray(np.asarray(periodic, bool))
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
-    d2 = all_2d_densities(
+    return _triangle_program(
         samples,
         weights,
         jnp.asarray(pairs[:, 0]),
         jnp.asarray(pairs[:, 1]),
-        d1["neff"],
-        d1["range"][0],
-        d1["range"][1],
         jnp.asarray(np.array(contours, np.float32)),
-        fine_bins=fine_bins_2d,
-        use_pallas=use_pallas,
-        static_pairs=tuple(map(tuple, pairs.tolist())),
-        active_lo=d1["active_lo"] if has_limits else None,
-        active_hi=d1["active_hi"] if has_limits else None,
-        periodic=per,
-        int8_weights=int8_weights,
+        limits_lo,
+        limits_hi,
+        per,
+        fine_bins_2d,
+        use_pallas,
+        tuple(map(tuple, pairs.tolist())),
+        int8_weights,
+        has_limits,
     )
-    return d1, d2

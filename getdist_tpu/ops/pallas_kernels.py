@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pair_histograms", "group_pairs", "pair_histograms_grouped"]
+__all__ = [
+    "pair_histograms",
+    "group_pairs",
+    "pair_histograms_grouped",
+    "tile_plan",
+    "pair_histograms_tiled",
+]
 
 
 def _make_kernel(group, block):
@@ -201,4 +207,202 @@ def pair_histograms_grouped(
         interpret=interpret,
     )(cols, w_in[:, None])
     out = jnp.take(out.reshape(kg * group, 256, 256), inv_perm, axis=0)
+    return out.astype(jnp.float32) if int8_weights else out
+
+
+# ---------------------------------------------------------------------------
+# v6: tile-decomposed pair histograms with HBM-materialized one-hots
+# ---------------------------------------------------------------------------
+#
+# The parameter set is padded to NG groups of G; every pair (a < b) lands in
+# exactly one group tile: NG*(NG-1)/2 off-diagonal tiles of G*G pairs plus NG
+# diagonal tiles of G*(G-1)/2 pairs. For 30 params with G=6 that is exactly
+# 435 dot slots (zero padding waste). The weighted one-hots are materialized
+# per sample chunk by a streaming Pallas builder kernel, so the dot kernels
+# are pure MXU work while the pipeline overlaps the one-hot HBM reads --
+# measured 242 ms vs 441 ms for the in-kernel-build v4 at 30p/1M int8 on
+# v5e (per-stage numbers in docs/performance.md).
+
+
+def tile_plan(n_params, pairs, group=6):
+    """Host-side plan: (ng, off tile group-index tables, gather permutation).
+
+    Returns (ng, a_tbl, b_tbl, gather) with gather[k] the flat slot of
+    pairs[k] in concat(off.reshape(-1, 256, 256), diag.reshape(-1, ...)).
+    """
+    ng = -(-n_params // group)
+    off_tiles = [(a, b) for a in range(ng) for b in range(a + 1, ng)]
+    diag_pairs = [(i, j) for i in range(group) for j in range(i + 1, group)]
+    off_index = {t: i for i, t in enumerate(off_tiles)}
+    diag_index = {p: i for i, p in enumerate(diag_pairs)}
+    n_off = len(off_tiles) * group * group
+    gather = np.empty(len(pairs), np.int32)
+    for k, (a, b) in enumerate(pairs):
+        ga, gb = a // group, b // group
+        ia, jb = a % group, b % group
+        if ga == gb:
+            gather[k] = n_off + ga * len(diag_pairs) + diag_index[(ia, jb)]
+        else:
+            gather[k] = off_index[(ga, gb)] * group * group + ia * group + jb
+    a_tbl = np.array([a for a, _ in off_tiles], np.int32)
+    b_tbl = np.array([b for _, b in off_tiles], np.int32)
+    return ng, a_tbl, b_tbl, gather
+
+
+def _tile_builder_kernel(block, n_params, group, oh_dtype):
+    def kernel(ix_ref, w_ref, out_ref):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block, 256), 1)
+        wb = w_ref[:, 0].astype(jnp.bfloat16)[:, None]
+        for p_ix in range(n_params):
+            col = ix_ref[p_ix].astype(jnp.int32)
+            match = col[:, None] == lanes
+            out_ref[p_ix // group, p_ix % group] = (match.astype(jnp.bfloat16) * wb).astype(oh_dtype)
+
+    return kernel
+
+
+def _tile_off_kernel(group, oh_dtype, acc_dtype):
+    def kernel(wa_ref, wb_ref, out_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        zero = jnp.zeros((), oh_dtype)
+        for ia in range(group):
+            ua = (wa_ref[0, ia] != zero).astype(oh_dtype)
+            for jb in range(group):
+                out_ref[0, ia * group + jb] += jax.lax.dot_general(
+                    wb_ref[0, jb], ua, (((0,), (0,)), ((), ())), preferred_element_type=acc_dtype
+                )
+
+    return kernel
+
+
+def _tile_diag_kernel(group, oh_dtype, acc_dtype):
+    diag_pairs = [(i, j) for i in range(group) for j in range(i + 1, group)]
+
+    def kernel(w_ref, out_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        zero = jnp.zeros((), oh_dtype)
+        unweighted = {}
+        for slot, (ia, jb) in enumerate(diag_pairs):
+            if ia not in unweighted:
+                unweighted[ia] = (w_ref[0, ia] != zero).astype(oh_dtype)
+            out_ref[0, slot] += jax.lax.dot_general(
+                w_ref[0, jb], unweighted[ia], (((0,), (0,)), ((), ())), preferred_element_type=acc_dtype
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_params", "gather", "group", "n_chunks", "block", "build_block", "int8_weights")
+)
+def pair_histograms_tiled(
+    ix_pm,
+    weights,
+    n_params,
+    gather,
+    group=6,
+    n_chunks=4,
+    block=1024,
+    build_block=4096,
+    int8_weights=False,
+):
+    """Tile-decomposed (K, 256, 256) pair histograms (the v6 kernel).
+
+    ix_pm: (P, N) uint8 fine-bin indices; gather: tuple from
+    :func:`tile_plan` mapping pair order to tile slots; weights must be
+    integers in [0, 127] when int8_weights (exact int8 MXU path at 2x the
+    bf16 rate). N must divide by n_chunks * build_block and
+    n_chunks * block.
+    """
+    p, n = ix_pm.shape
+    ng = -(-n_params // group)
+    p_pad = ng * group
+    ix = jnp.pad(ix_pm, ((0, p_pad - p), (0, 0)))
+    nc = n // n_chunks
+    oh_dtype = jnp.int8 if int8_weights else jnp.bfloat16
+    acc_dtype = jnp.int32 if int8_weights else jnp.float32
+    off_tiles = [(a, b) for a in range(ng) for b in range(a + 1, ng)]
+    n_diag = group * (group - 1) // 2
+    a_tbl = jnp.asarray(np.array([a for a, _ in off_tiles], np.int32))
+    b_tbl = jnp.asarray(np.array([b for _, b in off_tiles], np.int32))
+
+    ix_c = ix.reshape(p_pad, n_chunks, nc).transpose(1, 0, 2)
+    w_c = weights.reshape(n_chunks, nc).astype(jnp.float32)
+
+    def chunk_body(carry, xs):
+        off_acc, diag_acc = carry
+        ixk, wk = xs
+        W = pl.pallas_call(
+            _tile_builder_kernel(build_block, p_pad, group, oh_dtype),
+            grid=(nc // build_block,),
+            in_specs=[
+                pl.BlockSpec((p_pad, build_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((build_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ng, group, build_block, 256), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ng, group, nc, 256), oh_dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )(ixk, wk[:, None])
+
+        if off_tiles:
+            grid_off = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(len(off_tiles), nc // block),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, group, block, 256), lambda t, i, at, bt: (at[t], 0, i, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, group, block, 256), lambda t, i, at, bt: (bt[t], 0, i, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, group * group, 256, 256), lambda t, i, at, bt: (t, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            )
+            off = pl.pallas_call(
+                lambda at, bt, wa, wb, o: _tile_off_kernel(group, oh_dtype, acc_dtype)(wa, wb, o),
+                grid_spec=grid_off,
+                out_shape=jax.ShapeDtypeStruct((len(off_tiles), group * group, 256, 256), acc_dtype),
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * 256 * 256 * nc * len(off_tiles) * group * group,
+                    bytes_accessed=2 * group * nc * 256 * len(off_tiles),
+                    transcendentals=0,
+                ),
+            )(a_tbl, b_tbl, W, W)
+        else:
+            off = jnp.zeros_like(off_acc)
+
+        diag = pl.pallas_call(
+            _tile_diag_kernel(group, oh_dtype, acc_dtype),
+            grid=(ng, nc // block),
+            in_specs=[
+                pl.BlockSpec((1, group, block, 256), lambda t, i: (t, 0, i, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((1, n_diag, 256, 256), lambda t, i: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ng, n_diag, 256, 256), acc_dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )(W)
+        return (off_acc + off, diag_acc + diag), None
+
+    off0 = jnp.zeros((len(off_tiles), group * group, 256, 256), acc_dtype)
+    diag0 = jnp.zeros((ng, n_diag, 256, 256), acc_dtype)
+    (off, diag), _ = jax.lax.scan(chunk_body, (off0, diag0), (ix_c, w_c))
+    flat = jnp.concatenate(
+        [off.reshape(-1, 256, 256), diag.reshape(-1, 256, 256)], axis=0
+    )
+    out = jnp.take(flat, jnp.asarray(np.array(gather, np.int32)), axis=0)
     return out.astype(jnp.float32) if int8_weights else out
