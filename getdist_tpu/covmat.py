@@ -7,7 +7,31 @@ columns.
 
 import numpy as np
 
-__all__ = ["CovMat"]
+__all__ = ["CovMat", "read_covmat_text", "write_covmat_text"]
+
+_MATRIX_FORMAT = "%15.7E"
+
+
+def read_covmat_text(filename):
+    """Parse a ``.covmat`` file into ``(names, matrix)``.
+
+    The first line must be a ``#``-prefixed header listing parameter names;
+    the remainder is whitespace-separated numbers.
+    """
+    with open(filename, encoding="utf-8-sig") as handle:
+        header = handle.readline().strip()
+        if not header.startswith("#"):
+            raise Exception(".covmat must now have parameter names header")
+        names = header.lstrip("#").split()
+        matrix = np.loadtxt(handle)
+    return names, matrix
+
+
+def write_covmat_text(filename, names, matrix):
+    """Write the ``.covmat`` text format (names header + %15.7E matrix)."""
+    with open(filename, "wb") as handle:
+        handle.write(f"# {' '.join(names)}\n".encode())
+        np.savetxt(handle, matrix, _MATRIX_FORMAT)
 
 
 class CovMat:
@@ -19,8 +43,8 @@ class CovMat:
 
     def __init__(self, filename="", matrix=None, paramNames=None):
         self.matrix = matrix
-        self.size = matrix.shape[0] if matrix is not None else 0
-        self.paramNames = paramNames or []
+        self.size = 0 if matrix is None else matrix.shape[0]
+        self.paramNames = list(paramNames) if paramNames else []
         if filename:
             self.loadFromFile(filename)
 
@@ -28,27 +52,24 @@ class CovMat:
         return " ".join(self.paramNames)
 
     def loadFromFile(self, filename):
-        """Load a .covmat text file; the first line must be a '#'-prefixed
-        header of parameter names."""
-        with open(filename, encoding="utf-8-sig") as handle:
-            header = handle.readline().strip()
-            if not header.startswith("#"):
-                raise Exception(".covmat must now have parameter names header")
-            self.paramNames = header.lstrip("#").split()
-            self.size = len(self.paramNames)
-            self.matrix = np.loadtxt(handle)
+        """Load a .covmat text file (see :func:`read_covmat_text`)."""
+        self.paramNames, self.matrix = read_covmat_text(filename)
+        self.size = len(self.paramNames)
 
     def saveToFile(self, filename):
-        """Write the .covmat text format (names header + %15.7E matrix)."""
-        with open(filename, "wb") as handle:
-            handle.write(("# %s\n" % self.paramNameString()).encode("utf-8"))
-            np.savetxt(handle, self.matrix, "%15.7E")
+        """Write this matrix via :func:`write_covmat_text`."""
+        write_covmat_text(filename, self.paramNames, self.matrix)
+
+    def _slot(self, name):
+        try:
+            return self.paramNames.index(name)
+        except ValueError:
+            return None
 
     def rescaleParameter(self, name, scale):
         """Rescale row+column of one parameter (for renormalized parameters)."""
-        try:
-            where = self.paramNames.index(name)
-        except ValueError:
+        where = self._slot(name)
+        if where is None:
             print("Not in covmat: " + name)
             return
         self.matrix[where, :] *= scale
@@ -59,15 +80,19 @@ class CovMat:
         fill blocks only covered by cov2 from cov2, zero cross terms."""
         names = list(self.paramNames)
         names += [p for p in cov2.paramNames if p not in names]
-        n = len(names)
         slot = {p: i for i, p in enumerate(names)}
-        merged = CovMat(matrix=np.zeros((n, n)), paramNames=names)
+        merged = CovMat(matrix=np.zeros((len(names), len(names))), paramNames=names)
         # write cov2's block first, then overwrite with this matrix's block
         # (earlier matrix wins on overlap); cross terms stay zero
         for source in (cov2, self):
             where = np.array([slot[p] for p in source.paramNames], dtype=int)
             merged.matrix[np.ix_(where, where)] = source.matrix
         return merged
+
+    def subMatrix(self, names):
+        """A new :class:`CovMat` restricted to (and ordered by) ``names``."""
+        where = np.array([self.paramNames.index(p) for p in names], dtype=int)
+        return CovMat(matrix=self.matrix[np.ix_(where, where)], paramNames=list(names))
 
     def correlation(self):
         """The correlation matrix derived from this covariance."""
