@@ -10,29 +10,30 @@ two marks where possible, even at odd spacings or half-phase offsets.
 instead of an origin text.
 """
 
+import bisect
 import math
-from bisect import bisect_left
 
 import numpy as np
 from matplotlib import ticker
-from matplotlib.axis import YAxis
 
 __all__ = ["BoundedMaxNLocator", "SciFuncFormatter"]
 
 # minimum label extent in character units used in spacing heuristics
 _min_label_len_chars = 1.35
 
+_POINTS_PER_INCH = 72.0
+
 
 class SciFuncFormatter(ticker.Formatter):
     """Tick formatter writing full scientific notation in each label."""
 
     def __call__(self, x, pos=None):
-        inner = SciFuncFormatter._format_sci_notation("%.10e" % x)
-        return "$" + inner + "$"
+        inner = self._format_sci_notation("%.10e" % x)
+        return f"${inner}$"
 
     def format_data(self, value):
         # plain text (e.g. navigation toolbar)
-        return "%-8g" % value
+        return format(value, "<8g")
 
     @staticmethod
     def _format_sci_notation(s):
@@ -61,6 +62,11 @@ def _across_decades(values, group):
     return np.hstack(parts)
 
 
+def _half_phase(step):
+    """Offset usable for a half-phase comb (0 when the step is odd)."""
+    return step // 2 if step % 2 < 1e-6 else 0
+
+
 def _snap_tol(origin, spacing):
     """Edge-snapping tolerance for spacing-index rounding."""
     if origin > 0:
@@ -85,7 +91,22 @@ def _first_index(x, origin, spacing):
     return n + 1
 
 
-_DEFAULT_STEP_GROUPS = ([1, 2, 5, 10], [2.5, 3, 4, 6, 8], [1.5, 7, 9])
+def _axis_font_geometry(axis):
+    """(font-size / axis-length-in-points, label angle in degrees)."""
+    tick = axis._get_tick(True)
+    angle = tick._labelrotation[1]
+    vertical = int(axis.axis_name == "y")
+    if vertical:
+        angle += 90
+    frame = axis.axes
+    unit = [0, 0]
+    unit[vertical] = 1
+    span = frame.transAxes.transform([(0, 0), tuple(unit)])
+    length_pts = abs(span[1][vertical] - span[0][vertical]) / frame.figure.dpi * _POINTS_PER_INCH
+    return tick.label1.get_size() / length_pts, angle
+
+
+_DEFAULT_STEP_GROUPS = ((1, 2, 5, 10), (2.5, 3, 4, 6, 8), (1.5, 7, 9))
 
 
 class BoundedMaxNLocator(ticker.MaxNLocator):
@@ -98,18 +119,27 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
     can fit.
     """
 
-    def __init__(self, nbins="auto", prune=True, step_groups=_DEFAULT_STEP_GROUPS):
+    default_step_groups = _DEFAULT_STEP_GROUPS
+
+    def __init__(self, nbins="auto", prune=True, step_groups=default_step_groups):
         self.bounded_prune = prune
-        self._step_groups = [_across_decades(np.array(g), g) for g in step_groups]
-        half_units = [[s // 2 if s % 2 < 1e-6 else 0 for s in g] for g in step_groups]
-        self._offsets = [_across_decades(np.array(h), g) for h, g in zip(half_units, step_groups)]
-        super().__init__(nbins=nbins, steps=step_groups[0])
+        groups = [np.asarray(g, dtype=float) for g in step_groups]
+        self._ladders = [_across_decades(g, tuple(g)) for g in groups]
+        self._offsets = [
+            _across_decades(np.array([_half_phase(s) for s in g]), tuple(g)) for g in groups
+        ]
+        ticker.MaxNLocator.__init__(self, nbins=nbins, steps=list(step_groups[0]))
+
+    def _margin(self, label_span):
+        """Half-label end margin (zero when pruning is off)."""
+        return 0.5 * label_span if self.bounded_prune else 0.0
 
     def _drop_edge_marks(self, marks, label_span):
         if len(marks) > 1 and self.bounded_prune:
-            if marks[0] - self._limits[0] < label_span * 0.5:
+            lo_gap = marks[0] - self._view[0]
+            if lo_gap < 0.5 * label_span:
                 marks = marks[1:]
-            if self._limits[1] - marks[-1] < label_span * 0.5 and len(marks) > 1:
+            if len(marks) > 1 and self._view[1] - marks[-1] < 0.5 * label_span:
                 marks = marks[:-1]
         return marks
 
@@ -125,58 +155,47 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
         """Estimated label extent in data units for these tick values."""
         if not len(marks):
             return 0
-        self._fmt.set_locs(marks)
+        self._label_fmt.set_locs(marks)
         # extract the non-latex % format from the formatter
-        template = self._fmt.format
+        template = self._label_fmt.format
         start = template.index("%")
         fmt = template[start : template.index("f", start) + 1]
-        chars = self._label_width_chars(fmt, marks[0])
-        if len(marks) > 1:
-            chars = max(chars, self._label_width_chars(fmt, marks[-1]))
-        return max(_min_label_len_chars, chars * self._aspect) * self._chars_to_data
-
-    def _measure_axis(self):
-        """(points-per-axis ratio denominator, label angle in degrees)."""
-        host = self.axis.axes
-        tick = self.axis._get_tick(True)
-        angle = tick._labelrotation[1]
-        if isinstance(self.axis, YAxis):
-            angle += 90
-            corners = host.transAxes.transform([[0, 0], [0, 1]])
-            length = ((corners[1][1] - corners[0][1]) / host.figure.dpi) * 72
-        else:
-            corners = host.transAxes.transform([[0, 0], [1, 0]])
-            length = ((corners[1][0] - corners[0][0]) / host.figure.dpi) * 72
-        return tick.label1.get_size() / length, angle
+        chars = max(self._label_width_chars(fmt, m) for m in (marks[0], marks[-1]))
+        return max(_min_label_len_chars, chars * self._glyph_aspect) * self._char_unit
 
     def tick_values(self, lo_edge, hi_edge):
         # MaxNLocator alone can put marks outside or too close to the axis
         # bounds, and its default aspect heuristic ignores actual label
         # width. Measure the label geometry, cut out-of-bound points, and
         # re-solve the spacing when labels are long or gaps are large.
-        font_ratio, angle = self._measure_axis()
-        upright = abs(math.cos(math.radians(angle)))
-        self._aspect = 0.65 * upright
-        self._chars_to_data = font_ratio * (hi_edge - lo_edge)
-        self._fmt = self.axis.major.formatter
-        self._limits = (lo_edge, hi_edge)
+        font_ratio, angle = _axis_font_geometry(self.axis)
+        upright = abs(math.cos(angle * math.pi / 180.0))
+        span = hi_edge - lo_edge
+        self._glyph_aspect = 0.65 * upright
+        self._char_unit = font_ratio * span
+        self._label_fmt = self.axis.major.formatter
+        self._view = (lo_edge, hi_edge)
 
         # first-guess label geometry
         if upright > 0.05:
-            label_span = font_ratio * 1.5 * (hi_edge - lo_edge)
+            label_span = 1.5 * font_ratio * span
             slot = label_span * 1.1
         else:
             # text orthogonal to the axis
-            label_span = font_ratio * _min_label_len_chars * (hi_edge - lo_edge)
+            label_span = _min_label_len_chars * font_ratio * span
             slot = label_span * 1.25
 
-        margin = label_span / 2 if self.bounded_prune else 0
-        want = int((hi_edge - lo_edge - 2 * margin) / slot) + 1
+        margin = self._margin(label_span)
+        room = span - 2 * margin
+        want = int(room / slot) + 1
         if want > 4:
             # leave more space between marks
-            want = int((hi_edge - lo_edge - 2 * margin) / ((1.5 if want > 6 else 1.3) * slot)) + 1
+            want = int(room / (slot * (1.5 if want > 6 else 1.3))) + 1
         need = min(want, 2)
-        want = min(self._nbins if self._nbins != "auto" else 9, want)
+        if self._nbins != "auto":
+            want = min(self._nbins, want)
+        else:
+            want = min(9, want)
         # typical marks first, so the actual label length can be measured
         while True:
             marks, _ = self._candidate_marks(lo_edge + margin, hi_edge - margin, label_span, need, want, False)
@@ -186,7 +205,8 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
                 need -= 1
             want = max(need, 2)
 
-        if not (upright > 0.05 and isinstance(self._fmt, ticker.ScalarFormatter) and len(marks) > 1):
+        scalar_labels = isinstance(self._label_fmt, ticker.ScalarFormatter)
+        if not (upright > 0.05 and scalar_labels and len(marks) > 1):
             return self._drop_edge_marks(marks, label_span)
 
         label_span = self._label_extent(marks)
@@ -195,23 +215,22 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
             spacing = marks[1] - marks[0]
         # re-solve on long labels, too-tight spacing, or big end gaps
         # (note: spacing is only read when >= 3 marks survived the prune)
-        if (
-            len(marks) < max(3, want)
-            or spacing < label_span * (1.1 if len(marks) < 4 else 1.5)
-            or (
-                marks[0] - lo_edge > min(spacing * 1.01, label_span * 1.5)
-                or hi_edge - marks[-1] > min(spacing * 1.01, label_span * 1.5)
-            )
-        ):
+        crowded = len(marks) >= max(3, want) and spacing < label_span * (1.1 if len(marks) < 4 else 1.5)
+        end_gappy = len(marks) >= max(3, want) and (
+            marks[0] - lo_edge > min(spacing * 1.01, label_span * 1.5)
+            or hi_edge - marks[-1] > min(spacing * 1.01, label_span * 1.5)
+        )
+        if len(marks) < max(3, want) or crowded or end_gappy:
             marks = self._resolve_spacing(lo_edge, hi_edge, label_span, need, font_ratio)
         return marks
 
     def _resolve_spacing(self, lo_edge, hi_edge, label_span, need, font_ratio):
         """Re-derive tick spacing from the measured label length, dropping
         the minimum tick count as needed, with last-resort fallbacks."""
-        margin = label_span / 2 if self.bounded_prune else 0
+        margin = self._margin(label_span)
+        span = hi_edge - lo_edge
         for fac in (1.5, 1.35, 1.1):
-            want = int((hi_edge - lo_edge - 2 * margin) / (fac * max(2 * self._chars_to_data, label_span))) + 1
+            want = int((span - 2 * margin) / (fac * max(2 * self._char_unit, label_span))) + 1
             if want >= 4:
                 break
         if self._nbins != "auto":
@@ -227,20 +246,20 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
                     measured = self._label_extent(marks)
                     if not np.isclose(measured, label_span):
                         label_span = measured
-                        margin = label_span / 2 if self.bounded_prune else 0
+                        margin = self._margin(label_span)
                         if allow_refit:
                             allow_refit = False
                             continue
                         marks = self._drop_edge_marks(marks, label_span)
             elif need > 1 and allow_shorter:
                 # the assumed label length may be blocking marks that exist
-                margin /= 2
-                label_span /= 2
+                margin *= 0.5
+                label_span *= 0.5
                 allow_shorter = False
                 marks, _ = self._candidate_marks(lo_edge + margin, hi_edge - margin, label_span, need, want)
                 if len(marks):
                     label_span = self._label_extent(marks)
-                    margin = label_span / 2 if self.bounded_prune else 0
+                    margin = self._margin(label_span)
                     continue
             if (
                 need == 1
@@ -251,11 +270,13 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
                 break
             need -= 1
             marks = []
-        if len(marks) <= 1 and font_ratio * self._aspect < 0.9:
+        if len(marks) <= 1 and font_ratio * self._glyph_aspect < 0.9:
             decade, _ = ticker.scale_range(lo_edge, hi_edge, 1)
             # any two round points that fit
-            for unit in (decade, decade / 10.0):
-                marks = [round((lo_edge * 3 + hi_edge) / (4 * unit)) * unit, round((lo_edge + 3 * hi_edge) / (4 * unit)) * unit]
+            for unit in (decade, 0.1 * decade):
+                quarter = (3 * lo_edge + hi_edge) / 4
+                three_quarter = (lo_edge + 3 * hi_edge) / 4
+                marks = [round(quarter / unit) * unit, round(three_quarter / unit) * unit]
                 if marks[0] != marks[1] and marks[0] >= lo_edge and marks[1] <= hi_edge:
                     if self._fits(marks):
                         return marks
@@ -269,10 +290,13 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
 
     def _fits(self, marks):
         label_span = self._label_extent(marks)
-        return (len(marks) < 2 or marks[1] - marks[0] > label_span * 1.1) and (
-            not self.bounded_prune
-            or (marks[0] - self._limits[0] > label_span / 2)
-            and (self._limits[1] - marks[-1] > label_span / 2)
+        spaced = len(marks) < 2 or marks[1] - marks[0] > label_span * 1.1
+        if not self.bounded_prune:
+            return spaced
+        return (
+            spaced
+            and marks[0] - self._view[0] > 0.5 * label_span
+            and self._view[1] - marks[-1] > 0.5 * label_span
         )
 
     def _candidate_marks(self, lo_edge, hi_edge, seed_len, need_marks, want, remeasure=True):
@@ -289,7 +313,7 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
         hi = hi_edge - origin
         width = hi - lo
         snap = width * 1e-6
-        axis_span = self._limits[1] - self._limits[0]
+        axis_span = self._view[1] - self._view[0]
         # a round value near the centre to pivot less-nice ladder on
         for unit in (100, 10, 1):
             pivot = round((lo + hi) / (2 * unit * decade)) * unit * decade
@@ -298,14 +322,16 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
 
         label_span = seed_len * 1.1
         cap_step = max(label_span, width / ((want - 2) if want > 2 else 1))
-        fill_step = width / max(1, (want - (0 if self.bounded_prune else 1)))
+        slots = want if self.bounded_prune else want - 1
+        fill_step = width / max(1, slots)
         keeper = []
         keeper_score = -np.inf
-        for family, (family_steps, family_offsets) in enumerate(zip(self._step_groups, self._offsets)):
-            ladder = family_steps * decade
+        for family in range(len(self._ladders)):
+            ladder = self._ladders[family] * decade
+            family_offsets = self._offsets[family]
             if family and len(keeper) < 3:
                 cap_step = max(cap_step, width / 2)
-            top = min(len(ladder) - 1, bisect_left(ladder, cap_step))
+            top = min(len(ladder) - 1, bisect.bisect_left(ladder, cap_step))
             if not top:
                 continue
             # walk down from the upper-limit spacing; half-phase pass second
@@ -327,16 +353,14 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
                     if halfstep:
                         # e.g. -x/2, x/2 instead of -x, 0, x
                         nudge = decade * family_offsets[i]
-                        if base - nudge >= lo:
-                            base -= nudge
-                        else:
-                            base += nudge
+                        base += nudge if base - nudge < lo else -nudge
 
                     unit = 10 ** (math.log10(spacing) // 1)
                     units = round(spacing / unit)
                     first = _first_index(lo - base, origin, spacing)
                     last = _last_index(hi - base, origin, spacing)
-                    if not (need_marks <= last - first + 1 <= want):
+                    count = last - first + 1
+                    if count < need_marks or count > want:
                         continue
                     cand = np.arange(first, last + 1) * spacing + (base + origin)
 
@@ -346,17 +370,15 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
                             if abs(budge * unit) >= spacing / 2:
                                 break
                             moved = cand + budge * unit
-                            if any(np.round(moved / unit / 10) * 10 == np.round(moved / unit)) and self._fits(
-                                moved
-                            ):
+                            rounded = np.round(moved / unit)
+                            if any(np.round(rounded / 10) * 10 == rounded) and self._fits(moved):
                                 cand = moved
 
                     flaws = self._assess(
                         cand, spacing, units, unit, label_span, fill_step, axis_span, need_marks, want, family
                     )
-                    if (flaws["sparse"] and flaws["gappy"] or flaws["crowded"]) and min(3, len(cand)) <= len(
-                        keeper
-                    ):
+                    beaten = min(3, len(cand)) <= len(keeper)
+                    if (flaws["sparse"] and flaws["gappy"] or flaws["crowded"]) and beaten:
                         continue
                     if len(keeper) and flaws["gappy"] and family or remeasure and not self._fits(cand):
                         continue
@@ -383,25 +405,26 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
     def _assess(self, cand, spacing, units, unit, label_span, fill_step, axis_span, need_marks, want, family):
         """Flag layout defects of a candidate tick comb."""
         end_gap_limit = max(min(axis_span / 3, spacing), label_span * 1.1)
+        wide_pair = len(cand) == 2 and spacing > axis_span * 0.7
         if need_marks <= 1:
             gappy = False
         elif self.bounded_prune:
-            gappy = (len(cand) == 2 and spacing > axis_span * 0.7) or (
-                cand[0] - self._limits[0] > end_gap_limit or self._limits[1] - cand[-1] > end_gap_limit
+            gappy = wide_pair or (
+                cand[0] - self._view[0] > end_gap_limit or self._view[1] - cand[-1] > end_gap_limit
             )
         else:
-            gappy = (len(cand) == 2 and spacing > axis_span * 0.7) or (
+            gappy = wide_pair or (
                 len(cand) == 3
                 and spacing > max(2 * label_span, axis_span / 3)
                 and units > 1
                 and round(cand[-1] / unit) % 10 > 0
             )
+        few = len(cand) < 3 and (want > (3 if family else 4)) or (len(cand) < max(2, (want + 1) // 2))
         return {
             "sparse": spacing > fill_step and spacing > label_span * 1.5,
             "gappy": gappy,
             "crowded": spacing < label_span * 1.3 and len(cand) > 2,
-            "scanty": (len(cand) < 3 and (want > (3 if family else 4)) or (len(cand) < max(2, (want + 1) // 2)))
-            and spacing > label_span * 1.5,
+            "scanty": few and spacing > label_span * 1.5,
         }
 
     @staticmethod
