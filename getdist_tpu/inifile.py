@@ -32,6 +32,31 @@ def _ini_text(value):
     return str(value)
 
 
+def _expand_env(text):
+    """Expand $(var) placeholders from the environment ($$ = literal $,
+    bare $ dropped, unknown variables expand to nothing)."""
+    pieces = []
+    cursor = 0
+    size = len(text)
+    while cursor < size:
+        ch = text[cursor]
+        if ch != "$":
+            pieces.append(ch)
+            cursor += 1
+            continue
+        lookahead = text[cursor + 1] if cursor + 1 < size else ""
+        if lookahead == "$":
+            pieces.append("$")
+            cursor += 2
+        elif lookahead == "(":
+            close = text.index(")", cursor + 2)
+            pieces.append(os.environ.get(text[cursor + 2 : close], ""))
+            cursor = close + 1
+        else:
+            cursor += 1
+    return "".join(pieces)
+
+
 class IniFile:
     """Stores option values; reads/saves .ini files with inheritance.
 
@@ -59,123 +84,12 @@ class IniFile:
         self.defaults = []
         self.expand_environment_variables = expand_environment_variables
         self.original_filename = None
-        if settings:
-            if isinstance(settings, str):
-                self.readFile(settings, keep_includes)
-            else:
-                self.params.update(settings)
+        if isinstance(settings, str):
+            self.readFile(settings, keep_includes)
+        elif settings:
+            self.params.update(settings)
 
-    def expand_placeholders(self, s):
-        """Expand $(var) placeholders from the environment ($$ = literal $,
-        bare $ dropped, unknown variables expand to nothing)."""
-        if "$(" not in s:
-            return s
-        pieces = []
-        i = 0
-        while i < len(s):
-            ch = s[i]
-            if ch != "$":
-                pieces.append(ch)
-                i += 1
-                continue
-            after = s[i + 1] if i + 1 < len(s) else ""
-            if after == "$":
-                pieces.append("$")
-                i += 2
-            elif after == "(":
-                close = s.index(")", i + 2)
-                pieces.append(os.environ.get(s[i + 2 : close], ""))
-                i = close + 1
-            else:
-                i += 1
-        return "".join(pieces)
-
-    def _store(self, line, filename, if_not_defined, pending_comments):
-        if "=" not in line:
-            return False
-        key, _, raw = line.partition("=")
-        key = key.strip()
-        if key in self.params:
-            if if_not_defined:
-                return True
-            raise IniError("Error: duplicate key: " + key + " in " + filename)
-        value = self.expand_placeholders(raw.strip()) if self.expand_environment_variables else raw.strip()
-        self.params[key] = value
-        self.readOrder.append(key)
-        if pending_comments:
-            self.comments[key] = list(pending_comments)
-        return True
-
-    def readFile(self, filename, keep_includes=False, if_not_defined=False):
-        try:
-            included = []
-            defaulted = []
-            self.original_filename = filename
-            pending_comments = []
-            with open(filename, encoding="utf-8-sig") as stream:
-                for raw in stream:
-                    line = raw.strip()
-                    if line == "END":
-                        break
-                    if line.startswith("#"):
-                        pending_comments.append(line[1:].rstrip())
-                        continue
-                    if line.startswith("INCLUDE("):
-                        included.append(_bracket_arg(line))
-                    elif line.startswith("DEFAULT("):
-                        defaulted.append(_bracket_arg(line))
-                    elif line:
-                        self._store(line, filename, if_not_defined, pending_comments)
-                    pending_comments = []
-
-            if keep_includes:
-                self.includes += included
-                self.defaults += defaulted
-            else:
-                base_dir = os.path.dirname(filename)
-
-                def resolve(inherited):
-                    return inherited if os.path.isabs(inherited) else os.path.join(base_dir, inherited)
-
-                for inherited in included:
-                    self.readFile(resolve(inherited), if_not_defined=if_not_defined)
-                for inherited in defaulted:
-                    self.readFile(resolve(inherited), if_not_defined=True)
-            return self.params
-        except Exception:
-            print("Error in %s" % filename)
-            raise
-
-    def __str__(self):
-        return "\n".join(self.fileLines())
-
-    def saveFile(self, filename=None):
-        """Write the settings back to a .ini file."""
-        target = filename or self.original_filename
-        if not target:
-            raise IniError("No filename for iniFile.saveFile()")
-        with open(target, "w", encoding="utf-8") as stream:
-            stream.write("\n".join(self.fileLines()))
-
-    def fileLines(self):
-        lines = ["INCLUDE(%s)" % inc for inc in self.includes]
-        lines += ["DEFAULT(%s)" % d for d in self.defaults]
-        emitted = set()
-        ordered = [k for k in self.readOrder if k in self.params and not (k in emitted or emitted.add(k))]
-        ordered += sorted(k for k in self.params if k not in emitted)
-        lines += ["%s=%s" % (key, _ini_text(self.params[key])) for key in ordered]
-        return lines
-
-    def replaceTags(self, placeholder, text):
-        self.params = {key: value.replace(placeholder, text) for key, value in self.params.items()}
-        return self.params
-
-    def delete_keys(self, keys):
-        for key in keys:
-            self.params.pop(key, None)
-
-    def _undefined(self, name):
-        raise IniError("parameter not defined: " + name)
+    # -- presence & typed scalar getters --------------------------------------
 
     def hasKey(self, name):
         """True when the parameter name exists."""
@@ -183,47 +97,43 @@ class IniFile:
 
     def isSet(self, name, allowEmpty=False):
         """True when the parameter exists and (unless allowEmpty) is non-empty."""
-        if name not in self.params:
+        stored = self.params.get(name)
+        if stored is None and name not in self.params:
             return False
-        return allowEmpty or self.params[name] != ""
+        return allowEmpty or stored != ""
+
+    def _undefined(self, name):
+        raise IniError("parameter not defined: " + name)
 
     def asType(self, name, tp, default=None, allowEmpty=False):
-        if self.isSet(name, allowEmpty):
-            special = {bool: self.bool, list: self.split, np.ndarray: self.ndarray}
-            reader = special.get(tp)
-            if reader:
-                return reader(name, default)
-            return tp(self.params[name])
-        if default is not None:
+        if not self.isSet(name, allowEmpty):
+            if default is None:
+                self._undefined(name)
             return default
-        self._undefined(name)
-
-    def setAttr(self, name, instance, default=None, allowEmpty=False):
-        """Set instance.name from the parameter, cast to the type of the
-        attribute's current (or default) value."""
-        current = getattr(instance, name, default)
-        typed = self.asType(name, type(current), current, allowEmpty=allowEmpty)
-        setattr(instance, name, typed)
-
-    def getAttr(self, instance, name, default=None, comment=None):
-        self.params[name] = getattr(instance, name, default)
-        if comment:
-            self.comments[name] = comment
+        # types with bespoke parsing go through their own getter
+        if tp is bool:
+            return self.bool(name, default)
+        if tp is list:
+            return self.split(name, default)
+        if tp is np.ndarray:
+            return self.ndarray(name, default)
+        return tp(self.params[name])
 
     def bool(self, name, default=False):
         """Boolean value (text starting T = True, F = False)."""
-        if self.isSet(name):
-            text = self.params[name]
-            if isinstance(text, bool):
-                return text
-            if text.startswith("T"):
-                return True
-            if text.startswith("F"):
-                return False
-            raise IniError("parameter does not have valid T(rue) or F(alse) boolean value: " + name)
-        if default is not None:
+        if not self.isSet(name):
+            if default is None:
+                self._undefined(name)
             return default
-        self._undefined(name)
+        text = self.params[name]
+        if isinstance(text, bool):
+            return text
+        first = text[:1]
+        if first == "T":
+            return True
+        if first == "F":
+            return False
+        raise IniError("parameter does not have valid T(rue) or F(alse) boolean value: " + name)
 
     def string(self, name, default=None, allowEmpty=True):
         """String value."""
@@ -237,16 +147,16 @@ class IniFile:
         """Int value."""
         return self.asType(name, int, default)
 
+    # -- list-valued getters ---------------------------------------------------
+
     def split(self, name, default=None, tp=None):
         """List of values from a space-separated entry, optionally cast to tp."""
+        cast = (lambda seq: seq) if tp is None else (lambda seq: [tp(x) for x in seq])
         stored = self.params.get(name)
         if isinstance(stored, (list, tuple)):
-            return stored if tp is None else [tp(x) for x in stored]
+            return cast(stored)
         text = self.string(name, default)
-        if not isinstance(text, str):
-            return text
-        parts = text.split()
-        return parts if tp is None else [tp(x) for x in parts]
+        return cast(text.split()) if isinstance(text, str) else text
 
     def list(self, name, default=None, tp=None):
         """List of values (space-separated)."""
@@ -266,32 +176,141 @@ class IniFile:
 
     def ndarray(self, name, default=None, tp=np.float64):
         """Numpy array of values."""
-        values = self.split(name, default, tp=tp)
-        return np.array(values)
+        return np.array(self.split(name, default, tp=tp))
 
+    # -- indexed name(i) getters -------------------------------------------------
 
-
-
+    def _indexed(self, getter, name, index, default):
+        return getter(f"{name}({index:d})", default)
 
     def array_bool(self, name, index=1, default=None):
         """Bool entry of the indexed form ``name(index)``."""
-        return self.bool("%s(%u)" % (name, index), default)
+        return self._indexed(self.bool, name, index, default)
 
     def array_float(self, name, index=1, default=None):
         """Float entry of the indexed form ``name(index)``."""
-        return self.float("%s(%u)" % (name, index), default)
+        return self._indexed(self.float, name, index, default)
 
     def array_int(self, name, index=1, default=None):
         """Int entry of the indexed form ``name(index)``."""
-        return self.int("%s(%u)" % (name, index), default)
+        return self._indexed(self.int, name, index, default)
 
     def array_string(self, name, index=1, default=None):
         """String entry of the indexed form ``name(index)``."""
-        return self.string("%s(%u)" % (name, index), default)
+        return self._indexed(self.string, name, index, default)
+
+    # -- object reflection --------------------------------------------------------
+
+    def setAttr(self, name, instance, default=None, allowEmpty=False):
+        """Set instance.name from the parameter, cast to the type of the
+        attribute's current (or default) value."""
+        current = getattr(instance, name, default)
+        typed = self.asType(name, type(current), current, allowEmpty=allowEmpty)
+        setattr(instance, name, typed)
+
+    def getAttr(self, instance, name, default=None, comment=None):
+        self.params[name] = getattr(instance, name, default)
+        if comment:
+            self.comments[name] = comment
+
+    # -- bulk edits ------------------------------------------------------------------
+
+    def replaceTags(self, placeholder, text):
+        self.params = {key: value.replace(placeholder, text) for key, value in self.params.items()}
+        return self.params
+
+    def delete_keys(self, keys):
+        for key in keys:
+            self.params.pop(key, None)
+
+    # -- file IO -----------------------------------------------------------------------
+
+    def expand_placeholders(self, s):
+        """Expand $(var) placeholders (see :func:`_expand_env`)."""
+        return _expand_env(s) if "$(" in s else s
+
+    def _store(self, line, filename, if_not_defined, pending_comments):
+        if "=" not in line:
+            return False
+        key, _, raw = line.partition("=")
+        key = key.strip()
+        if key in self.params:
+            if if_not_defined:
+                return True
+            raise IniError(f"Error: duplicate key: {key} in {filename}")
+        raw = raw.strip()
+        self.params[key] = self.expand_placeholders(raw) if self.expand_environment_variables else raw
+        self.readOrder.append(key)
+        if pending_comments:
+            self.comments[key] = list(pending_comments)
+        return True
+
+    def _parse_stream(self, stream, filename, if_not_defined):
+        """Read key=value lines; returns ([included files], [default files])."""
+        inherit = {"INCLUDE(": [], "DEFAULT(": []}
+        pending_comments = []
+        for raw in stream:
+            line = raw.strip()
+            if line == "END":
+                break
+            if line.startswith("#"):
+                pending_comments.append(line[1:].rstrip())
+                continue
+            directive = next((d for d in inherit if line.startswith(d)), None)
+            if directive:
+                inherit[directive].append(_bracket_arg(line))
+            elif line:
+                self._store(line, filename, if_not_defined, pending_comments)
+            pending_comments = []
+        return inherit["INCLUDE("], inherit["DEFAULT("]
+
+    def readFile(self, filename, keep_includes=False, if_not_defined=False):
+        try:
+            self.original_filename = filename
+            with open(filename, encoding="utf-8-sig") as stream:
+                included, defaulted = self._parse_stream(stream, filename, if_not_defined)
+            if keep_includes:
+                self.includes += included
+                self.defaults += defaulted
+            else:
+                base_dir = os.path.dirname(filename)
+
+                def resolve(inherited):
+                    return inherited if os.path.isabs(inherited) else os.path.join(base_dir, inherited)
+
+                for inherited in included:
+                    self.readFile(resolve(inherited), if_not_defined=if_not_defined)
+                for inherited in defaulted:
+                    self.readFile(resolve(inherited), if_not_defined=True)
+            return self.params
+        except Exception:
+            print(f"Error in {filename}")
+            raise
+
+    def saveFile(self, filename=None):
+        """Write the settings back to a .ini file."""
+        target = filename or self.original_filename
+        if not target:
+            raise IniError("No filename for iniFile.saveFile()")
+        with open(target, "w", encoding="utf-8") as stream:
+            stream.write(str(self))
 
     def relativeFileName(self, name, default=None):
         path = self.string(name, default)
         if os.path.isabs(path) or self.original_filename is None:
             return path
-        base = os.path.dirname(self.original_filename)
-        return os.path.join(base, path)
+        return os.path.join(os.path.dirname(self.original_filename), path)
+
+    # -- rendering ------------------------------------------------------------------------
+
+    def fileLines(self):
+        lines = [f"INCLUDE({inc})" for inc in self.includes]
+        lines += [f"DEFAULT({d})" for d in self.defaults]
+        emitted = set()
+        ordered = [k for k in self.readOrder if k in self.params and not (k in emitted or emitted.add(k))]
+        ordered += sorted(k for k in self.params if k not in emitted)
+        lines += [f"{key}={_ini_text(self.params[key])}" for key in ordered]
+        return lines
+
+    def __str__(self):
+        return "\n".join(self.fileLines())
