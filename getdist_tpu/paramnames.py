@@ -10,7 +10,6 @@ metadata consumed by the device pipelines via index lookup.
 
 import fnmatch
 import os
-from itertools import chain as _chain
 
 __all__ = ["ParamInfo", "ParamList", "ParamNames", "makeList", "mergeRenames", "escapeLatex"]
 
@@ -79,9 +78,11 @@ class ParamInfo:
     (``paramnames.py:69-147``).
     """
 
+    # class-level defaults double as pickle back-compat for old objects
+    filenameLoadedFrom = ""
+    periodic = False
+
     def __init__(self, line=None, name="", label="", comment="", derived=False, renames=None, number=None):
-        self.filenameLoadedFrom = ""
-        self.periodic = False
         self.number = number
         self.renames = makeList(renames or [])
         self.isDerived = derived
@@ -91,17 +92,16 @@ class ParamInfo:
         if line is not None:
             self.setFromString(line)
 
-    def setName(self, name):
-        _require_name_str(name)
-        if any(ch in name for ch in "*? \t"):
-            raise ValueError("Parameter names must not contain spaces, * or ?")
-        self.name = name
+    # -- serialization: the line format is the core contract ------------------
 
-    def nameEquals(self, name):
-        """True when ``name`` (a string or ParamInfo) names this parameter.
-        (The reference's version compares its argument to itself,
-        ``paramnames.py:91-95``; this implements the evident intent.)"""
-        return (name.name if isinstance(name, ParamInfo) else name) == self.name
+    def string(self, wantComments=True):
+        tag = f"{self.name}*" if self.isDerived else self.name
+        out = f"{tag}\t{self.label}"
+        if wantComments and self.comment:
+            out = f"{out}\t#{self.comment}"
+        return out
+
+    __str__ = string
 
     def setFromString(self, line):
         parts = line.split(None, 1)
@@ -122,25 +122,31 @@ class ParamInfo:
         if comment != "NULL":
             self.comment = comment
 
+    # -- identity --------------------------------------------------------------
+
+    def setName(self, name):
+        _require_name_str(name)
+        if any(ch in name for ch in "*? \t"):
+            raise ValueError("Parameter names must not contain spaces, * or ?")
+        self.name = name
+
+    def nameEquals(self, name):
+        """True when ``name`` (a string or ParamInfo) names this parameter.
+        (The reference's version compares its argument to itself,
+        ``paramnames.py:91-95``; this implements the evident intent.)"""
+        other = name.name if isinstance(name, ParamInfo) else name
+        return other == self.name
+
     def getLabel(self):
         return self.label or self.name
 
     def latexLabel(self):
-        return "$" + self.label + "$" if self.label else self.name
-
-    def string(self, wantComments=True):
-        out = self.name + ("*" if self.isDerived else "") + "\t" + self.label
-        if wantComments and self.comment:
-            out += "\t#" + self.comment
-        return out
-
-    __str__ = string
+        return f"${self.label}$" if self.label else self.name
 
     def __setstate__(self, state):
         # backward-compatible unpickling for objects predating new fields
+        state.setdefault("renames", [])
         self.__dict__.update(state)
-        for missing, default in (("periodic", False), ("renames", [])):
-            self.__dict__.setdefault(missing, default)
 
 
 class ParamList:
@@ -148,9 +154,10 @@ class ParamList:
     matching, rename handling, and text serialization (reference
     ``paramnames.py:156-416``)."""
 
+    info_dict = None  # raw Cobaya yaml info when loaded from yaml
+
     def __init__(self, fileName=None, setParamNameFile=None, default=0, names=None, labels=None):
         self.names = []
-        self.info_dict = None  # raw Cobaya yaml info when loaded from yaml
         if default:
             self.setDefault(default)
         for value, apply in (
@@ -162,57 +169,7 @@ class ParamList:
             if value is not None:
                 apply(value)
 
-    def loadFromFile(self, fileName):  # pragma: no cover - overridden in ParamNames
-        raise NotImplementedError
-
-    def setDefault(self, n):
-        self.names = []
-        for i in range(1, n + 1):
-            self.names.append(ParamInfo(name="param%d" % i, label="p_{%i}" % i))
-        return self
-
-    def setWithNames(self, names):
-        self.names = list(map(ParamInfo, names))
-        return self
-
-    def setLabels(self, labels):
-        for info, label in zip(self.names, labels):
-            info.label = label
-
-    # -- basic queries ------------------------------------------------------
-    def list(self):
-        """List of parameter name strings."""
-        return [info.name for info in self.names]
-
-    def labels(self):
-        """List of parameter label strings."""
-        return [info.label for info in self.names]
-
-    def listString(self):
-        return " ".join(info.name for info in self.names)
-
-    def numParams(self):
-        return len(self.names)
-
-    def numDerived(self):
-        return sum(1 for info in self.names if info.isDerived)
-
-    def numNonDerived(self):
-        return sum(1 for info in self.names if not info.isDerived)
-
-    def getDerivedNames(self):
-        """Names of all derived parameters."""
-        return [info.name for info in self.names if info.isDerived]
-
-    def getRunningNames(self):
-        """Names of all sampled (non-derived) parameters."""
-        return [info.name for info in self.names if not info.isDerived]
-
-    def parWithNumber(self, num):
-        for info in self.names:
-            if info.number == num:
-                return info
-        return None
+    # -- lookup (most-used surface) -------------------------------------------
 
     def parWithName(self, name, error=False, renames=None):
         """Find the :class:`ParamInfo` with the given name, honoring each
@@ -231,6 +188,12 @@ class ParamList:
             raise Exception(f"parameter name not found: {name}")
         return None
 
+    def parWithNumber(self, num):
+        for info in self.names:
+            if info.number == num:
+                return info
+        return None
+
     def numberOfName(self, name):
         """Index of the parameter with exactly this name, or -1."""
         _require_name_str(name)
@@ -239,13 +202,17 @@ class ParamList:
     def hasParam(self, name):
         return self.numberOfName(name) >= 0
 
+    def getMatches(self, pattern, strings=False):
+        matched = [info for info in self.names if fnmatch.fnmatchcase(info.name, pattern)]
+        return [info.name for info in matched] if strings else matched
+
     def parsWithNames(self, names, error=False, renames=None):
         """Resolve a list of name strings (globs expand to all matches) to
         :class:`ParamInfo` objects; ``error`` may be a bool or list of bools."""
-        if isinstance(names, str):
-            names = [names]
+        names = [names] if isinstance(names, str) else names
         errors = makeList(error)
-        errors = errors * len(names) if len(errors) < len(names) else errors
+        if len(errors) < len(names):
+            errors = errors * len(names)
         out = []
         for name, err in zip(names, errors):
             if isinstance(name, ParamInfo):
@@ -256,11 +223,84 @@ class ParamList:
                 out.append(self.parWithName(name, err, renames))
         return out
 
-    def getMatches(self, pattern, strings=False):
-        matched = [info for info in self.names if fnmatch.fnmatchcase(info.name, pattern)]
-        return [info.name for info in matched] if strings else matched
+    # -- rename handling --------------------------------------------------------
 
-    # -- mutation -----------------------------------------------------------
+    def getRenames(self, keep_empty=False):
+        """Dict of name -> alias list for parameters that have aliases."""
+        return {
+            info.name: getattr(info, "renames", [])
+            for info in self.names
+            if getattr(info, "renames", None) or keep_empty
+        }
+
+    def updateRenames(self, renames):
+        """Fold a rename dict into each parameter's stored aliases."""
+        own = self.getRenames(keep_empty=True)
+        merged = mergeRenames(own, renames, keep_names_1st=True)
+        known = set(self.list())
+        for name, aliases in merged.items():
+            if name in known:
+                self.parWithName(name).renames = aliases
+
+    # -- whole-list views ---------------------------------------------------------
+
+    def list(self):
+        """List of parameter name strings."""
+        return [info.name for info in self.names]
+
+    def labels(self):
+        """List of parameter label strings."""
+        return [info.label for info in self.names]
+
+    def listString(self):
+        return " ".join(self.list())
+
+    def numParams(self):
+        return len(self.names)
+
+    def numDerived(self):
+        return sum(info.isDerived for info in self.names)
+
+    def numNonDerived(self):
+        return sum(not info.isDerived for info in self.names)
+
+    def getDerivedNames(self):
+        """Names of all derived parameters."""
+        return [info.name for info in self.names if info.isDerived]
+
+    def getRunningNames(self):
+        """Names of all sampled (non-derived) parameters."""
+        return [info.name for info in self.names if not info.isDerived]
+
+    # -- construction & mutation ------------------------------------------------------
+
+    def loadFromFile(self, fileName):  # pragma: no cover - overridden in ParamNames
+        raise NotImplementedError
+
+    def setDefault(self, n):
+        self.names = [ParamInfo(name="param%d" % ix, label="p_{%i}" % ix) for ix in range(1, n + 1)]
+        return self
+
+    def setWithNames(self, names):
+        self.names = [ParamInfo(name) for name in names]
+        return self
+
+    def setLabels(self, labels):
+        for info, label in zip(self.names, labels):
+            info.label = label
+
+    def setLabelsFromParamNames(self, fname):
+        self.setLabelsAndDerivedFromParamNames(fname, set_derived=False)
+
+    def setLabelsAndDerivedFromParamNames(self, fname, set_derived=True):
+        source = fname if isinstance(fname, ParamNames) else ParamNames(fname)
+        for other in source.names:
+            mine = self.parWithName(other.name)
+            if mine is not None:
+                mine.label = other.label
+                if set_derived:
+                    mine.isDerived = other.isDerived
+
     def deleteIndices(self, indices):
         drop = set(indices)
         self.names = [info for i, info in enumerate(self.names) if i not in drop]
@@ -278,44 +318,18 @@ class ParamList:
         if kwargs.get("derived") is None:
             kwargs["derived"] = True
         _require_name_str(name)
-        self.names.append(ParamInfo(name=name, **{k: v for k, v in kwargs.items() if k != "name"}))
+        kwargs.pop("name", None)
+        self.names.append(ParamInfo(name=name, **kwargs))
         return self.names[-1]
 
-    def setLabelsFromParamNames(self, fname):
-        self.setLabelsAndDerivedFromParamNames(fname, set_derived=False)
+    # -- text output -------------------------------------------------------------------
 
-    def setLabelsAndDerivedFromParamNames(self, fname, set_derived=True):
-        source = fname if isinstance(fname, ParamNames) else ParamNames(fname)
-        for other in source.names:
-            mine = self.parWithName(other.name)
-            if mine is not None:
-                mine.label = other.label
-                if set_derived:
-                    mine.isDerived = other.isDerived
-
-    # -- renames ------------------------------------------------------------
-    def getRenames(self, keep_empty=False):
-        """Dict of name -> alias list for parameters that have aliases."""
-        return {
-            info.name: getattr(info, "renames", [])
-            for info in self.names
-            if getattr(info, "renames", None) or keep_empty
-        }
-
-    def updateRenames(self, renames):
-        """Fold a rename dict into each parameter's stored aliases."""
-        merged = mergeRenames(self.getRenames(keep_empty=True), renames, keep_names_1st=True)
-        known = set(self.list())
-        for name, aliases in merged.items():
-            if name in known:
-                self.parWithName(name).renames = aliases
-
-    # -- formatting ---------------------------------------------------------
     def maxNameLen(self):
         return max(len(info.name) for info in self.names)
 
     def parFormat(self):
-        return "%-" + str(max(9, self.maxNameLen()) + 1) + "s"
+        width = max(9, self.maxNameLen()) + 1
+        return f"%-{width}s"
 
     def name(self, ix, tag_derived=False):
         info = self.names[ix]
@@ -331,7 +345,7 @@ class ParamList:
 
     def fileList(self, fname):
         with open(fname, encoding="utf-8-sig") as handle:
-            return handle.readlines()
+            return list(handle)
 
 
 class ParamNames(ParamList):
@@ -346,17 +360,11 @@ class ParamNames(ParamList):
             with open(fileName, encoding="utf-8-sig") as handle:
                 self.names = [ParamInfo(line) for line in (s.strip() for s in handle) if line]
         elif ext in (".yaml", ".yml"):
+            from getdist_tpu import cobaya_interface as cobaya
             from getdist_tpu import yaml_tools
-            from getdist_tpu.cobaya_interface import (
-                _p_label,
-                _p_renames,
-                get_info_params,
-                is_derived_param,
-                is_sampled_param,
-            )
 
             self.info_dict = yaml_tools.yaml_load_file(fileName)
-            info_params = get_info_params(self.info_dict)
+            info_params = cobaya.get_info_params(self.info_dict)
 
             def entries(pred, derived):
                 for p, info in info_params.items():
@@ -364,13 +372,15 @@ class ParamNames(ParamList):
                         detail = info or {}
                         yield ParamInfo(
                             name=p,
-                            label=detail.get(_p_label, p),
-                            renames=detail.get(_p_renames),
+                            label=detail.get(cobaya._p_label, p),
+                            renames=detail.get(cobaya._p_renames),
                             derived=derived,
                         )
 
             # sampled parameters first, then derived
-            self.names = list(entries(is_sampled_param, False)) + list(entries(is_derived_param, True))
+            sampled = entries(cobaya.is_sampled_param, False)
+            derived = entries(cobaya.is_derived_param, True)
+            self.names = [*sampled, *derived]
         else:
             raise ValueError(f"ParamNames must load from .paramnames or .yaml/.yml, got {fileName}")
 
@@ -378,10 +388,10 @@ class ParamNames(ParamList):
         n_used = keywordProvider.keyWord_int("num_params_used")
         n_derived = keywordProvider.keyWord_int("num_derived_params")
         total = n_used + n_derived
-        for i in range(total):
-            info = ParamInfo()
-            info.setFromStringWithComment(keywordProvider.keyWordAndComment(f"param_{i + 1}"))
-            self.names.append(info)
+        for i in range(1, total + 1):
+            entry = ParamInfo()
+            entry.setFromStringWithComment(keywordProvider.keyWordAndComment(f"param_{i}"))
+            self.names.append(entry)
         return total
 
     def saveKeyWords(self, keywordProvider):
