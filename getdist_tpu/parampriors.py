@@ -26,28 +26,39 @@ class ParamBounds:
     def __init__(self, fileName=None):
         self.names = []
         self.periodic = set()
-        self.lower = {}
-        self.upper = {}
+        self.lower, self.upper = {}, {}
         if fileName is not None:
             self.loadFromFile(fileName)
 
+    def _read_ranges_text(self, fileName):
+        with open(fileName, encoding="utf-8-sig") as handle:
+            for line in handle:
+                fields = line.split()
+                if len(fields) in (3, 4):
+                    self.setRange(fields[0], fields[1:])
+
+    def _read_cobaya_yaml(self, fileName):
+        from getdist_tpu import cobaya_interface as cobaya
+
+        info_params = cobaya.get_info_params(fileName)
+        for p, info in info_params.items():
+            self.setRange(p, cobaya.get_range(info))
+
     def loadFromFile(self, fileName):
         """Load from ``.ranges``/``.bounds`` text or Cobaya ``.yaml``."""
-        self.filenameLoadedFrom = os.path.split(fileName)[1]
+        _, tail = os.path.split(fileName)
+        self.filenameLoadedFrom = tail
         ext = os.path.splitext(fileName)[-1]
-        if ext in (".ranges", ".bounds"):
-            with open(fileName, encoding="utf-8-sig") as handle:
-                for line in handle:
-                    fields = line.split()
-                    if len(fields) in (3, 4):
-                        self.setRange(fields[0], fields[1:])
-        elif ext in (".yaml", ".yml"):
-            from getdist_tpu.cobaya_interface import get_info_params, get_range
-
-            for p, info in get_info_params(fileName).items():
-                self.setRange(p, get_range(info))
-        else:
+        readers = {
+            ".ranges": self._read_ranges_text,
+            ".bounds": self._read_ranges_text,
+            ".yaml": self._read_cobaya_yaml,
+            ".yml": self._read_cobaya_yaml,
+        }
+        reader = readers.get(ext)
+        if reader is None:
             raise ValueError(f"ParamBounds must load from .bounds, .ranges or .yaml/.yml, not {fileName}")
+        reader(fileName)
 
     @staticmethod
     def _bound_value(token, open_marker):
@@ -65,7 +76,8 @@ class ParamBounds:
             elif spelled in ("F", "FALSE"):
                 verdict = False
         if verdict is True:
-            if name not in self.upper or name not in self.lower:
+            both = name in self.lower and name in self.upper
+            if not both:
                 raise ValueError(f"Periodic parameter must have lower and upper bound: {name}")
             self.periodic.add(name)
         elif verdict is not False:
@@ -86,7 +98,7 @@ class ParamBounds:
         if len(strings) > 2:
             self._mark_periodic(name, strings[2])
         if name not in self.names:
-            self.names.append(name)
+            self.names += [name]
 
     def setFixed(self, name, value):
         self.setRange(name, (value, value))
@@ -96,15 +108,17 @@ class ParamBounds:
         if not isinstance(name, str):
             raise ValueError(f"parameter name must be a string, got {type(name)}: {name}")
 
+    def _bound_lookup(self, table, name):
+        self._require_name(name)
+        return table.get(name)
+
     def getLower(self, name):
         """Lower limit for name, or None."""
-        self._require_name(name)
-        return self.lower.get(name)
+        return self._bound_lookup(self.lower, name)
 
     def getUpper(self, name):
         """Upper limit for name, or None."""
-        self._require_name(name)
-        return self.upper.get(name)
+        return self._bound_lookup(self.upper, name)
 
     def fixedValue(self, name):
         """The fixed value if lower == upper, else None."""
