@@ -110,8 +110,9 @@ class GridDensity:
         else:
             P = np.asarray(P)
             for ax, size in zip(self.axes, P.shape):
-                if ax.size != size:
-                    raise DensitiesError(f"Array size mismatch in Density arrays: P {size}, axis {ax.size}")
+                if size != ax.size:
+                    message = f"Array size mismatch in Density arrays: P {size}, axis {ax.size}"
+                    raise DensitiesError(message)
             self.P = P
         self.spl = None
 
@@ -155,6 +156,8 @@ class Density1D(GridDensity):
     """1D marginalized density on a uniform grid; callable for interpolated
     values, with equal-density credible-interval solving."""
 
+    ndim = 1
+
     def __init__(self, x, P=None, view_ranges=None):
         """
         :param x: grid of x values
@@ -162,10 +165,10 @@ class Density1D(GridDensity):
         :param view_ranges: optional viewing range
         """
         self.x = np.asarray(x)
+        self.view_ranges = view_ranges
         self.n = self.x.size
         self.spacing = x[1] - x[0]
         self.axes = [self.x]
-        self.view_ranges = view_ranges
         self.setP(P)
 
     def bounds(self):
@@ -175,11 +178,12 @@ class Density1D(GridDensity):
         return self.view_ranges
 
     def _initSpline(self):
-        self.spl = splrep(self.x, self.P, s=0)
+        knots = splrep(self.x, self.P, s=0)
+        self.spl = knots
 
     def integrate(self, P):
-        interior = np.sum(P[1:-1])
-        return ((P[0] + P[-1]) / 2 + interior) * self.spacing
+        ends = 0.5 * (P[0] + P[-1])
+        return self.spacing * (ends + np.sum(P[1:-1]))
 
     def Prob(self, x, derivative=0):
         """Interpolated density (or derivative) at x."""
@@ -233,6 +237,8 @@ class Density2D(GridDensity):
     """2D marginalized density on a rectangular grid; callable like a
     RectBivariateSpline."""
 
+    ndim = 2
+
     def __init__(self, x, y, P=None, view_ranges=None, mask=None):
         """
         :param x: x grid
@@ -241,26 +247,25 @@ class Density2D(GridDensity):
         :param view_ranges: optional [(xmin,xmax),(ymin,ymax)]
         :param mask: optional boolean mask for non-rectangular priors
         """
-        self.x = np.asarray(x)
-        self.y = np.asarray(y)
-        dx = self.x[1] - self.x[0]
-        dy = self.y[1] - self.y[0]
-        self.spacing = dx * dy
-        self.axes = [self.y, self.x]
-        self.mask = mask
+        self.x, self.y = np.asarray(x), np.asarray(y)
         self.view_ranges = view_ranges
+        self.mask = mask
+        cell = (self.x[1] - self.x[0]) * (self.y[1] - self.y[0])
+        self.spacing = cell
+        self.axes = [self.y, self.x]
         self.setP(P)
 
     def integrate(self, P):
         # interior cells count fully, edge lines half, corners a quarter
-        interior = np.sum(P[1:-1, 1:-1])
-        corners = (P[0, 0] + P[0, -1] + P[-1, 0] + P[-1, -1]) / 4.0
+        corner_sum = P[0, 0] + P[-1, -1] + P[-1, 0] + P[0, -1]
         sides = ((slice(1, -1), 0), (0, slice(1, -1)), (slice(1, -1), -1), (-1, slice(1, -1)))
-        edges = sum(np.sum(P[side]) for side in sides) / 2.0
-        return (interior + corners + edges) * self.spacing
+        edge_sum = sum(np.sum(P[side]) for side in sides)
+        total = np.sum(P[1:-1, 1:-1]) + 0.25 * corner_sum + 0.5 * edge_sum
+        return total * self.spacing
 
     def _initSpline(self):
-        self.spl = RectBivariateSpline(self.x, self.y, self.P.T, s=0)
+        surface = RectBivariateSpline(self.x, self.y, self.P.T, s=0)
+        self.spl = surface
 
     def __call__(self, *args, **kwargs):
         return self._spline()(*args, **kwargs)
@@ -279,14 +284,15 @@ class DensityND(GridDensity):
         :param P: ND density values
         :param view_ranges: optional per-dimension view ranges
         """
+        self.view_ranges = view_ranges
         self.dim = len(xs)
         self.xs = xs
         # x/y/z aliases for compatibility and tests
         for name, ax in zip(("x", "y", "z"), xs):
             setattr(self, name, ax)
-        self.axes = xs[::-1]
-        self.view_ranges = view_ranges
-        self.spacing = float(np.prod([ax[1] - ax[0] for ax in xs]))
+        steps = [ax[1] - ax[0] for ax in xs]
+        self.spacing = float(np.prod(steps))
+        self.axes = list(reversed(xs))
         self.setP(P)
 
     def integrate(self, P):
@@ -301,7 +307,8 @@ class DensityND(GridDensity):
         return np.sum(P * weights)
 
     def _initSpline(self):
-        self.spl = LinearNDInterpolator(self.xs, self.P.T, rescale=True)
+        cloud = LinearNDInterpolator(self.xs, self.P.T, rescale=True)
+        self.spl = cloud
 
     def Prob(self, xs):
         """Interpolated density at the points xs."""
