@@ -83,6 +83,8 @@ class MixtureND:
     hard bounds (``lims``).  With bounds set, ``pdf`` is unnormalized and
     analytic marginalization is refused for bounded directions."""
 
+    lims = None  # hard bounds; None = fully analytic mixture
+
     def __init__(self, means, covs, weights=None, lims=None, names=None, label="", labels=None):
         """
         :param means: iterable of component mean vectors
@@ -217,9 +219,8 @@ class MixtureND:
             raise Exception("density2D requires at least two dimensions")
         else:
             pair = self.marginalizedMixture(params=params)
-        return pair._density2D(
-            num_points=num_points, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax, sigma_max=sigma_max
-        )
+        box = dict(xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax)
+        return pair._density2D(num_points=num_points, sigma_max=sigma_max, **box)
 
     # -- reduction ------------------------------------------------------------
 
@@ -345,6 +346,38 @@ class MixtureND:
         )
 
 
+class GaussianND(MixtureND):
+    """A single ND Gaussian; mean/cov may be filenames of text arrays, and
+    the matrix may be given as an inverse covariance."""
+
+    def __init__(self, mean, cov, is_inv_cov=False, **kwargs):
+        def load(v):
+            return np.loadtxt(v) if isinstance(v, str) else v
+
+        mean, cov = load(mean), load(cov)
+        if is_inv_cov:
+            cov = np.linalg.inv(cov)
+        super().__init__([mean], [cov], **kwargs)
+
+
+class RandomTestMixtureND(MixtureND):
+    """Mixture with randomly-generated component parameters, for tests.
+
+    RNG order (covariances first, then all means) is part of the seeded
+    fixture contract.
+    """
+
+    def __init__(self, ndim=4, ncomponent=1, names=None, weights=None, seed=None, label="RandomMixture"):
+        rng = np.random.default_rng(seed)
+        covs = []
+        for _ in range(ncomponent):
+            root = rng.random((ndim, ndim))
+            covs.append(root @ root.T)
+        means = rng.random((ncomponent, ndim))
+        spec = dict(weights=weights, lims=None, names=names, label=label)
+        super().__init__(means, covs, **spec)
+
+
 def _cov_from_spec(spec):
     """Accept a full 2x2 matrix or a (sigma_x, sigma_y, corr) triplet."""
     if np.ndim(spec) == 1 and len(spec) == 3:
@@ -415,14 +448,9 @@ class Mixture1D(MixtureND):
     def __init__(self, means, sigmas, weights=None, lims=None, name="x", xmin=None, xmax=None, **kwargs):
         lo, hi = lims if lims is not None else (None, None)
         bound = [(lo if xmin is None else xmin, hi if xmax is None else xmax)]
-        super().__init__(
-            np.reshape(means, (-1, 1)),
-            [np.array([[s * s]], dtype=np.float64) for s in sigmas],
-            weights,
-            bound,
-            names=[name],
-            **kwargs,
-        )
+        col_means = np.reshape(means, (-1, 1))
+        var_mats = [np.array([[s * s]], dtype=np.float64) for s in sigmas]
+        super().__init__(col_means, var_mats, weights, bound, names=[name], **kwargs)
 
     def pdf(self, x):
         return self.pdf_marged(0, x, no_limit_marge=True)
@@ -433,35 +461,6 @@ class Gaussian1D(Mixture1D):
 
     def __init__(self, mean, sigma, **kwargs):
         super().__init__([mean], [sigma], **kwargs)
-
-
-class GaussianND(MixtureND):
-    """A single ND Gaussian; mean/cov may be filenames of text arrays, and
-    the matrix may be given as an inverse covariance."""
-
-    def __init__(self, mean, cov, is_inv_cov=False, **kwargs):
-        mean = np.loadtxt(mean) if isinstance(mean, str) else mean
-        cov = np.loadtxt(cov) if isinstance(cov, str) else cov
-        if is_inv_cov:
-            cov = np.linalg.inv(cov)
-        super().__init__([mean], [cov], **kwargs)
-
-
-class RandomTestMixtureND(MixtureND):
-    """Mixture with randomly-generated component parameters, for tests.
-
-    RNG order (covariances first, then all means) is part of the seeded
-    fixture contract.
-    """
-
-    def __init__(self, ndim=4, ncomponent=1, names=None, weights=None, seed=None, label="RandomMixture"):
-        rng = np.random.default_rng(seed)
-        covs = []
-        for _ in range(ncomponent):
-            root = rng.random((ndim, ndim))
-            covs.append(root @ root.T)
-        means = rng.random((ncomponent, ndim))
-        super().__init__(means, covs, weights=weights, lims=None, names=names, label=label)
 
 
 def randomTestMCSamples(ndim=4, ncomponent=1, nsamp=10009, nMCSamples=1, seed=10, names=None, labels=None):
