@@ -510,9 +510,8 @@ class NumberFormatter:
         self.separate_limit_tol = separate_limit_tol
         self.err_sf = err_sf
 
-    def namesigFigs(self, value, limplus, limminus, wantSign=True, sci=False):
-        """Format value and the two limits with consistent decimal places
-        (reference ``types.py:102-141``)."""
+    def _choose_sig_figs(self, value, limplus):
+        """(value sig figs, error sig figs) adapted to the error scale."""
         frac = limplus / (abs(value) + limplus)
         sf = self.sig_figs
         if frac > 0.1 and 100 > value >= 20:
@@ -522,26 +521,38 @@ class NumberFormatter:
         err_sf = self.err_sf
         if value >= 20 and frac > 0.1 and limplus >= 2:
             err_sf = 1
+        return sf, err_sf
+
+    def _match_decimals(self, value, res, sf, maxdp):
+        """Re-format value so it has no more decimals than its errors."""
+        while self.decimal_places(res) > maxdp:
+            sf -= 1
+            if sf == 0:
+                res = "%.*f" % (maxdp, value)
+                if float(res) == 0.0:
+                    res = "%.*f" % (maxdp, 0)
+                return res, sf
+            res = self.formatNumber(value, sf)
+        return res, sf
+
+    def namesigFigs(self, value, limplus, limminus, wantSign=True, sci=False):
+        """Format value and the two limits with consistent decimal places
+        (reference ``types.py:102-141``)."""
+        sf, err_sf = self._choose_sig_figs(value, limplus)
         exponent = 0
         if sci:
             # probe the exponent from the largest-magnitude end of the range
-            if exponent := self.formatNumber(max(abs(value - limminus), abs(value + limplus)), sci=True)[1]:
+            widest = max(abs(value - limminus), abs(value + limplus))
+            if exponent := self.formatNumber(widest, sci=True)[1]:
+                scale = float_to_decimal(10.0**-exponent)
                 value, limplus, limminus = (
-                    decimal.getcontext().multiply(float_to_decimal(lim), float_to_decimal(10.0**-exponent))
+                    decimal.getcontext().multiply(float_to_decimal(lim), scale)
                     for lim in [value, limplus, limminus]
                 )
         plus_str = self.formatNumber(limplus, err_sf, wantSign)
         minus_str = self.formatNumber(limminus, err_sf, wantSign)
-        res = self.formatNumber(value, sf)
         maxdp = max(self.decimal_places(plus_str), self.decimal_places(minus_str))
-        while maxdp < self.decimal_places(res):
-            sf -= 1
-            if sf == 0:
-                res = ("%." + str(maxdp) + "f") % value
-                if float(res) == 0.0:
-                    res = ("%." + str(maxdp) + "f") % 0
-                break
-            res = self.formatNumber(value, sf)
+        res, sf = self._match_decimals(value, self.formatNumber(value, sf), sf, maxdp)
         while self.decimal_places(plus_str) > self.decimal_places(res):
             sf += 1
             res = self.formatNumber(value, sf)
@@ -578,22 +589,27 @@ class NumberFormatter:
 
 
 class TableFormatter:
-    """Lined latex table style."""
+    """Lined latex table style.
+
+    Style knobs are class attributes so variants are declared as plain
+    subclass overrides; only derived pieces are computed per instance.
+    """
+
+    border = "|"
+    endofrow = "\\\\"
+    hline = "\\hline"
+    paramText = "Parameter"
+    aboveTitles = "\\hline"
+    majorDividor = "|"
+    minorDividor = "|"
+    colDividor = "||"
+    belowTitles = ""
+    headerWrapper = " %s"
+    noConstraint = "---"
+    spacer = " "
 
     def __init__(self):
-        self.border = "|"
-        self.endofrow = "\\\\"
-        self.hline = "\\hline"
-        self.paramText = "Parameter"
-        self.aboveTitles = self.hline
-        self.majorDividor = "|"
-        self.minorDividor = "|"
-        self.colDividor = "||"
-        self.belowTitles = ""
-        self.headerWrapper = " %s"
-        self.noConstraint = "---"
-        self.spacer = " "
-        self.colSeparator = self.spacer + "&" + self.spacer
+        self.colSeparator = f"{self.spacer}&{self.spacer}"
         self.numberFormatter = NumberFormatter()
 
     def getLine(self, position=None):
@@ -655,37 +671,32 @@ class TableFormatter:
 class OpenTableFormatter(TableFormatter):
     """Open (no side borders) latex table style."""
 
-    def __init__(self):
-        super().__init__()
-        self.border = ""
-        self.aboveTitles = (
-            r"\noalign{\vskip 3pt}" + self.hline + r"\noalign{\vskip 1.5pt}" + self.hline + r"\noalign{\vskip 5pt}"
-        )
-        self.belowTitles = r"\noalign{\vskip 3pt}" + self.hline
-        self.aboveHeader = ""
-        self.belowHeader = self.hline
-        self.minorDividor = ""
-        self.belowFinalRow = ""
+    border = ""
+    aboveTitles = r"\noalign{\vskip 3pt}\hline\noalign{\vskip 1.5pt}\hline\noalign{\vskip 5pt}"
+    belowTitles = r"\noalign{\vskip 3pt}\hline"
+    aboveHeader = ""
+    belowHeader = r"\hline"
+    minorDividor = ""
+    belowFinalRow = ""
 
     def titleSubColumn(self, colsPerResult, title):
-        return " \\multicolumn{" + str(colsPerResult) + "}{" + "c" + "}{" + self.formatTitle(title) + "}"
+        return " \\multicolumn{%s}{c}{%s}" % (colsPerResult, self.formatTitle(title))
 
 
 class NoLineTableFormatter(OpenTableFormatter):
     """Minimal-rule latex table style (the default)."""
 
-    def __init__(self):
-        super().__init__()
-        self.aboveHeader = ""
-        self.minorDividor = ""
-        self.majorDividor = ""
-        self.belowFinalRow = self.hline
-        self.belowBlockRow = self.hline
-        self.colDividor = "|"
-        self.hline = ""
+    aboveHeader = ""
+    minorDividor = ""
+    majorDividor = ""
+    belowFinalRow = r"\hline"
+    belowBlockRow = r"\hline"
+    colDividor = "|"
+    hline = ""
 
     def belowTitleLine(self, colsPerParam, numResults=None):
-        return r"\noalign{\vskip 3pt}\cline{2-" + str(colsPerParam * numResults + 1) + r"}\noalign{\vskip 3pt}"
+        end_col = colsPerParam * numResults + 1
+        return r"\noalign{\vskip 3pt}\cline{2-%d}\noalign{\vskip 3pt}" % end_col
 
 
 class ResultTable:
@@ -747,53 +758,56 @@ class ResultTable:
 
     def _layout_rows(self, blockEndParams, titles):
         """Column-major row layout, then emit all table lines."""
-        nparams = self.tableParamNames.numParams()
-        numrow = nparams // self.ncol + (1 if nparams % self.ncol else 0)
-        rows = [[par] for par in self.tableParamNames.names[0:numrow]]
-        for col in range(1, self.ncol):
-            for i in range(numrow * col, min(numrow * (col + 1), nparams)):
-                rows[i - numrow * col].append(self.tableParamNames.names[i])
+        names = self.tableParamNames.names
+        numrow = -(-len(names) // self.ncol)
+        strides = [names[c * numrow : (c + 1) * numrow] for c in range(self.ncol)]
+        rows = [[col[r] for col in strides if r < len(col)] for r in range(numrow)]
 
         self.lines.append(self.format.startTable(self.ncol, self.colsPerResult, len(self.results)))
         if titles is not None:
             self.addTitlesRow(titles)
         self.addHeaderRow()
+        block_ends = blockEndParams if self.ncol == 1 and blockEndParams is not None else ()
         for row in rows[:-1]:
             self.addFullTableRow(row)
-            if self.ncol == 1 and blockEndParams is not None and row[0].name in blockEndParams:
-                self.addLine("belowBlockRow")
-            else:
-                self.addLine("belowRow")
+            self.addLine("belowBlockRow" if row[0].name in block_ends else "belowRow")
         self.addFullTableRow(rows[-1])
         self.addLine("belowFinalRow")
         self.endTable()
 
+    def _emit_row(self, cells):
+        self.lines.append(self.format.colSeparator.join(cells) + self.format.endofrow)
+
     def addFullTableRow(self, row):
-        txt = self.format.colSeparator.join(self.paramLabelColumn(param) + self.paramResultsTex(param) for param in row)
-        if not self.ncol == len(row):
-            txt += self.format.colSeparator * ((1 + self.colsPerParam) * (self.ncol - len(row)))
-        self.lines.append(txt + self.format.endofrow)
+        cells = [self.paramLabelColumn(param) + self.paramResultsTex(param) for param in row]
+        short = self.ncol - len(row)
+        if short:
+            pad = self.format.colSeparator * ((1 + self.colsPerParam) * short)
+            cells[-1] += pad
+        self._emit_row(cells)
 
     def addLine(self, position):
-        if self.format.getLine(position) is None:
+        rule = self.format.getLine(position)
+        if rule is None:
             return self.lines
-        return self.lines.append(self.format.getLine(position))
+        return self.lines.append(rule)
 
     def addTitlesRow(self, titles):
         self.addLine("aboveTitles")
         cols = [self.format.titleSubColumn(1, "")]
         cols += [self.format.titleSubColumn(self.colsPerResult, title) for title in titles]
-        self.lines.append(self.format.colSeparator.join(cols * self.ncol) + self.format.endofrow)
+        self._emit_row(cols * self.ncol)
         rule = self.format.belowTitleLine(self.colsPerResult, self.colsPerParam // self.colsPerResult)
         if rule:
             self.lines.append(rule)
 
     def addHeaderRow(self):
         self.addLine("aboveHeader")
-        cols = [self.format.headerWrapper % self.format.paramText]
+        wrap = self.format.headerWrapper.__mod__
+        cols = [wrap(self.format.paramText)]
         for result in self.results:
-            cols += [self.format.headerWrapper % s for s in result.getColumnLabels(self.limit)]
-        self.lines.append(self.format.colSeparator.join(cols * self.ncol) + self.format.endofrow)
+            cols += [wrap(s) for s in result.getColumnLabels(self.limit)]
+        self._emit_row(cols * self.ncol)
         self.addLine("belowHeader")
 
     def paramResultsTex(self, param):
