@@ -64,7 +64,8 @@ def print_load_line(message):
 
 def last_modified(files):
     """Latest modification time among the files that exist."""
-    return max(os.path.getmtime(fname) for fname in files if os.path.exists(fname))
+    stamps = (os.path.getmtime(fname) for fname in files if os.path.exists(fname))
+    return max(stamps)
 
 
 def slice_or_none(x, start=None, end=None):
@@ -83,7 +84,8 @@ def chainFiles(root, chain_indices=None, ext=".txt", separator="_", first_chain=
 
 
 def hasChainFiles(file_root, ext=".txt"):
-    return any(chainFiles(file_root, ext=ext, separator=sep, last_chain=1) for sep in ("_", "."))
+    found = (chainFiles(file_root, ext=ext, separator=sep, last_chain=1) for sep in "_.")
+    return any(found)
 
 
 def findChainFileRoot(chain_dir, root, search_subdirectories=True):
@@ -148,6 +150,8 @@ class WeightedSamples:
     :ivar numrows: number of samples
     """
 
+    precision = "%.8e"  # text output format for saveAsText
+
     def __init__(
         self,
         filename=None,
@@ -171,7 +175,6 @@ class WeightedSamples:
         :param files_are_chains: False if the file has no weight/loglike columns
         :param min_weight_ratio: drop samples below this ratio of the max weight
         """
-        self.precision = "%.8e"
         self.min_weight_ratio = min_weight_ratio
         self._device_cache = None
         if filename:
@@ -196,10 +199,11 @@ class WeightedSamples:
     def setColData(self, coldata, are_chains=True):
         """Set samples from a file-loaded array; first two columns are
         weight and -log(like) unless are_chains=False."""
-        if are_chains:
-            self.setSamples(coldata[:, 2:], coldata[:, 0], coldata[:, 1])
-        else:
+        if not are_chains:
             self.setSamples(coldata)
+            return
+        w, nll, values = coldata[:, 0], coldata[:, 1], coldata[:, 2:]
+        self.setSamples(values, w, nll)
 
     @staticmethod
     def _as_sample_matrix(samples):
@@ -228,12 +232,14 @@ class WeightedSamples:
 
     def changeSamples(self, samples):
         """Replace samples keeping weights and loglikes."""
-        self.setSamples(samples, self.weights, self.loglikes)
+        kept_w, kept_l = self.weights, self.loglikes
+        self.setSamples(samples, kept_w, kept_l)
 
     def _weightsChanged(self):
         if self.weights is not None:
             self.norm = np.sum(self.weights)
         elif self.samples is not None:
+            # unweighted: unit weight per row
             self.weights = np.ones(self.numrows)
             self.norm = np.float64(self.numrows)
         for stale in ("means", "mean_loglike", "diffs", "fullcov", "correlationMatrix", "vars", "sddev"):
@@ -344,30 +350,33 @@ class WeightedSamples:
 
     def mean(self, paramVec, where=None):
         """Weighted mean of a parameter vector (or list of them)."""
+        norm = self.get_norm(where)
         if isinstance(paramVec, (list, tuple)):
-            return np.array([self.weighted_sum(p, where) for p in paramVec]) / self.get_norm(where)
-        return self.weighted_sum(paramVec, where) / self.get_norm(where)
+            return np.array([self.weighted_sum(p, where) for p in paramVec]) / norm
+        return self.weighted_sum(paramVec, where) / norm
 
     def mean_diff(self, paramVec, where=None):
         """p - mean(p) for one parameter vector."""
-        if isinstance(paramVec, _int_types) and paramVec >= 0 and where is None:
+        whole_column = isinstance(paramVec, _int_types) and paramVec >= 0 and where is None
+        if whole_column:
             if self.diffs is not None:
                 return self.diffs[paramVec]
             return self.samples[:, paramVec] - self.getMeans()[paramVec]
         vec = self._makeParamvec(paramVec)
-        if where is not None:
-            return vec[where] - self.mean(vec, where)
-        return vec - self.mean(vec)
+        if where is None:
+            return vec - self.mean(vec)
+        return vec[where] - self.mean(vec, where)
 
     def mean_diffs(self, pars=None, where=None) -> Sequence:
         """List of p_i - mean(p_i) arrays."""
         if pars is None:
             pars = self.n
         if isinstance(pars, _int_types) and pars >= 0:
-            if where is None:
+            if where is not None:
+                pars = range(pars)
+            else:
                 means = self.getMeans()
                 return [self.samples[:, i] - means[i] for i in range(pars)]
-            pars = range(pars)
         return [self.mean_diff(i, where) for i in pars]
 
     def var(self, paramVec, where=None):
@@ -403,11 +412,10 @@ class WeightedSamples:
 
     def getCov(self, nparam=None, pars=None):
         """Covariance matrix (cached full version), optionally a submatrix."""
-        if self.fullcov is None:
-            self._setCov()
+        full = self.fullcov if self.fullcov is not None else self._setCov()
         if pars is not None:
-            return self.fullcov[np.ix_(pars, pars)]
-        return self.fullcov[:nparam, :nparam]
+            return full[np.ix_(pars, pars)]
+        return full[:nparam, :nparam]
 
     def _setCov(self):
         self.fullcov = self.cov()
@@ -427,8 +435,7 @@ class WeightedSamples:
     def getAutocorrelation(self, paramVec, maxOff=None, weight_units=True, normalized=True):
         """Weighted autocorrelation of a parameter, in weight units by
         default (reference ``chains.py:423-447``)."""
-        if maxOff is None:
-            maxOff = self.n - 1
+        maxOff = maxOff if maxOff is not None else self.n - 1
         weighted = self.mean_diff(paramVec) * self.weights
         if _use_device_ops:
             curve = np.array(autoConvolve(jnp.asarray(weighted), n=maxOff + 1, normalize=True))
@@ -454,7 +461,8 @@ class WeightedSamples:
         return getattr(self, "sampler", "") in ("nested", "uncorrelated")
 
     def _weight_based_neff(self):
-        return self.get_norm() ** 2 / float(self.weights @ self.weights)
+        norm = self.get_norm()
+        return norm * norm / float(self.weights @ self.weights)
 
     def getEffectiveSamplesGaussianKDE(self, paramVec, h=0.2, scale=None, maxoff=None, min_corr=0.05):
         """Effective sample number for the leading MISE term of a Gaussian
@@ -489,7 +497,8 @@ class WeightedSamples:
                 return smath.kde_lag_term_1d(host_d, host_w, k, kernel_std)
 
         N = smath.kde_pair_sum_adaptive(pair_term, self.weights, self.numrows, maxoff, min_corr)
-        return self.get_norm() ** 2 / N
+        norm = self.get_norm()
+        return norm * norm / N
 
     def getEffectiveSamplesGaussianKDE_2d(self, i, j, h=0.3, maxoff=None, min_corr=0.05):
         """2D variant of the KDE effective-sample estimate (reference
@@ -524,29 +533,6 @@ class WeightedSamples:
         return self.get_norm() ** 2 / N
 
     # -- confidence limits ------------------------------------------------------
-    def twoTailLimits(self, paramVec, confidence):
-        """Two-tail equal-area confidence limits by sample counting."""
-        tail = (1 - confidence) / 2
-        return self.confidence(paramVec, np.array([tail, 1 - tail]))
-
-    def initParamConfidenceData(self, paramVec, start=0, end=None, weights=None):
-        """Cache sorted values/cumulative weights for repeated confidence
-        queries on one parameter."""
-        w = self.weights if weights is None else weights
-        values = self._makeParamvec(paramVec)[start:end]
-        argsort = (lambda v: np.asarray(jnp.argsort(jnp.asarray(v)))) if _use_device_ops else np.argsort
-        return smath.sorted_weight_table(values, w[start : start + len(values)], argsort=argsort)
-
-    def confidence(self, paramVec, limfrac, upper=False, start=0, end=None, weights=None):
-        """Tail-count confidence limit(s): the parameter value where limfrac
-        of the total weight is further in the tail."""
-        if isinstance(paramVec, ParamConfidenceData):
-            table = paramVec
-        else:
-            table = self.initParamConfidenceData(paramVec, start, end, weights)
-        return smath.tail_value(table, limfrac, upper)
-
-    # -- thinning / reweighting ---------------------------------------------------
     def thin_indices(self, factor, weights=None):
         """Indices making unit-weight samples, assuming integer weights."""
         return self.thin_indices_single_samples(factor, self.weights if weights is None else weights)
@@ -657,13 +643,37 @@ class WeightedSamples:
             self.loglikes = self.loglikes[cut:]
         self.changeSamples(self.samples[cut:, :])
 
+    def twoTailLimits(self, paramVec, confidence):
+        """Two-tail equal-area confidence limits by sample counting."""
+        tail = (1 - confidence) / 2
+        return self.confidence(paramVec, np.array([tail, 1 - tail]))
+
+    def initParamConfidenceData(self, paramVec, start=0, end=None, weights=None):
+        """Cache sorted values/cumulative weights for repeated confidence
+        queries on one parameter."""
+        w = self.weights if weights is None else weights
+        values = self._makeParamvec(paramVec)[start:end]
+        argsort = (lambda v: np.asarray(jnp.argsort(jnp.asarray(v)))) if _use_device_ops else np.argsort
+        return smath.sorted_weight_table(values, w[start : start + len(values)], argsort=argsort)
+
+    def confidence(self, paramVec, limfrac, upper=False, start=0, end=None, weights=None):
+        """Tail-count confidence limit(s): the parameter value where limfrac
+        of the total weight is further in the tail."""
+        if isinstance(paramVec, ParamConfidenceData):
+            table = paramVec
+        else:
+            table = self.initParamConfidenceData(paramVec, start, end, weights)
+        return smath.tail_value(table, limfrac, upper)
+
+    # -- thinning / reweighting ---------------------------------------------------
     # -- output -------------------------------------------------------------
     def saveAsText(self, root, chain_index=None, make_dirs=False):
         """Save as a getdist-format text chain file."""
-        if make_dirs and not os.path.exists(os.path.dirname(root)):
-            os.makedirs(os.path.dirname(root))
+        parent = os.path.dirname(root)
+        if make_dirs and not os.path.exists(parent):
+            os.makedirs(parent)
         if root.endswith(".txt"):
-            root = root[:-4]
+            root = root[: -len(".txt")]
         suffix = "" if chain_index is None else "_" + str(chain_index + 1)
         loglikes = np.zeros(self.numrows) if self.loglikes is None else self.loglikes
         columns = np.hstack((self.weights.reshape(-1, 1), loglikes.reshape(-1, 1), self.samples))
@@ -679,6 +689,9 @@ class Chains(WeightedSamples):
     Adds a name->index map, getParams() attribute bundles, per-chain views
     via chain_offsets (no copying), and Gelman-Rubin diagnostics.
     """
+
+    paramNames = None
+    jobItem = None
 
     def __init__(
         self,
@@ -707,15 +720,15 @@ class Chains(WeightedSamples):
         self.jobItem = jobItem
         self.ignore_lines = float(kwargs.get("ignore_rows", 0))
         self.root = root
-        self.setParamNames(paramNamesFile or self._sidecar_names(root) or names)
+        name_source = paramNamesFile or self._sidecar_names(root) or names
+        self.setParamNames(name_source)
         if labels is not None:
             self.paramNames.setLabels(labels)
         if renames is not None:
             self.updateRenames(renames)
+        self.sampler = "mcmc"
         if isinstance(sampler, str):
             self.setSampler(sampler)
-        else:
-            self.sampler = "mcmc"
 
     @staticmethod
     def _sidecar_names(root):
@@ -771,12 +784,13 @@ class Chains(WeightedSamples):
         if isinstance(name, ParamInfo):
             name = name.name
         if isinstance(name, str):
-            name = self.index.get(name)
-            if name is None:
+            slot = self.index.get(name)
+            if slot is None:
                 return None, None
+            name = slot
         if isinstance(name, _int_types):
             return name, self.paramNames.names[name]
-        raise ParamError("Unknown parameter type %s" % name)
+        raise ParamError(f"Unknown parameter type {name}")
 
     def getRenames(self):
         """Dict of renames known to each parameter."""
@@ -858,8 +872,9 @@ class Chains(WeightedSamples):
     def addDerived(self, paramVec, name, **kwargs):
         """Append a derived parameter vector with the given name."""
         if self.paramNames.parWithName(name):
-            raise ValueError("Parameter with name %s already exists" % name)
-        self.changeSamples(np.c_[self.samples, paramVec])
+            raise ValueError(f"Parameter with name {name} already exists")
+        widened = np.c_[self.samples, paramVec]
+        self.changeSamples(widened)
         return self.paramNames.addDerived(name, **kwargs)
 
     # -- multi-chain management ----------------------------------------------
@@ -879,9 +894,7 @@ class Chains(WeightedSamples):
         """Load chains from a list of files, a single array, or a list of
         arrays; returns True if anything was loaded."""
         self.chains = []
-        self.samples = None
-        self.weights = None
-        self.loglikes = None
+        self.samples = self.weights = self.loglikes = None
         if ignore_lines is None:
             ignore_lines = self.ignore_lines
         if files_or_samples is None or (hasattr(files_or_samples, "__len__") and not len(files_or_samples)):
@@ -916,12 +929,8 @@ class Chains(WeightedSamples):
         depth = self._nesting_depth(arrays)
         if depth in (1, 2):
             self.chains = None
-            self.setSamples(
-                slice_or_none(arrays, ignore_lines),
-                slice_or_none(weights, ignore_lines),
-                slice_or_none(loglikes, ignore_lines),
-                self.min_weight_ratio,
-            )
+            trimmed = (slice_or_none(block, ignore_lines) for block in (arrays, weights, loglikes))
+            self.setSamples(*trimmed, self.min_weight_ratio)
             if self.paramNames is None:
                 self.paramNames = ParamNames(default=self.n)
             return 1
@@ -1030,8 +1039,7 @@ class Chains(WeightedSamples):
     def getGelmanRubinEigenvalues(self, nparam=None, chainlist=None):
         """var(mean)/mean(var) eigenvalues over orthogonalized parameters
         (Brooks & Gelman)."""
-        if chainlist is None:
-            chainlist = self.getSeparateChains()
+        chainlist = chainlist if chainlist is not None else self.getSeparateChains()
         nparam = nparam or self.paramNames.numNonDerived()
         # Per-chain moments are device reductions; the (p, p) eigen-solve is
         # tiny and runs on host with numpy for bit-stable diagnostics text.
