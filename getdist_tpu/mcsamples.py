@@ -1280,12 +1280,16 @@ class MCSamples(Chains):
             view = [par.range_min, par.range_max] if hasattr(par, "range_min") else None
             dens1[name] = Density1D(_np.asarray(d1["x"][i], float), P=_np.array(d1["P"][i], float), view_ranges=view)
         n2 = _np.asarray(d2["P"], float).shape[1]
+        regrid = d2.get("regrid", {})
         dens2 = {}
         for k, (a, b) in enumerate(pairs):
-            gx = _np.linspace(bmin[a], bmax[a], n2)
-            gy = _np.linspace(bmin[b], bmax[b], n2)
-            density = Density2D(gx, gy, _np.array(d2["P"][k], float))
-            density.contours = _np.asarray(d2["contours"][k], float)
+            fine = regrid.get((a, b))
+            grid_p = _np.array(fine["P"] if fine else d2["P"][k], float)
+            npts = grid_p.shape[0]
+            gx = _np.linspace(bmin[a], bmax[a], npts)
+            gy = _np.linspace(bmin[b], bmax[b], npts)
+            density = Density2D(gx, gy, grid_p)
+            density.contours = _np.asarray(fine["contours"] if fine else d2["contours"][k], float)
             dens2[(names[a], names[b])] = density
         if cache_1d:
             self.density1D.update(dens1)
@@ -1325,9 +1329,57 @@ class MCSamples(Chains):
             limits_lo=lo if has else None,
             limits_hi=hi if has else None,
             periodic=per if per.any() else None,
+            max_corr=float(self.max_corr_2D),
         )
         pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
+        d2 = dict(d2)
+        d2["regrid"] = self._fast_regrid_pairs(idx, pairs, d1, contours, lo if has else None, hi if has else None, per)
         return d1, d2, pairs
+
+    def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per):
+        """Re-run tightly-correlated pairs at the reference's corr-adaptive
+        fine grid (mcsamples.py:1812-1819 scales fine_bins_2D by the
+        degeneracy angle); returns {(a, b): per-pair 2D results}."""
+        from getdist_tpu.ops.batched import all_2d_densities
+
+        max_corr = float(self.max_corr_2D)
+        corr = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
+        groups = {}
+        for a, b in pairs:
+            cc = float(np.clip(corr[a, b], -max_corr, max_corr))
+            if abs(cc) < 0.1:
+                continue
+            angle_scale = max(0.2, np.sqrt(1 - min(max_corr, abs(cc)) ** 2))
+            if int(1 / angle_scale) <= 1:
+                continue
+            scaled = 192 * int(3 / angle_scale) // 3
+            if scaled > 256:
+                groups.setdefault(scaled, []).append((a, b))
+        regrid = {}
+        for fine, plist in groups.items():
+            pa = jnp.asarray(np.array([a for a, _ in plist], np.int32))
+            pb = jnp.asarray(np.array([b for _, b in plist], np.int32))
+            d2x = all_2d_densities(
+                self.samples[:, idx],
+                self.weights,
+                pa,
+                pb,
+                d1["neff"],
+                d1["range"][0],
+                d1["range"][1],
+                jnp.asarray(np.array(contours, np.float32)),
+                fine_bins=fine,
+                use_pallas=False,
+                active_lo=d1["active_lo"] if lo is not None or hi is not None else None,
+                active_hi=d1["active_hi"] if lo is not None or hi is not None else None,
+                periodic=jnp.asarray(per) if per.any() else None,
+                sigma_range=d1["sigma_range"],
+                max_corr=max_corr,
+                winw=max(30, int(round(fine / 9.0))),
+            )
+            for i, key in enumerate(plist):
+                regrid[key] = {name: d2x[name][i] for name in ("P", "contours", "rx", "ry", "corr", "neff")}
+        return regrid
 
     def _makeNDhist(self, ixs, xsizes):
         if len(ixs) != len(xsizes):

@@ -19,18 +19,19 @@ Design (driven by measured v5e characteristics, scripts/probe_timing.py):
   bandwidths and sample-correlation kernels.
 * **Convolutions are batched rFFTs** over (pairs, pad, pad) grids.
 
-Differences from the parity path (``mcsamples.get*DensityGridData``), all
-at the sub-percent density level and documented here: histogram-based
-quantiles for range estimation (vs exact sample quantiles), a fixed
-log-spaced lag grid for the KDE N_eff estimate (vs adaptive stepping), no
-TNC AMISE correlation optimization (kernel correlation taken from the
-sample correlation, as the reference itself does for high-correlation
-pairs), one shared fine grid size (no corr-adaptive rebinning), and
-boundary correction at order 1 in 1D / order 0 in 2D with hard limits
-wired through ``limits_lo/limits_hi`` (untruncated periodic-Gaussian
-kernels with analytic frequency-domain moments); periodic parameters
-smooth circularly. Accuracy against the parity path is regression-tested
-in tests/test_batched.py.
+The full reference bandwidth algorithm runs on device: quantile
+sigma_range scales, the 2D fixed-point/plug-in functional tables, AMISE
+kernel-correlation optimization, Cholesky shearing for correlated pairs
+(approximated by resampling the pair histogram into sheared coordinates
+rather than re-binning raw samples), rule-of-thumb fallbacks at extreme
+correlation, and order-1 linear boundary-kernel corrections in both 1D
+and 2D. Corr-adaptive fine grids run as a second per-bucket program
+(``mcsamples.fastTriangleDensities``). Remaining approximations, all
+regression-tested against the parity path in tests/test_batched.py and
+tests/test_fused_fidelity.py: histogram-based quantiles for ranges (vs
+exact sample quantiles), a fixed log-spaced lag grid for the KDE N_eff
+estimate (vs adaptive stepping), fixed-iteration projected gradient for
+the AMISE search (vs scipy TNC), and histogram-resampled shearing.
 """
 
 from functools import partial
@@ -119,8 +120,8 @@ def _onehot_hist_rows(ix_rows, weights, nbins, block=131072):
     return jax.lax.map(lambda row: _onehot_hist_1d(row, weights, nbins, block=block), ix_rows)
 
 
-def _pair_hist_256(ix_a, ix_b, weights, block=65536):
-    """(256, 256) weighted 2D histogram (rows = b, cols = a) via blocked
+def _pair_hist_256(ix_a, ix_b, weights, block=65536, nbins=256):
+    """(nbins, nbins) weighted 2D histogram (rows = b, cols = a) via blocked
     one-hot bf16 matmuls: H = (onehot_b * w)^T @ onehot_a."""
     n = ix_a.shape[0]
     block = min(block, n)
@@ -131,15 +132,15 @@ def _pair_hist_256(ix_a, ix_b, weights, block=65536):
         aa = jax.lax.dynamic_slice(ix_a, (s,), (block,))
         bb = jax.lax.dynamic_slice(ix_b, (s,), (block,))
         wb = jax.lax.dynamic_slice(weights, (s,), (block,)).astype(jnp.bfloat16)
-        oa = jax.nn.one_hot(aa, 256, dtype=jnp.bfloat16)
-        ob = jax.nn.one_hot(bb, 256, dtype=jnp.bfloat16) * wb[:, None]
+        oa = jax.nn.one_hot(aa, nbins, dtype=jnp.bfloat16)
+        ob = jax.nn.one_hot(bb, nbins, dtype=jnp.bfloat16) * wb[:, None]
         return jax.lax.dot_general(ob, oa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     hist = jnp.sum(jax.lax.map(block_hist, jnp.arange(nblk)), axis=0)
     rem = n - nblk * block
     if rem:
-        oa = jax.nn.one_hot(ix_a[nblk * block :], 256, dtype=jnp.bfloat16)
-        ob = jax.nn.one_hot(ix_b[nblk * block :], 256, dtype=jnp.bfloat16) * weights[nblk * block :].astype(
+        oa = jax.nn.one_hot(ix_a[nblk * block :], nbins, dtype=jnp.bfloat16)
+        ob = jax.nn.one_hot(ix_b[nblk * block :], nbins, dtype=jnp.bfloat16) * weights[nblk * block :].astype(
             jnp.bfloat16
         )[:, None]
         hist = hist + jax.lax.dot_general(ob, oa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -416,6 +417,300 @@ def _isj_bandwidth_2d(hist, neff):
 
 
 # ---------------------------------------------------------------------------
+# full 2D kernel optimizer (device twin of kde_bandwidth.KernelOptimizer2D)
+# ---------------------------------------------------------------------------
+
+# odd-order kernel constants phi-odd[j] (reference kde_bandwidth.py:198-213)
+_K_ODD = tuple(
+    [1.0] + [np.prod(np.arange(1, 2 * j, 2)) / 2.0 ** (j + 1) / _ROOT_PI for j in range(1, 9)]
+)
+_EVEN_LEVELS = {lv: [(i, lv - i) for i in range(lv + 1)] for lv in range(6)}
+_ODD_LEVELS = {
+    10: ((7, 3), (5, 5), (3, 7), (1, 9), (9, 1)),
+    8: ((5, 3), (3, 5), (1, 7), (7, 1)),
+    6: ((3, 3), (1, 5), (5, 1)),
+    4: ((1, 3), (3, 1)),
+}
+
+
+def _even_table_2d(psi_fn, neff, t_star, min_level=0):
+    """Level-by-level plug-in table of the even psi functionals (device
+    twin of kde_bandwidth._even_table; each functional evaluated once).
+    psi_fn(sx, sy, t) evaluates one even derivative functional."""
+    table = {s: psi_fn(s[0], s[1], t_star) for s in _EVEN_LEVELS[5]}
+    for level in range(4, min_level - 1, -1):
+        const = (1 + 0.5 ** (level + 1)) / 3
+        for sx, sy in _EVEN_LEVELS[level]:
+            children = table[(sx + 1, sy)] + table[(sx, sy + 1)]
+            t_s = (-2 * const * _K_EVEN[sx] * _K_EVEN[sy] / neff / children) ** (1.0 / (2 + level))
+            table[(sx, sy)] = psi_fn(sx, sy, t_s)
+    return table
+
+
+def _odd_psi_2d(s0, s1, t, freqs, power):
+    damp = jnp.exp(-(freqs**2) * (4 * _PI_SQ * t))
+    wx = damp * freqs**s0
+    wy = damp * freqs**s1
+    return (wy @ power @ wx).real * (2 * np.pi) ** (s0 + s1)
+
+
+def _odd_table_2d(power, freqs, neff, p00, t_star):
+    """Plug-in table for the odd functionals psi_13/psi_31 (device twin of
+    kde_bandwidth._odd_table)."""
+    table = {s: _odd_psi_2d(s[0], s[1], t_star, freqs, power) for s in _ODD_LEVELS[10]}
+    for level in (8, 6, 4):
+        const = 8 * (1 - 2.0 ** (-level - 1)) / 3.0
+        for sx, sy in _ODD_LEVELS[level]:
+            children = table[(sx + 2, sy)] + table[(sx, sy + 2)]
+            t_s = (const * p00 * _K_ODD[sx] * _K_ODD[sy] / neff**2 / children**2) ** (1.0 / (3 + level))
+            table[(sx, sy)] = _odd_psi_2d(sx, sy, t_s, freqs, power)
+    return table
+
+
+def _amise_2d(wx, wy, rho, p, neff):
+    """Asymptotic MISE for a correlated Gaussian kernel (reference
+    kde_bandwidth.py:216-233); p = (p40, p04, p22, p31, p13)."""
+    p40, p04, p22, p31, p13 = p
+    variance = 1.0 / (4 * np.pi * wx * wy * jnp.sqrt(1 - rho**2) * neff)
+    quartic = (
+        wx**4 * p40
+        + wy**4 * p04
+        + 2 * wx**2 * wy**2 * p22 * (2 * rho**2 + 1)
+        + 4 * rho * wx * wy * (wx**2 * p31 + wy**2 * p13)
+    )
+    return variance + 0.25 * quartic, 0.25 * quartic
+
+
+_W_LO, _W_HI = 1e-3, 0.3
+
+
+def _amise_minimize(p, neff, wx0, wy0, rho0, free_rho, iters=60):
+    """Fixed-iteration bounded AMISE minimization (role of the reference's
+    TNC search, kde_bandwidth.py:289-306): widths via log-sigmoid transform,
+    correlation via scaled tanh; backtracking gradient descent, jit-safe."""
+
+    def to_u(w):
+        frac = jnp.clip((w - _W_LO) / (_W_HI - _W_LO), 1e-6, 1 - 1e-6)
+        return jnp.log(frac / (1 - frac))
+
+    def from_u(u):
+        return _W_LO + (_W_HI - _W_LO) * jax.nn.sigmoid(u)
+
+    rho_cap = 0.99
+
+    def objective(z):
+        wx, wy = from_u(z[0]), from_u(z[1])
+        rho = jnp.where(free_rho, rho_cap * jnp.tanh(z[2]), rho0)
+        val, _ = _amise_2d(wx, wy, rho, p, neff)
+        return val
+
+    z0 = jnp.stack([to_u(wx0), to_u(wy0), jnp.arctanh(jnp.clip(rho0 / rho_cap, -0.999, 0.999))])
+    grad = jax.grad(objective)
+
+    def body(_, state):
+        z, step = state
+        g = grad(z)
+        cand = z - step * g
+        better = objective(cand) < objective(z)
+        z = jnp.where(better, cand, z)
+        step = jnp.where(better, step * 1.2, step * 0.5)
+        return z, step
+
+    z, _ = jax.lax.fori_loop(0, iters, body, (z0, jnp.asarray(0.25, z0.dtype)))
+    wx, wy = from_u(z[0]), from_u(z[1])
+    rho = jnp.where(free_rho, rho_cap * jnp.tanh(z[2]), rho0)
+    val, bias = _amise_2d(wx, wy, rho, p, neff)
+    ok = jnp.isfinite(val) & (bias > 0)
+    return wx, wy, rho, val, ok
+
+
+def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=None, power_override=None, use_override=False):
+    """(hx, hy, c, ok): the full 2D bandwidth-matrix optimization on device.
+
+    Mirrors kde_bandwidth.KernelOptimizer2D.get_h: t* by bisection on the
+    2D fixed point (plug-in ``fallback_t`` replacing a failed or badly
+    overshooting fixed point), closed-form diagonal widths, then (where
+    ``do_correlation``, a traced per-call bool) AMISE searches at the
+    sample correlation and with free correlation (the latter accepted only
+    on a >10% AMISE win).
+
+    With ``use_override`` (traced bool) the functionals are evaluated on
+    ``power_override`` (a DC-zeroed FFT power spectrum, e.g. the sheared
+    spectrum from :func:`_sheared_power`) instead of the histogram's own
+    spectra — the numerically-verified FFT twin of the DCT convention."""
+    size = hist.shape[0]
+    dtype = hist.dtype
+    big_i = (jnp.arange(1, size, dtype=dtype)) ** 2
+    log_i = jnp.log(big_i)
+    normed = hist / jnp.sum(hist)
+    a2 = dct(dct(normed, axis=0), axis=1)[1:, 1:] ** 2
+    freqs = jnp.fft.fftfreq(size, d=1.0 / size).astype(dtype)
+    spec = jnp.fft.fft2(normed)
+    power_plain = (spec * jnp.conj(spec)).real
+    power_plain = power_plain.at[0, :].set(0.0).at[:, 0].set(0.0)
+    if power_override is not None:
+        power = jnp.where(use_override, power_override, power_plain)
+    else:
+        power = power_plain
+    f2w = freqs**2
+
+    def psi_even(sx, sy, t):
+        from_dct = _psi_2d(sx, sy, t, big_i, log_i, a2)
+        damp = jnp.exp(-f2w * (4 * _PI_SQ * t))
+        wx = damp * freqs ** (2 * sx)
+        wy = damp * freqs ** (2 * sy)
+        from_pow = (-1) ** (sx + sy) * (wy @ power @ wx) * (2 * np.pi) ** (2 * (sx + sy))
+        if power_override is None:
+            return from_dct
+        return jnp.where(use_override, from_pow, from_dct)
+
+    def fixed_point(t):
+        table = _even_table_2d(psi_even, neff, t, min_level=2)
+        curvature = table[(0, 2)] + table[(2, 0)] + 2 * table[(1, 1)]
+        implied = (2 * np.pi * neff * curvature) ** (-1.0 / 3)
+        return (t - implied) / implied
+
+    lo, hi = 1e-8, 0.1
+    ok = (fixed_point(lo) < 0) & (fixed_point(hi) > 0)
+
+    def body(state):
+        lo_, hi_ = state
+        mid = 0.5 * (lo_ + hi_)
+        below = fixed_point(mid) < 0
+        return jnp.where(below, mid, lo_), jnp.where(below, hi_, mid)
+
+    lo_f, hi_f = jax.lax.while_loop(lambda st: (st[1] - st[0]) > 1e-6, body, (lo, hi))
+    t_star = 0.5 * (lo_f + hi_f)
+    if fallback_t is not None:
+        # replace a failed bracket or a badly overshooting fixed point with
+        # the plug-in width (reference kde_bandwidth.py:264-276)
+        overshoot = (t_star > 0.01) & (t_star > 2 * fallback_t)
+        t_star = jnp.where(ok & ~overshoot, t_star, fallback_t)
+        ok = jnp.asarray(True)
+
+    table = _even_table_2d(psi_even, neff, t_star)
+    pyy, pxx, pxy = table[(0, 2)], table[(2, 0)], table[(1, 1)]
+    cross = pxy + jnp.sqrt(pxx * pyy)
+    denom = 4 * np.pi * neff * cross
+    wx = (pyy ** (3.0 / 4) / (denom * pxx ** (3.0 / 4))) ** (1.0 / 6)
+    wy = (pxx ** (3.0 / 4) / (denom * pyy ** (3.0 / 4))) ** (1.0 / 6)
+    ok = ok & jnp.isfinite(wx) & jnp.isfinite(wy) & (wx > 0) & (wy > 0)
+    wx = jnp.where(ok, wx, 0.05)
+    wy = jnp.where(ok, wy, 0.05)
+
+    # odd functionals from the (possibly sheared) FFT power spectrum
+    p00 = table[(0, 0)]
+    odd = _odd_table_2d(power, freqs, neff, p00, t_star)
+    p = (pxx, pyy, pxy, odd[(3, 1)], odd[(1, 3)])
+
+    best, _ = _amise_2d(wx, wy, jnp.zeros_like(wx), p, neff)
+    rho = jnp.zeros_like(wx)
+    # search 1: kernel correlation fixed at the sample correlation
+    has_corr = jnp.abs(sample_corr) > 1e-12
+    shrink = jnp.sqrt(1 - jnp.abs(sample_corr))
+    wx1, wy1, rho1, val1, ok1 = _amise_minimize(
+        p, neff, wx / shrink, wy / shrink, sample_corr, jnp.asarray(False)
+    )
+    take1 = do_correlation & has_corr & ok1 & (val1 < best)
+    wxc = jnp.where(take1, wx1, wx)
+    wyc = jnp.where(take1, wy1, wy)
+    rho = jnp.where(take1, rho1, rho)
+    best = jnp.where(take1, val1, best)
+    # search 2: free correlation, accepted only on a clear (10%) win
+    wx2, wy2, rho2, val2, ok2 = _amise_minimize(p, neff, wxc, wyc, sample_corr, jnp.asarray(True))
+    take2 = do_correlation & ok2 & (val2 < best * 0.9)
+    wxc = jnp.where(take2, wx2, wxc)
+    wyc = jnp.where(take2, wy2, wyc)
+    rho = jnp.where(take2, rho2, rho)
+    return wxc, wyc, rho, ok
+
+
+def _shear_plan_2d(cov_aa, cov_ab, cov_bb, swap):
+    """Per-pair shear decomposition (reference mcsamples.py:1347-1391).
+
+    With swap the roles of (a, b) are exchanged first (the reference puts
+    the hard-limited parameter first so the shear keeps its bounds exact).
+    Returns (r0, r1, S) with sheared second coordinate p2 = r0*p_i + r1*p_j
+    and S the scaled Cholesky root mapping kernel covariances back."""
+    caa = jnp.where(swap, cov_bb, cov_aa)
+    cbb = jnp.where(swap, cov_aa, cov_bb)
+    s00 = jnp.sqrt(caa)
+    s10 = cov_ab / s00
+    s11 = jnp.sqrt(cbb - s10**2)
+    # inverse Cholesky entries: ichol00 = 1/s00, ichol10 = -s10/(s00*s11), ichol11 = 1/s11
+    i00 = 1.0 / s00
+    r0 = (-s10 / (s00 * s11)) / i00
+    r1 = (1.0 / s11) / i00
+    s_mat = jnp.array([[s00, jnp.zeros_like(s00)], [s10, s11]]) * i00
+    return r0, r1, s_mat
+
+
+def _shear_kernel_back(hx, hy, c, s_mat, swap):
+    """Map sheared-space kernel (hx, hy, c) back through S (data units)."""
+    k00 = hx**2
+    k01 = hx * hy * c
+    k11 = hy**2
+    kc = s_mat @ jnp.array([[k00, k01], [k01, k11]]) @ s_mat.T
+    out_hx = jnp.sqrt(kc[0, 0])
+    out_hy = jnp.sqrt(kc[1, 1])
+    out_c = kc[0, 1] / (out_hx * out_hy)
+    # undo the swap so (hx, hy) refer to (a, b) again
+    fx = jnp.where(swap, out_hy, out_hx)
+    fy = jnp.where(swap, out_hx, out_hy)
+    return fx, fy, out_c
+
+
+def _sheared_power(hist, xc_a, xc_b, r0, r1, swap):
+    """Power spectrum of the sheared pair density, computed EXACTLY in
+    frequency space (no spatial resample): shearing coordinates is a linear
+    frequency change, so the sheared spectrum is the unsheared histogram's
+    non-uniform DFT, evaluated as two MXU matmuls. The role of the
+    reference's sheared re-binning (mcsamples.py:1372-1375), TPU-native.
+
+    The p2 grid range comes from the mass-weighted p2 moments with the same
+    sigma coverage as the p1 axis (mirroring the reference's rebinning of
+    p2 over its own sample range). Returns (P[f_p2, f_p1] with the DC line
+    zeroed to match the DCT-convention even functionals, range1, range2).
+    """
+    size = hist.shape[0]
+    # hist rows are b, columns a; in sheared space p1 is a (or b when swap)
+    h = jnp.where(swap, hist.T, hist)
+    first = jnp.where(swap, xc_b, xc_a)  # (size,) centers of p1 (columns)
+    second = jnp.where(swap, xc_a, xc_b)  # centers of the other coord (rows)
+    p2 = r0 * first[None, :] + r1 * second[:, None]  # (size, size)
+    tot = jnp.sum(h)
+    mean2 = jnp.sum(h * p2) / tot
+    var2 = jnp.sum(h * (p2 - mean2) ** 2) / tot
+    col_mass = jnp.sum(h, axis=0)
+    mean1 = jnp.sum(col_mass * first) / tot
+    var1 = jnp.sum(col_mass * (first - mean1) ** 2) / tot
+    step1 = first[1] - first[0]
+    step2 = second[1] - second[0]
+    first_range = first[-1] - first[0] + step1
+    # same sigma coverage on the sheared axis as the p1 axis has
+    second_range = first_range * jnp.sqrt(var2 / var1)
+
+    # s_hat[f1, f2] = sum_xy h[y, x] e^{-2 pi i [(f1 a + f2 b) x + (f2 c) y]}
+    # (global phases drop out of the power)
+    f = jnp.fft.fftfreq(size, d=1.0 / size).astype(hist.dtype)
+    x = jnp.arange(size, dtype=hist.dtype)
+    a_coef = step1 / first_range
+    b_coef = r0 * step1 / second_range
+    c_coef = r1 * step2 / second_range
+    two_pi = 2 * np.pi
+    cmat = jnp.exp(-1j * (two_pi * c_coef) * f[:, None] * x[None, :])  # (F2, y)
+    g = cmat @ h.astype(cmat.dtype)  # (F2, x)
+    bmat = jnp.exp(-1j * (two_pi * b_coef) * f[:, None] * x[None, :])  # (F2, x)
+    amat = jnp.exp(-1j * (two_pi * a_coef) * f[:, None] * x[None, :])  # (F1, x)
+    s_hat = amat @ (bmat * g).T  # (F1, F2)
+    power = (s_hat * jnp.conj(s_hat)).real / tot**2
+    # orientation [f_p2, f_p1] to match the optimizer's (rows = y) layout;
+    # zero the DC line so even functionals match the DCT convention
+    power = power.T.at[0, :].set(0.0).at[:, 0].set(0.0)
+    return power, first_range, second_range
+
+
+# ---------------------------------------------------------------------------
 # convolution + normalization
 # ---------------------------------------------------------------------------
 
@@ -555,10 +850,20 @@ def all_1d_densities(
     qix = jnp.clip(((cols - mins[:, None]) / qwidth[:, None]).astype(jnp.int32), 0, _QBINS - 1)
     qhists = _ps(_onehot_hist_rows(qix, weights, _QBINS))
     range_conf = 0.001
-    probs = jnp.array([range_conf, 1 - range_conf])
+    probs = jnp.concatenate(
+        [jnp.array([range_conf, 1 - range_conf], samples.dtype), jnp.linspace(0.1, 0.9, 9, dtype=samples.dtype)]
+    )
     quants = jax.vmap(_quantiles_from_hist, in_axes=(0, 0, 0, None))(qhists, mins, qwidth, probs)
+    # sigma_range: quantile-based structure scale (reference mcsamples.py
+    # _initParam, Janssen-95-style peak search: min over 4-apart gaps of
+    # [param_min, q(0.1..0.9), param_max])
+    ladder = jnp.concatenate([mins[:, None], quants[:, 2:], maxs[:, None]], axis=1)  # (P, 11)
+    gaps = ladder[:, 4:] - ladder[:, :-4]
+    scale = jnp.min(gaps, axis=1) / 1.049
+    very_flat = jnp.all(gaps > sigmas[:, None] * 1.049, axis=1) & jnp.all(gaps < scale[:, None] * 1.5, axis=1)
+    sigma_range = jnp.where(very_flat, scale, jnp.minimum(sigmas, scale))
     # pad ranges as the reference does for unbounded parameters
-    smooth_est = sigmas * 0.4
+    smooth_est = sigma_range * 0.4
     range_min = quants[:, 0] - smooth_est * 2
     range_max = quants[:, 1] + smooth_est * 2
     binmin = jnp.minimum(mins, range_min) - (range_max - range_min) * 0.1
@@ -587,7 +892,7 @@ def all_1d_densities(
         lags = _lag_grid(n * axis_size, max_lag=min(4096, n))
         neff = _neff_kde_batch(cols, weights, sigmas, lags, axis_name=axis_name, axis_size=axis_size)
     h_frac, ok = jax.vmap(_isj_bandwidth_1d)(bins, neff)
-    fallback = 1.06 * sigmas * neff ** (-1.0 / 5) / (binmax - binmin)
+    fallback = 1.06 * sigma_range * neff ** (-1.0 / 5) / (binmax - binmin)
     h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
     if mult_bias_order:
         h_frac = h_frac * neff ** (1.0 / 5 - 1.0 / (4 * mult_bias_order + 5))
@@ -707,6 +1012,7 @@ def all_1d_densities(
         "neff": neff,
         "bandwidth": h_frac * (binmax - binmin),
         "sigma": sigmas,
+        "sigma_range": sigma_range,
         "mean": means,
         "range": (binmin, binmax),
         "active_lo": active_lo,
@@ -717,7 +1023,18 @@ def all_1d_densities(
 
 @partial(
     jax.jit,
-    static_argnames=("fine_bins", "mult_bias_order", "winw", "use_pallas", "static_pairs", "axis_name", "int8_weights"),
+    static_argnames=(
+        "fine_bins",
+        "mult_bias_order",
+        "winw",
+        "use_pallas",
+        "static_pairs",
+        "axis_name",
+        "int8_weights",
+        "boundary_order",
+        "max_corr",
+        "enable_shear",
+    ),
 )
 def all_2d_densities(
     samples,
@@ -738,6 +1055,10 @@ def all_2d_densities(
     periodic=None,
     axis_name=None,
     int8_weights=False,
+    sigma_range=None,
+    boundary_order=1,
+    max_corr=0.95,
+    enable_shear=True,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -805,32 +1126,91 @@ def all_2d_densities(
     else:
 
         def pair_hist(ab):
-            return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights)
+            return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights, nbins=fine_bins)
 
         hists = _ps2(jax.lax.map(pair_hist, (pair_a, pair_b)))  # (K, 256, 256)
 
     pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
+    range_a = (binmax - binmin)[pair_a]
+    range_b = (binmax - binmin)[pair_b]
+    sr = sd if sigma_range is None else sigma_range
+    sr_a, sr_b = sr[pair_a], sr[pair_b]
+
+    # branch selection (reference mcsamples.py:1334-1412): shear correlated
+    # pairs for bandwidth estimation; pure rule-of-thumb at extreme
+    # correlation; plain optimizer otherwise
+    c_s = corr_mat[pair_a, pair_b]
+    c_cap = jnp.clip(c_s, -max_corr, max_corr)
+    c_eff = jnp.where(jnp.abs(c_cap) < 0.1, 0.0, c_cap)
+    if active_lo is not None:
+        par_lim = active_lo | active_hi
+        lim_a, lim_b = par_lim[pair_a], par_lim[pair_b]
+    else:
+        lim_a = lim_b = jnp.zeros(pair_a.shape, bool)
+    both_lim = lim_a & lim_b
+    either_lim = lim_a | lim_b
+    do_correlated = ~both_lim
+    shear_sel = (jnp.abs(c_eff) > 0.2) & (jnp.abs(c_eff) <= max_corr) & do_correlated
+    rule_sel = (jnp.abs(c_s) > max_corr) | (~do_correlated & (c_s > 0.8))
+
+    do_corr = ~either_lim
+    fb_t = (jnp.minimum(sr_a / range_a, sr_b / range_b) / pair_neff ** (1.0 / 6)) ** 2
+    if enable_shear:
+        # the sheared spectrum feeds the optimizer for correlated pairs (the
+        # density convolution still runs on the original grid, as the
+        # reference does: the shear only decorrelates the bandwidth
+        # estimate). enable_shear=False (host pre-check: no pair has
+        # 0.2 < |corr| <= max_corr) skips the shear spectra entirely.
+        xc = binmin[:, None] + fine_width[:, None] * jnp.arange(fine_bins, dtype=samples.dtype)[None, :]
+        cov_aa = cov[pair_a, pair_a]
+        cov_ab = cov[pair_a, pair_b]
+        cov_bb = cov[pair_b, pair_b]
+        swap = lim_b  # limited parameter goes first so the shear keeps its bounds
+        r0, r1, s_mats = jax.vmap(_shear_plan_2d)(cov_aa, cov_ab, cov_bb, swap)
+        sh_power, sh_range1, sh_range2 = jax.vmap(_sheared_power)(
+            hists, xc[pair_a], xc[pair_b], r0, r1, swap
+        )
+        opt_range1 = jnp.where(shear_sel, sh_range1, range_a)
+        opt_range2 = jnp.where(shear_sel, sh_range2, range_b)
+        opt_corr = jnp.where(shear_sel, 0.0, c_eff)
+    else:
+        shear_sel = jnp.zeros_like(shear_sel)
+        opt_range1, opt_range2, opt_corr = range_a, range_b, c_eff
+        sh_power = None
+
     # vmap (not lax.map): all pairs bisect in lockstep so each psi
     # functional evaluates as one large batched contraction instead of 435
     # latency-bound small matvecs
-    hx, hy, ok = jax.vmap(_isj_bandwidth_2d)(hists, pair_neff)
-    # plug-in fallback widths (fractions of the bin range)
-    fb_x = (sd[pair_a] / (binmax - binmin)[pair_a]) / pair_neff ** (1.0 / 6)
-    fb_y = (sd[pair_b] / (binmax - binmin)[pair_b]) / pair_neff ** (1.0 / 6)
-    # reject overshoots as the reference fallback rules do
-    good = ok & (hx < 4 * fb_x) & (hy < 4 * fb_y)
-    hx = jnp.where(good, hx, fb_x)
-    hy = jnp.where(good, hy, fb_y)
+    if enable_shear:
+        wx, wy, c_k, ok = jax.vmap(
+            lambda h_, n_, c_, d_, t_, p_, s_: _kernel_bandwidth_2d(h_, n_, c_, d_, t_, p_, s_)
+        )(hists, pair_neff, opt_corr, do_corr, fb_t, sh_power, shear_sel)
+    else:
+        wx, wy, c_k, ok = jax.vmap(_kernel_bandwidth_2d)(hists, pair_neff, opt_corr, do_corr, fb_t)
+    hx = wx * opt_range1
+    hy = wy * opt_range2
+    c = c_k
+    if enable_shear:
+        # map sheared-space kernels back through the scaled Cholesky root
+        hx_sh, hy_sh, c_sh = jax.vmap(_shear_kernel_back)(hx, hy, c_k, s_mats, swap)
+        hx = jnp.where(shear_sel, hx_sh, hx)
+        hy = jnp.where(shear_sel, hy_sh, hy)
+        c = jnp.where(shear_sel, c_sh, c)
+    # rule-of-thumb branch and optimizer-failure fallback (data units)
+    rule_hx = sr_a / pair_neff ** (1.0 / 6)
+    rule_hy = sr_b / pair_neff ** (1.0 / 6)
+    use_rule = rule_sel | ~ok
+    hx = jnp.where(use_rule, rule_hx, hx)
+    hy = jnp.where(use_rule, rule_hy, hy)
+    c = jnp.where(use_rule, c_cap, c)
+    c = jnp.clip(c, -0.99, 0.99)
     if mult_bias_order:
         scale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_order)))
         hx = hx * scale
         hy = hy * scale
-    # kernel correlation: sample correlation, zeroed when weak, clipped
-    c = corr_mat[pair_a, pair_b]
-    c = jnp.where(jnp.abs(c) < 0.1, 0.0, jnp.clip(c, -0.99, 0.99))
 
-    rx = jnp.clip(hx * fine_bins, 0.8, winw / 2.5)  # bin units
-    ry = jnp.clip(hy * fine_bins, 0.8, winw / 2.5)
+    rx = jnp.clip(hx / fine_width[pair_a], 0.8, winw / 2.5)  # bin units
+    ry = jnp.clip(hy / fine_width[pair_b], 0.8, winw / 2.5)
 
     kernels = jax.vmap(lambda a, b, cc: _gauss_kernel_2d(a, b, cc, winw, samples.dtype))(rx, ry, c)
 
@@ -904,13 +1284,44 @@ def all_2d_densities(
         masks = my[:, :, None] * mx[:, None, :]  # (K, ext, ext)
         # 'valid' convolution of the padded mask returns (fine, fine)
         mf = jnp.fft.rfftn(masks, (pad_ext, pad_ext), axes=(1, 2))
-        kf = jnp.fft.rfftn(kernels, (pad_ext, pad_ext), axes=(1, 2))
-        full = jnp.fft.irfftn(mf * kf, (pad_ext, pad_ext), axes=(1, 2))
-        a00 = jax.lax.dynamic_slice(full, (0, 2 * winw, 2 * winw), (masks.shape[0], fine_bins, fine_bins))
+
+        def _mask_conv(kern):
+            kf_ = jnp.fft.rfftn(kern, (pad_ext, pad_ext), axes=(1, 2))
+            full_ = jnp.fft.irfftn(mf * kf_, (pad_ext, pad_ext), axes=(1, 2))
+            return jax.lax.dynamic_slice(
+                full_, (0, 2 * winw, 2 * winw), (masks.shape[0], fine_bins, fine_bins)
+            )
+
+        a00 = _mask_conv(kernels)
         pair_limited = (active_lo | active_hi)[pair_a] | (active_lo | active_hi)[pair_b]
-        a00 = jnp.where(pair_limited[:, None, None] & (a00 > 1e-12), a00, 1.0)
+        good = pair_limited[:, None, None] & (a00 > 1e-12)
+        a00 = jnp.where(good, a00, 1.0)
         maxes0 = jnp.max(smoothed, axis=(1, 2), keepdims=True)
-        smoothed = jnp.where(a00 * smoothed > maxes0 * 1e-8, smoothed / a00, smoothed)
+        apply_ix = good & (a00 * smoothed > maxes0 * 1e-8)
+        normed = jnp.where(apply_ix, smoothed / a00, smoothed)
+        if boundary_order == 1:
+            # linear boundary-kernel correction (reference mcsamples.py:1933-1961)
+            moment = jnp.arange(-winw, winw + 1, dtype=samples.dtype)
+            win_x = kernels * moment[None, None, :]
+            win_y = kernels * moment[None, :, None]
+            a10 = _mask_conv(win_x)
+            a01 = _mask_conv(win_y)
+            a20 = _mask_conv(win_x * moment[None, None, :])
+            a02 = _mask_conv(win_y * moment[None, :, None])
+            a11 = _mask_conv(win_y * moment[None, None, :])
+            x_p = _conv2d_same_batch(hists, win_x, pad)
+            y_p = _conv2d_same_batch(hists, win_y, pad)
+            denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
+            lin_a = a11**2 - a02 * a20
+            lin_x = a10 * a02 - a01 * a11
+            lin_y = a01 * a20 - a10 * a11
+            safe_denom = jnp.where(denom == 0, 1.0, denom)
+            corrected = (smoothed * lin_a + x_p * lin_x + y_p * lin_y) / safe_denom
+            safe_normed = jnp.where(normed == 0, 1.0, normed)
+            lifted = normed * jnp.exp(jnp.minimum(corrected / safe_normed, 4) - 1)
+            smoothed = jnp.where(apply_ix & (denom != 0), lifted, normed)
+        else:
+            smoothed = normed
 
     # Multiplicative bias iteration. Without limits the reference's a00
     # edge-normalization mask is ~1 everywhere that matters (grids carry 10%
@@ -940,7 +1351,15 @@ def all_2d_densities(
 
 @partial(
     jax.jit,
-    static_argnames=("fine_bins_2d", "use_pallas", "static_pairs", "int8_weights", "has_limits"),
+    static_argnames=(
+        "fine_bins_2d",
+        "use_pallas",
+        "static_pairs",
+        "int8_weights",
+        "has_limits",
+        "max_corr",
+        "enable_shear",
+    ),
 )
 def _triangle_program(
     samples,
@@ -956,6 +1375,8 @@ def _triangle_program(
     static_pairs,
     int8_weights,
     has_limits,
+    max_corr=0.95,
+    enable_shear=True,
 ):
     """The full 1D + all-pairs-2D analysis as ONE jitted program (a single
     device dispatch costs ~26 ms on remote-accelerator environments, so the
@@ -980,8 +1401,27 @@ def _triangle_program(
         active_hi=d1["active_hi"] if has_limits else None,
         periodic=periodic,
         int8_weights=int8_weights,
+        sigma_range=d1["sigma_range"],
+        max_corr=max_corr,
+        enable_shear=enable_shear,
     )
     return d1, d2
+
+
+def _sniff_shear(samples, max_corr):
+    """Host pre-check: does any pair want bandwidth shearing (0.2 < |corr|)?
+
+    Only inspects host (numpy) samples — device arrays return True (stay
+    correct, pay the shear cost) rather than forcing a device->host sync.
+    """
+    if not isinstance(samples, np.ndarray):
+        return True
+    if samples.shape[1] < 2:
+        return False
+    sub = samples[:: max(1, samples.shape[0] // 100000)]
+    corr = np.corrcoef(sub.T)
+    off = corr[~np.eye(corr.shape[0], dtype=bool)]
+    return bool(np.any(np.abs(off) > 0.18))  # margin below the 0.2 threshold
 
 
 def triangle_densities(
@@ -994,6 +1434,8 @@ def triangle_densities(
     limits_hi=None,
     periodic=None,
     int8_weights=None,
+    max_corr=0.95,
+    enable_shear=None,
 ):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
@@ -1049,4 +1491,6 @@ def triangle_densities(
         tuple(map(tuple, pairs.tolist())),
         int8_weights,
         has_limits,
+        max_corr,
+        _sniff_shear(samples, max_corr) if enable_shear is None else enable_shear,
     )

@@ -1,0 +1,75 @@
+"""Fixture-zoo fidelity of the fused device pipeline vs the parity path.
+
+The fused path (ops.batched via MCSamples.fastDensities) must track the
+host parity path (get2DDensityGridData, itself byte/1e-6-tested against the
+reference semantics) across the reference's own test-distribution shapes:
+uncorrelated/correlated/near-degenerate Gaussians, hard-cut priors, and
+(shuffled) multimodal mixtures. Spec anchors: reference
+``getdist/tests/getdist_test.py`` distribution zoo and
+``mcsamples.py:1285-1419`` bandwidth branch structure.
+"""
+
+import numpy as np
+import pytest
+from scipy.interpolate import RectBivariateSpline
+
+from getdist_tpu import MCSamples
+
+N = 60000
+
+
+def _fixture(kind):
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    x = rng.normal(size=N)
+    if kind.startswith("corr"):
+        corr = float(kind.split("=")[1])
+        y = corr * x + np.sqrt(1 - corr**2) * rng.normal(size=N)
+        return np.c_[x, y], None
+    if kind == "cut":
+        z = np.abs(rng.normal(size=N))
+        return np.c_[z, x], {"p0": [0, None]}
+    if kind == "multimodal":
+        m = np.concatenate([rng.normal(-2, 0.5, N // 2), rng.normal(2, 1.0, N // 2)])
+        return np.c_[m, x + 0.5 * m][rng.permutation(N)], None
+    raise KeyError(kind)
+
+
+def _max_grid_delta(s):
+    ref = s.get2DDensityGridData(0, 1)
+    _, dens2 = s.fastDensities(use_pallas=False)
+    fused = dens2[("p0", "p1")]
+    spline = RectBivariateSpline(fused.y, fused.x, fused.P)
+    gx, gy = np.meshgrid(ref.x, ref.y)
+    approx = spline.ev(gy.ravel(), gx.ravel()).reshape(gy.shape)
+    exact = ref.P / ref.P.max()
+    approx = approx / approx.max()
+    sel = exact > 0.05
+    return float(np.max(np.abs(approx[sel] - exact[sel])))
+
+
+@pytest.mark.parametrize(
+    "kind,tol",
+    [
+        ("corr=0.0", 5e-3),
+        ("corr=0.5", 5e-3),
+        ("corr=0.9", 8e-3),
+        ("corr=0.99", 1e-2),
+        ("cut", 8e-3),
+        ("multimodal", 2.5e-2),
+    ],
+)
+def test_fused_2d_tracks_parity(kind, tol):
+    data, ranges = _fixture(kind)
+    s = MCSamples(samples=data, names=["p0", "p1"], labels=["a", "b"], ranges=ranges)
+    assert _max_grid_delta(s) < tol
+
+
+def test_fused_1d_tracks_parity():
+    data, _ = _fixture("multimodal")
+    s = MCSamples(samples=data, names=["p0", "p1"], labels=["a", "b"])
+    ref = s.get1DDensityGridData(0)
+    d1, _ = s.fastDensities(use_pallas=False)
+    fused = d1["p0"]
+    grid = np.clip(ref.x, fused.x[0], fused.x[-1])
+    delta = np.abs(fused.Prob(grid) / fused.P.max() - ref.Prob(ref.x) / ref.P.max())
+    assert float(np.max(delta)) < 5e-3
