@@ -1,0 +1,320 @@
+"""Toolkit-independent GUI session logic shared by the Qt and web GUIs.
+
+The reference GUIs (``getdist/gui/mainwindow.py``, ``gui/streamlit_app.py``)
+mix their state machines into the rendering code; here the session state —
+directory/grid navigation, root management, parameter sync, plot-spec
+handling, stats text providers, settings schema — lives in plain objects so
+both front ends stay thin and the whole flow is testable without PySide or
+streamlit installed.
+"""
+
+import os
+from dataclasses import dataclass, field
+
+__all__ = [
+    "SettingField",
+    "analysis_settings_schema",
+    "PlotSpec",
+    "GuiSession",
+    "load_recent_dirs",
+    "remember_dir",
+]
+
+RECENT_FILE = os.path.join(os.path.expanduser("~"), ".getdist_tpu_recent_dirs")
+
+PLOT_TYPES = (
+    "triangle",
+    "1d",
+    "1d_grid",
+    "2d_filled",
+    "2d_line",
+    "rectangle",
+    "3d",
+)
+
+
+def load_recent_dirs(path=RECENT_FILE):
+    """Previously-opened chain directories that still exist (most recent
+    first; role of reference streamlit_app.py:262-282 / QSettings dirs)."""
+    try:
+        with open(path, encoding="utf-8") as handle:
+            lines = [ln.strip() for ln in handle]
+        return [ln for ln in lines if ln and os.path.isdir(ln)]
+    except OSError:
+        return []
+
+
+def remember_dir(directory, path=RECENT_FILE, keep=10):
+    """Move ``directory`` to the front of the recent list."""
+    dirs = [directory] + [d for d in load_recent_dirs(path) if d != directory]
+    try:
+        with open(path, "w", encoding="utf-8") as handle:
+            handle.write("\n".join(dirs[:keep]))
+    except OSError:
+        pass
+    return dirs[:keep]
+
+
+@dataclass
+class SettingField:
+    """One analysis setting: its ini name, python type, default, and the
+    comment lines above it in analysis_defaults.ini (shown as help)."""
+
+    name: str
+    type: type
+    default: object
+    help: str = ""
+
+
+_INT_KEY_HINTS = ("bins", "order", "points", "chain_num", "first_chain")
+
+
+def _typed(value, key=""):
+    """(typed default, form type) for an ini value; numeric keys edit as
+    floats unless the key is a count/order (fractional smooth scales and
+    burn-in fractions are common)."""
+    if value in ("T", "F"):
+        return value == "T", bool
+    try:
+        number = float(value)
+    except ValueError:
+        return value, str
+    if any(hint in key for hint in _INT_KEY_HINTS):
+        return int(number), int
+    return number, float
+
+
+def analysis_settings_schema(ini_file=None):
+    """The full analysis-settings form schema, parsed from the packaged
+    analysis_defaults.ini (name, type, default, help per key) — the GUIs
+    expose every key the analysis engine accepts, as the reference's
+    settings dialog does (mainwindow.py:950-1050)."""
+    import getdist_tpu
+    from getdist_tpu.inifile import IniFile
+
+    ini = IniFile(ini_file or getdist_tpu.default_getdist_settings)
+    fields = []
+    for key in ini.readOrder:
+        raw = ini.params[key]
+        value, caster = _typed(raw, key)
+        help_text = "\n".join(ini.comments.get(key, []))
+        fields.append(SettingField(key, caster, value, help_text))
+    return fields
+
+
+@dataclass
+class PlotSpec:
+    """Everything needed to produce one plot (and its script)."""
+
+    plot_type: str = "triangle"
+    x_params: list = field(default_factory=list)
+    y_params: list = field(default_factory=list)
+    color_param: str = None
+    filled: bool = True
+    shaded: bool = False
+    normalized: bool = False
+    subplot_size: float = 2.5
+    width_inch: float = None
+
+    def required_x(self):
+        return {"1d": 1, "2d_filled": 2, "2d_line": 2, "3d": 2}.get(self.plot_type, 1)
+
+    def problems(self):
+        """Human-readable validation messages (empty = plottable)."""
+        issues = []
+        if len(self.x_params) < self.required_x():
+            issues.append(f"{self.plot_type} needs at least {self.required_x()} x parameter(s)")
+        if self.plot_type == "rectangle" and not self.y_params:
+            issues.append("rectangle plots need at least one y parameter")
+        return issues
+
+
+class GuiSession:
+    """State machine behind both GUIs.
+
+    Tracks the open chain location (plain directory or grid), the ordered
+    list of selected roots, cached plotters, and the current analysis
+    settings; provides script/figure builders and stats text providers.
+    """
+
+    def __init__(self):
+        self.chain_dir = None
+        self.grid = None  # ChainDirGrid when the directory is a grid
+        self.root_order = []  # user-ordered selected roots
+        self.analysis_settings = {}
+        self.plot_module = None  # style module name, e.g. 'getdist_tpu.styles.planck'
+        self._plotter = None
+
+    # -- directory / grid navigation ---------------------------------------
+
+    def open_directory(self, directory):
+        """Open a plain chain directory or a grid hierarchy root; returns
+        the list of available roots (grids: all roots across param tags)."""
+        if not os.path.isdir(directory):
+            raise FileNotFoundError(directory)
+        from getdist_tpu.chain_grid import ChainDirGrid, get_chain_root_files, load_supported_grid
+
+        self.chain_dir = directory
+        self.grid = load_supported_grid(directory)
+        if self.grid is None and not get_chain_root_files(directory):
+            # no chains at the top level: browse subdirectories as a grid
+            tree = ChainDirGrid(directory)
+            if tree.roots:
+                self.grid = tree
+        self.root_order = []
+        self._plotter = None
+        remember_dir(directory)
+        return self.available_roots()
+
+    def is_grid(self):
+        return self.grid is not None
+
+    def param_tags(self):
+        """Grid navigation level 1: parameter-combination tags."""
+        if not self.grid:
+            return []
+        return sorted(getattr(self.grid, "base_dir_names", []) or getattr(self.grid, "roots", {}))
+
+    def roots_for_tag(self, paramtag):
+        """Grid navigation level 2: roots available under one param tag."""
+        if not self.grid:
+            return []
+        return sorted(self.grid.roots_for_dir(paramtag))
+
+    def available_roots(self):
+        """All selectable root names at the current location."""
+        if self.grid:
+            return sorted(getattr(self.grid, "roots", {}))
+        if not self.chain_dir:
+            return []
+        from getdist_tpu.chain_grid import file_root_to_root, get_chain_root_files
+
+        return sorted(file_root_to_root(r) for r in get_chain_root_files(self.chain_dir))
+
+    # -- root management ----------------------------------------------------
+
+    def add_root(self, root):
+        if root not in self.root_order:
+            self.root_order.append(root)
+
+    def remove_root(self, root):
+        if root in self.root_order:
+            self.root_order.remove(root)
+
+    def move_root(self, root, delta):
+        """Reorder a selected root up (delta < 0) or down the list."""
+        if root not in self.root_order:
+            return
+        i = self.root_order.index(root)
+        j = max(0, min(len(self.root_order) - 1, i + delta))
+        self.root_order.insert(j, self.root_order.pop(i))
+
+    def set_roots(self, roots):
+        """Replace the selection, keeping existing order for repeats."""
+        kept = [r for r in self.root_order if r in roots]
+        self.root_order = kept + [r for r in roots if r not in kept]
+
+    # -- plotter / params -----------------------------------------------------
+
+    def plotter(self):
+        """The (cached) plotter bound to this location and settings."""
+        if self._plotter is None and self.chain_dir:
+            from getdist_tpu import plots
+
+            if self.plot_module:
+                plots.set_active_style(self.plot_module)
+            self._plotter = plots.get_subplot_plotter(
+                chain_dir=self.chain_dir,
+                analysis_settings=dict(self.analysis_settings) or None,
+                auto_close=True,
+            )
+        return self._plotter
+
+    def reload_files(self):
+        """Drop caches so chains re-read from disk (reference reload)."""
+        self._plotter = None
+
+    def param_names(self, root=None):
+        root = root or (self.root_order[0] if self.root_order else None)
+        if root is None:
+            return None
+        return self.plotter().param_names_for_root(root)
+
+    def param_list(self, root=None):
+        names = self.param_names(root)
+        return names.list() if names else []
+
+    def samples_for_root(self, root):
+        return self.plotter().samples_for_root(root)
+
+    # -- settings ---------------------------------------------------------------
+
+    def apply_analysis_settings(self, settings):
+        """Set analysis-setting overrides (non-defaults only) and invalidate
+        cached sample analyses so they take effect."""
+        self.analysis_settings = {k: v for k, v in settings.items() if v is not None}
+        self._plotter = None
+
+    def reset_analysis_settings(self):
+        self.analysis_settings = {}
+        self._plotter = None
+
+    def set_plot_module(self, module_name):
+        self.plot_module = module_name or None
+        self._plotter = None
+
+    # -- plotting ---------------------------------------------------------------
+
+    def script_for(self, spec):
+        """The runnable script for a plot spec (always generated first, as
+        the reference GUI does, so every figure is reproducible)."""
+        from getdist_tpu.gui.plot_script import generate_plot_script
+
+        return generate_plot_script(
+            list(self.root_order),
+            list(spec.x_params),
+            spec.plot_type,
+            chain_dir=self.chain_dir,
+            filled=spec.filled,
+            shaded=spec.shaded,
+            normalized=spec.normalized,
+            color_param=spec.color_param,
+            y_params=list(spec.y_params),
+            subplot_size=spec.subplot_size,
+            width_inch=spec.width_inch,
+            analysis_settings=dict(self.analysis_settings) or None,
+            plot_module=self.plot_module,
+        )
+
+    def make_figure(self, spec):
+        """(figure, script): build the script, execute it, return both."""
+        issues = spec.problems()
+        if issues:
+            raise ValueError("; ".join(issues))
+        script = self.script_for(spec)
+        env = {}
+        exec(compile(script, "<gui plot script>", "exec"), env)  # noqa: S102 - the GUI's own script
+        return env["g"].fig, script
+
+    # -- statistics views -----------------------------------------------------------
+
+    def marge_stats(self, root):
+        return str(self.samples_for_root(root).getMargeStats())
+
+    def like_stats(self, root):
+        stats = self.samples_for_root(root).getLikeStats()
+        return str(stats) if stats else "No likelihood values in samples"
+
+    def converge_stats(self, root):
+        samples = self.samples_for_root(root)
+        return samples.getConvergeTests(samples.converge_test_limit)
+
+    def pca_report(self, root, params):
+        return self.samples_for_root(root).PCA(list(params))
+
+    def latex_table(self, root, params=None, limit=2):
+        samples = self.samples_for_root(root)
+        kwargs = {"limit": limit}
+        if params:
+            kwargs["paramList"] = list(params)
+        return samples.getTable(columns=1, **kwargs).tableTex()

@@ -21,10 +21,13 @@ def generate_plot_script(
     chain_dir=None,
     filled=True,
     shaded=False,
+    normalized=False,
     color_param=None,
+    y_params=None,
     subplot_size=2.5,
     width_inch=None,
     analysis_settings=None,
+    plot_module=None,
     export_name=None,
 ):
     """Build a runnable plot script for the given configuration.
@@ -43,6 +46,8 @@ def generate_plot_script(
     :return: the script text
     """
     lines = ["import getdist_tpu.plots as gplots", ""]
+    if plot_module:
+        lines.append("gplots.set_active_style(%r)" % plot_module)
     kwargs = []
     if chain_dir:
         kwargs.append("chain_dir=%r" % chain_dir)
@@ -59,9 +64,13 @@ def generate_plot_script(
     lines.append("roots = [%s]" % ", ".join(_root_expr(r) for r in roots))
 
     if plot_type == "1d":
-        lines.append("g.plot_1d(roots, %r)" % params[0])
+        lines.append("g.plot_1d(roots, %r, normalized=%r)" % (params[0], normalized))
     elif plot_type == "1d_grid":
         lines.append("g.plots_1d(roots, params=%r)" % (list(params),))
+    elif plot_type == "rectangle":
+        lines.append(
+            "g.rectangle_plot(%r, %r, roots=roots, filled=%r)" % (list(params), list(y_params or []), filled)
+        )
     elif plot_type in ("2d_filled", "2d_line"):
         lines.append(
             "g.plot_2d(roots, %r, %r, filled=%r, shaded=%r)"

@@ -2,10 +2,15 @@
 
 Web re-implementation of the reference GUI capabilities (reference
 ``getdist/gui/streamlit_app.py`` / ``mainwindow.py``): open chain
-directories (with a recent-directories file), pick roots and parameters,
-build 1D/2D/triangle/3D plots, view marginalized/likelihood/convergence/PCA
-statistics and LaTeX parameter tables, edit analysis settings, and preview/
-download the reproducible plot script behind every figure.
+directories and grid hierarchies (with recent-directories memory and
+param-tag browsing), manage an ordered multi-root selection, build
+1D/grid/2D/triangle/rectangle/3D plots with the reference's plot options,
+view marginalized/likelihood/convergence/PCA statistics and LaTeX parameter
+tables, edit the full analysis-settings schema, switch plot style modules,
+and preview/download the reproducible plot script behind every figure.
+
+All state and logic live in :mod:`getdist_tpu.gui.app_logic` (testable
+without streamlit); this module is the rendering layer only.
 
 Run with: ``getdist-tpu-streamlit`` or
 ``streamlit run getdist_tpu/gui/streamlit_app.py -- [chain_dir]``.
@@ -21,179 +26,228 @@ import matplotlib
 
 matplotlib.use("Agg")
 
-from getdist_tpu.gui.plot_script import generate_plot_script
+from getdist_tpu.gui.app_logic import (
+    PLOT_TYPES,
+    GuiSession,
+    PlotSpec,
+    analysis_settings_schema,
+    load_recent_dirs,
+)
 
-RECENT_FILE = os.path.join(os.path.expanduser("~"), ".getdist_tpu_recent_dirs")
+STYLE_MODULES = {
+    "default": None,
+    "planck": "getdist_tpu.styles.planck",
+    "tab10": "getdist_tpu.styles.tab10",
+}
 
-ANALYSIS_SETTING_FIELDS = [
-    ("ignore_rows", float, 0.0),
-    ("smooth_scale_1D", float, -1.0),
-    ("smooth_scale_2D", float, -1.0),
-    ("boundary_correction_order", int, 1),
-    ("mult_bias_correction_order", int, 1),
-    ("fine_bins", int, 1024),
-    ("fine_bins_2D", int, 256),
-    ("max_corr_2D", float, 0.99),
-    ("contours", str, "0.68 0.95 0.99"),
-]
+STATS_VIEWS = ("Marginalized stats", "Likelihood stats", "Convergence", "PCA", "LaTeX table")
 
 
-def load_recent_dirs():
-    try:
-        with open(RECENT_FILE, encoding="utf-8") as f:
-            return [line.strip() for line in f if line.strip() and os.path.isdir(line.strip())]
-    except OSError:
+def _session(state):
+    """The GuiSession stored in streamlit session state."""
+    if "gui_session" not in state:
+        state["gui_session"] = GuiSession()
+    return state["gui_session"]
+
+
+def _sidebar_directory(st, state, session):
+    """Directory/grid opening controls; returns the root list."""
+    st.header("Chains")
+    recents = load_recent_dirs()
+    args_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else None
+    default_dir = session.chain_dir or args_dir or (recents[0] if recents else "")
+    chain_dir = st.text_input("Chain directory or grid path", value=default_dir)
+    if recents:
+        chosen = st.selectbox("Recent directories", ["(keep current)"] + recents)
+        if chosen != "(keep current)":
+            chain_dir = chosen
+    open_now = st.button("Open directory", use_container_width=True)
+    if open_now or (chain_dir and chain_dir != session.chain_dir and os.path.isdir(chain_dir)):
+        try:
+            session.open_directory(chain_dir)
+        except FileNotFoundError:
+            st.error(f"Directory not found: {chain_dir}")
+    if st.button("Re-load files", use_container_width=True, disabled=not session.chain_dir):
+        session.reload_files()
+
+    if not session.chain_dir:
         return []
+    if session.is_grid():
+        st.caption(f"Grid: {session.chain_dir}")
+        tag = st.selectbox("Parameter tag", ["(all)"] + session.param_tags())
+        return session.available_roots() if tag == "(all)" else session.roots_for_tag(tag)
+    return session.available_roots()
 
 
-def save_recent_dirs(dirs):
+def _sidebar_roots(st, session, roots):
+    """Ordered multi-root selection with reordering buttons."""
+    picked = st.multiselect("Roots", roots, default=[r for r in session.root_order if r in roots])
+    session.set_roots(picked)
+    if len(session.root_order) > 1:
+        with st.expander("Order roots"):
+            for root in list(session.root_order):
+                cols = st.columns([4, 1, 1])
+                cols[0].write(root)
+                if cols[1].button("up", key=f"up_{root}"):
+                    session.move_root(root, -1)
+                    st.rerun()
+                if cols[2].button("down", key=f"down_{root}"):
+                    session.move_root(root, +1)
+                    st.rerun()
+    return session.root_order
+
+
+def _sidebar_settings(st, state, session):
+    """Full analysis-settings form (schema from analysis_defaults.ini),
+    plot style module picker, and reset."""
+    st.header("Options")
+    with st.expander("Analysis settings"):
+        overrides = {}
+        for fieldspec in analysis_settings_schema():
+            current = session.analysis_settings.get(fieldspec.name, fieldspec.default)
+            key = f"set_{fieldspec.name}"
+            if fieldspec.type is bool:
+                value = st.checkbox(fieldspec.name, value=bool(current), key=key, help=fieldspec.help or None)
+            elif fieldspec.type is int:
+                value = st.number_input(
+                    fieldspec.name, value=int(current), step=1, key=key, help=fieldspec.help or None
+                )
+            elif fieldspec.type is float:
+                value = st.number_input(
+                    fieldspec.name, value=float(current), format="%.5g", key=key, help=fieldspec.help or None
+                )
+            else:
+                value = st.text_input(fieldspec.name, value=str(current), key=key, help=fieldspec.help or None)
+            if value != fieldspec.default:
+                overrides[fieldspec.name] = value
+        col_a, col_b = st.columns(2)
+        if col_a.button("Apply settings"):
+            session.apply_analysis_settings(overrides)
+            st.rerun()
+        if col_b.button("Reset defaults"):
+            session.reset_analysis_settings()
+            st.rerun()
+    style = st.selectbox("Plot style module", list(STYLE_MODULES), index=0)
+    if STYLE_MODULES[style] != session.plot_module:
+        session.set_plot_module(STYLE_MODULES[style])
+
+
+def _plot_controls(st, state, params):
+    """Plot-spec form; returns a PlotSpec."""
+    c1, c2, c3 = st.columns(3)
+    with c1:
+        plot_type = st.selectbox("Plot type", list(PLOT_TYPES), index=0)
+    with c2:
+        x_params = st.multiselect("X parameters", params, default=params[: min(3, len(params))])
+    with c3:
+        y_params = st.multiselect("Y parameters (rectangle)", params)
+
+    o1, o2, o3, o4, o5 = st.columns(5)
+    filled = o1.checkbox("Filled", value=True)
+    shaded = o2.checkbox("Shaded", value=False)
+    normalized = o3.checkbox("Normalized", value=False)
+    color_param = o4.selectbox("Color param (3d)", ["(none)"] + params)
+    subplot_size = o5.number_input("Subplot size (inch)", value=2.5, min_value=1.0, max_value=8.0)
+    return PlotSpec(
+        plot_type=plot_type,
+        x_params=x_params,
+        y_params=y_params,
+        color_param=None if color_param == "(none)" else color_param,
+        filled=filled,
+        shaded=shaded,
+        normalized=normalized,
+        subplot_size=float(subplot_size),
+    )
+
+
+def _render_plot_tab(st, state, session, params):
+    spec = _plot_controls(st, state, params)
+    issues = spec.problems()
+    if issues:
+        st.warning("; ".join(issues))
+        return
+    script = session.script_for(spec)
+    if st.button("Make plot", type="primary"):
+        try:
+            fig, script = session.make_figure(spec)
+        except Exception as e:  # surface plotting errors in the UI
+            st.error(f"Plot failed: {e}")
+            return
+        state["current_fig"] = fig
+    fig = state.get("current_fig")
+    if fig is not None:
+        st.pyplot(fig)
+        png = io.BytesIO()
+        fig.savefig(png, format="png", dpi=150, bbox_inches="tight")
+        pdf = io.BytesIO()
+        fig.savefig(pdf, format="pdf", bbox_inches="tight")
+        d1, d2 = st.columns(2)
+        d1.download_button("Download PNG", png.getvalue(), "getdist_plot.png", "image/png")
+        d2.download_button("Download PDF", pdf.getvalue(), "getdist_plot.pdf", "application/pdf")
+    with st.expander("Plot script (reproducible)", expanded=fig is None):
+        st.code(script, language="python")
+        st.download_button("Download script", script, "plot_script.py", "text/x-python")
+
+
+def _render_stats_tab(st, state, session, params):
+    root = st.selectbox("Root", session.root_order)
+    which = st.radio("View", list(STATS_VIEWS), horizontal=True)
     try:
-        with open(RECENT_FILE, "w", encoding="utf-8") as f:
-            f.write("\n".join(dirs[:10]))
-    except OSError:
-        pass
+        if which == "Marginalized stats":
+            st.text(session.marge_stats(root))
+        elif which == "Likelihood stats":
+            st.text(session.like_stats(root))
+        elif which == "Convergence":
+            st.text(session.converge_stats(root))
+        elif which == "PCA":
+            pca_params = st.multiselect("PCA parameters", params, default=params[:2], key="pca_params")
+            if len(pca_params) >= 2:
+                st.text(session.pca_report(root, pca_params))
+            else:
+                st.info("Pick two or more parameters for PCA.")
+        else:
+            limit = st.selectbox("Limit", [1, 2, 3], index=1)
+            table_params = st.multiselect("Table parameters (all if empty)", params, key="table_params")
+            st.code(session.latex_table(root, table_params or None, limit), language="latex")
+    except Exception as e:
+        st.error(f"Statistics failed: {e}")
 
 
 def main():
     import streamlit as st
 
-    from getdist_tpu import plots
-
     st.set_page_config(page_title="GetDist-TPU GUI", layout="wide")
     st.title("GetDist-TPU sample analyser")
 
     state = st.session_state
-    state.setdefault("chain_dir", None)
-    state.setdefault("selected_roots", [])
-    state.setdefault("analysis_settings", {})
+    session = _session(state)
 
-    # ---------------- sidebar: directory + roots -------------------------
     with st.sidebar:
-        st.header("Chains")
-        recents = load_recent_dirs()
-        args_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else None
-        default_dir = state["chain_dir"] or args_dir or (recents[0] if recents else "")
-        chain_dir = st.text_input("Chain directory or grid path", value=default_dir)
-        if recents:
-            chosen = st.selectbox("Recent directories", ["(keep current)"] + recents)
-            if chosen != "(keep current)":
-                chain_dir = chosen
-        if st.button("Open directory", use_container_width=True) or (
-            chain_dir and chain_dir != state["chain_dir"] and os.path.isdir(chain_dir)
-        ):
-            if os.path.isdir(chain_dir):
-                state["chain_dir"] = chain_dir
-                save_recent_dirs([chain_dir] + [d for d in recents if d != chain_dir])
-            else:
-                st.error("Directory not found: %s" % chain_dir)
+        roots = _sidebar_directory(st, state, session)
+        selected = _sidebar_roots(st, session, roots) if roots else []
+        _sidebar_settings(st, state, session)
 
-        plotter = None
-        roots = []
-        if state["chain_dir"]:
-            plotter = plots.get_subplot_plotter(
-                chain_dir=state["chain_dir"],
-                analysis_settings=state["analysis_settings"] or None,
-                auto_close=True,
-            )
-            from getdist_tpu.chain_grid import get_chain_root_files, is_grid_object
-
-            for location, dir_obj in zip(
-                plotter.sample_analyser.chain_locations, plotter.sample_analyser.chain_dirs
-            ):
-                if is_grid_object(dir_obj):
-                    roots.extend(sorted(getattr(dir_obj, "roots", {})))
-                else:
-                    roots.extend(get_chain_root_files(location))
-        selected_roots = st.multiselect("Roots", roots, default=[r for r in state["selected_roots"] if r in roots])
-        state["selected_roots"] = selected_roots
-
-        st.header("Analysis settings")
-        with st.expander("Edit analysis settings"):
-            new_settings = {}
-            for name, tp, default in ANALYSIS_SETTING_FIELDS:
-                current = state["analysis_settings"].get(name, default)
-                if tp is str:
-                    value = st.text_input(name, value=str(current))
-                elif tp is int:
-                    value = st.number_input(name, value=int(current), step=1)
-                else:
-                    value = st.number_input(name, value=float(current), format="%.4f")
-                if str(value) != str(default):
-                    new_settings[name] = value
-            if st.button("Apply settings"):
-                state["analysis_settings"] = new_settings
-                st.rerun()
-
-    if not state["chain_dir"] or not selected_roots or plotter is None:
-        st.info("Open a chain directory and select one or more roots to begin.")
+    if not session.chain_dir:
+        st.info("Open a chain directory (or grid path) to begin.")
+        return
+    if not selected:
+        st.info("Select one or more chain roots in the sidebar.")
         return
 
-    params = plotter.param_names_for_root(selected_roots[0]).list()
-
-    # ---------------- main area ------------------------------------------
-    plot_tab, stats_tab = st.tabs(["Plots", "Statistics"])
-
+    params = session.param_list()
+    plot_tab, stats_tab, about_tab = st.tabs(["Plots", "Statistics", "About"])
     with plot_tab:
-        col1, col2, col3 = st.columns(3)
-        with col1:
-            plot_type = st.selectbox(
-                "Plot type", ["1d", "1d_grid", "2d_filled", "2d_line", "triangle", "3d"], index=4
-            )
-        with col2:
-            x_params = st.multiselect("Parameters", params, default=params[: min(3, len(params))])
-        with col3:
-            color_param = st.selectbox("Color parameter (3d)", ["(none)"] + params)
-
-        needed = {"1d": 1, "2d_filled": 2, "2d_line": 2, "3d": 2}.get(plot_type, 1)
-        if len(x_params) < needed:
-            st.warning(f"Select at least {needed} parameter(s) for {plot_type}.")
-            return
-
-        script = generate_plot_script(
-            selected_roots,
-            x_params,
-            plot_type,
-            chain_dir=state["chain_dir"],
-            color_param=None if color_param == "(none)" else color_param,
-            analysis_settings=state["analysis_settings"] or None,
-        )
-        if st.button("Make plot", type="primary"):
-            env = {}
-            exec(compile(script, "<gui script>", "exec"), env)  # noqa: S102 - the GUI's own generated script
-            fig = env["g"].fig
-            st.pyplot(fig)
-            png = io.BytesIO()
-            fig.savefig(png, format="png", dpi=150, bbox_inches="tight")
-            pdf = io.BytesIO()
-            fig.savefig(pdf, format="pdf", bbox_inches="tight")
-            dcol1, dcol2 = st.columns(2)
-            dcol1.download_button("Download PNG", png.getvalue(), "plot.png", "image/png")
-            dcol2.download_button("Download PDF", pdf.getvalue(), "plot.pdf", "application/pdf")
-        with st.expander("Plot script (reproducible)"):
-            st.code(script, language="python")
-            st.download_button("Download script", script, "plot_script.py", "text/x-python")
-
+        _render_plot_tab(st, state, session, params)
     with stats_tab:
-        root = st.selectbox("Root", selected_roots)
-        samples = plotter.samples_for_root(root)
-        which = st.radio(
-            "View", ["Marginalized stats", "Likelihood stats", "Convergence", "PCA", "LaTeX table"], horizontal=True
+        _render_stats_tab(st, state, session, params)
+    with about_tab:
+        import getdist_tpu
+
+        st.markdown(
+            f"**GetDist-TPU** {getdist_tpu.__version__} — TPU-native MCMC sample analysis.\n\n"
+            "Every plot is generated from a reproducible python script (see the "
+            "Plots tab) that can be run outside the GUI."
         )
-        if which == "Marginalized stats":
-            st.text(str(samples.getMargeStats()))
-        elif which == "Likelihood stats":
-            stats = samples.getLikeStats()
-            st.text(str(stats) if stats else "No likelihood values in samples")
-        elif which == "Convergence":
-            st.text(samples.getConvergeTests(samples.converge_test_limit))
-        elif which == "PCA":
-            pca_params = st.multiselect("PCA parameters", params, default=params[:2], key="pca_params")
-            if len(pca_params) >= 2:
-                st.text(samples.PCA(pca_params))
-        else:
-            limit = st.selectbox("Limit", [1, 2, 3], index=1)
-            table = samples.getTable(columns=1, limit=limit)
-            st.code(table.tableTex(), language="latex")
 
 
 if __name__ == "__main__":

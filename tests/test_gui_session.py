@@ -1,0 +1,329 @@
+"""GUI logic and rendering tests (no PySide/streamlit installs needed).
+
+GuiSession (gui.app_logic) carries all GUI state; the streamlit app is
+driven end-to-end through a scripted fake streamlit module, exercising the
+real render code path: open directory -> select roots -> make plot ->
+stats views. Reference capability anchors: getdist/gui/streamlit_app.py
+open_directory/update_parameters/show_*_stats and mainwindow.py:406-941.
+"""
+
+import contextlib
+import os
+import sys
+import types
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import pytest
+
+from getdist_tpu import chains as tchains
+from getdist_tpu.gaussian_mixtures import Gaussian2D
+from getdist_tpu.gui.app_logic import GuiSession, PlotSpec, analysis_settings_schema
+
+tchains.print_load_details = False
+
+
+@pytest.fixture(scope="module")
+def chain_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gui_session_chains")
+    s = Gaussian2D([0, 0], (1, 0.8, 0.5)).MCSamples(4000, logLikes=True, random_state=3)
+    s.saveChainsAsText(str(d / "sess_chain"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def grid_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("gui_grid")
+    for tag, seed in (("tagA", 4), ("tagB", 5)):
+        sub = base / tag / "chains"
+        sub.mkdir(parents=True)
+        s = Gaussian2D([0, 0], (1, 0.7, 0.3)).MCSamples(2500, logLikes=True, random_state=seed)
+        s.saveChainsAsText(str(sub / f"run_{tag}"))
+    return str(base)
+
+
+def test_settings_schema_covers_defaults_ini():
+    schema = analysis_settings_schema()
+    names = {f.name for f in schema}
+    # the full analysis surface (same keys as the packaged defaults ini)
+    assert len(schema) >= 18
+    for expected in ("fine_bins", "fine_bins_2D", "smooth_scale_1D", "max_corr_2D", "boundary_correction_order"):
+        assert expected in names
+    by_name = {f.name: f for f in schema}
+    assert by_name["fine_bins"].type is int
+    assert by_name["smooth_scale_1D"].type is float
+
+
+def test_session_flow_plain_directory(chain_dir, monkeypatch, tmp_path):
+    monkeypatch.setattr("getdist_tpu.gui.app_logic.RECENT_FILE", str(tmp_path / "recent"))
+    session = GuiSession()
+    roots = session.open_directory(chain_dir)
+    assert roots == ["sess_chain"]
+    assert not session.is_grid()
+    session.add_root("sess_chain")
+    assert session.param_list() == ["x", "y"]
+
+    fig, script = session.make_figure(PlotSpec(plot_type="triangle", x_params=["x", "y"]))
+    assert fig is not None
+    assert "triangle_plot" in script
+
+    assert "Marginalized limits" in session.marge_stats("sess_chain")
+    assert "-log(Like)" in session.like_stats("sess_chain") or "Best fit" in session.like_stats("sess_chain")
+    converge = session.converge_stats("sess_chain")
+    assert "N_eff" in converge and "Raftery" in converge
+    assert "PCA" in session.pca_report("sess_chain", ["x", "y"])
+    assert "\\begin{tabular}" in session.latex_table("sess_chain")
+
+
+def test_session_root_ordering(chain_dir):
+    session = GuiSession()
+    session.root_order = ["a", "b", "c"]
+    session.move_root("c", -1)
+    assert session.root_order == ["a", "c", "b"]
+    session.move_root("a", +5)
+    assert session.root_order == ["c", "b", "a"]
+    session.remove_root("b")
+    assert session.root_order == ["c", "a"]
+    session.set_roots(["a", "c", "d"])
+    assert session.root_order == ["c", "a", "d"]
+
+
+def test_session_grid_browsing(grid_dir):
+    session = GuiSession()
+    roots = session.open_directory(grid_dir)
+    assert session.is_grid()
+    assert session.param_tags() == ["tagA", "tagB"]
+    assert session.roots_for_tag("tagA") == ["run_tagA"]
+    assert set(roots) == {"run_tagA", "run_tagB"}
+    session.add_root("run_tagB")
+    fig, script = session.make_figure(PlotSpec(plot_type="1d", x_params=["x"]))
+    assert fig is not None
+
+
+def test_rectangle_and_validation(chain_dir):
+    session = GuiSession()
+    session.open_directory(chain_dir)
+    session.add_root("sess_chain")
+    spec = PlotSpec(plot_type="rectangle", x_params=["x"], y_params=[])
+    assert spec.problems()
+    spec.y_params = ["y"]
+    fig, script = session.make_figure(spec)
+    assert "rectangle_plot" in script
+
+
+def test_analysis_settings_invalidate_plotter(chain_dir):
+    session = GuiSession()
+    session.open_directory(chain_dir)
+    session.add_root("sess_chain")
+    first = session.plotter()
+    session.apply_analysis_settings({"fine_bins": 512})
+    assert session.plotter() is not first
+    assert session.analysis_settings == {"fine_bins": 512}
+    session.reset_analysis_settings()
+    assert session.analysis_settings == {}
+
+
+# ---------------------------------------------------------------------------
+# fake-streamlit end-to-end drive
+# ---------------------------------------------------------------------------
+
+
+class _Recorder:
+    def __init__(self):
+        self.figures = []
+        self.texts = []
+        self.codes = []
+        self.errors = []
+
+
+class FakeStreamlit(types.ModuleType):
+    """Scripted streamlit stand-in: widgets return canned answers by label,
+    layout contexts are no-ops, and outputs are recorded for assertions."""
+
+    def __init__(self, answers, pressed):
+        super().__init__("streamlit")
+        self.answers = answers
+        self.pressed = pressed
+        self.session_state = {}
+        self.rec = _Recorder()
+
+    # -- widgets -----------------------------------------------------------
+    def _answer(self, label, default):
+        return self.answers.get(label, default)
+
+    def text_input(self, label, value="", **kw):
+        return self._answer(label, value)
+
+    def selectbox(self, label, options, index=0, **kw):
+        return self._answer(label, list(options)[index] if options else None)
+
+    def multiselect(self, label, options, default=None, **kw):
+        picked = self._answer(label, default if default is not None else [])
+        return [p for p in picked if p in list(options)]
+
+    def button(self, label, **kw):
+        return label in self.pressed
+
+    def checkbox(self, label, value=False, **kw):
+        return bool(self._answer(label, value))
+
+    def number_input(self, label, value=0, **kw):
+        return self._answer(label, value)
+
+    def radio(self, label, options, **kw):
+        return self._answer(label, list(options)[0])
+
+    def download_button(self, *a, **kw):
+        return False
+
+    # -- layout ------------------------------------------------------------
+    @contextlib.contextmanager
+    def _ctx(self):
+        yield self
+
+    def __getattr__(self, name):
+        raise AttributeError(name)
+
+    @property
+    def sidebar(self):
+        return self._ctx()
+
+    def expander(self, *a, **kw):
+        return self._ctx()
+
+    def columns(self, spec, **kw):
+        n = spec if isinstance(spec, int) else len(spec)
+        return [_FakeColumn(self) for _ in range(n)]
+
+    def tabs(self, labels):
+        return [self._ctx() for _ in labels]
+
+    def set_page_config(self, **kw):
+        pass
+
+    def title(self, *a):
+        pass
+
+    def header(self, *a):
+        pass
+
+    def caption(self, *a):
+        pass
+
+    def markdown(self, *a, **kw):
+        pass
+
+    def divider(self):
+        pass
+
+    def rerun(self):
+        raise RuntimeError("rerun not expected in scripted flow")
+
+    # -- outputs -------------------------------------------------------------
+    def pyplot(self, fig, **kw):
+        self.rec.figures.append(fig)
+
+    def text(self, body):
+        self.rec.texts.append(str(body))
+
+    def code(self, body, **kw):
+        self.rec.codes.append(body)
+
+    def info(self, *a):
+        pass
+
+    def warning(self, body):
+        self.rec.errors.append(("warning", str(body)))
+
+    def error(self, body):
+        self.rec.errors.append(("error", str(body)))
+
+
+class _FakeColumn:
+    def __init__(self, st):
+        self._st = st
+
+    def __enter__(self):
+        return self._st
+
+    def __exit__(self, *exc):
+        return False
+
+    def __getattr__(self, name):
+        return getattr(self._st, name)
+
+
+def _drive_app(fake, monkeypatch):
+    monkeypatch.setitem(sys.modules, "streamlit", fake)
+    import getdist_tpu.gui.streamlit_app as app
+
+    monkeypatch.setattr(sys, "argv", ["streamlit_app.py"])
+    app.main()
+    return fake.rec
+
+
+def test_streamlit_full_flow(chain_dir, monkeypatch, tmp_path):
+    monkeypatch.setattr("getdist_tpu.gui.app_logic.RECENT_FILE", str(tmp_path / "recent"))
+    fake = FakeStreamlit(
+        answers={
+            "Chain directory or grid path": chain_dir,
+            "Roots": ["sess_chain"],
+            "X parameters": ["x", "y"],
+            "Plot type": "triangle",
+            "Root": "sess_chain",
+            "View": "Marginalized stats",
+        },
+        pressed={"Open directory", "Make plot"},
+    )
+    rec = _drive_app(fake, monkeypatch)
+    assert not [e for e in rec.errors if e[0] == "error"], rec.errors
+    assert rec.figures, "Make plot should render a figure"
+    assert any("triangle_plot" in c for c in rec.codes), "script preview should show"
+    assert any("Marginalized limits" in t for t in rec.texts), "marge stats text should render"
+
+
+def test_streamlit_stats_views(chain_dir, monkeypatch, tmp_path):
+    monkeypatch.setattr("getdist_tpu.gui.app_logic.RECENT_FILE", str(tmp_path / "recent"))
+    for view, needle in (
+        ("Convergence", "N_eff"),
+        ("PCA", "PCA"),
+    ):
+        fake = FakeStreamlit(
+            answers={
+                "Chain directory or grid path": chain_dir,
+                "Roots": ["sess_chain"],
+                "X parameters": ["x"],
+                "Plot type": "1d",
+                "Root": "sess_chain",
+                "View": view,
+                "PCA parameters": ["x", "y"],
+            },
+            pressed={"Open directory"},
+        )
+        rec = _drive_app(fake, monkeypatch)
+        assert any(needle in t for t in rec.texts), (view, rec.texts[:1])
+
+
+def test_mainwindow_importable_without_qt():
+    import getdist_tpu.gui.mainwindow as mw
+
+    assert callable(mw.run_gui)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib.util").find_spec("PySide6"), reason="PySide6 not installed"
+)
+def test_mainwindow_offscreen_instantiation(chain_dir):
+    os.environ.setdefault("QT_QPA_PLATFORM", "offscreen")
+    from PySide6.QtWidgets import QApplication
+
+    import getdist_tpu.gui.mainwindow as mw
+
+    app = QApplication.instance() or QApplication([])
+    win = mw.MainWindow()
+    win._open_path(chain_dir)
+    win.add_root("sess_chain")
+    assert win.session.param_list() == ["x", "y"]
+    win.close()
