@@ -1255,6 +1255,87 @@ class MCSamples(Chains):
             density.normalize(in_place=True)
         return density
 
+    def _fused_route_enabled(self):
+        """Should default density queries route through the fused device
+        pipeline? True on accelerator backends (or GETDIST_TPU_FUSED=1 /
+        GETDIST_TPU_DEVICE_OPS=1) when the analysis settings match the
+        fused path's reference-default conventions; always False on plain
+        CPU (the host path there is the byte-parity oracle) and when
+        GETDIST_TPU_FUSED=0."""
+        flag = os.environ.get("GETDIST_TPU_FUSED")
+        if flag == "0":
+            return False
+        if not (
+            float(self.smooth_scale_1D) < 0
+            and float(self.smooth_scale_2D) < 0
+            and int(self.boundary_correction_order) == 1
+            and int(self.mult_bias_correction_order) == 1
+        ):
+            return False
+        if flag == "1" or _use_device_ops:
+            return True
+        import jax
+
+        return jax.default_backend() != "cpu"
+
+    def _fused_densities_state(self):
+        """(dens1, dens2) dicts from ONE fused pipeline run, cached until
+        the samples change; the routed get*DensityGridData entry points
+        serve individual queries from here so a 30-parameter triangle plot
+        costs one device program, not 465."""
+        if getattr(self, "_fused_cache", None) is None:
+            d1, d2 = self.fastDensities(contours=tuple(np.asarray(self.contours, float)))
+            self._fused_cache = (d1, d2)
+        return self._fused_cache
+
+    def _fused_1d_lookup(self, j, paramConfid=None):
+        """Density1D for one parameter via the fused pipeline (None if the
+        parameter is unknown or the fused run failed)."""
+        jx, par = self._parAndNumber(j)
+        if par is None:
+            return None
+        try:
+            dens1, _ = self._fused_densities_state()
+            density = dens1.get(par.name)
+        except Exception as e:
+            logging.warning("fused 1D pipeline failed (%s); using per-param path", e)
+            return None
+        if density is None:
+            return None
+        self._initParamRanges(jx, paramConfid)
+        density.view_ranges = [par.range_min, par.range_max]
+        self.density1D[par.name] = density
+        return density
+
+    def _fused_2d_lookup(self, j, j2, num_plot_contours=None):
+        """Density2D for a pair via the fused pipeline, transposing when the
+        query order is reversed relative to the stored (a < b) order."""
+        jx, parx = self._parAndNumber(j)
+        jy, pary = self._parAndNumber(j2)
+        if parx is None or pary is None:
+            return None
+        try:
+            _, dens2 = self._fused_densities_state()
+        except Exception as e:
+            logging.warning("fused 2D pipeline failed (%s); using per-pair path", e)
+            return None
+        density = dens2.get((parx.name, pary.name))
+        flipped = dens2.get((pary.name, parx.name))
+        if density is None and flipped is not None:
+            density = Density2D(flipped.y, flipped.x, flipped.P.T)
+            density.contours = flipped.contours
+        if density is None:
+            return None
+        self._initParamRanges(jx)
+        self._initParamRanges(jy)
+        out = Density2D(density.x, density.y, density.P,
+                        view_ranges=[(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)])
+        levels = np.asarray(density.contours, float)
+        if num_plot_contours:
+            levels = levels[: min(int(num_plot_contours), len(levels))]
+        out.contours = levels
+        return out
+
     def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True):
         """Fused-pipeline densities as plot-ready objects: a dict of
         :class:`~.densities.Density1D` per parameter name and a dict of
@@ -1515,6 +1596,10 @@ class MCSamples(Chains):
         """
         if self.needs_update:
             self.updateBaseStatistics()
+        if not kwargs and not meanlikes and mask_function is None and self._fused_route_enabled():
+            density = self._fused_2d_lookup(j, j2, num_plot_contours)
+            if density is not None:
+                return density
         start = time.time()
         j, parx = self._parAndNumber(j)
         j2, pary = self._parAndNumber(j2)
@@ -1740,6 +1825,10 @@ class MCSamples(Chains):
         """
         if self.needs_update:
             self.updateBaseStatistics()
+        if not kwargs and not meanlikes and self._fused_route_enabled():
+            density = self._fused_1d_lookup(j, paramConfid)
+            if density is not None:
+                return density
         j = self._parAndNumber(j)[0]
         if j is None:
             return None
@@ -2242,6 +2331,7 @@ class MCSamples(Chains):
         self._setCov()
         self.done_1Dbins = False
         self.density1D = dict()
+        self._fused_cache = None
         self._initLimits(self.ini)
         for par in self.paramNames.names:
             par.N_eff_kde = None
