@@ -166,9 +166,13 @@ def _quantiles_from_hist(hist, edges_lo, width, probs):
     return edges_lo + (ix + frac) * width
 
 
-def _lag_grid(n, max_lag=4096, num=24):
-    """Static log-spaced lag grid for the N_eff estimator."""
-    ks = np.unique(np.geomspace(1, min(max_lag, max(n // 10, 2)), num).astype(np.int64))
+def _lag_grid(n, max_lag=None, num=40):
+    """Static log-spaced lag grid for the N_eff estimator, spanning lags
+    1 .. n//10 (the reference's maxoff cap, chains.py:506)."""
+    top = max(n // 10, 2)
+    if max_lag is not None:
+        top = min(max_lag, top)
+    ks = np.unique(np.geomspace(1, top, num).astype(np.int64))
     return tuple(int(k) for k in ks)
 
 
@@ -195,7 +199,9 @@ def _neff_kde_batch(values, weights, sigmas, lags, axis_name=None, axis_size=1):
     """
     n = values.shape[1]
     min_corr = 0.05
-    kernel_std = sigmas * 0.2  # h = 0.2 fiducial kernel fraction
+    # h = 0.2 of the quantile structure scale, as the reference passes
+    # scale=par.sigma_range (mcsamples.py:1233)
+    kernel_std = sigmas * 0.2
     inv2 = 1.0 / (4.0 * kernel_std**2)
 
     def _ps(v):
@@ -433,37 +439,71 @@ _ODD_LEVELS = {
 }
 
 
-def _even_table_2d(psi_fn, neff, t_star, min_level=0):
+def _even_table_2d(psi_multi, neff, t_star, min_level=0):
     """Level-by-level plug-in table of the even psi functionals (device
     twin of kde_bandwidth._even_table; each functional evaluated once).
-    psi_fn(sx, sy, t) evaluates one even derivative functional."""
-    table = {s: psi_fn(s[0], s[1], t_star) for s in _EVEN_LEVELS[5]}
+
+    psi_multi(keys, ts) evaluates a whole level's functionals in one
+    contraction: the spectrum array is the dominant HBM traffic, so each
+    level reads it once instead of once per functional."""
+    keys = _EVEN_LEVELS[5]
+    table = dict(zip(keys, psi_multi(keys, [t_star] * len(keys))))
     for level in range(4, min_level - 1, -1):
         const = (1 + 0.5 ** (level + 1)) / 3
-        for sx, sy in _EVEN_LEVELS[level]:
+        keys = _EVEN_LEVELS[level]
+        ts = []
+        for sx, sy in keys:
             children = table[(sx + 1, sy)] + table[(sx, sy + 1)]
-            t_s = (-2 * const * _K_EVEN[sx] * _K_EVEN[sy] / neff / children) ** (1.0 / (2 + level))
-            table[(sx, sy)] = psi_fn(sx, sy, t_s)
+            ts.append((-2 * const * _K_EVEN[sx] * _K_EVEN[sy] / neff / children) ** (1.0 / (2 + level)))
+        table.update(zip(keys, psi_multi(keys, ts)))
     return table
 
 
-def _odd_psi_2d(s0, s1, t, freqs, power):
-    damp = jnp.exp(-(freqs**2) * (4 * _PI_SQ * t))
-    wx = damp * freqs**s0
-    wy = damp * freqs**s1
-    return (wy @ power @ wx).real * (2 * np.pi) ** (s0 + s1)
+def _psi_multi_dct(a2, big_i, log_i, orders, ts):
+    """Batch-evaluate even psi functionals on a squared-DCT spectrum (the
+    reference convention, exact for bounded densities): ONE pass over the
+    (big) a2 array per call."""
+    t_vec = jnp.stack([jnp.asarray(t, a2.dtype) for t in ts])  # (k,)
+    damp = -big_i[None, :] * (_PI_SQ * t_vec[:, None])  # (k, F)
+    wx = jnp.exp(damp + log_i[None, :] * jnp.asarray([s[0] for s in orders], a2.dtype)[:, None])
+    wy = jnp.exp(damp + log_i[None, :] * jnp.asarray([s[1] for s in orders], a2.dtype)[:, None])
+    g = a2 @ wx.T  # (F, k): the single pass over the spectrum
+    vals = jnp.sum(wy.T * g, axis=0)
+    scale = np.array([(-1) ** (s[0] + s[1]) * np.pi ** (2 * (s[0] + s[1])) / 4 for s in orders], np.float64)
+    return vals * jnp.asarray(scale, a2.dtype)
+
+
+def _psi_multi_pow(power, freqs, exponents, ts, signs):
+    """Batch-evaluate psi functionals on an FFT power spectrum: ONE pass
+    over the (big) power array per call. power is laid out [f_y, f_x];
+    weights are damp * f^exponent per axis; ``signs`` carries each
+    functional's derivative-parity sign."""
+    t_vec = jnp.stack([jnp.asarray(t, power.dtype) for t in ts])  # (k,)
+    damp = jnp.exp(-(freqs[None, :] ** 2) * (4 * _PI_SQ) * t_vec[:, None])  # (k, F)
+    wx = damp * jnp.stack([freqs ** s[0] for s in exponents])
+    wy = damp * jnp.stack([freqs ** s[1] for s in exponents])
+    g = power @ wx.T  # (F, k): the single pass over the spectrum
+    vals = jnp.sum(wy.T * g, axis=0)  # (k,)
+    scale = np.array(
+        [sg * (2 * np.pi) ** (s[0] + s[1]) for s, sg in zip(exponents, signs)], np.float64
+    )
+    return vals * jnp.asarray(scale, power.dtype)
 
 
 def _odd_table_2d(power, freqs, neff, p00, t_star):
     """Plug-in table for the odd functionals psi_13/psi_31 (device twin of
-    kde_bandwidth._odd_table)."""
-    table = {s: _odd_psi_2d(s[0], s[1], t_star, freqs, power) for s in _ODD_LEVELS[10]}
+    kde_bandwidth._odd_table), level-batched like the even table."""
+    keys = _ODD_LEVELS[10]
+    ones = [1.0] * len(keys)
+    table = dict(zip(keys, _psi_multi_pow(power, freqs, keys, [t_star] * len(keys), ones)))
     for level in (8, 6, 4):
         const = 8 * (1 - 2.0 ** (-level - 1)) / 3.0
-        for sx, sy in _ODD_LEVELS[level]:
+        keys = _ODD_LEVELS[level]
+        ts = []
+        for sx, sy in keys:
             children = table[(sx + 2, sy)] + table[(sx, sy + 2)]
-            t_s = (const * p00 * _K_ODD[sx] * _K_ODD[sy] / neff**2 / children**2) ** (1.0 / (3 + level))
-            table[(sx, sy)] = _odd_psi_2d(sx, sy, t_s, freqs, power)
+            ts.append((const * p00 * _K_ODD[sx] * _K_ODD[sy] / neff**2 / children**2) ** (1.0 / (3 + level)))
+        table.update(zip(keys, _psi_multi_pow(power, freqs, keys, ts, [1.0] * len(keys))))
     return table
 
 
@@ -540,9 +580,9 @@ def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=Non
     spectra — the numerically-verified FFT twin of the DCT convention."""
     size = hist.shape[0]
     dtype = hist.dtype
+    normed = hist / jnp.sum(hist)
     big_i = (jnp.arange(1, size, dtype=dtype)) ** 2
     log_i = jnp.log(big_i)
-    normed = hist / jnp.sum(hist)
     a2 = dct(dct(normed, axis=0), axis=1)[1:, 1:] ** 2
     freqs = jnp.fft.fftfreq(size, d=1.0 / size).astype(dtype)
     spec = jnp.fft.fft2(normed)
@@ -552,20 +592,21 @@ def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=Non
         power = jnp.where(use_override, power_override, power_plain)
     else:
         power = power_plain
-    f2w = freqs**2
 
-    def psi_even(sx, sy, t):
-        from_dct = _psi_2d(sx, sy, t, big_i, log_i, a2)
-        damp = jnp.exp(-f2w * (4 * _PI_SQ * t))
-        wx = damp * freqs ** (2 * sx)
-        wy = damp * freqs ** (2 * sy)
-        from_pow = (-1) ** (sx + sy) * (wy @ power @ wx) * (2 * np.pi) ** (2 * (sx + sy))
+    def psi_even_multi(keys, ts):
+        # DCT convention (exact for bounded densities, reference semantics);
+        # sheared pairs evaluate on their frequency-sheared FFT power instead
+        # (verified equal to 1e-4 for interior densities)
+        from_dct = _psi_multi_dct(a2, big_i, log_i, keys, ts)
         if power_override is None:
             return from_dct
+        doubled = [(2 * s[0], 2 * s[1]) for s in keys]
+        signs = [(-1.0) ** (s[0] + s[1]) for s in keys]
+        from_pow = _psi_multi_pow(power, freqs, doubled, ts, signs)
         return jnp.where(use_override, from_pow, from_dct)
 
     def fixed_point(t):
-        table = _even_table_2d(psi_even, neff, t, min_level=2)
+        table = _even_table_2d(psi_even_multi, neff, t, min_level=2)
         curvature = table[(0, 2)] + table[(2, 0)] + 2 * table[(1, 1)]
         implied = (2 * np.pi * neff * curvature) ** (-1.0 / 3)
         return (t - implied) / implied
@@ -588,7 +629,7 @@ def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=Non
         t_star = jnp.where(ok & ~overshoot, t_star, fallback_t)
         ok = jnp.asarray(True)
 
-    table = _even_table_2d(psi_even, neff, t_star)
+    table = _even_table_2d(psi_even_multi, neff, t_star)
     pyy, pxx, pxy = table[(0, 2)], table[(2, 0)], table[(1, 1)]
     cross = pxy + jnp.sqrt(pxx * pyy)
     denom = 4 * np.pi * neff * cross
@@ -795,6 +836,8 @@ def all_1d_densities(
     axis_name=None,
     axis_size=1,
     neff_override=None,
+    range_override=None,
+    bandwidth_override=None,
 ):
     """All marginalized 1D densities in one program.
 
@@ -868,6 +911,9 @@ def all_1d_densities(
     range_max = quants[:, 1] + smooth_est * 2
     binmin = jnp.minimum(mins, range_min) - (range_max - range_min) * 0.1
     binmax = jnp.maximum(maxs, range_max) + (range_max - range_min) * 0.1
+    if range_override is not None:
+        # parity mode: host-exact grid ranges (sample-quantile based)
+        binmin, binmax = range_override
     # hard limits cut the padded range; the limit is "active" when it binds
     # (periodic parameters always snap to their full period)
     active_lo = ~jnp.isnan(limits_lo) & (per | (jnp.where(jnp.isnan(limits_lo), -jnp.inf, limits_lo) > binmin))
@@ -889,11 +935,15 @@ def all_1d_densities(
         neff = neff_override
     else:
         # the halo can be at most one shard long, so cap lags at the shard size
-        lags = _lag_grid(n * axis_size, max_lag=min(4096, n))
-        neff = _neff_kde_batch(cols, weights, sigmas, lags, axis_name=axis_name, axis_size=axis_size)
-    h_frac, ok = jax.vmap(_isj_bandwidth_1d)(bins, neff)
-    fallback = 1.06 * sigma_range * neff ** (-1.0 / 5) / (binmax - binmin)
-    h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
+        lags = _lag_grid(n * axis_size, max_lag=n if axis_name else None)
+        neff = _neff_kde_batch(cols, weights, sigma_range, lags, axis_name=axis_name, axis_size=axis_size)
+    if bandwidth_override is not None:
+        # parity mode: host-exact ISJ bandwidths (fractions of the bin range)
+        h_frac = bandwidth_override
+    else:
+        h_frac, ok = jax.vmap(_isj_bandwidth_1d)(bins, neff)
+        fallback = 1.06 * sigma_range * neff ** (-1.0 / 5) / (binmax - binmin)
+        h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
     if mult_bias_order:
         h_frac = h_frac * neff ** (1.0 / 5 - 1.0 / (4 * mult_bias_order + 5))
     # kernel sigma in bin units (h is a fraction of the bin range)
@@ -1059,6 +1109,7 @@ def all_2d_densities(
     boundary_order=1,
     max_corr=0.95,
     enable_shear=True,
+    bandwidth_override=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1209,6 +1260,9 @@ def all_2d_densities(
         hx = hx * scale
         hy = hy * scale
 
+    if bandwidth_override is not None:
+        # parity mode: host-exact bandwidth matrices (data units) + corr
+        hx, hy, c = bandwidth_override
     rx = jnp.clip(hx / fine_width[pair_a], 0.8, winw / 2.5)  # bin units
     ry = jnp.clip(hy / fine_width[pair_b], 0.8, winw / 2.5)
 
