@@ -327,3 +327,18 @@ def test_mainwindow_offscreen_instantiation(chain_dir):
     win.add_root("sess_chain")
     assert win.session.param_list() == ["x", "y"]
     win.close()
+
+
+def test_syntax_highlight_rule_tables():
+    # rule tables are plain data, valid regexes, and cover the core styles
+    import re
+
+    from getdist_tpu.gui import SyntaxHighlight as sh
+
+    assert len(sh.RULES) >= 10
+    for _, rx, style in sh.RULES:
+        re.compile(rx)
+        assert style in sh.STYLES
+    sample = "def f(x):\n    return str(x) + 'a'  # comment"
+    hits = {name for name, rx, _ in sh.RULES if re.search(rx, sample)}
+    assert {"keyword", "defname", "builtin", "string1", "comment"} <= hits
