@@ -38,12 +38,18 @@ def main():
     parser.add_argument("out_dir", nargs="?", default="dist")
     parser.add_argument("--name", default="GetDistTPU-GUI")
     parser.add_argument("--onefile", action="store_true", help="single-file executable instead of a folder bundle")
+    parser.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="write the launcher and print the PyInstaller command without running it (CI smoke mode)",
+    )
     args = parser.parse_args()
 
-    for mod, hint in (("PyInstaller", "pyinstaller"), ("PySide6", "PySide6")):
-        if importlib.util.find_spec(mod) is None:
-            print(f"Missing {mod}: pip install {hint}", file=sys.stderr)
-            return 1
+    if not args.dry_run:
+        for mod, hint in (("PyInstaller", "pyinstaller"), ("PySide6", "PySide6")):
+            if importlib.util.find_spec(mod) is None:
+                print(f"Missing {mod}: pip install {hint}", file=sys.stderr)
+                return 1
 
     os.makedirs(args.out_dir, exist_ok=True)
     launcher = os.path.join(args.out_dir, "_gui_launcher.py")
@@ -78,6 +84,9 @@ def main():
         cmd.append("--onefile")
     cmd.append(launcher)
     print("+", " ".join(cmd))
+    if args.dry_run:
+        print("dry run: launcher + command generated, PyInstaller not invoked")
+        return 0
     rc = subprocess.call(cmd)
     if rc == 0:
         print(f"\nbundle written under {args.out_dir}/{args.name}")
