@@ -773,17 +773,24 @@ def _gauss_kernel_2d(rx, ry, corr, winw, dtype):
     return win / jnp.sum(win)
 
 
+@partial(jax.jit, static_argnames=("pad", "half_m"))
+def _conv2d_same_kf(grids, kf, pad, half_m):
+    """Batched 'same' convolution against a PRE-TRANSFORMED kernel spectrum
+    (kf = rfftn of the centered (2*half_m+1)^2 kernels at size pad): the
+    kernel FFT is the shared third of each convolution's cost."""
+    n = grids.shape[-1]
+    gf = jnp.fft.rfftn(grids, (pad, pad), axes=(1, 2))
+    full = jnp.fft.irfftn(gf * kf, (pad, pad), axes=(1, 2))
+    return jax.lax.dynamic_slice(full, (0, half_m, half_m), (grids.shape[0], n, n))
+
+
 @partial(jax.jit, static_argnames=("pad",))
 def _conv2d_same_batch(grids, kernels, pad):
     """Batched 'same' linear convolution via rFFT: grids (K, n, n),
     kernels (K, m, m) centered; pad >= n + m//2 guarantees no wrap."""
-    n = grids.shape[-1]
     m = kernels.shape[-1]
-    gf = jnp.fft.rfftn(grids, (pad, pad), axes=(1, 2))
     kf = jnp.fft.rfftn(kernels, (pad, pad), axes=(1, 2))
-    full = jnp.fft.irfftn(gf * kf, (pad, pad), axes=(1, 2))
-    start = (m - 1) // 2
-    return jax.lax.dynamic_slice(full, (0, start, start), (grids.shape[0], n, n))
+    return _conv2d_same_kf(grids, kf, pad, (m - 1) // 2)
 
 
 def _contour_levels_batch(grids, contours, iters=40):
@@ -1312,8 +1319,10 @@ def all_2d_densities(
             return jnp.where(per_x[:, None, None], out.at[:, :, -1].set(out[:, :, 0]), out)
 
         smoothed = _conv_periodic(hists)
+        kf_shared = None
     else:
-        smoothed = _conv2d_same_batch(hists, kernels, pad)
+        kf_shared = jnp.fft.rfftn(kernels, (pad, pad), axes=(1, 2))
+        smoothed = _conv2d_same_kf(hists, kf_shared, pad, winw)
 
     # Hard-limit boundary handling (order-0 edge normalization, the role of
     # the reference's mcsamples.py:1921-1933): the prior mask is ones beyond
@@ -1385,7 +1394,7 @@ def all_2d_densities(
         for _ in range(mult_bias_order):
             maxes = jnp.max(smoothed, axis=(1, 2), keepdims=True)
             flat = jnp.where(smoothed > maxes * 1e-8, hists / jnp.where(smoothed == 0, 1.0, smoothed), hists)
-            round_conv = _conv_periodic(flat) if has_periodic else _conv2d_same_batch(flat, kernels, pad)
+            round_conv = _conv_periodic(flat) if has_periodic else _conv2d_same_kf(flat, kf_shared, pad, winw)
             if has_limits:
                 round_conv = jnp.where(pair_limited[:, None, None], round_conv / a00, round_conv)
             smoothed = smoothed * round_conv
