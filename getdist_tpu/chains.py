@@ -117,10 +117,11 @@ def loadNumpyTxt(fname, skiprows=None):
     except Exception:
         pass
     try:
-        return np.atleast_2d(np.loadtxt(fname, skiprows=skiprows or 0))
+        table = np.loadtxt(fname, skiprows=skiprows or 0)
     except ValueError:
         print("Error reading %s" % fname)
         raise
+    return np.atleast_2d(table)
 
 
 def covToCorr(cov, copy=True):
@@ -236,12 +237,13 @@ class WeightedSamples:
         self.setSamples(samples, kept_w, kept_l)
 
     def _weightsChanged(self):
-        if self.weights is not None:
-            self.norm = np.sum(self.weights)
-        elif self.samples is not None:
+        w = self.weights
+        if w is None and self.samples is not None:
             # unweighted: unit weight per row
             self.weights = np.ones(self.numrows)
             self.norm = np.float64(self.numrows)
+        elif w is not None:
+            self.norm = np.sum(w)
         for stale in ("means", "mean_loglike", "diffs", "fullcov", "correlationMatrix", "vars", "sddev"):
             setattr(self, stale, None)
         self.needs_update = True
@@ -352,16 +354,19 @@ class WeightedSamples:
         """Weighted mean of a parameter vector (or list of them)."""
         norm = self.get_norm(where)
         if isinstance(paramVec, (list, tuple)):
-            return np.array([self.weighted_sum(p, where) for p in paramVec]) / norm
+            sums = [self.weighted_sum(p, where) for p in paramVec]
+            return np.array(sums) / norm
         return self.weighted_sum(paramVec, where) / norm
 
     def mean_diff(self, paramVec, where=None):
         """p - mean(p) for one parameter vector."""
         whole_column = isinstance(paramVec, _int_types) and paramVec >= 0 and where is None
         if whole_column:
-            if self.diffs is not None:
-                return self.diffs[paramVec]
-            return self.samples[:, paramVec] - self.getMeans()[paramVec]
+            cached = self.diffs
+            if cached is not None:
+                return cached[paramVec]
+            centered = self.samples[:, paramVec] - self.getMeans()[paramVec]
+            return centered
         vec = self._makeParamvec(paramVec)
         if where is None:
             return vec - self.mean(vec)
@@ -376,7 +381,8 @@ class WeightedSamples:
                 pars = range(pars)
             else:
                 means = self.getMeans()
-                return [self.samples[:, i] - means[i] for i in range(pars)]
+                columns = (self.samples[:, i] - means[i] for i in range(pars))
+                return list(columns)
         return [self.mean_diff(i, where) for i in pars]
 
     def var(self, paramVec, where=None):
@@ -631,7 +637,8 @@ class WeightedSamples:
                 if np.allclose(vec, center, rtol=1e-12, atol=0, equal_nan=True):
                     fixed.append(col)
                     values.append(center)
-        self.changeSamples(np.delete(self.samples, fixed, 1))
+        kept = np.delete(self.samples, fixed, 1)
+        self.changeSamples(kept)
         return fixed, values
 
     def removeBurn(self, remove=0.3):
@@ -674,9 +681,9 @@ class WeightedSamples:
             os.makedirs(parent)
         if root.endswith(".txt"):
             root = root[: -len(".txt")]
-        suffix = "" if chain_index is None else "_" + str(chain_index + 1)
-        loglikes = np.zeros(self.numrows) if self.loglikes is None else self.loglikes
-        columns = np.hstack((self.weights.reshape(-1, 1), loglikes.reshape(-1, 1), self.samples))
+        suffix = "" if chain_index is None else f"_{chain_index + 1}"
+        loglikes = self.loglikes if self.loglikes is not None else np.zeros(self.numrows)
+        columns = np.column_stack([self.weights, loglikes, self.samples])
         np.savetxt(root + suffix + ".txt", columns, fmt=self.precision)
 
 
@@ -714,12 +721,12 @@ class Chains(WeightedSamples):
         :param sampler: 'mcmc' (default), 'nested' or 'uncorrelated'
         :param kwargs: passed to :class:`WeightedSamples`
         """
+        self.jobItem = jobItem
+        self.root = root
         self.chains = None
         self.chain_offsets = None
         super().__init__(**kwargs)
-        self.jobItem = jobItem
         self.ignore_lines = float(kwargs.get("ignore_rows", 0))
-        self.root = root
         name_source = paramNamesFile or self._sidecar_names(root) or names
         self.setParamNames(name_source)
         if labels is not None:
@@ -846,7 +853,8 @@ class Chains(WeightedSamples):
         if isinstance(par, ParamInfo):
             par = par.name
         if not isinstance(par, str):
-            return super()._makeParamvec(par)
+            resolved = super()._makeParamvec(par)
+            return resolved
         column = self.index.get(par)
         if column is not None:
             return self.samples[:, column]
