@@ -73,3 +73,28 @@ def test_fused_1d_tracks_parity():
     grid = np.clip(ref.x, fused.x[0], fused.x[-1])
     delta = np.abs(fused.Prob(grid) / fused.P.max() - ref.Prob(ref.x) / ref.P.max())
     assert float(np.max(delta)) < 5e-3
+
+
+def test_fused_pipeline_runs_float64():
+    """The fused programs run in double precision under x64 (CPU): the
+    f32-rounding component of the fidelity budget can be removed entirely
+    when exactness matters more than speed."""
+    import jax
+    import jax.numpy as jnp
+
+    from getdist_tpu.ops.batched import triangle_densities
+
+    data, _ = _fixture("corr=0.5")
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        d1, d2 = triangle_densities(
+            jnp.asarray(data[:20000], jnp.float64),
+            jnp.ones(20000, jnp.float64),
+            use_pallas=False,
+        )
+        assert d1["P"].dtype == jnp.float64
+        assert d2["P"].dtype == jnp.float64
+        assert float(jnp.max(d2["P"])) == 1.0
+    finally:
+        jax.config.update("jax_enable_x64", old)
