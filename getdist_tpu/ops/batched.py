@@ -1117,6 +1117,7 @@ def all_2d_densities(
     max_corr=0.95,
     enable_shear=True,
     bandwidth_override=None,
+    prior_mask=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1345,6 +1346,11 @@ def all_2d_densities(
         mx = jax.vmap(_edge_mask)(active_lo[pair_a], active_hi[pair_a])  # (K, ext)
         my = jax.vmap(_edge_mask)(active_lo[pair_b], active_hi[pair_b])
         masks = my[:, :, None] * mx[:, None, :]  # (K, ext, ext)
+        if prior_mask is not None:
+            # non-rectangular prior support (role of the reference's
+            # mask_function, mcsamples.py:1907-1919): a host-evaluated
+            # (K, ext, ext) indicator multiplied into the edge masks
+            masks = masks * prior_mask
         # 'valid' convolution of the padded mask returns (fine, fine)
         mf = jnp.fft.rfftn(masks, (pad_ext, pad_ext), axes=(1, 2))
 
