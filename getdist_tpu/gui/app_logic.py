@@ -115,6 +115,7 @@ class PlotSpec:
     normalized: bool = False
     subplot_size: float = 2.5
     width_inch: float = None
+    plot_settings: dict = field(default_factory=dict)
 
     def required_x(self):
         return {"1d": 1, "2d_filled": 2, "2d_line": 2, "3d": 2}.get(self.plot_type, 1)
@@ -284,6 +285,7 @@ class GuiSession:
             width_inch=spec.width_inch,
             analysis_settings=dict(self.analysis_settings) or None,
             plot_module=self.plot_module,
+            plot_settings=dict(spec.plot_settings) or None,
         )
 
     def make_figure(self, spec):

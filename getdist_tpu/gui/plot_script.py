@@ -28,6 +28,7 @@ def generate_plot_script(
     width_inch=None,
     analysis_settings=None,
     plot_module=None,
+    plot_settings=None,
     export_name=None,
 ):
     """Build a runnable plot script for the given configuration.
@@ -61,6 +62,8 @@ def generate_plot_script(
         maker = "get_subplot_plotter"
         kwargs.append("subplot_size=%r" % subplot_size)
     lines.append("g = gplots.%s(%s)" % (maker, ", ".join(kwargs)))
+    for key, value in (plot_settings or {}).items():
+        lines.append("g.settings.%s = %r" % (key, value))
     lines.append("roots = [%s]" % ", ".join(_root_expr(r) for r in roots))
 
     if plot_type == "1d":

@@ -148,6 +148,23 @@ def _plot_controls(st, state, params):
     normalized = o3.checkbox("Normalized", value=False)
     color_param = o4.selectbox("Color param (3d)", ["(none)"] + params)
     subplot_size = o5.number_input("Subplot size (inch)", value=2.5, min_value=1.0, max_value=8.0)
+    plot_settings = {}
+    with st.expander("Plot options"):
+        for key, default, step in (
+            ("num_plot_contours", 2, 1),
+            ("axes_fontsize", 0, 1),
+            ("legend_fontsize", 0, 1),
+            ("linewidth", 0.0, 0.25),
+            ("alpha_filled_add", 0.0, 0.05),
+        ):
+            value = st.number_input(key, value=default, step=step, key=f"po_{key}")
+            if value != default:
+                plot_settings[key] = value
+        solid = st.checkbox("solid_contour_palefactor default", value=True, key="po_solid")
+        if not solid:
+            plot_settings["solid_contour_palefactor"] = st.number_input(
+                "solid_contour_palefactor", value=0.6, key="po_palefactor"
+            )
     return PlotSpec(
         plot_type=plot_type,
         x_params=x_params,
@@ -157,6 +174,7 @@ def _plot_controls(st, state, params):
         shaded=shaded,
         normalized=normalized,
         subplot_size=float(subplot_size),
+        plot_settings=plot_settings,
     )
 
 
