@@ -98,3 +98,45 @@ def test_fused_pipeline_runs_float64():
         assert float(jnp.max(d2["P"])) == 1.0
     finally:
         jax.config.update("jax_enable_x64", old)
+
+
+def test_parity_overrides_take_effect():
+    """range/bandwidth overrides on the fused programs (the hooks a
+    host-exact parity assembly drives) actually control the pipeline."""
+    import jax.numpy as jnp
+
+    from getdist_tpu.ops.batched import all_1d_densities, all_2d_densities
+
+    data, _ = _fixture("corr=0.5")
+    s = jnp.asarray(data[:20000], jnp.float32)
+    w = jnp.ones(20000, jnp.float32)
+    lo = jnp.array([-6.0, -6.0], jnp.float32)
+    hi = jnp.array([6.0, 6.0], jnp.float32)
+    d1 = all_1d_densities(s, w, range_override=(lo, hi))
+    assert np.allclose(np.asarray(d1["range"][0]), [-6, -6])
+    assert np.allclose(np.asarray(d1["x"])[:, 0], [-6, -6])
+
+    h_small = jnp.array([0.02, 0.02], jnp.float32)
+    h_big = jnp.array([0.08, 0.08], jnp.float32)
+    p_small = all_1d_densities(s, w, bandwidth_override=h_small)["P"]
+    p_big = all_1d_densities(s, w, bandwidth_override=h_big)["P"]
+    # heavier smoothing flattens the peak-normalized curve
+    assert float(jnp.sum(p_big > 0.5)) > float(jnp.sum(p_small > 0.5))
+
+    pa = jnp.array([0], jnp.int32)
+    pb = jnp.array([1], jnp.int32)
+    contours = jnp.array([0.68, 0.95], jnp.float32)
+    base = all_1d_densities(s, w)
+    kw = dict(fine_bins=256, use_pallas=False)
+    ov_small = (jnp.array([0.05]), jnp.array([0.05]), jnp.array([0.0]))
+    ov_big = (jnp.array([0.6]), jnp.array([0.6]), jnp.array([0.0]))
+    d2s = all_2d_densities(
+        s, w, pa, pb, base["neff"], base["range"][0], base["range"][1], contours,
+        bandwidth_override=ov_small, **kw,
+    )
+    d2b = all_2d_densities(
+        s, w, pa, pb, base["neff"], base["range"][0], base["range"][1], contours,
+        bandwidth_override=ov_big, **kw,
+    )
+    # a deliberately huge bandwidth gives a much wider peak region
+    assert float(jnp.sum(d2b["P"] > 0.5)) > 1.5 * float(jnp.sum(d2s["P"] > 0.5))
