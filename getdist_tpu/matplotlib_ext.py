@@ -24,34 +24,6 @@ _min_label_len_chars = 1.35
 _POINTS_PER_INCH = 72.0
 
 
-class SciFuncFormatter(ticker.Formatter):
-    """Tick formatter writing full scientific notation in each label."""
-
-    def __call__(self, x, pos=None):
-        inner = self._format_sci_notation("%.10e" % x)
-        return f"${inner}$"
-
-    def format_data(self, value):
-        # plain text (e.g. navigation toolbar)
-        return format(value, "<8g")
-
-    @staticmethod
-    def _format_sci_notation(s):
-        # compact "1e+004" style into latex "10^{4}" style
-        mantissa, _, expo = s.partition("e")
-        try:
-            power = int(expo)
-        except ValueError:
-            return s
-        mantissa = mantissa.rstrip("0").rstrip(".")
-        power_tex = "10^{%d}" % power if power else ""
-        if mantissa == "1" and power_tex:
-            mantissa = ""
-        if mantissa and power_tex:
-            return r"%s{\times}%s" % (mantissa, power_tex)
-        return mantissa + power_tex
-
-
 def _across_decades(values, group):
     """Extend a spacing group across neighboring decades (0.1x, 1x, 10x),
     dropping the duplicated endpoints when the group already spans one."""
@@ -129,39 +101,6 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
             _across_decades(np.array([_half_phase(s) for s in g]), tuple(g)) for g in groups
         ]
         ticker.MaxNLocator.__init__(self, nbins=nbins, steps=list(step_groups[0]))
-
-    def _margin(self, label_span):
-        """Half-label end margin (zero when pruning is off)."""
-        return 0.5 * label_span if self.bounded_prune else 0.0
-
-    def _drop_edge_marks(self, marks, label_span):
-        if len(marks) > 1 and self.bounded_prune:
-            lo_gap = marks[0] - self._view[0]
-            if lo_gap < 0.5 * label_span:
-                marks = marks[1:]
-            if len(marks) > 1 and self._view[1] - marks[-1] < 0.5 * label_span:
-                marks = marks[:-1]
-        return marks
-
-    @staticmethod
-    def _label_width_chars(fmt, value):
-        text = fmt % value
-        width = len(text)
-        if "." in text:
-            width -= 0.4
-        return width
-
-    def _label_extent(self, marks):
-        """Estimated label extent in data units for these tick values."""
-        if not len(marks):
-            return 0
-        self._label_fmt.set_locs(marks)
-        # extract the non-latex % format from the formatter
-        template = self._label_fmt.format
-        start = template.index("%")
-        fmt = template[start : template.index("f", start) + 1]
-        chars = max(self._label_width_chars(fmt, m) for m in (marks[0], marks[-1]))
-        return max(_min_label_len_chars, chars * self._glyph_aspect) * self._char_unit
 
     def tick_values(self, lo_edge, hi_edge):
         # MaxNLocator alone can put marks outside or too close to the axis
@@ -440,3 +379,64 @@ class BoundedMaxNLocator(ticker.MaxNLocator):
         if 0.0 in ladder:
             score += 1
         return score
+
+    def _margin(self, label_span):
+        """Half-label end margin (zero when pruning is off)."""
+        return 0.5 * label_span if self.bounded_prune else 0.0
+
+    def _drop_edge_marks(self, marks, label_span):
+        if len(marks) > 1 and self.bounded_prune:
+            lo_gap = marks[0] - self._view[0]
+            if lo_gap < 0.5 * label_span:
+                marks = marks[1:]
+            if len(marks) > 1 and self._view[1] - marks[-1] < 0.5 * label_span:
+                marks = marks[:-1]
+        return marks
+
+    @staticmethod
+
+    def _label_width_chars(fmt, value):
+        text = fmt % value
+        width = len(text)
+        if "." in text:
+            width -= 0.4
+        return width
+
+    def _label_extent(self, marks):
+        """Estimated label extent in data units for these tick values."""
+        if not len(marks):
+            return 0
+        self._label_fmt.set_locs(marks)
+        # extract the non-latex % format from the formatter
+        template = self._label_fmt.format
+        start = template.index("%")
+        fmt = template[start : template.index("f", start) + 1]
+        chars = max(self._label_width_chars(fmt, m) for m in (marks[0], marks[-1]))
+        return max(_min_label_len_chars, chars * self._glyph_aspect) * self._char_unit
+
+class SciFuncFormatter(ticker.Formatter):
+    """Tick formatter writing full scientific notation in each label."""
+
+    def __call__(self, x, pos=None):
+        inner = self._format_sci_notation("%.10e" % x)
+        return f"${inner}$"
+
+    def format_data(self, value):
+        # plain text (e.g. navigation toolbar)
+        return format(value, "<8g")
+
+    @staticmethod
+    def _format_sci_notation(s):
+        # compact "1e+004" style into latex "10^{4}" style
+        mantissa, _, expo = s.partition("e")
+        try:
+            power = int(expo)
+        except ValueError:
+            return s
+        mantissa = mantissa.rstrip("0").rstrip(".")
+        power_tex = "10^{%d}" % power if power else ""
+        if mantissa == "1" and power_tex:
+            mantissa = ""
+        if mantissa and power_tex:
+            return r"%s{\times}%s" % (mantissa, power_tex)
+        return mantissa + power_tex
