@@ -57,87 +57,6 @@ class ParSamples:
     """Attribute-bundle container for named parameter sample vectors."""
 
 
-def print_load_line(message):
-    if print_load_details:
-        print(message)
-
-
-def last_modified(files):
-    """Latest modification time among the files that exist."""
-    stamps = (os.path.getmtime(fname) for fname in files if os.path.exists(fname))
-    return max(stamps)
-
-
-def slice_or_none(x, start=None, end=None):
-    # Tolerate integer-valued float row counts (the reference crashes on
-    # x[0.0:] for in-memory multi-chain loads; we coerce instead).
-    if isinstance(start, float) and start == int(start):
-        start = int(start)
-    if isinstance(end, float) and end == int(end):
-        end = int(end)
-    return x[start:end] if hasattr(x, "__getitem__") else None
-
-
-def chainFiles(root, chain_indices=None, ext=".txt", separator="_", first_chain=0, last_chain=-1, chain_exclude=None):
-    """List chain sample files for a root name, applying index filters."""
-    return smath.match_chain_files(root, chain_indices, ext, separator, first_chain, last_chain, chain_exclude)
-
-
-def hasChainFiles(file_root, ext=".txt"):
-    found = (chainFiles(file_root, ext=ext, separator=sep, last_chain=1) for sep in "_.")
-    return any(found)
-
-
-def findChainFileRoot(chain_dir, root, search_subdirectories=True):
-    """Find a chain root under a directory tree; returns full path root or None."""
-    root = re.sub(r"[/\\]", re.escape(os.sep), root)
-    direct = os.path.join(chain_dir, root)
-    if hasChainFiles(direct):
-        return direct
-    if search_subdirectories:
-        for base, dirs, _files in os.walk(chain_dir):
-            for subdir in dirs:
-                candidate = os.path.join(base, subdir, root)
-                if hasChainFiles(candidate):
-                    return candidate
-    return None
-
-
-def loadNumpyTxt(fname, skiprows=None):
-    """Load a numpy array from a whitespace-separated text file.
-
-    Uses the native multi-threaded parser (getdist_tpu._native) when
-    available, falling back to np.loadtxt (reference ``chains.py:115``)."""
-    try:
-        from getdist_tpu import _native
-
-        data = _native.load_chain_text(fname, skiprows or 0)
-        if data is not None:
-            return np.atleast_2d(data)
-    except Exception:
-        pass
-    try:
-        table = np.loadtxt(fname, skiprows=skiprows or 0)
-    except ValueError:
-        print("Error reading %s" % fname)
-        raise
-    return np.atleast_2d(table)
-
-
-def covToCorr(cov, copy=True):
-    """Covariance matrix -> correlation matrix (zero-variance rows kept)."""
-    return smath.corr_from_cov(cov, copy=copy)
-
-
-def getSignalToNoise(C, noise=None, R=None, eigs_only=False):
-    """Signal-to-noise eigen-analysis: eigenvalues (and rotation) of
-    R C R^T with R the inverse Cholesky root of the noise matrix."""
-    try:
-        return smath.sn_eigendecomp(C, noise, R, eigs_only)
-    except ValueError as e:
-        raise WeightedSampleError(str(e)) from None
-
-
 # ---------------------------------------------------------------------------
 
 
@@ -1076,3 +995,87 @@ class Chains(WeightedSamples):
         """Pickle this object to a file."""
         with open(filename, "wb") as output:
             pickle.dump(self, output, pickle.HIGHEST_PROTOCOL)
+
+
+# -- module-level chain-file and matrix helpers ------------------------------
+
+
+def print_load_line(message):
+    if print_load_details:
+        print(message)
+
+
+def last_modified(files):
+    """Latest modification time among the files that exist."""
+    stamps = (os.path.getmtime(fname) for fname in files if os.path.exists(fname))
+    return max(stamps)
+
+
+def slice_or_none(x, start=None, end=None):
+    # Tolerate integer-valued float row counts (the reference crashes on
+    # x[0.0:] for in-memory multi-chain loads; we coerce instead).
+    if isinstance(start, float) and start == int(start):
+        start = int(start)
+    if isinstance(end, float) and end == int(end):
+        end = int(end)
+    return x[start:end] if hasattr(x, "__getitem__") else None
+
+
+def chainFiles(root, chain_indices=None, ext=".txt", separator="_", first_chain=0, last_chain=-1, chain_exclude=None):
+    """List chain sample files for a root name, applying index filters."""
+    return smath.match_chain_files(root, chain_indices, ext, separator, first_chain, last_chain, chain_exclude)
+
+
+def hasChainFiles(file_root, ext=".txt"):
+    found = (chainFiles(file_root, ext=ext, separator=sep, last_chain=1) for sep in "_.")
+    return any(found)
+
+
+def findChainFileRoot(chain_dir, root, search_subdirectories=True):
+    """Find a chain root under a directory tree; returns full path root or None."""
+    root = re.sub(r"[/\\]", re.escape(os.sep), root)
+    direct = os.path.join(chain_dir, root)
+    if hasChainFiles(direct):
+        return direct
+    if search_subdirectories:
+        for base, dirs, _files in os.walk(chain_dir):
+            for subdir in dirs:
+                candidate = os.path.join(base, subdir, root)
+                if hasChainFiles(candidate):
+                    return candidate
+    return None
+
+
+def loadNumpyTxt(fname, skiprows=None):
+    """Load a numpy array from a whitespace-separated text file.
+
+    Uses the native multi-threaded parser (getdist_tpu._native) when
+    available, falling back to np.loadtxt (reference ``chains.py:115``)."""
+    try:
+        from getdist_tpu import _native
+
+        data = _native.load_chain_text(fname, skiprows or 0)
+        if data is not None:
+            return np.atleast_2d(data)
+    except Exception:
+        pass
+    try:
+        table = np.loadtxt(fname, skiprows=skiprows or 0)
+    except ValueError:
+        print("Error reading %s" % fname)
+        raise
+    return np.atleast_2d(table)
+
+
+def covToCorr(cov, copy=True):
+    """Covariance matrix -> correlation matrix (zero-variance rows kept)."""
+    return smath.corr_from_cov(cov, copy=copy)
+
+
+def getSignalToNoise(C, noise=None, R=None, eigs_only=False):
+    """Signal-to-noise eigen-analysis: eigenvalues (and rotation) of
+    R C R^T with R the inverse Cholesky root of the noise matrix."""
+    try:
+        return smath.sn_eigendecomp(C, noise, R, eigs_only)
+    except ValueError as e:
+        raise WeightedSampleError(str(e)) from None
