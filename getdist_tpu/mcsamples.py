@@ -1376,7 +1376,7 @@ class MCSamples(Chains):
             self.density1D.update(dens1)
         return dens1, dens2
 
-    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None):
+    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, meanlikes=False):
         """All 1D and all-pairs 2D densities via the fused device pipeline
         (``getdist_tpu.ops.batched.triangle_densities``), with this chain's
         hard prior bounds wired in automatically.
@@ -1402,6 +1402,9 @@ class MCSamples(Chains):
         hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
         per = np.array([bool(getattr(p, "periodic", False)) for p in pars])
         has = np.isfinite(lo).any() or np.isfinite(hi).any() or per.any()
+        like_w = None
+        if meanlikes and self.loglikes is not None:
+            like_w = self.weights * np.exp(self.mean_loglike - self.loglikes)
         d1, d2 = triangle_densities(
             self.samples[:, idx],
             self.weights,
@@ -1411,6 +1414,7 @@ class MCSamples(Chains):
             limits_hi=hi if has else None,
             periodic=per if per.any() else None,
             max_corr=float(self.max_corr_2D),
+            like_weights=like_w,
         )
         pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
         d2 = dict(d2)

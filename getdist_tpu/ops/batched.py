@@ -845,6 +845,7 @@ def all_1d_densities(
     neff_override=None,
     range_override=None,
     bandwidth_override=None,
+    like_weights=None,
 ):
     """All marginalized 1D densities in one program.
 
@@ -936,6 +937,7 @@ def all_1d_densities(
         (((cols - binmin[:, None]) / fine_width[:, None]) + 0.5).astype(jnp.int32), 0, fine_bins - 1
     )
     bins = _ps(_onehot_hist_rows(fine_ix, weights, fine_bins))  # (P, fine_bins)
+    like_bins = None if like_weights is None else _ps(_onehot_hist_rows(fine_ix, like_weights, fine_bins))
 
     # N_eff and ISJ bandwidths
     if neff_override is not None:
@@ -996,6 +998,7 @@ def all_1d_densities(
         conv = _rewrap(jax.vmap(smooth_ext)(bins_ext, smooth_bins))
     else:
         conv = jax.vmap(smooth)(bins, smooth_bins)
+    raw_conv = conv  # pre-correction smoothing (the meanlikes denominator)
 
     if has_limits:
         # first-order boundary-kernel correction (Jones 1993 linear boundary
@@ -1060,6 +1063,22 @@ def all_1d_densities(
             else:
                 conv = conv * jax.vmap(smooth)(flattened, smooth_bins)
 
+    if like_weights is not None:
+        # mean-likelihood curve (reference mcsamples.py get1DDensityGridData
+        # meanlikes block): flatten by the corrected density, re-smooth,
+        # rescale by corrected/raw density, peak-normalize
+        pos = conv > 0
+        flat_likes = jnp.where(pos, like_bins / jnp.where(pos, conv, 1.0), like_bins)
+        if has_limits:
+            blikes = _rewrap(jax.vmap(smooth_ext)(_extend(flat_likes), smooth_bins))
+        else:
+            blikes = jax.vmap(smooth)(flat_likes, smooth_bins)
+        safe_raw = jnp.where(raw_conv == 0, 1.0, raw_conv)
+        blikes = jnp.where(pos, blikes * conv / safe_raw, blikes)
+        likes = blikes / jnp.max(blikes, axis=1)[:, None]
+    else:
+        likes = None
+
     peak = jnp.max(conv, axis=1)
     density = conv / peak[:, None]
     x = binmin[:, None] + fine_width[:, None] * jnp.arange(fine_bins)[None, :]
@@ -1075,6 +1094,7 @@ def all_1d_densities(
         "active_lo": active_lo,
         "active_hi": active_hi,
         "periodic": per,
+        "likes": likes,
     }
 
 
@@ -1118,6 +1138,7 @@ def all_2d_densities(
     enable_shear=True,
     bandwidth_override=None,
     prior_mask=None,
+    like_weights=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1150,44 +1171,47 @@ def all_2d_densities(
 
     ix_all = jax.vmap(fine_ix)(cols, binmin, fine_width)  # (P, N) int32
 
-    if use_pallas and fine_bins == 256:
-        # VMEM-resident one-hot binning kernel: ~2.7x the XLA one-hot matmul
-        # (no HBM one-hot traffic); pad samples to the block size with
-        # zero-weight rows. With a static pair list the b-anchored grouped
-        # kernel shares one weighted one-hot per group (another ~1.4x).
-        from getdist_tpu.ops.pallas_kernels import pair_histograms, pair_histograms_tiled, tile_plan
+    def make_pair_hists(w_in, exact_int8):
+        if use_pallas and fine_bins == 256:
+            # VMEM-resident one-hot binning kernel: ~2.7x the XLA one-hot
+            # matmul (no HBM one-hot traffic); pad samples to the block size
+            # with zero-weight rows. With a static pair list the tiled
+            # kernel shares one weighted one-hot per group tile.
+            from getdist_tpu.ops.pallas_kernels import pair_histograms, pair_histograms_tiled, tile_plan
 
-        if static_pairs is not None:
-            # v6 tiled kernel: one-hot stacks materialized per sample chunk
-            # sized to bound the transient HBM footprint (~2.5 GB)
-            chunk_cap = 262144 if int8_weights else 131072
-            n_chunks = max(1, int(np.ceil(n / chunk_cap)))
-            quantum = n_chunks * 16384  # lcm of builder/dot block sizes
-            n_pad = (-n) % quantum
-            ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
-            w_pad = jnp.pad(weights, (0, n_pad))
-            _, _, _, gather = tile_plan(p, static_pairs)
-            hists = pair_histograms_tiled(
-                ix_pm,
-                w_pad,
-                p,
-                tuple(int(g) for g in gather),
-                n_chunks=n_chunks,
-                int8_weights=int8_weights,
-            )
-        else:
-            block = 4096
-            n_pad = (-n) % block
-            ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
-            w_pad = jnp.pad(weights, (0, n_pad))
-            hists = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
-        hists = _ps2(hists)
-    else:
+            if static_pairs is not None:
+                # v6 tiled kernel: one-hot stacks materialized per sample
+                # chunk sized to bound the transient HBM footprint (~2.5 GB)
+                chunk_cap = 262144 if exact_int8 else 131072
+                n_chunks = max(1, int(np.ceil(n / chunk_cap)))
+                quantum = n_chunks * 16384  # lcm of builder/dot block sizes
+                n_pad = (-n) % quantum
+                ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
+                w_pad = jnp.pad(w_in, (0, n_pad))
+                _, _, _, gather = tile_plan(p, static_pairs)
+                out = pair_histograms_tiled(
+                    ix_pm,
+                    w_pad,
+                    p,
+                    tuple(int(g) for g in gather),
+                    n_chunks=n_chunks,
+                    int8_weights=exact_int8,
+                )
+            else:
+                block = 4096
+                n_pad = (-n) % block
+                ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
+                w_pad = jnp.pad(w_in, (0, n_pad))
+                out = pair_histograms(ix_pm, w_pad, pair_a, pair_b, block=block)
+            return _ps2(out)
 
         def pair_hist(ab):
-            return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], weights, nbins=fine_bins)
+            return _pair_hist_256(ix_all[ab[0]], ix_all[ab[1]], w_in, nbins=fine_bins)
 
-        hists = _ps2(jax.lax.map(pair_hist, (pair_a, pair_b)))  # (K, 256, 256)
+        return _ps2(jax.lax.map(pair_hist, (pair_a, pair_b)))  # (K, fine, fine)
+
+    hists = make_pair_hists(weights, int8_weights)
+    like_hists = None if like_weights is None else make_pair_hists(like_weights, False)
 
     pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
     range_a = (binmax - binmin)[pair_a]
@@ -1325,6 +1349,26 @@ def all_2d_densities(
         kf_shared = jnp.fft.rfftn(kernels, (pad, pad), axes=(1, 2))
         smoothed = _conv2d_same_kf(hists, kf_shared, pad, winw)
 
+    if like_weights is not None:
+        # mean-likelihood grids (reference mcsamples.py:1888-1901): smooth
+        # the like-weighted bins, optionally bias-flatten, divide by the
+        # smoothed density where it carries mass
+        def _like_conv(grids):
+            return _conv_periodic(grids) if has_periodic else _conv2d_same_kf(grids, kf_shared, pad, winw)
+
+        bin2dlikes = _like_conv(like_hists)
+        if mult_bias_order:
+            pos = bin2dlikes > 0
+            flat_l = jnp.where(pos, like_hists / jnp.where(pos, bin2dlikes, 1.0), like_hists)
+            likes2 = _like_conv(flat_l)
+            bin2dlikes = jnp.where(pos, likes2 * bin2dlikes, likes2)
+        floor = 1e-4 * jnp.max(smoothed, axis=(1, 2), keepdims=True)
+        above = smoothed > floor
+        bin2dlikes = jnp.where(above, bin2dlikes / jnp.where(above, smoothed, 1.0), 0.0)
+        likes_grid = bin2dlikes / jnp.max(bin2dlikes, axis=(1, 2), keepdims=True)
+    else:
+        likes_grid = None
+
     # Hard-limit boundary handling (order-0 edge normalization, the role of
     # the reference's mcsamples.py:1921-1933): the prior mask is ones beyond
     # unbounded edges, zero beyond an active limit with a half-weight limit
@@ -1415,6 +1459,7 @@ def all_2d_densities(
         "ry": ry,
         "corr": c,
         "neff": pair_neff,
+        "likes": likes_grid,
     }
 
 
@@ -1446,14 +1491,17 @@ def _triangle_program(
     has_limits,
     max_corr=0.95,
     enable_shear=True,
+    like_weights=None,
 ):
     """The full 1D + all-pairs-2D analysis as ONE jitted program (a single
     device dispatch costs ~26 ms on remote-accelerator environments, so the
     two stages are fused here rather than dispatched separately)."""
     if has_limits:
-        d1 = all_1d_densities(samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=periodic)
+        d1 = all_1d_densities(
+            samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=periodic, like_weights=like_weights
+        )
     else:
-        d1 = all_1d_densities(samples, weights)
+        d1 = all_1d_densities(samples, weights, like_weights=like_weights)
     d2 = all_2d_densities(
         samples,
         weights,
@@ -1473,6 +1521,7 @@ def _triangle_program(
         sigma_range=d1["sigma_range"],
         max_corr=max_corr,
         enable_shear=enable_shear,
+        like_weights=like_weights,
     )
     return d1, d2
 
@@ -1505,6 +1554,7 @@ def triangle_densities(
     int8_weights=None,
     max_corr=0.95,
     enable_shear=None,
+    like_weights=None,
 ):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
@@ -1562,4 +1612,5 @@ def triangle_densities(
         has_limits,
         max_corr,
         _sniff_shear(samples, max_corr) if enable_shear is None else enable_shear,
+        like_weights=None if like_weights is None else jnp.asarray(like_weights, jnp.float32),
     )

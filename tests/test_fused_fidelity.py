@@ -140,3 +140,39 @@ def test_parity_overrides_take_effect():
     )
     # a deliberately huge bandwidth gives a much wider peak region
     assert float(jnp.sum(d2b["P"] > 0.5)) > 1.5 * float(jnp.sum(d2s["P"] > 0.5))
+
+
+def test_fused_meanlikes_tracks_parity():
+    """Mean-likelihood shading grids from the fused path track the host
+    path (reference get*DensityGridData(meanlikes=True) semantics)."""
+    rng = np.random.default_rng(31)
+    n = 40000
+    x = rng.normal(size=n)
+    y = 0.4 * x + rng.normal(size=n) * 0.9
+    loglikes = 0.5 * (x**2 + y**2)
+    s = MCSamples(samples=np.c_[x, y], loglikes=loglikes, names=["p0", "p1"], labels=["a", "b"])
+    d1, d2, _pairs = s.fastTriangleDensities(use_pallas=False, meanlikes=True)
+    assert d1["likes"] is not None and d2["likes"] is not None
+
+    ref1 = s.get1DDensityGridData(0, meanlikes=True)
+    fused_l = np.asarray(d1["likes"])[0]
+    fused_x = np.asarray(d1["x"])[0]
+    ref_l = np.interp(fused_x, ref1.x, ref1.likes)
+    dens = np.asarray(d1["P"])[0]
+    sel = dens > 0.1
+    assert float(np.max(np.abs(fused_l[sel] - ref_l[sel]))) < 3e-2
+
+    ref2 = s.get2DDensityGridData(0, 1, meanlikes=True)
+    from scipy.interpolate import RectBivariateSpline
+
+    bmin = np.asarray(d1["range"][0])
+    bmax = np.asarray(d1["range"][1])
+    npts = np.asarray(d2["likes"]).shape[1]
+    gx = np.linspace(bmin[0], bmax[0], npts)
+    gy = np.linspace(bmin[1], bmax[1], npts)
+    sp = RectBivariateSpline(gy, gx, np.asarray(d2["likes"])[0])
+    X, Y = np.meshgrid(ref2.x, ref2.y)
+    fused2 = sp.ev(Y.ravel(), X.ravel()).reshape(Y.shape)
+    dens2 = ref2.P / ref2.P.max()
+    sel2 = dens2 > 0.1
+    assert float(np.max(np.abs(fused2[sel2] - ref2.likes[sel2]))) < 5e-2
