@@ -1278,24 +1278,29 @@ class MCSamples(Chains):
 
         return jax.default_backend() != "cpu"
 
-    def _fused_densities_state(self):
+    def _fused_densities_state(self, meanlikes=False):
         """(dens1, dens2) dicts from ONE fused pipeline run, cached until
         the samples change; the routed get*DensityGridData entry points
         serve individual queries from here so a 30-parameter triangle plot
-        costs one device program, not 465."""
-        if getattr(self, "_fused_cache", None) is None:
-            d1, d2 = self.fastDensities(contours=tuple(np.asarray(self.contours, float)))
-            self._fused_cache = (d1, d2)
-        return self._fused_cache
+        costs one device program, not 465. Mean-likelihood grids are a
+        separately-cached variant (they double the binning work)."""
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if meanlikes not in cache:
+            cache[meanlikes] = self.fastDensities(
+                contours=tuple(np.asarray(self.contours, float)), meanlikes=meanlikes
+            )
+        return cache[meanlikes]
 
-    def _fused_1d_lookup(self, j, paramConfid=None):
+    def _fused_1d_lookup(self, j, paramConfid=None, meanlikes=False):
         """Density1D for one parameter via the fused pipeline (None if the
         parameter is unknown or the fused run failed)."""
         jx, par = self._parAndNumber(j)
         if par is None:
             return None
         try:
-            dens1, _ = self._fused_densities_state()
+            dens1, _ = self._fused_densities_state(meanlikes)
             density = dens1.get(par.name)
         except Exception as e:
             logging.warning("fused 1D pipeline failed (%s); using per-param path", e)
@@ -1307,7 +1312,7 @@ class MCSamples(Chains):
         self.density1D[par.name] = density
         return density
 
-    def _fused_2d_lookup(self, j, j2, num_plot_contours=None):
+    def _fused_2d_lookup(self, j, j2, num_plot_contours=None, meanlikes=False):
         """Density2D for a pair via the fused pipeline, transposing when the
         query order is reversed relative to the stored (a < b) order."""
         jx, parx = self._parAndNumber(j)
@@ -1315,7 +1320,7 @@ class MCSamples(Chains):
         if parx is None or pary is None:
             return None
         try:
-            _, dens2 = self._fused_densities_state()
+            _, dens2 = self._fused_densities_state(meanlikes)
         except Exception as e:
             logging.warning("fused 2D pipeline failed (%s); using per-pair path", e)
             return None
@@ -1324,6 +1329,7 @@ class MCSamples(Chains):
         if density is None and flipped is not None:
             density = Density2D(flipped.y, flipped.x, flipped.P.T)
             density.contours = flipped.contours
+            density.likes = None if getattr(flipped, "likes", None) is None else flipped.likes.T
         if density is None:
             return None
         self._initParamRanges(jx)
@@ -1334,9 +1340,10 @@ class MCSamples(Chains):
         if num_plot_contours:
             levels = levels[: min(int(num_plot_contours), len(levels))]
         out.contours = levels
+        out.likes = getattr(density, "likes", None)
         return out
 
-    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True):
+    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True, meanlikes=False):
         """Fused-pipeline densities as plot-ready objects: a dict of
         :class:`~.densities.Density1D` per parameter name and a dict of
         :class:`~.densities.Density2D` per name pair.
@@ -1346,7 +1353,9 @@ class MCSamples(Chains):
         plot via ``add_2d_contours(..., density=...)``. Fast-path KDE
         conventions (see :meth:`fastTriangleDensities`).
         """
-        d1, d2, pairs = self.fastTriangleDensities(params=params, contours=contours, use_pallas=use_pallas)
+        d1, d2, pairs = self.fastTriangleDensities(
+            params=params, contours=contours, use_pallas=use_pallas, meanlikes=meanlikes
+        )
         if params is None:
             names = [p.name for p in self.paramNames.names]
         else:
@@ -1360,6 +1369,7 @@ class MCSamples(Chains):
             par = self.paramNames.parWithName(name)
             view = [par.range_min, par.range_max] if hasattr(par, "range_min") else None
             dens1[name] = Density1D(_np.asarray(d1["x"][i], float), P=_np.array(d1["P"][i], float), view_ranges=view)
+            dens1[name].likes = None if d1["likes"] is None else _np.asarray(d1["likes"][i], float)
         n2 = _np.asarray(d2["P"], float).shape[1]
         regrid = d2.get("regrid", {})
         dens2 = {}
@@ -1371,6 +1381,10 @@ class MCSamples(Chains):
             gy = _np.linspace(bmin[b], bmax[b], npts)
             density = Density2D(gx, gy, grid_p)
             density.contours = _np.asarray(fine["contours"] if fine else d2["contours"][k], float)
+            if fine is None and d2.get("likes") is not None:
+                density.likes = _np.asarray(d2["likes"][k], float)
+            else:
+                density.likes = None
             dens2[(names[a], names[b])] = density
         if cache_1d:
             self.density1D.update(dens1)
@@ -1600,10 +1614,11 @@ class MCSamples(Chains):
         """
         if self.needs_update:
             self.updateBaseStatistics()
-        if not kwargs and not meanlikes and mask_function is None and self._fused_route_enabled():
-            density = self._fused_2d_lookup(j, j2, num_plot_contours)
-            if density is not None:
-                return density
+        if not kwargs and mask_function is None and self._fused_route_enabled():
+            if not meanlikes or self.loglikes is not None:
+                density = self._fused_2d_lookup(j, j2, num_plot_contours, meanlikes=meanlikes)
+                if density is not None:
+                    return density
         start = time.time()
         j, parx = self._parAndNumber(j)
         j2, pary = self._parAndNumber(j2)
@@ -1829,8 +1844,8 @@ class MCSamples(Chains):
         """
         if self.needs_update:
             self.updateBaseStatistics()
-        if not kwargs and not meanlikes and self._fused_route_enabled():
-            density = self._fused_1d_lookup(j, paramConfid)
+        if not kwargs and self._fused_route_enabled() and (not meanlikes or self.loglikes is not None):
+            density = self._fused_1d_lookup(j, paramConfid, meanlikes=meanlikes)
             if density is not None:
                 return density
         j = self._parAndNumber(j)[0]

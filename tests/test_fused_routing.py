@@ -98,3 +98,18 @@ def test_routing_disabled_on_non_default_settings(sample_pair, forced_fused):
     s = sample_pair()
     s.smooth_scale_1D = 0.5
     assert not s._fused_route_enabled()
+
+
+def test_routed_meanlikes_served_from_fused(sample_pair, forced_fused, monkeypatch):
+    rng = np.random.default_rng(5)
+    n = 30000
+    x = rng.normal(size=n)
+    y = 0.5 * x + rng.normal(size=n)
+    s = MCSamples(samples=np.c_[x, y], loglikes=0.5 * (x * x + y * y), names=["x", "y"], labels=["x", "y"])
+    d2 = s.get2DDensityGridData("x", "y", meanlikes=True)
+    assert getattr(d2, "likes", None) is not None
+    assert d2.likes.max() == 1.0
+    d1 = s.get1DDensityGridData("x", meanlikes=True)
+    assert d1.likes is not None
+    # both variants cached independently
+    assert set(s._fused_cache) == {True} or set(s._fused_cache) == {True, False}
