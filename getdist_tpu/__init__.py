@@ -64,6 +64,22 @@ if os.path.exists(_config_file):
     loglevel = _ini.string("logging", "") or None
 
 
+# Persistent XLA compilation cache: the fused pipelines cost tens of
+# seconds to compile on remote-compile environments; caching them on disk
+# makes every process after the first start warm. Opt out with
+# GETDIST_TPU_COMPILE_CACHE=0 or override via JAX_COMPILATION_CACHE_DIR.
+if os.environ.get("GETDIST_TPU_COMPILE_CACHE") != "0" and not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _xla_cache = make_cache_dir()
+    if _xla_cache:
+        try:
+            import jax as _jax
+
+            _jax.config.update("jax_compilation_cache_dir", os.path.join(_xla_cache, "xla_cache"))
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:  # pragma: no cover - jax unavailable or too old
+            pass
+
+
 def set_logging(log_level):
     """Configure package logging (mirrors reference getdist/__init__.py:20-23)."""
     logging.basicConfig(level=log_level)

@@ -171,13 +171,18 @@ class WeightedSamples:
     # -- device bridge ---------------------------------------------------------
     @staticmethod
     def _device_stats_ok():
-        """Whether device statistics keep reference (f64) accuracy: true on
-        accelerators (f32 is the intended fast mode there) and on CPU when
-        x64 is enabled; on f32-only CPU configs we fall back to numpy so
-        results never silently degrade below the reference."""
+        """Whether the basic per-statistic calls (means/vars/cov) should run
+        through jax. On the local CPU backend with x64 this is free and
+        bit-stable, so it is the default. Accelerator backends require the
+        GETDIST_TPU_DEVICE_OPS opt-in: these ops are tiny next to their
+        host->device transfer (a 1M x 30 f64 chain costs tens of seconds
+        through a remote-accelerator tunnel, vs ~0.1 s in numpy), and the
+        fused pipelines do their own single f32 upload regardless."""
         import jax
 
-        return jax.config.jax_enable_x64 or jax.default_backend() != "cpu"
+        if jax.default_backend() == "cpu":
+            return jax.config.jax_enable_x64
+        return _use_device_ops
 
     def _dev(self):
         """Device-resident (samples, weights, loglikes) arrays, cached until
