@@ -407,3 +407,7 @@ def getdist_streamlit():
     app = str(Path(gui_pkg.__file__).parent / "streamlit_app.py")
     launch = ["streamlit", "run", app, "--"] + sys.argv[1:]
     subprocess.Popen(launch, env=os.environ)
+
+
+if __name__ == "__main__":
+    getdist_command()

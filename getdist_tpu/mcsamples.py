@@ -96,12 +96,8 @@ def _bincount2d(ixs, iys, weights, xsize, ysize):
 
 
 def loadMCSamples(
-    file_root: str,
-    ini=None,
-    jobItem=None,
-    no_cache=False,
-    settings: Mapping[str, Any] | None = None,
-    chain_exclude=None,
+    file_root: str, ini=None, jobItem=None, no_cache=False, settings: Mapping[str, Any] | None = None,
+    chain_exclude=None
 ) -> "MCSamples":
     """Load samples from chain text files, with pickle caching.
 
@@ -120,16 +116,17 @@ def loadMCSamples(
     """
     if chain_exclude:
         no_cache = True
-    files = chainFiles(file_root, chain_exclude=chain_exclude) or chainFiles(
-        file_root, separator=".", chain_exclude=chain_exclude
-    )
+    for separator in ("_", "."):
+        files = chainFiles(file_root, separator=separator, chain_exclude=chain_exclude)
+        if files:
+            break
     cachefile = _cache_path(file_root)
     samples = MCSamples(file_root, jobItem=jobItem, ini=ini, settings=settings)
     if not no_cache:
         cached = _load_valid_cache(cachefile, _source_files(file_root, files), samples, ini, settings)
         if cached is not None:
             return cached
-    if not len(files):
+    if not files:
         raise OSError("No chains found: " + file_root)
     samples.readChains(files)
     if no_cache:
@@ -248,17 +245,10 @@ class MCSamples(Chains):
     convergence diagnostics, PCA, and LaTeX result tables."""
 
     def __init__(
-        self,
-        root: str | None = None,
-        jobItem=None,
-        ini=None,
-        settings: Mapping[str, Any] | None = None,
-        ranges=None,
+        self, root: str | None = None, jobItem=None, ini=None, settings: Mapping[str, Any] | None = None, ranges=None,
         samples: np.ndarray | Iterable[np.ndarray] | None = None,
         weights: np.ndarray | Iterable[np.ndarray] | None = None,
-        loglikes: np.ndarray | Iterable[np.ndarray] | None = None,
-        temperature: float | None = None,
-        **kwargs,
+        loglikes: np.ndarray | Iterable[np.ndarray] | None = None, temperature: float | None = None, **kwargs
     ):
         """
         See ``analysis_defaults.ini`` for analysis settings.
@@ -280,8 +270,7 @@ class MCSamples(Chains):
         super().__init__(root, jobItem=jobItem, **kwargs)
 
         self.version = pickle_version
-        self.markers = {}
-        self.ini = ini
+        self.markers, self.ini = {}, ini
         self.batch_path = self.jobItem.batchPath if self.jobItem else ""
 
         self._readRanges()
@@ -293,9 +282,7 @@ class MCSamples(Chains):
         for key, value in _BASE_ANALYSIS_SETTINGS.items():
             setattr(self, key, value)
         self.contours = np.array([0.68, 0.95])
-        self.likeStats = None
-        self.no_warning_params = []
-        self.density1D = dict()
+        self.likeStats, self.no_warning_params, self.density1D = None, [], {}
         self.plot_output = getdist_tpu.default_plot_output
         self.subplot_size_inch2 = self.subplot_size_inch
         self.rootname = os.path.basename(root) if root else ""
@@ -356,15 +343,17 @@ class MCSamples(Chains):
     def _WritePlotFile(self, filename, subplot_size, text, tag, ext=None):
         if not self.root:
             raise ValueError("Samples must be loaded from file")
-        with open(filename, "w", encoding="utf-8") as f:
-            f.write("import getdist_tpu.plots as plots, os\n")
-            f.write("g=plots.GetDistPlotter(chain_dir=r'%s')\n" % (self.batch_path or os.path.dirname(self.root)))
-            f.write("g.settings.set_with_subplot_size(%s)\n" % subplot_size)
-            f.write("roots = ['%s']\n" % self.rootname)
-            f.write(text + "\n")
-            ext = ext or self.plot_output
-            fname = self.rootname + tag + "." + ext
-            f.write(f"g.export(os.path.join(r'{self.out_dir}',r'{fname}'))\n")
+        fname = self.rootname + tag + "." + (ext or self.plot_output)
+        script = [
+            "import getdist_tpu.plots as plots, os",
+            "g=plots.GetDistPlotter(chain_dir=r'%s')" % (self.batch_path or os.path.dirname(self.root)),
+            "g.settings.set_with_subplot_size(%s)" % subplot_size,
+            "roots = ['%s']" % self.rootname,
+            text,
+            f"g.export(os.path.join(r'{self.out_dir}',r'{fname}'))",
+        ]
+        with open(filename, "w", encoding="utf-8") as handle:
+            handle.write("\n".join(script) + "\n")
 
     def _writeScriptPlots3D(self, filename, plot_3D, ext=None):
         text = "sets=[]\n"
@@ -377,28 +366,25 @@ class MCSamples(Chains):
         self._WritePlotFile(filename, self.subplot_size_inch, "g.triangle_plot(roots, %s)" % triangle_params, "_tri", ext)
 
     def _writeScriptPlots2D(self, filename, plot_2D_param=None, cust2DPlots=(), ext=None):
+        restricted = bool(plot_2D_param) or bool(len(cust2DPlots))
+        wanted = {par1 + "__" + par2 for par1, par2 in cust2DPlots}
         done2D = {}
-        text = "pairs=[]\n"
-        if len(cust2DPlots):
-            cuts = [par1 + "__" + par2 for par1, par2 in cust2DPlots]
+        lines = ["pairs=[]"]
         for j, par1 in enumerate(self.paramNames.list()):
-            if plot_2D_param or cust2DPlots:
-                if par1 == plot_2D_param:
-                    continue
-                j2min = 0
-            else:
-                j2min = j + 1
-            for j2 in range(j2min, self.n):
+            if restricted and par1 == plot_2D_param:
+                continue
+            start = 0 if restricted else j + 1
+            for j2 in range(start, self.n):
                 par2 = self.parName(j2)
                 if plot_2D_param and par2 != plot_2D_param:
                     continue
-                if len(cust2DPlots) and (par1 + "__" + par2) not in cuts:
+                if wanted and (par1 + "__" + par2) not in wanted:
                     continue
                 if (par1, par2) not in done2D:
                     done2D[(par1, par2)] = True
-                    text += f"pairs.append(['{par1}','{par2}'])\n"
-        text += "g.plots_2d(roots,param_pairs=pairs,filled=True)"
-        self._WritePlotFile(filename, self.subplot_size_inch2, text, "_2D", ext)
+                    lines.append(f"pairs.append(['{par1}','{par2}'])")
+        lines.append("g.plots_2d(roots,param_pairs=pairs,filled=True)")
+        self._WritePlotFile(filename, self.subplot_size_inch2, "\n".join(lines), "_2D", ext)
         return done2D
 
     def _writeScriptPlots1D(self, filename, plotparams=None, ext=None):
@@ -644,12 +630,8 @@ class MCSamples(Chains):
             out.append(parNames[j] + "".join("%8.3f" % corrs[i][j] for i in range(maxoff)) + " %s\n" % self.parLabel(j))
 
     def getConvergeTests(
-        self,
-        test_confidence=0.95,
-        writeDataToFile=False,
-        what=("MeanVar", "GelmanRubin", "SplitTest", "RafteryLewis", "CorrLengths"),
-        filename=None,
-        feedback=False,
+        self, test_confidence=0.95, writeDataToFile=False,
+        what=("MeanVar", "GelmanRubin", "SplitTest", "RafteryLewis", "CorrLengths"), filename=None, feedback=False
     ):
         """Run the convergence-test battery and return the text report.
 
@@ -664,41 +646,42 @@ class MCSamples(Chains):
         """
         out = []
         chainlist = self.getSeparateChains()
-        num_chains_used = len(chainlist)
-        if num_chains_used > 1 and feedback:
-            print("Number of chains used = ", num_chains_used)
+        multi_chain = len(chainlist) > 1
+        if multi_chain and feedback:
+            print("Number of chains used = ", len(chainlist))
         for chain in chainlist:
             chain.setDiffs()
         parForm = self.paramNames.parFormat()
         parNames = [parForm % self.parName(j) for j in range(self.n)]
         limits = np.array([1 - (1 - test_confidence) / 2, (1 - test_confidence) / 2])
-
-        if "CorrLengths" in what:
-            self._report_corr_lengths(out, chainlist, parNames, parForm)
-        if num_chains_used > 1 and "MeanVar" in what:
-            self._report_mean_var(out, chainlist, parNames)
         nparamMC = self.paramNames.numNonDerived()
-        if num_chains_used > 1 and nparamMC > 0 and "GelmanRubin" in what:
-            self._report_gelman_rubin(out, chainlist, feedback)
-        if "SplitTest" in what:
-            self._report_split_test(out, parNames, limits)
-
         integer_weights = np.all(np.abs(self.weights - self.weights.astype(int)) < 1e-4 / self.max_mult)
-        if integer_weights:
-            if "RafteryLewis" in what:
+
+        battery = (
+            ("CorrLengths", True, lambda: self._report_corr_lengths(out, chainlist, parNames, parForm)),
+            ("MeanVar", multi_chain, lambda: self._report_mean_var(out, chainlist, parNames)),
+            ("GelmanRubin", multi_chain and nparamMC > 0, lambda: self._report_gelman_rubin(out, chainlist, feedback)),
+            ("SplitTest", True, lambda: self._report_split_test(out, parNames, limits)),
+            (
+                "RafteryLewis",
+                integer_weights,
+                lambda: self._report_raftery_lewis(out, chainlist, limits, nparamMC, test_confidence, feedback),
+            ),
+            ("CorrSteps", integer_weights, lambda: self._report_corr_steps(out, chainlist, parNames, parForm)),
+        )
+        for tag, applicable, run in battery:
+            if tag in what and applicable:
                 try:
-                    self._report_raftery_lewis(out, chainlist, limits, nparamMC, test_confidence, feedback)
+                    run()
                 except self._RLAbort:
                     print("Raftery and Lewis estimator had problems")
                     return
-            if "CorrSteps" in what:
-                self._report_corr_steps(out, chainlist, parNames, parForm)
 
-        lines = "".join(out)
+        report = "".join(out)
         if writeDataToFile:
             with open(filename or (self.rootdirname + ".converge"), "w", encoding="utf-8") as f:
-                f.write(lines)
-        return lines
+                f.write(report)
+        return report
 
     # -- plot-script writers (for the CLI) ---------------------------------------------
 
@@ -714,14 +697,8 @@ class MCSamples(Chains):
         return chosen
 
     def PCA(
-        self,
-        params,
-        param_map=None,
-        normparam=None,
-        writeDataToFile=False,
-        filename=None,
-        conditional_params=(),
-        n_best_only=None,
+        self, params, param_map=None, normparam=None, writeDataToFile=False, filename=None, conditional_params=(),
+        n_best_only=None
     ):
         """Principal component analysis of normalized (optionally
         log-mapped) parameters; returns a text report with e-values,
@@ -870,45 +847,43 @@ class MCSamples(Chains):
         """Save .paramnames, .ranges and .properties.ini sidecars."""
         super().saveTextMetadata(root)
         self.ranges.saveToFile(root + ".ranges")
-        ini_name = root + ".properties.ini"
-        if properties or self.properties and self.properties.params or self.label:
-            ini = IniFile(ini_name) if os.path.exists(ini_name) else IniFile()
-            if self.properties:
-                ini.params.update(self.properties.params)
-            if self.label:
-                ini.params.update({"label": self.label})
-            ini.params.update(properties or {})
-            ini.saveFile(ini_name)
-        elif os.path.exists(ini_name):
-            os.remove(ini_name)
+        sidecar = root + ".properties.ini"
+        stored = self.properties.params if self.properties else {}
+        if not (properties or stored or self.label):
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
+            return
+        ini = IniFile(sidecar) if os.path.exists(sidecar) else IniFile()
+        ini.params.update(stored)
+        if self.label:
+            ini.params["label"] = self.label
+        ini.params.update(properties or {})
+        ini.saveFile(sidecar)
 
     def getCombinedSamplesWithSamples(self, samps2, sample_weights=(1, 1)):
         """New MCSamples appending samps2's samples for shared parameters,
         weighted so each set contributes equal mass by default."""
-        params = ParamNames()
-        params.names = [
+        mine = set(self.paramNames.list())
+        shared = ParamNames()
+        shared.names = [
             ParamInfo(name=p.name, label=p.label, derived=p.isDerived)
             for p in samps2.paramNames.names
-            if p.name in self.paramNames.list()
+            if p.name in mine
         ]
-        if self.loglikes is not None and samps2.loglikes is not None:
-            loglikes = np.concatenate([self.loglikes, samps2.loglikes])
-        else:
-            loglikes = None
+        both_have_likes = self.loglikes is not None and samps2.loglikes is not None
+        loglikes = np.concatenate([self.loglikes, samps2.loglikes]) if both_have_likes else None
         if sample_weights is None:
-            fac = 1
-            sample_weights = (1, 1)
+            balance, sample_weights = 1, (1, 1)
         else:
-            fac = np.sum(self.weights) / np.sum(samps2.weights)
-        weights = np.concatenate([self.weights * sample_weights[0], samps2.weights * sample_weights[1] * fac])
-        p1 = self.getParams()
-        p2 = samps2.getParams()
-        samples = np.array([np.concatenate([getattr(p1, name), getattr(p2, name)]) for name in params.list()]).T
+            balance = np.sum(self.weights) / np.sum(samps2.weights)
+        weights = np.concatenate([self.weights * sample_weights[0], samps2.weights * sample_weights[1] * balance])
+        first, second = self.getParams(), samps2.getParams()
+        columns = [np.concatenate([getattr(first, name), getattr(second, name)]) for name in shared.list()]
         return MCSamples(
-            samples=samples,
+            samples=np.array(columns).T,
             weights=weights,
             loglikes=loglikes,
-            paramNamesFile=params,
+            paramNamesFile=shared,
             ignore_rows=0,
             ranges=self.ranges,
             settings=copy.deepcopy(self.ini.params),
@@ -930,10 +905,10 @@ class MCSamples(Chains):
             if self.loglikes is None:
                 raise ValueError("No likelihoods in samples")
             return self.getParamSampleDict(np.argmin(self.loglikes))
-        res = self.getBestFit(max_posterior=max_posterior).getParamDict(include_derived=want_derived)
+        best = self.getBestFit(max_posterior=max_posterior).getParamDict(include_derived=want_derived)
         if want_fixed:
-            res.update(self.ranges.fixedValueDict())
-        return res
+            best.update(self.ranges.fixedValueDict())
+        return best
 
     def addDerived(self, paramVec, name, label="", comment="", range=None):
         """Add a derived parameter column (optionally with hard bounds)."""
@@ -944,21 +919,22 @@ class MCSamples(Chains):
     def getCorrelatedVariable2DPlots(self, num_plots=12, nparam=None):
         """Most-correlated parameter pair names, for quick-look plots."""
         nparam = nparam or self.paramNames.numNonDerived()
-        try_t = 1e5
-        x, y = 0, 0
-        cust2DPlots = []
+        ceiling = 1e5
+        best_x = best_y = 0
+        pairs = []
         for _ in range(num_plots):
-            try_b = -1e5
+            strongest = -1e5
             for ix1 in range(nparam):
                 for ix2 in range(ix1 + 1, nparam):
-                    if try_b < abs(self.correlationMatrix[ix1][ix2]) < try_t:
-                        try_b = abs(self.correlationMatrix[ix1][ix2])
-                        x, y = ix1, ix2
-            if try_b == -1e5:
+                    strength = abs(self.correlationMatrix[ix1][ix2])
+                    if strongest < strength < ceiling:
+                        strongest = strength
+                        best_x, best_y = ix1, ix2
+            if strongest == -1e5:
                 break
-            try_t = try_b
-            cust2DPlots.append([self.parName(x), self.parName(y)])
-        return cust2DPlots
+            ceiling = strongest
+            pairs.append([self.parName(best_x), self.parName(best_y)])
+        return pairs
 
     def getNumSampleSummaryText(self):
         """Text summary of sample counts and effective sample sizes."""
@@ -983,58 +959,43 @@ class MCSamples(Chains):
         par.limits = []
         density1D = density1D or self.get1DDensity(par.name)
         interpGrid = None
-        for ix1, contour in enumerate(self.contours):
-            marge_limits_bot = par.has_limits_bot and not self.force_twotail and density1D.P[0] > max_frac_twotail[ix1]
-            marge_limits_top = par.has_limits_top and not self.force_twotail and density1D.P[-1] > max_frac_twotail[ix1]
+        for level, contour in enumerate(self.contours):
+            # a tail counts as prior-cut when the density at that edge is
+            # still significant relative to the peak
+            edge_frac = max_frac_twotail[level]
+            force = self.force_twotail
+            cut_bot = par.has_limits_bot and not force and density1D.P[0] > edge_frac
+            cut_top = par.has_limits_top and not force and density1D.P[-1] > edge_frac
 
-            if not marge_limits_bot or not marge_limits_top:
+            if cut_bot and cut_top:
+                window = [par.range_min, par.range_max]
+            else:
                 if not interpGrid:
                     interpGrid = density1D.initLimitGrids()
-                tail_limit_bot, tail_limit_top, marge_limits_bot, marge_limits_top = density1D.getLimits(
-                    contour, interpGrid
-                )
+                lo, hi, cut_bot, cut_top = density1D.getLimits(contour, interpGrid)
                 limfrac = 1 - contour
-
-                if marge_limits_bot:
-                    tail_limit_bot = par.range_min
-                    tail_confid_bot = None
-                elif marge_limits_top:
-                    tail_limit_bot = self.confidence(paramConfid, limfrac, upper=False)
-                    tail_confid_bot = None
+                eq_lo = eq_hi = None
+                if cut_bot:
+                    lo = par.range_min
+                elif cut_top:
+                    lo = self.confidence(paramConfid, limfrac, upper=False)
                 else:
-                    tail_confid_bot = self.confidence(paramConfid, limfrac / 2, upper=False)
-
-                if marge_limits_top:
-                    tail_limit_top = par.range_max
-                    tail_confid_top = None
-                elif marge_limits_bot:
-                    tail_limit_top = self.confidence(paramConfid, limfrac, upper=True)
-                    tail_confid_top = None
+                    eq_lo = self.confidence(paramConfid, limfrac / 2, upper=False)
+                if cut_top:
+                    hi = par.range_max
+                elif cut_bot:
+                    hi = self.confidence(paramConfid, limfrac, upper=True)
                 else:
-                    tail_confid_top = self.confidence(paramConfid, limfrac / 2, upper=True)
-
-                if not marge_limits_bot and not marge_limits_top:
+                    eq_hi = self.confidence(paramConfid, limfrac / 2, upper=True)
+                if not cut_bot and not cut_top:
                     # prefer equal-tail limits when the densities at the two
                     # tails are similar
-                    if (
-                        math.fabs(density1D.Prob(tail_confid_top) - density1D.Prob(tail_confid_bot))
-                        < self.credible_interval_threshold
-                    ):
-                        tail_limit_top = tail_confid_top
-                        tail_limit_bot = tail_confid_bot
-                lim = [tail_limit_bot, tail_limit_top]
-            else:
-                lim = [par.range_min, par.range_max]
+                    if math.fabs(density1D.Prob(eq_hi) - density1D.Prob(eq_lo)) < self.credible_interval_threshold:
+                        lo, hi = eq_lo, eq_hi
+                window = [lo, hi]
 
-            if marge_limits_bot and marge_limits_top:
-                tag = "none"
-            elif marge_limits_bot:
-                tag = ">"
-            elif marge_limits_top:
-                tag = "<"
-            else:
-                tag = "two"
-            par.limits.append(types.ParamLimit(lim, tag))
+            tag = {(True, True): "none", (True, False): ">", (False, True): "<"}.get((cut_bot, cut_top), "two")
+            par.limits.append(types.ParamLimit(window, tag))
 
     # -- summaries / misc ------------------------------------------------------------
 
@@ -1062,21 +1023,19 @@ class MCSamples(Chains):
         if isinstance(params, str):
             return self.getInlineLatex(params, limit, err_sig_figs)
         marge = self.getMargeStats()
-        if params is None:
-            params = marge.list()
         formatter = types.NoLineTableFormatter()
         if err_sig_figs:
             formatter.numberFormatter.err_sf = err_sig_figs
-        texs = []
-        labels = []
-        for par in params:
+        labels, texs = [], []
+        for par in params if params is not None else marge.list():
             tex = marge.texValues(formatter, par, limit=limit)
-            if tex is not None:
-                texs.append(tex[0])
-                labels.append((par if isinstance(par, ParamInfo) else marge.parWithName(par)).getLabel())
-            else:
-                texs.append(None)
+            if tex is None:
                 labels.append(None)
+                texs.append(None)
+                continue
+            info = par if isinstance(par, ParamInfo) else marge.parWithName(par)
+            labels.append(info.getLabel())
+            texs.append(tex[0])
         return labels, texs
 
     def getTable(self, columns=1, include_bestfit=False, **kwargs):
@@ -1114,95 +1073,83 @@ class MCSamples(Chains):
         """Compute and store the LikeStats summary: best-fit sample,
         likelihood moments, and per-parameter ND confidence region from
         sorting by -log(like) (reference ``mcsamples.py:2237-2278``)."""
-        if self.loglikes is None:
+        logl = self.loglikes
+        if logl is None:
             self.likeStats = None
             return None
-        m = types.LikeStats()
-        bestfit_ix = np.argmin(self.loglikes)
-        maxlike = self.loglikes[bestfit_ix]
-        m.logLike_sample = maxlike
-        if np.max(self.loglikes) - maxlike < 30:
-            m.logMeanInvLike = np.log(self.mean(np.exp(self.loglikes - maxlike))) + maxlike
-        else:
-            m.logMeanInvLike = None
-        m.meanLogLike = self.mean_loglike
-        m.logMeanLike = -np.log(self.mean(np.exp(-(self.loglikes - maxlike)))) + maxlike
-        m.complexity = 2 * (self.mean_loglike - maxlike)
-        m.varLogLike = self.mean(self.loglikes**2) - self.mean_loglike**2
-        m.names = self.paramNames.names
+        stats = types.LikeStats()
+        bestfit_ix = np.argmin(logl)
+        maxlike = logl[bestfit_ix]
+        stats.logLike_sample = maxlike
+        spread_ok = np.max(logl) - maxlike < 30
+        stats.logMeanInvLike = np.log(self.mean(np.exp(logl - maxlike))) + maxlike if spread_ok else None
+        stats.meanLogLike = self.mean_loglike
+        stats.logMeanLike = -np.log(self.mean(np.exp(-(logl - maxlike)))) + maxlike
+        stats.complexity = 2 * (self.mean_loglike - maxlike)
+        stats.varLogLike = self.mean(logl**2) - self.mean_loglike**2
+        stats.names = self.paramNames.names
 
-        indexes = self.loglikes.argsort()
-        cumsum = np.cumsum(self.weights[indexes])
+        # ND confidence regions: take the best-likelihood mass up to each contour
+        by_like = logl.argsort()
+        mass = np.cumsum(self.weights[by_like])
         ncontours = len(self.contours)
-        n_d_contours = np.searchsorted(cumsum, self.norm * self.contours[0:ncontours])
+        cutoffs = np.searchsorted(mass, self.norm * self.contours[0:ncontours])
         for j, par in enumerate(self.paramNames.names):
             par.ND_limit_bot = np.empty(ncontours)
             par.ND_limit_top = np.empty(ncontours)
-            for i, cont in enumerate(n_d_contours):
-                region = self.samples[indexes[:cont], j]
+            for i, cut in enumerate(cutoffs):
+                region = self.samples[by_like[:cut], j]
                 par.ND_limit_bot[i] = np.min(region)
                 par.ND_limit_top[i] = np.max(region)
             par.bestfit_sample = self.samples[bestfit_ix][j]
-        self.likeStats = m
-        return m
+        self.likeStats = stats
+        return stats
 
     def getRawNDDensityGridData(
-        self,
-        js,
-        writeDataToFile=False,
-        num_plot_contours=None,
-        get_density=False,
-        meanlikes=False,
-        maxlikes=False,
-        **kwargs,
+        self, js, writeDataToFile=False, num_plot_contours=None, get_density=False, meanlikes=False, maxlikes=False,
+        **kwargs
     ):
         """Unsmoothed ND histogram density with edge weighting and optional
         mean/profile likelihoods (reference ``mcsamples.py:2098-2235``)."""
         if self.needs_update:
             self.updateBaseStatistics()
-        ndim = len(js)
-        jv, parv = zip(*[self._parAndNumber(j) for j in js])
-        if None in jv:
+        resolved = [self._parAndNumber(j) for j in js]
+        if any(col is None for col, _ in resolved):
             return None
-        for j in jv:
-            self._initParamRanges(j)
+        columns = [col for col, _ in resolved]
+        infos = [info for _, info in resolved]
+        ndim = len(js)
+        for col in columns:
+            self._initParamRanges(col)
 
-        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
-        has_prior = np.any([parv[i].has_limits for i in range(ndim)])
+        boundary_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
+        bounded = any(info.has_limits for info in infos)
         nbinsND = kwargs.get("num_bins_ND", self.num_bins_ND)
 
-        ixv, widthv, xminv, xmaxv = zip(
-            *[self._binSamples(self.samples[:, jv[i]], parv[i], nbinsND) for i in range(ndim)]
-        )
-        xsizev = nbinsND * np.ones(ndim, dtype=int)
-        binsND, flatixv = self._makeNDhist(ixv, xsizev)
+        binned = [self._binSamples(self.samples[:, col], info, nbinsND) for col, info in zip(columns, infos)]
+        ixv = [b[0] for b in binned]
+        axis_lo = [b[2] for b in binned]
+        axis_hi = [b[3] for b in binned]
+        shape = nbinsND * np.ones(ndim, dtype=int)
+        binsND, flatixv = self._makeNDhist(ixv, shape)
 
-        if has_prior and boundary_correction_order >= 0:
-            prior_mask = np.ones(xsizev[::-1])
-            self._setRawEdgeMaskND(parv, prior_mask)
-            binsND /= prior_mask
+        if bounded and boundary_order >= 0:
+            edge_weight = np.ones(shape[::-1])
+            self._setRawEdgeMaskND(infos, edge_weight)
+            binsND /= edge_weight
 
+        binNDlikes = None
         if meanlikes:
             likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
             # np.array: normalized in place below (device arrays view read-only)
-            binNDlikes = np.array(_bincount(flatixv, likeweights, int(np.prod(xsizev)))).reshape(
-                xsizev[::-1], order="C"
-            )
-        else:
-            binNDlikes = None
+            flat = np.array(_bincount(flatixv, likeweights, int(np.prod(shape))))
+            binNDlikes = flat.reshape(shape[::-1], order="C")
 
-        if maxlikes:
-            binNDmaxlikes = np.zeros(binsND.shape)
-            ndindex = list(zip(*[ixv[i] for i in range(ndim)[::-1]]))
-            bestfit = np.max(-self.loglikes)
-            for irec in range(len(self.loglikes)):
-                binNDmaxlikes[ndindex[irec]] = max(binNDmaxlikes[ndindex[irec]], np.exp(-bestfit - self.loglikes[irec]))
-        else:
-            binNDmaxlikes = None
+        binNDmaxlikes = self._profile_likes_nd(binsND.shape, ixv, ndim) if maxlikes else None
 
-        xv = [np.linspace(xminv[i], xmaxv[i], xsizev[i]) for i in range(ndim)]
-        views = [(parv[i].range_min, parv[i].range_max) for i in range(ndim)]
-        density = DensityND(xv, binsND, view_ranges=views)
+        grids = [np.linspace(lo, hi, n) for lo, hi, n in zip(axis_lo, axis_hi, shape)]
+        views = [(info.range_min, info.range_max) for info in infos]
+        density = DensityND(grids, binsND, view_ranges=views)
         density.normalize("max", in_place=True)
         if get_density:
             return density
@@ -1213,36 +1160,40 @@ class MCSamples(Chains):
         contours = self.contours[:ncontours]
         density.contours = density.getContourLevels(contours)
 
-        if meanlikes:
+        if binNDlikes is not None:
             binNDlikes /= np.max(binNDlikes)
-            density.likes = binNDlikes
-        else:
-            density.likes = None
+        density.likes = binNDlikes
 
+        density.maxlikes = binNDmaxlikes
         if maxlikes:
-            density.maxlikes = binNDmaxlikes
             density.maxcontours = getImportContourLevels(binNDmaxlikes, contours, half_edge=False)
-        else:
-            density.maxlikes = None
 
         if writeDataToFile:
-            postfile = self.rootname + "_posterior" + "_%sD.dat" % ndim
-            contfile = self.rootname + "_posterior" + "_%sD_cont.dat" % ndim
-            allND = [np.array(binsND) for _ in range(ndim + 1)]
-            allND[0] = np.ravel(binsND, order="C")
-            for i in range(ndim):
-                allND[i + 1] = [xv[i][index[::-1][i]] for index in np.ndindex(binsND.shape)]
-            np.savetxt(os.path.join(self.plot_data_dir, postfile), np.transpose(allND), "%16.7E")
-            np.savetxt(os.path.join(self.plot_data_dir, contfile), np.atleast_2d(density.contours), "%16.7E")
-            if meanlikes:
-                allND[0] = np.ravel(binNDlikes, order="C")
-                likefile = self.rootname + "_meanlike" + "_%sD.dat" % ndim
-                np.savetxt(os.path.join(self.plot_data_dir, likefile), np.transpose(allND), "%16.7E")
-            if maxlikes:
-                allND[0] = np.ravel(binNDmaxlikes, order="C")
-                likefile = self.rootname + "_maxlike" + "_%sD.dat" % ndim
-                np.savetxt(os.path.join(self.plot_data_dir, likefile), np.transpose(allND), "%16.7E")
+            self._write_nd_density_files(density, binsND, binNDlikes, binNDmaxlikes, grids, ndim, meanlikes, maxlikes)
         return density
+
+    def _profile_likes_nd(self, shape, ixv, ndim):
+        """Per-cell profile (maximum) likelihood over the ND histogram."""
+        out = np.zeros(shape)
+        cells = list(zip(*[ixv[i] for i in range(ndim)[::-1]]))
+        bestfit = np.max(-self.loglikes)
+        for rec, cell in enumerate(cells):
+            out[cell] = max(out[cell], np.exp(-bestfit - self.loglikes[rec]))
+        return out
+
+    def _write_nd_density_files(self, density, binsND, binNDlikes, binNDmaxlikes, grids, ndim, meanlikes, maxlikes):
+        """Write the plot-data files for an ND histogram density."""
+        stem = self.rootname + "_%s" + "_%sD.dat" % ndim
+        table = [np.ravel(binsND, order="C")]
+        for i in range(ndim):
+            table.append([grids[i][cell[::-1][i]] for cell in np.ndindex(binsND.shape)])
+        np.savetxt(os.path.join(self.plot_data_dir, stem % "posterior"), np.transpose(table), "%16.7E")
+        contfile = self.rootname + "_posterior" + "_%sD_cont.dat" % ndim
+        np.savetxt(os.path.join(self.plot_data_dir, contfile), np.atleast_2d(density.contours), "%16.7E")
+        for wanted, values, tag in ((meanlikes, binNDlikes, "meanlike"), (maxlikes, binNDmaxlikes, "maxlike")):
+            if wanted:
+                table[0] = np.ravel(values, order="C")
+                np.savetxt(os.path.join(self.plot_data_dir, stem % tag), np.transpose(table), "%16.7E")
 
     # -- likelihood-based statistics -----------------------------------------------
 
@@ -1493,18 +1444,16 @@ class MCSamples(Chains):
 
     def _unflattenValues(self, q, xsizes):
         ndim = len(xsizes)
-        ixs = [np.array(q) for _ in range(ndim)]
         if ndim == 1:
-            ixs[0] = q
-            return ixs
-        ixs[ndim - 1] = q // np.prod(xsizes[0 : ndim - 1])
-        acc = 0
+            return [q]
+        strides = [np.prod(xsizes[:k]) for k in range(ndim)]
+        ixs = [np.array(q) for _ in range(ndim)]
+        ixs[ndim - 1] = q // strides[ndim - 1]
+        consumed = 0
         for k in range(ndim - 2, -1, -1):
-            acc = acc + ixs[k + 1] * np.prod(xsizes[0 : k + 1])
-            if k > 0:
-                ixs[k] = (q - acc) // np.prod(xsizes[0:k])
-            else:
-                ixs[k] = q - acc
+            consumed = consumed + ixs[k + 1] * strides[k + 1]
+            remainder = q - consumed
+            ixs[k] = remainder // strides[k] if k > 0 else remainder
         return ixs
 
     def _flattenValues(self, ixs, xsizes):
@@ -1595,14 +1544,8 @@ class MCSamples(Chains):
         return smoothed
 
     def get2DDensityGridData(
-        self,
-        j,
-        j2,
-        num_plot_contours=None,
-        get_density=False,
-        meanlikes=False,
-        mask_function: callable = None,
-        **kwargs,
+        self, j, j2, num_plot_contours=None, get_density=False, meanlikes=False, mask_function: callable = None,
+        **kwargs
     ):
         """Compute the marginalized 2D KDE density for a parameter pair.
 
@@ -1619,117 +1562,92 @@ class MCSamples(Chains):
                 density = self._fused_2d_lookup(j, j2, num_plot_contours, meanlikes=meanlikes)
                 if density is not None:
                     return density
-        start = time.time()
+        stopwatch = time.time()
         j, parx = self._parAndNumber(j)
         j2, pary = self._parAndNumber(j2)
-        if j is None or j2 is None:
+        if None in (j, j2):
             return None
-        self._initParamRanges(j)
-        self._initParamRanges(j2)
+        for axis_index in (j, j2):
+            self._initParamRanges(axis_index)
 
-        def setting(name):
-            return kwargs.get(name, getattr(self, name))
-
-        base_fine_bins_2D = setting("fine_bins_2D")
-        boundary_correction_order = setting("boundary_correction_order")
-        mult_bias_correction_order = setting("mult_bias_correction_order")
-        smooth_scale_2D = float(setting("smooth_scale_2D"))
+        pick = lambda name: kwargs.get(name, getattr(self, name))  # noqa: E731
+        base_fine_bins_2D = pick("fine_bins_2D")
+        boundary_order = pick("boundary_correction_order")
+        mult_bias_order = pick("mult_bias_correction_order")
+        smooth_scale_2D = float(pick("smooth_scale_2D"))
         has_prior = parx.has_limits or pary.has_limits or mask_function
 
         corr, actual_corr = self._pair_correlation(j, j2, parx, pary)
         fine_bins_2D, nbin2D = self._degeneracy_adapted_bins(corr, base_fine_bins_2D)
         xsize = ysize = fine_bins_2D
 
-        ixs, finewidthx, xbinmin, xbinmax = self._binSamples(self.samples[:, j], parx, fine_bins_2D)
-        iys, finewidthy, ybinmin, ybinmax = self._binSamples(self.samples[:, j2], pary, fine_bins_2D)
-        histbins, flatix = self._make2Dhist(ixs, iys, xsize, ysize)
-        finebinlikes = self._meanlikes_fine_2d(flatix, xsize, ysize) if meanlikes else None
+        ixs, step_x, x_lo, x_hi = self._binSamples(self.samples[:, j], parx, fine_bins_2D)
+        iys, step_y, y_lo, y_hi = self._binSamples(self.samples[:, j2], pary, fine_bins_2D)
+        pair_hist, flat_cells = self._make2Dhist(ixs, iys, xsize, ysize)
+        finebinlikes = self._meanlikes_fine_2d(flat_cells, xsize, ysize) if meanlikes else None
 
         # rx/ry are kernel widths in fine-bin units
         if smooth_scale_2D < 0:
             hx, hy, corr = self.getAutoBandwidth2D(
-                histbins,
-                parx,
-                pary,
-                j,
-                j2,
-                actual_corr,
-                xbinmax - xbinmin,
-                ybinmax - ybinmin,
-                base_fine_bins_2D,
-                mult_bias_correction_order=mult_bias_correction_order,
+                pair_hist, parx, pary, j, j2, actual_corr, x_hi - x_lo, y_hi - y_lo,
+                base_fine_bins_2D, mult_bias_correction_order=mult_bias_order,
             )
-            rx = hx * abs(smooth_scale_2D) / finewidthx
-            ry = hy * abs(smooth_scale_2D) / finewidthy
+            rx = hx * abs(smooth_scale_2D) / step_x
+            ry = hy * abs(smooth_scale_2D) / step_y
         elif smooth_scale_2D < 1.0:
-            rx = smooth_scale_2D * parx.err / finewidthx
-            ry = smooth_scale_2D * pary.err / finewidthy
+            rx = smooth_scale_2D * parx.err / step_x
+            ry = smooth_scale_2D * pary.err / step_y
         else:
             rx = ry = smooth_scale_2D * fine_bins_2D / nbin2D
 
-        smooth_scale = float(max(rx, ry))
+        widest = float(max(rx, ry))
         logging.debug("corr, rx, ry: %s, %s, %s", corr, rx, ry)
-        if smooth_scale < 2:
+        if widest < 2:
             logging.warning("fine_bins_2D not large enough for optimal density: %s, %s", parx.name, pary.name)
-        winw = max(1, int(round(2.5 * smooth_scale)))
+        winw = max(1, int(round(2.5 * widest)))
         Win = self._anisotropic_window(rx, ry, corr, winw)
 
-        logging.debug("time 2D binning and bandwidth: %s ; bins: %s", time.time() - start, fine_bins_2D)
-        start = time.time()
+        logging.debug("time 2D binning and bandwidth: %s ; bins: %s", time.time() - stopwatch, fine_bins_2D)
+        stopwatch = time.time()
         convolvesize = xsize + 2 * winw + Win.shape[0]  # oversized for fast fft padding choice
-        convolution_mode = self._conv_mode_2d(parx, pary)
-        bins2D = convolve2D(histbins, Win, convolution_mode, largest_size=convolvesize)
+        conv_mode = self._conv_mode_2d(parx, pary)
+        surface = convolve2D(pair_hist, Win, conv_mode, largest_size=convolvesize)
 
-        bin2Dlikes = None
+        like_surface = None
         if meanlikes:
-            bin2Dlikes = self._meanlikes_smooth_2d(
-                finebinlikes, bins2D, Win, convolution_mode, convolvesize, mult_bias_correction_order
-            )
+            like_surface = self._meanlikes_smooth_2d(finebinlikes, surface, Win, conv_mode, convolvesize, mult_bias_order)
             del finebinlikes
 
-        bool_mask = None
-        if has_prior and boundary_correction_order >= 0 or mult_bias_correction_order or mask_function:
+        need_mask = has_prior and boundary_order >= 0 or mult_bias_order or mask_function
+        prior_mask = masked_out = None
+        if need_mask:
             # pad by winw so 'valid' convolutions return (ysize, xsize)
             prior_mask = np.ones((ysize + 2 * winw, xsize + 2 * winw))
             if mask_function:
                 mask_function(
-                    xbinmin - winw * finewidthx,
-                    ybinmin - winw * finewidthy,
-                    finewidthx,
-                    finewidthy,
-                    prior_mask,
+                    x_lo - winw * step_x, y_lo - winw * step_y, step_x, step_y, prior_mask
                 )
-                bool_mask = prior_mask[winw:-winw, winw:-winw] < 1e-8
+                masked_out = prior_mask[winw:-winw, winw:-winw] < 1e-8
 
         fully_periodic = parx.periodic and pary.periodic
-        if has_prior and boundary_correction_order >= 0 and not fully_periodic:
+        if has_prior and boundary_order >= 0 and not fully_periodic:
             self._setEdgeMask2D(parx, pary, prior_mask, winw)
-            self._boundary_correct_2d(
-                bins2D, histbins, prior_mask, Win, winw, boundary_correction_order, convolution_mode, convolvesize
+            self._boundary_correct_2d(surface, pair_hist, prior_mask, Win, winw, boundary_order, conv_mode, convolvesize)
+
+        if mult_bias_order and not fully_periodic:
+            self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
+            self._mult_bias_correct_2d(
+                surface, pair_hist, prior_mask, Win, conv_mode, convolvesize, mult_bias_order, masked_out
             )
 
-        if mult_bias_correction_order and not fully_periodic:
-            self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
-            a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
-            for _ in range(mult_bias_correction_order):
-                # divide out the current estimate, re-smooth, multiply back
-                flattened = histbins.copy()
-                significant = bins2D > np.max(bins2D) * 1e-8
-                flattened[significant] /= bins2D[significant]
-                bins2D *= convolve2D(flattened, Win, convolution_mode, largest_size=convolvesize)
-                if mask_function:
-                    bins2D[~bool_mask] /= a00[~bool_mask]
-                else:
-                    bins2D /= a00
-
         if mask_function:
-            bins2D[bool_mask] = 0
+            surface[masked_out] = 0
 
         density = Density2D(
-            np.linspace(xbinmin, xbinmax, xsize),
-            np.linspace(ybinmin, ybinmax, ysize),
-            bins2D,
-            mask=None if not mask_function else np.asarray(bool_mask),
+            np.linspace(x_lo, x_hi, xsize),
+            np.linspace(y_lo, y_hi, ysize),
+            surface,
+            mask=None if not mask_function else np.asarray(masked_out),
             view_ranges=[(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)],
         )
         density.normalize("max", in_place=True)
@@ -1739,12 +1657,27 @@ class MCSamples(Chains):
         ncontours = len(self.contours)
         if num_plot_contours:
             ncontours = min(num_plot_contours, ncontours)
-        logging.debug("time 2D convolutions: %s", time.time() - start)
+        logging.debug("time 2D convolutions: %s", time.time() - stopwatch)
         density.contours = density.getContourLevels(self.contours[:ncontours])
         if meanlikes:
-            bin2Dlikes /= np.max(bin2Dlikes)
-        density.likes = bin2Dlikes
+            like_surface /= np.max(like_surface)
+        density.likes = like_surface
         return density
+
+    @staticmethod
+    def _mult_bias_correct_2d(surface, pair_hist, prior_mask, Win, conv_mode, convolvesize, order, masked_out):
+        """Multiplicative bias iterations in place: divide out the current
+        estimate, re-smooth, multiply back (reference ``mcsamples.py:1921-1944``)."""
+        a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
+        for _ in range(order):
+            flattened = pair_hist.copy()
+            significant = surface > np.max(surface) * 1e-8
+            flattened[significant] /= surface[significant]
+            surface *= convolve2D(flattened, Win, conv_mode, largest_size=convolvesize)
+            if masked_out is not None:
+                surface[~masked_out] /= a00[~masked_out]
+            else:
+                surface /= a00
 
     # -- ND densities ---------------------------------------------------------------
 
@@ -1819,20 +1752,20 @@ class MCSamples(Chains):
 
     def _setEdgeMask2D(self, parx, pary, prior_mask, winw):
         # Edge masks only on non-periodic axes (periodic axes have no edges).
-        if not parx.periodic:
-            if parx.has_limits_bot:
-                prior_mask[:, winw] /= 2
-                prior_mask[:, :winw] = 0
-            if parx.has_limits_top:
-                prior_mask[:, -(winw + 1)] /= 2
-                prior_mask[:, -winw:] = 0
-        if not pary.periodic:
-            if pary.has_limits_bot:
-                prior_mask[winw, :] /= 2
-                prior_mask[:winw:] = 0
-            if pary.has_limits_top:
-                prior_mask[-(winw + 1), :] /= 2
-                prior_mask[-winw:, :] = 0
+        col = np.s_[:]
+        specs = (
+            (parx, (col, winw), (col, np.s_[:winw]), (col, -(winw + 1)), (col, np.s_[-winw:])),
+            (pary, (winw, col), np.s_[:winw:], (-(winw + 1), col), (np.s_[-winw:], col)),
+        )
+        for par, bot_edge, bot_zero, top_edge, top_zero in specs:
+            if par.periodic:
+                continue
+            if par.has_limits_bot:
+                prior_mask[bot_edge] /= 2
+                prior_mask[bot_zero] = 0
+            if par.has_limits_top:
+                prior_mask[top_edge] /= 2
+                prior_mask[top_zero] = 0
 
     def get1DDensityGridData(self, j, paramConfid=None, meanlikes=False, **kwargs):
         """Compute the marginalized 1D KDE density for a parameter.
@@ -1848,45 +1781,38 @@ class MCSamples(Chains):
             density = self._fused_1d_lookup(j, paramConfid, meanlikes=meanlikes)
             if density is not None:
                 return density
-        j = self._parAndNumber(j)[0]
-        if j is None:
+        index = self._parAndNumber(j)[0]
+        if index is None:
             return None
 
-        par = self._initParamRanges(j, paramConfid)
-        num_bins = kwargs.get("num_bins", self.num_bins)
-        smooth_scale_1D = kwargs.get("smooth_scale_1D", self.smooth_scale_1D)
-        boundary_correction_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
-        mult_bias_correction_order = kwargs.get("mult_bias_correction_order", self.mult_bias_correction_order)
-        fine_bins = kwargs.get("fine_bins", self.fine_bins)
+        par = self._initParamRanges(index, paramConfid)
+        pick = lambda name: kwargs.get(name, getattr(self, name))  # noqa: E731
+        num_bins, fine_bins = pick("num_bins"), pick("fine_bins")
+        smooth_scale_1D = pick("smooth_scale_1D")
+        boundary_order = pick("boundary_correction_order")
+        mult_bias_order = pick("mult_bias_correction_order")
 
-        paramrange = par.range_max - par.range_min
-        if paramrange <= 0:
+        span = par.range_max - par.range_min
+        if span <= 0:
             raise MCSamplesError("Parameter range is <= 0: " + par.name)
-        width = paramrange / (num_bins - 1)
+        coarse_width = span / (num_bins - 1)
 
-        bin_indices, fine_width, binmin, binmax = self._binSamples(self.samples[:, j], par, fine_bins)
+        bin_indices, fine_width, binmin, binmax = self._binSamples(self.samples[:, index], par, fine_bins)
         bins = np.asarray(_bincount(bin_indices, self.weights, fine_bins))
 
-        if meanlikes:
-            if self.shade_likes_is_mean_loglikes:
-                w = self.weights * self.loglikes
-            else:
-                w = self.weights * np.exp(self.mean_loglike - self.loglikes)
-            # np.array: mutated in place below (device arrays view read-only)
-            finebinlikes = np.array(_bincount(bin_indices, w, fine_bins))
+        finebinlikes = self._fine_like_bins(bin_indices, fine_bins) if meanlikes else None
 
+        # smoothing scale in fine-bin units, from the requested convention
         if smooth_scale_1D <= 0:
             # automatic bandwidth (periodic treated like bounded here; the
             # DCT-boundary error is comparable)
-            bandwidth = self.getAutoBandwidth1D(bins, par, j, mult_bias_correction_order, boundary_correction_order) * (
-                binmax - binmin
-            )
-            bandwidth = min(bandwidth, paramrange / 4)
+            bandwidth = self.getAutoBandwidth1D(bins, par, index, mult_bias_order, boundary_order) * (binmax - binmin)
+            bandwidth = min(bandwidth, span / 4)
             smooth_1D = bandwidth * abs(smooth_scale_1D) / fine_width
         elif smooth_scale_1D < 1.0:
             smooth_1D = smooth_scale_1D * par.err / fine_width
         else:
-            smooth_1D = smooth_scale_1D * width / fine_width
+            smooth_1D = smooth_scale_1D * coarse_width / fine_width
 
         if smooth_1D < 2:
             logging.warning("fine_bins not large enough to well sample smoothing scale - " + par.name)
@@ -1896,54 +1822,67 @@ class MCSamples(Chains):
             "%s 1D sigma_range, std: %s, %s; smooth_1D_bins: %s ", par.name, par.sigma_range, par.err, smooth_1D
         )
 
-        winw = min(int(round(2.5 * smooth_1D)), ((fine_bins - 1) if par.periodic else fine_bins) // 2 - 2)
+        support = (fine_bins - 1) if par.periodic else fine_bins
+        winw = min(int(round(2.5 * smooth_1D)), support // 2 - 2)
         kernel = Kernel1D(winw, smooth_1D)
 
-        convolution_mode = "periodic" if par.periodic else "same"
-        conv = convolve1D(bins, kernel.Win, convolution_mode)
-        fine_x = np.linspace(binmin, binmax, fine_bins)
-        density1D = Density1D(fine_x, P=conv, view_ranges=[par.range_min, par.range_max])
+        conv_mode = "periodic" if par.periodic else "same"
+        smoothed = convolve1D(bins, kernel.Win, conv_mode)
+        grid = np.linspace(binmin, binmax, fine_bins)
+        density1D = Density1D(grid, P=smoothed, view_ranges=[par.range_min, par.range_max])
+        uncorrected = smoothed.copy() if meanlikes else None
 
-        if meanlikes:
-            rawbins = conv.copy()
+        if par.has_limits and not par.periodic and boundary_order >= 0:
+            self._boundary_correct_1d(density1D, bins, par, kernel, winw, fine_bins, boundary_order)
+        elif not par.periodic and boundary_order == 2:
+            self._interior_order2_correct_1d(density1D, bins, kernel)
 
-        if par.has_limits and not par.periodic and boundary_correction_order >= 0:
-            self._boundary_correct_1d(density1D, bins, par, kernel, winw, fine_bins, boundary_correction_order)
-        elif not par.periodic and boundary_correction_order == 2:
-            # higher-order kernel in the interior (no boundary): subtract the
-            # second-moment bias term in clamped log space
-            xWin2 = kernel.Win * kernel.x**2
-            x2P = convolve1D(bins, xWin2, "same")
-            a2 = np.sum(xWin2)
-            a4 = np.dot(xWin2, kernel.x**2)
-            corrected = (density1D.P * a4 - a2 * x2P) / (a4 - a2**2)
-            positive = density1D.P > 0
-            density1D.P[positive] *= np.exp(np.minimum(corrected[positive] / density1D.P[positive], 2) - 1)
-
-        if mult_bias_correction_order:
-            self._mult_bias_correct_1d(
-                density1D, bins, par, kernel, fine_bins, convolution_mode, mult_bias_correction_order
-            )
+        if mult_bias_order:
+            self._mult_bias_correct_1d(density1D, bins, par, kernel, fine_bins, conv_mode, mult_bias_order)
 
         density1D.normalize("max", in_place=True)
         if not kwargs:
             self.density1D[par.name] = density1D
 
         if meanlikes:
-            ix = density1D.P > 0
-            finebinlikes[ix] /= density1D.P[ix]
-            binlikes = convolve1D(finebinlikes, kernel.Win, convolution_mode)
-            binlikes[ix] *= density1D.P[ix] / rawbins[ix]
-            if self.shade_likes_is_mean_loglikes:
-                maxbin = np.min(binlikes)
-                binlikes = np.where((binlikes - maxbin) < 30, np.exp(-(binlikes - maxbin)), 0)
-                binlikes[rawbins == 0] = 0
-            binlikes /= np.max(binlikes)
-            density1D.likes = binlikes
+            density1D.likes = self._mean_likes_1d(density1D, finebinlikes, kernel, conv_mode, uncorrected)
         else:
             density1D.likes = None
-
         return density1D
+
+    def _fine_like_bins(self, bin_indices, fine_bins):
+        """Likelihood-weighted fine histogram for mean-like shading."""
+        if self.shade_likes_is_mean_loglikes:
+            w = self.weights * self.loglikes
+        else:
+            w = self.weights * np.exp(self.mean_loglike - self.loglikes)
+        # np.array: mutated in place downstream (device arrays view read-only)
+        return np.array(_bincount(bin_indices, w, fine_bins))
+
+    @staticmethod
+    def _interior_order2_correct_1d(density1D, bins, kernel):
+        """Higher-order kernel in the interior (no boundary): subtract the
+        second-moment bias term in clamped log space."""
+        xWin2 = kernel.Win * kernel.x**2
+        x2P = convolve1D(bins, xWin2, "same")
+        a2 = np.sum(xWin2)
+        a4 = np.dot(xWin2, kernel.x**2)
+        corrected = (density1D.P * a4 - a2 * x2P) / (a4 - a2**2)
+        positive = density1D.P > 0
+        density1D.P[positive] *= np.exp(np.minimum(corrected[positive] / density1D.P[positive], 2) - 1)
+
+    def _mean_likes_1d(self, density1D, finebinlikes, kernel, conv_mode, uncorrected):
+        """Smoothed mean-likelihood curve aligned with the corrected density."""
+        live = density1D.P > 0
+        finebinlikes[live] /= density1D.P[live]
+        binlikes = convolve1D(finebinlikes, kernel.Win, conv_mode)
+        binlikes[live] *= density1D.P[live] / uncorrected[live]
+        if self.shade_likes_is_mean_loglikes:
+            floor = np.min(binlikes)
+            binlikes = np.where((binlikes - floor) < 30, np.exp(-(binlikes - floor)), 0)
+            binlikes[uncorrected == 0] = 0
+        binlikes /= np.max(binlikes)
+        return binlikes
 
     # -- 2D densities ---------------------------------------------------------------
 
@@ -2021,26 +1960,15 @@ class MCSamples(Chains):
         return self.get1DDensityGridData(name, **kwargs)
 
     def getAutoBandwidth2D(
-        self,
-        bins,
-        parx,
-        pary,
-        paramx,
-        paramy,
-        corr,
-        rangex,
-        rangey,
-        base_fine_bins_2D,
-        mult_bias_correction_order=None,
-        min_corr=0.2,
-        N_eff=None,
-        use_2D_Neff=False,
+        self, bins, parx, pary, paramx, paramy, corr, rangex, rangey, base_fine_bins_2D,
+        mult_bias_correction_order=None, min_corr=0.2, N_eff=None, use_2D_Neff=False
     ):
         """Bandwidth matrix (hx, hy, c) in parameter units via 2D ISJ in
         (optionally Cholesky-sheared) coordinates (reference
         ``mcsamples.py:1285-1419``)."""
         if N_eff is None:
-            if (use_2D_Neff if use_2D_Neff is not None else self.use_effective_samples_2D) and abs(corr) < 0.999:
+            want_2d = use_2D_Neff if use_2D_Neff is not None else self.use_effective_samples_2D
+            if want_2d and abs(corr) < 0.999:
                 N_eff = self.getEffectiveSamplesGaussianKDE_2d(paramx, paramy)
             else:
                 N_eff = min(self._get1DNeff(parx, paramx), self._get1DNeff(pary, paramy))
@@ -2051,9 +1979,7 @@ class MCSamples(Chains):
         both_limited = parx.has_limits and pary.has_limits
 
         def fallback_widths(ex):
-            msg = (
-                f"2D kernel density bandwidth optimizer failed for {parx.name}, {pary.name}. Using fallback width: {ex}"
-            )
+            msg = f"2D kernel density bandwidth optimizer failed for {parx.name}, {pary.name}. Using fallback width: {ex}"
             if getattr(self, "raise_on_bandwidth_errors", False):
                 raise BandwidthError(msg)
             logging.warning(msg)
@@ -2074,19 +2000,16 @@ class MCSamples(Chains):
                     bins, N_eff, corr, do_correlation=not (parx.has_limits or pary.has_limits), fallback_t=seed_t
                 )
                 hx, hy, c = opt.get_h()
-                hx *= rangex
-                hy *= rangey
+                hx, hy = hx * rangex, hy * rangey
             except ValueError as e:
                 hx, hy, c = fallback_widths(e)
 
         logging.debug("hx/sig, hy/sig, corr =%s, %s, %s", hx / parx.err, hy / pary.err, c)
-        if mult_bias_correction_order is None:
-            mult_bias_correction_order = self.mult_bias_correction_order
-        if mult_bias_correction_order:
+        order = self.mult_bias_correction_order if mult_bias_correction_order is None else mult_bias_correction_order
+        if order:
             # higher-order estimator: widen by the N-scaling mismatch factor
-            scale = 1.1 * N_eff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_correction_order)))
-            hx *= scale
-            hy *= scale
+            scale = 1.1 * N_eff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + order)))
+            hx, hy = hx * scale, hy * scale
             logging.debug("hx/sig, hy/sig, corr, scale =%s, %s, %s, %s", hx / parx.err, hy / pary.err, c, scale)
         return hx, hy, c
 
@@ -2135,11 +2058,13 @@ class MCSamples(Chains):
             N_eff = self._get1DNeff(par, param)
         h = kde.gaussian_kde_bandwidth_binned(bins, Neff=N_eff)
         bin_range = max(par.param_max, par.range_max) - min(par.param_min, par.range_min)
-        if h is None or h < 0.01 * N_eff ** (-1.0 / 5) * (par.range_max - par.range_min) / bin_range:
+        floor = 0.01 * N_eff ** (-1.0 / 5) * (par.range_max - par.range_min) / bin_range
+        if h is None or h < floor:
             hnew = 1.06 * par.sigma_range * N_eff ** (-1.0 / 5) / bin_range
-            if par.name not in self.no_warning_params and (
-                not self.no_warning_chi2_params or "chi2_" not in par.name and "minuslog" not in par.name
-            ):
+            suppressed = par.name in self.no_warning_params or (
+                self.no_warning_chi2_params and ("chi2_" in par.name or "minuslog" in par.name)
+            )
+            if not suppressed:
                 msg = f"auto bandwidth for {par.name} very small or failed (h={h},N_eff={N_eff}). Using fallback (h={hnew})"
                 if getattr(self, "raise_on_bandwidth_errors", False):
                     raise BandwidthError(msg)
@@ -2150,11 +2075,11 @@ class MCSamples(Chains):
         m = self.mult_bias_correction_order if mult_bias_correction_order is None else mult_bias_correction_order
         if kernel_order > 1:
             m = max(m, 1)
-        if m:
-            # rescale the Parzen-optimal width for the higher-order
-            # (bias-corrected) estimator's N scaling
-            return h * N_eff ** (1.0 / 5 - 1.0 / (4 * m + 5))
-        return h
+        if not m:
+            return h
+        # rescale the Parzen-optimal width for the higher-order
+        # (bias-corrected) estimator's N scaling
+        return h * N_eff ** (1.0 / 5 - 1.0 / (4 * m + 5))
 
     def _get1DNeff(self, par, param):
         N_eff = getattr(par, "N_eff_kde", None)
@@ -2168,13 +2093,9 @@ class MCSamples(Chains):
     def _binSamples(self, paramVec, par, num_fine_bins, borderfrac=0.1):
         """Fine-bin index per sample over an edge-padded range; first and
         last bins are half width (device scatter targets)."""
-        border = (par.range_max - par.range_min) * borderfrac
-        binmin = min(par.param_min, par.range_min)
-        if not par.has_limits_bot:
-            binmin -= border
-        binmax = max(par.param_max, par.range_max)
-        if not par.has_limits_top:
-            binmax += border
+        pad = (par.range_max - par.range_min) * borderfrac
+        binmin = min(par.param_min, par.range_min) - (0 if par.has_limits_bot else pad)
+        binmax = max(par.param_max, par.range_max) + (0 if par.has_limits_top else pad)
         fine_width = (binmax - binmin) / (num_fine_bins - 1)
         ix = ((paramVec - binmin) / fine_width + 0.5).astype(int)
         return ix, fine_width, binmin, binmax
@@ -2308,43 +2229,41 @@ class MCSamples(Chains):
         if self.loglikes is None:
             raise ValueError("writeThinData assumes you have likelihoods and weights")
         MaxL = np.max(self.loglikes)
-        with open(fname, "w", encoding="utf-8") as f:
-            for i, thin in enumerate(thin_ix):
-                if cool != 1:
-                    newL = self.loglikes[thin] * cool
-                    f.write("%16.7E" % (np.exp(-(newL - self.loglikes[thin]) - MaxL * (1 - cool))))
-                    f.write("%16.7E" % newL)
+        with open(fname, "w", encoding="utf-8") as handle:
+            for i, row in enumerate(thin_ix):
+                if cool == 1:
+                    handle.write("%f" % 1.0)
+                    handle.write("%f" % (self.loglikes[row]))
                 else:
-                    f.write("%f" % 1.0)
-                    f.write("%f" % (self.loglikes[thin]))
-                f.writelines("%16.7E" % (self.samples[i][j]) for j in range(nparams))
-                f.write("\n")
+                    newL = self.loglikes[row] * cool
+                    handle.write("%16.7E" % (np.exp(-(newL - self.loglikes[row]) - MaxL * (1 - cool))))
+                    handle.write("%16.7E" % newL)
+                handle.writelines("%16.7E" % (self.samples[i][j]) for j in range(nparams))
+                handle.write("\n")
         print("Wrote ", len(thin_ix), " thinned samples")
 
     def makeSingleSamples(self, filename="", single_thin=None, random_state=None):
         """Random unit-weight samples (or write them to a file)."""
         if single_thin is None:
             single_thin = max(1, self.norm / self.max_mult / self.max_scatter_points)
-        random_state = np.random.default_rng(random_state)
-        rand = random_state.random(self.numrows)
-        if filename:
-            with open(filename, "w", encoding="utf-8") as f:
-                for i, r in enumerate(rand):
-                    if r <= self.weights[i] / self.max_mult / single_thin:
-                        f.write("%16.7E" % 1.0)
-                        f.write("%16.7E" % (self.loglikes[i]))
-                        f.writelines("%16.7E" % (self.samples[i][j]) for j in range(self.n))
-                        f.write("\n")
-        else:
-            return self.samples[rand <= self.weights / (self.max_mult * single_thin)]
+        draws = np.random.default_rng(random_state).random(self.numrows)
+        if not filename:
+            return self.samples[draws <= self.weights / (self.max_mult * single_thin)]
+        with open(filename, "w", encoding="utf-8") as handle:
+            for i, draw in enumerate(draws):
+                if draw <= self.weights[i] / self.max_mult / single_thin:
+                    handle.write("%16.7E" % 1.0)
+                    handle.write("%16.7E" % (self.loglikes[i]))
+                    handle.writelines("%16.7E" % (self.samples[i][j]) for j in range(self.n))
+                    handle.write("\n")
 
     def updateBaseStatistics(self):
         """Refresh basic statistics, limits, and the ND confidence region."""
         super().updateBaseStatistics()
-        mult_max = (self.mean_mult * self.numrows) / min(self.numrows // 2, 500)
-        outliers = np.sum(self.weights > mult_max)
-        if outliers != 0:
-            logging.warning("outlier fraction %s ", float(outliers) / self.numrows)
+        weight_ceiling = (self.mean_mult * self.numrows) / min(self.numrows // 2, 500)
+        n_outliers = np.sum(self.weights > weight_ceiling)
+        if n_outliers:
+            logging.warning("outlier fraction %s ", float(n_outliers) / self.numrows)
 
         self.indep_thin = 0
         self._setCov()
@@ -2362,30 +2281,30 @@ class MCSamples(Chains):
     def cool(self, cool=None):
         """Cool the samples by the given factor (default: stored
         temperature)."""
+        stored = self.properties
         if cool is None:
-            if self.properties.hasKey("temperature"):
-                cool = self.properties.float("temperature")
-            else:
+            if not stored.hasKey("temperature"):
                 raise ValueError("Pass a cooling temperature, since the sample does not have one specified")
+            cool = stored.float("temperature")
         if cool == 1:
             return
-        if self.properties.float("cooled", 1) != 1:
-            logging.warning("Chain has already been cooled by %s", self.properties.float("cooled"))
+        if stored.float("cooled", 1) != 1:
+            logging.warning("Chain has already been cooled by %s", stored.float("cooled"))
         super().cool(cool)
-        self.properties.params["cooled"] = cool
-        if self.properties.hasKey("temperature"):
-            self.properties.params["temperature"] = self.properties.float("temperature") / cool
+        stored.params["cooled"] = cool
+        if stored.hasKey("temperature"):
+            stored.params["temperature"] = stored.float("temperature") / cool
 
     def readChains(self, files_or_samples, weights=None, loglikes=None):
         """Load samples (files or arrays), remove burn-in, delete fixed
         parameters, and combine into a single samples array."""
         self.loadChains(self.root, files_or_samples, weights=weights, loglikes=loglikes)
 
-        if self.ignore_frac and (
-            not self.jobItem
-            or not hasattr(self.jobItem, "isImportanceJob")
-            or (not self.jobItem.isImportanceJob and not self.jobItem.isBurnRemoved())
-        ):
+        grid_item = self.jobItem
+        grid_handled = grid_item is not None and hasattr(grid_item, "isImportanceJob") and (
+            grid_item.isImportanceJob or grid_item.isBurnRemoved()
+        )
+        if self.ignore_frac and not grid_handled:
             self.removeBurnFraction(self.ignore_frac)
             chains.print_load_line("Removed %s as burn in" % self.ignore_frac)
         elif not int(self.ignore_rows):
@@ -2401,41 +2320,35 @@ class MCSamples(Chains):
         """Apply settings from an ini file and/or dict of overrides."""
         assert settings is None or isinstance(settings, Mapping)
         if not ini:
-            ini = self.ini
-        elif isinstance(ini, str):
-            ini = IniFile(ini)
+            ini = self.ini or IniFile(getdist_tpu.default_getdist_settings)
         else:
-            ini = copy.deepcopy(ini)
-        if not ini:
-            ini = IniFile(getdist_tpu.default_getdist_settings)
-        if settings:
-            ini.params.update(settings)
+            ini = IniFile(ini) if isinstance(ini, str) else copy.deepcopy(ini)
+        ini.params.update(settings or {})
         self.ini = ini
-        if ini:
-            self.initParameters(ini)
+        self.initParameters(ini)
         if doUpdate and self.samples is not None:
             self.updateBaseStatistics()
 
     def _initLimits(self, ini=None):
-        bin_limits = ini.string("all_limits", "") if ini else ""
+        shared_spec = ini.string("all_limits", "") if ini else ""
         self.markers = {}
         for par in self.paramNames.names:
-            line = bin_limits
-            if not line and ini and "limits[%s]" % par.name in ini.params:
-                line = ini.string("limits[%s]" % par.name)
-            if line:
-                limits = line.split()
-                if len(limits) == 2:
-                    self.ranges.setRange(par.name, limits)
+            spec = shared_spec
+            if ini and not spec:
+                spec = ini.string("limits[%s]" % par.name) if "limits[%s]" % par.name in ini.params else ""
+            pieces = spec.split()
+            if len(pieces) == 2:
+                self.ranges.setRange(par.name, pieces)
             par.limmin = self.ranges.getLower(par.name)
             par.limmax = self.ranges.getUpper(par.name)
             par.has_limits_bot = par.limmin is not None
             par.has_limits_top = par.limmax is not None
             par.periodic = par.name in self.ranges.periodic
-            if ini and "marker[%s]" % par.name in ini.params:
-                line = ini.string("marker[%s]" % par.name)
-                if line:
-                    self.markers[par.name] = float(line)
+            marker_key = "marker[%s]" % par.name
+            if ini and marker_key in ini.params:
+                spec = ini.string(marker_key)
+                if spec:
+                    self.markers[par.name] = float(spec)
 
     def initParameters(self, ini):
         """Read all analysis settings from an IniFile onto this object."""
@@ -2451,8 +2364,8 @@ class MCSamples(Chains):
             "smooth_scale_2D",
         ):
             ini.setAttr(name, self)
-        ini.setAttr("boundary_correction_order", self, 1)
-        ini.setAttr("mult_bias_correction_order", self, 1)
+        for name, default in (("boundary_correction_order", 1), ("mult_bias_correction_order", 1)):
+            ini.setAttr(name, self, default)
         for name in (
             "num_bins_ND",
             "max_scatter_points",
@@ -2471,21 +2384,25 @@ class MCSamples(Chains):
         if ini.hasKey("contours"):
             ini.setAttr("contours", self)
         elif ini.hasKey("num_contours"):
-            num_contours = ini.int("num_contours", 2)
-            self.contours = np.array([ini.float("contour" + str(i + 1)) for i in range(num_contours)])
+            n_levels = ini.int("num_contours", 2)
+            self.contours = np.array([ini.float("contour" + str(i + 1)) for i in range(n_levels)])
         # threshold for the edge bin to allow two-tail limits
         self.max_frac_twotail = []
         for i, contour in enumerate(self.contours):
-            max_frac = np.exp(-1.0 * math.pow(norm.ppf((1 - contour) / 2), 2) / 2)
-            if ini:
-                max_frac = ini.float("max_frac_twotail" + str(i + 1), max_frac)
-            self.max_frac_twotail.append(max_frac)
+            gauss_edge = np.exp(-1.0 * math.pow(norm.ppf((1 - contour) / 2), 2) / 2)
+            self.max_frac_twotail.append(ini.float("max_frac_twotail" + str(i + 1), gauss_edge) if ini else gauss_edge)
 
         ini.setAttr("converge_test_limit", self, self.contours[-1])
-        ini.setAttr("corr_length_thin", self)
-        ini.setAttr("corr_length_steps", self)
-        ini.setAttr("no_warning_params", self, [])
-        ini.setAttr("no_warning_chi2_params", self, True)
+        for name, default in (
+            ("corr_length_thin", None),
+            ("corr_length_steps", None),
+            ("no_warning_params", []),
+            ("no_warning_chi2_params", True),
+        ):
+            if default is None:
+                ini.setAttr(name, self)
+            else:
+                ini.setAttr(name, self, default)
         self.batch_path = ini.string("batch_path", self.batch_path, allowEmpty=False)
 
     def _setBurnOptions(self, ini):
@@ -2507,15 +2424,14 @@ class MCSamples(Chains):
     def setRanges(self, ranges):
         """Set hard prior bounds from a list/array/dict/ParamBounds; a
         [min, max, True] triplet marks a periodic parameter."""
-        if isinstance(ranges, np.ndarray):
-            if len(ranges.shape) == 2 and ranges.shape[1] == 2:
-                ranges = ranges.tolist()
+        if isinstance(ranges, np.ndarray) and ranges.ndim == 2 and ranges.shape[1] == 2:
+            ranges = ranges.tolist()
         if isinstance(ranges, (list, tuple)):
-            for i, minmax in enumerate(ranges):
-                self.ranges.setRange(self.parName(i), minmax)
+            for i, window in enumerate(ranges):
+                self.ranges.setRange(self.parName(i), window)
         elif isinstance(ranges, Mapping):
-            for key, value in ranges.items():
-                self.ranges.setRange(key, value)
+            for name, window in ranges.items():
+                self.ranges.setRange(name, window)
         elif isinstance(ranges, ParamBounds):
             self.ranges = copy.deepcopy(ranges)
         else:
