@@ -313,46 +313,46 @@ class MargeStats(ParamResults):
             return None
         nf = formatter.numberFormatter
         lim = param.limits[limit - 1]
-        one_tail_sf = 3
         if param.name.startswith("chi2"):
-            # chi2 is very skewed for low dof: always mean ± sigma or dof
-            res, sigma, _ = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=False)
-            if limit == 1:
-                res += r"\pm " + sigma
-            else:
-                res += r"\,({\nu\rm{:}\,%.1f})" % (param.err**2 / 2)
+            res = self._chi2_tex(nf, param, limit)
         elif lim.twotail:
-            if not nf.plusMinusLimit(limit, lim.upper - param.mean, lim.lower - param.mean):
-                res, plus_str, _, exponent = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=True)
-                res += r"\pm " + plus_str
-            else:
-                res, plus_str, minus_str, exponent = nf.namesigFigs(
-                    param.mean, lim.upper - param.mean, lim.lower - param.mean, sci=True
-                )
-                res += "^{" + plus_str + "}_{" + minus_str + "}"
-            if exponent:
-                res = r"\left(\,%s\,\right)" % res + times_ten_power(exponent)
-        elif lim.onetail_upper:
-            res, exponent = nf.formatNumber(lim.upper, one_tail_sf, sci=True)
-            res = "< " + res
-            if exponent:
-                res += times_ten_power(exponent)
-        elif lim.onetail_lower:
-            res, exponent = nf.formatNumber(lim.lower, one_tail_sf, sci=True)
-            res = "> " + res
-            if exponent:
-                res += times_ten_power(exponent)
+            res = self._twotail_tex(nf, param, lim, limit)
+        elif lim.onetail_upper or lim.onetail_lower:
+            bound, mark = (lim.upper, "< ") if lim.onetail_upper else (lim.lower, "> ")
+            body, exponent = nf.formatNumber(bound, 3, sci=True)
+            res = mark + body + (times_ten_power(exponent) if exponent else "")
         else:
             res = formatter.noConstraint
         if refResults is not None and res != formatter.noConstraint:
             res += self._shift_annotation(param, refResults, shiftSigma_indep, shiftSigma_subset)
-        if self.hasBestFit:
-            rangew = (lim.upper - lim.lower) / 10
-            bestfit, _, _, exponent = nf.namesigFigs(param.best_fit, rangew, -rangew, sci=True)
-            if exponent:
-                bestfit += times_ten_power(exponent)
-            return [res, bestfit]
-        return [res]
+        if not self.hasBestFit:
+            return [res]
+        rangew = (lim.upper - lim.lower) / 10
+        bestfit, _, _, exponent = nf.namesigFigs(param.best_fit, rangew, -rangew, sci=True)
+        if exponent:
+            bestfit += times_ten_power(exponent)
+        return [res, bestfit]
+
+    @staticmethod
+    def _chi2_tex(nf, param, limit):
+        # chi2 is very skewed for low dof: always mean ± sigma or dof
+        res, sigma, _ = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=False)
+        if limit == 1:
+            return res + r"\pm " + sigma
+        return res + r"\,({\nu\rm{:}\,%.1f})" % (param.err**2 / 2)
+
+    @staticmethod
+    def _twotail_tex(nf, param, lim, limit):
+        up_off, down_off = lim.upper - param.mean, lim.lower - param.mean
+        if nf.plusMinusLimit(limit, up_off, down_off):
+            res, plus_str, minus_str, exponent = nf.namesigFigs(param.mean, up_off, down_off, sci=True)
+            res += "^{" + plus_str + "}_{" + minus_str + "}"
+        else:
+            res, plus_str, _, exponent = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=True)
+            res += r"\pm " + plus_str
+        if exponent:
+            res = r"\left(\,%s\,\right)" % res + times_ten_power(exponent)
+        return res
 
 
 class LikeStats(ParamResults):
@@ -376,13 +376,15 @@ class LikeStats(ParamResults):
         self.varLogLike = 0.5 * doubled if doubled is not None else None
 
     def likeSummary(self):
-        text = "Best fit sample -log(Like) = %f\n" % self.logLike_sample
+        rows = ["Best fit sample -log(Like) = %f" % self.logLike_sample]
         if self.logMeanInvLike:
-            text += "Ln(mean 1/like) = %f\n" % self.logMeanInvLike
-        text += "mean(-Ln(like)) = %f\n" % self.meanLogLike
-        text += "-Ln(mean like)  = %f\n" % self.logMeanLike
-        text += "2*Var(Ln(like)) = %f\n" % (self.varLogLike * 2.0)
-        return text
+            rows.append("Ln(mean 1/like) = %f" % self.logMeanInvLike)
+        rows += [
+            "mean(-Ln(like)) = %f" % self.meanLogLike,
+            "-Ln(mean like)  = %f" % self.logMeanLike,
+            "2*Var(Ln(like)) = %f" % (self.varLogLike * 2.0),
+        ]
+        return "\n".join(rows) + "\n"
 
     def headerLine(self):
         return self.parFormat() % "parameter" + "  bestfit        lower1         upper1         lower2         upper2\n"
@@ -703,19 +705,8 @@ class ResultTable:
     """A latex table of parameter statistics (multi-column, multi-result)."""
 
     def __init__(
-        self,
-        ncol,
-        results,
-        limit=2,
-        tableParamNames=None,
-        titles=None,
-        formatter=None,
-        numFormatter=None,
-        blockEndParams=None,
-        paramList=None,
-        refResults=None,
-        shiftSigma_indep=False,
-        shiftSigma_subset=False,
+        self, ncol, results, limit=2, tableParamNames=None, titles=None, formatter=None, numFormatter=None,
+        blockEndParams=None, paramList=None, refResults=None, shiftSigma_indep=False, shiftSigma_subset=False
     ):
         """
         :param ncol: number of columns
@@ -732,27 +723,19 @@ class ResultTable:
         :param shiftSigma_indep: show shifts assuming independent data
         :param shiftSigma_subset: show shifts assuming nested data
         """
-        results = list(makeList(results))
-        for i, res in enumerate(results):
-            if (getMargeStats := getattr(res, "getMargeStats", None)) is not None:
-                results[i] = getMargeStats()
+        results = [res.getMargeStats() if hasattr(res, "getMargeStats") else res for res in makeList(results)]
         self.lines = []
         self.format = formatter if formatter is not None else NoLineTableFormatter()
-        self.ncol = ncol
-        self.tableParamNames = tableParamNames if tableParamNames is not None else results[0]
-        if paramList is not None:
-            self.tableParamNames = self.tableParamNames.filteredCopy(paramList)
         if numFormatter is not None:
             self.format.numFormatter = numFormatter
-
-        self.results = results
+        row_source = tableParamNames if tableParamNames is not None else results[0]
+        self.tableParamNames = row_source.filteredCopy(paramList) if paramList is not None else row_source
+        self.ncol, self.limit, self.results = ncol, limit, results
         self.boldBaseParameters = True
         self.colsPerResult = len(results[0].getColumnLabels(limit))
         self.colsPerParam = len(results) * self.colsPerResult
-        self.limit = limit
         self.refResults = refResults
-        self.shiftSigma_indep = shiftSigma_indep
-        self.shiftSigma_subset = shiftSigma_subset
+        self.shiftSigma_indep, self.shiftSigma_subset = shiftSigma_indep, shiftSigma_subset
 
         self._layout_rows(blockEndParams, titles)
 
@@ -815,12 +798,8 @@ class ResultTable:
 
     def paramResultTex(self, result, p):
         values = result.texValues(
-            self.format,
-            p,
-            self.limit,
-            self.refResults,
-            shiftSigma_subset=self.shiftSigma_subset,
-            shiftSigma_indep=self.shiftSigma_indep,
+            self.format, p, self.limit, self.refResults,
+            shiftSigma_subset=self.shiftSigma_subset, shiftSigma_indep=self.shiftSigma_indep,
         )
         if values is None:
             return self.format.textAsColumn("") * len(result.getColumnLabels(self.limit))
@@ -858,20 +837,15 @@ class ResultTable:
 
         texfile = tempfile.mktemp(suffix=".tex")
         self.write(texfile, document=True, latex_preamble=latex_preamble)
-        basefile = os.path.splitext(texfile)[0]
-        outfile = filename or basefile + ".png"
-        old_pwd = os.getcwd()
+        stem = os.path.splitext(texfile)[0]
+        outfile = filename or stem + ".png"
+        here = os.getcwd()
 
         def run_tool(command):
             flags = subprocess.CREATE_NO_WINDOW if os.name == "nt" else 0
             try:
-                subprocess.run(
-                    command,
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
-                    creationflags=flags,
-                    check=True,
-                )
+                quiet = dict(stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                subprocess.run(command, creationflags=flags, check=True, **quiet)
             except FileNotFoundError:
                 tool = command[0] if command else "Command"
                 message = f"Command not found: {tool}"
@@ -890,16 +864,14 @@ class ResultTable:
         try:
             os.chdir(os.path.dirname(texfile))
             run_tool(["latex", texfile])
-            cmd = ["dvipng"]
-            if dpi:
-                cmd.extend(["-D", str(dpi)])
-            cmd.extend(["-T", "tight", "-x", "1000", "-z", "9", "--truecolor", "-o", outfile, basefile + ".dvi"])
-            run_tool(cmd)
+            raster = ["dvipng"] + (["-D", str(dpi)] if dpi else [])
+            raster += ["-T", "tight", "-x", "1000", "-z", "9", "--truecolor", "-o", outfile, stem + ".dvi"]
+            run_tool(raster)
         finally:
             for scratch in [basefile + ext for ext in (".tex", ".dvi", ".aux", ".log")]:
                 if os.path.isfile(scratch):
                     os.remove(scratch)
-            os.chdir(old_pwd)
+            os.chdir(here)
         if bytesIO:
             with open(outfile, "rb") as f:
                 buffer = BytesIO(f.read())
