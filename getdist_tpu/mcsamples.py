@@ -1370,6 +1370,9 @@ class MCSamples(Chains):
         like_w = None
         if meanlikes and self.loglikes is not None:
             like_w = self.weights * np.exp(self.mean_loglike - self.loglikes)
+        # reference smooth_scale = -scale convention: auto bandwidth x scale
+        scale_1d = -float(self.smooth_scale_1D) if float(self.smooth_scale_1D) < 0 else 1.0
+        scale_2d = -float(self.smooth_scale_2D) if float(self.smooth_scale_2D) < 0 else 1.0
         d1, d2 = triangle_densities(
             self.samples[:, idx],
             self.weights,
@@ -1380,13 +1383,17 @@ class MCSamples(Chains):
             periodic=per if per.any() else None,
             max_corr=float(self.max_corr_2D),
             like_weights=like_w,
+            bandwidth_scale_1d=None if scale_1d == 1.0 else scale_1d,
+            bandwidth_scale_2d=None if scale_2d == 1.0 else scale_2d,
         )
         pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
         d2 = dict(d2)
-        d2["regrid"] = self._fast_regrid_pairs(idx, pairs, d1, contours, lo if has else None, hi if has else None, per)
+        d2["regrid"] = self._fast_regrid_pairs(
+            idx, pairs, d1, contours, lo if has else None, hi if has else None, per, scale_2d
+        )
         return d1, d2, pairs
 
-    def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per):
+    def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0):
         """Re-run tightly-correlated pairs at the reference's corr-adaptive
         fine grid (mcsamples.py:1812-1819 scales fine_bins_2D by the
         degeneracy angle); returns {(a, b): per-pair 2D results}."""
@@ -1420,6 +1427,7 @@ class MCSamples(Chains):
                 jnp.asarray(np.array(contours, np.float32)),
                 fine_bins=fine,
                 use_pallas=False,
+                bandwidth_scale=None if scale_2d == 1.0 else jnp.float32(scale_2d),
                 active_lo=d1["active_lo"] if lo is not None or hi is not None else None,
                 active_hi=d1["active_hi"] if lo is not None or hi is not None else None,
                 periodic=jnp.asarray(per) if per.any() else None,

@@ -147,6 +147,29 @@ def _pair_hist_256(ix_a, ix_b, weights, block=65536, nbins=256):
     return hist
 
 
+def _split_weights_bf16(w):
+    """Split f32 weights into three bf16-representable terms summing to the
+    exact f32 value (8 mantissa bits per term). Each term passes through the
+    bf16 one-hot contractions exactly (one-hot entries are 0/1), so summing
+    the three split histograms reproduces the exact f32-weighted histogram —
+    the remedy for the bf16 quantization of non-integer weights
+    (reference workflows producing such weights: ``chains.py:981-1008``).
+    """
+    h1 = w.astype(jnp.bfloat16).astype(w.dtype)
+    r1 = w - h1
+    h2 = r1.astype(jnp.bfloat16).astype(w.dtype)
+    h3 = (r1 - h2).astype(jnp.bfloat16).astype(w.dtype)
+    return h1, h2, h3
+
+
+def _bf16_exact_weights(w_host):
+    """True when every host weight is exactly bf16-representable (then the
+    plain bf16 histogram path is already exact and needs no splitting)."""
+    import ml_dtypes
+
+    return bool(np.all(w_host == np.asarray(w_host, ml_dtypes.bfloat16).astype(w_host.dtype)))
+
+
 # ---------------------------------------------------------------------------
 # range / N_eff estimation
 # ---------------------------------------------------------------------------
@@ -831,7 +854,9 @@ def prepare_chain(samples, weights, dtype=jnp.float32):
     return jnp.asarray(samples, dtype=dtype), jnp.asarray(weights, dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("fine_bins", "mult_bias_order", "axis_name", "axis_size"))
+@partial(
+    jax.jit, static_argnames=("fine_bins", "mult_bias_order", "axis_name", "axis_size", "exact_weights")
+)
 def all_1d_densities(
     samples,
     weights,
@@ -846,6 +871,8 @@ def all_1d_densities(
     range_override=None,
     bandwidth_override=None,
     like_weights=None,
+    exact_weights=False,
+    bandwidth_scale=None,
 ):
     """All marginalized 1D densities in one program.
 
@@ -898,8 +925,15 @@ def all_1d_densities(
     spans = maxs - mins
     qwidth = spans / _QBINS
 
+    def row_hists(ix_rows, w_in, nbins, split):
+        # non-bf16-representable weights: exact triple-bf16 split histograms
+        if not split:
+            return _ps(_onehot_hist_rows(ix_rows, w_in, nbins))
+        parts = _split_weights_bf16(w_in)
+        return sum(_ps(_onehot_hist_rows(ix_rows, part, nbins)) for part in parts)
+
     qix = jnp.clip(((cols - mins[:, None]) / qwidth[:, None]).astype(jnp.int32), 0, _QBINS - 1)
-    qhists = _ps(_onehot_hist_rows(qix, weights, _QBINS))
+    qhists = row_hists(qix, weights, _QBINS, exact_weights)
     range_conf = 0.001
     probs = jnp.concatenate(
         [jnp.array([range_conf, 1 - range_conf], samples.dtype), jnp.linspace(0.1, 0.9, 9, dtype=samples.dtype)]
@@ -936,8 +970,8 @@ def all_1d_densities(
     fine_ix = jnp.clip(
         (((cols - binmin[:, None]) / fine_width[:, None]) + 0.5).astype(jnp.int32), 0, fine_bins - 1
     )
-    bins = _ps(_onehot_hist_rows(fine_ix, weights, fine_bins))  # (P, fine_bins)
-    like_bins = None if like_weights is None else _ps(_onehot_hist_rows(fine_ix, like_weights, fine_bins))
+    bins = row_hists(fine_ix, weights, fine_bins, exact_weights)  # (P, fine_bins)
+    like_bins = None if like_weights is None else row_hists(fine_ix, like_weights, fine_bins, True)
 
     # N_eff and ISJ bandwidths
     if neff_override is not None:
@@ -955,6 +989,9 @@ def all_1d_densities(
         h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
     if mult_bias_order:
         h_frac = h_frac * neff ** (1.0 / 5 - 1.0 / (4 * mult_bias_order + 5))
+    if bandwidth_scale is not None:
+        # MISE-sweep hook: reference smooth_scale_1D = -scale convention
+        h_frac = h_frac * bandwidth_scale
     # kernel sigma in bin units (h is a fraction of the bin range)
     smooth_bins = jnp.clip(h_frac * fine_bins, 1.0, fine_bins // 2)
 
@@ -1105,6 +1142,7 @@ def all_1d_densities(
         "mult_bias_order",
         "winw",
         "use_pallas",
+        "exact_weights",
         "static_pairs",
         "axis_name",
         "int8_weights",
@@ -1132,6 +1170,8 @@ def all_2d_densities(
     periodic=None,
     axis_name=None,
     int8_weights=False,
+    exact_weights=False,
+    bandwidth_scale=None,
     sigma_range=None,
     boundary_order=1,
     max_corr=0.95,
@@ -1210,8 +1250,14 @@ def all_2d_densities(
 
         return _ps2(jax.lax.map(pair_hist, (pair_a, pair_b)))  # (K, fine, fine)
 
-    hists = make_pair_hists(weights, int8_weights)
-    like_hists = None if like_weights is None else make_pair_hists(like_weights, False)
+    def exact_pair_hists(w_in, exact_int8, split):
+        if not split:
+            return make_pair_hists(w_in, exact_int8)
+        parts = _split_weights_bf16(w_in)
+        return sum(make_pair_hists(part, False) for part in parts)
+
+    hists = exact_pair_hists(weights, int8_weights, exact_weights)
+    like_hists = None if like_weights is None else exact_pair_hists(like_weights, False, True)
 
     pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
     range_a = (binmax - binmin)[pair_a]
@@ -1295,6 +1341,10 @@ def all_2d_densities(
     if bandwidth_override is not None:
         # parity mode: host-exact bandwidth matrices (data units) + corr
         hx, hy, c = bandwidth_override
+    if bandwidth_scale is not None:
+        # MISE-sweep hook: reference smooth_scale_2D = -scale convention
+        hx = hx * bandwidth_scale
+        hy = hy * bandwidth_scale
     rx = jnp.clip(hx / fine_width[pair_a], 0.8, winw / 2.5)  # bin units
     ry = jnp.clip(hy / fine_width[pair_b], 0.8, winw / 2.5)
 
@@ -1470,6 +1520,7 @@ def all_2d_densities(
         "use_pallas",
         "static_pairs",
         "int8_weights",
+        "exact_weights",
         "has_limits",
         "max_corr",
         "enable_shear",
@@ -1492,16 +1543,23 @@ def _triangle_program(
     max_corr=0.95,
     enable_shear=True,
     like_weights=None,
+    exact_weights=False,
+    bandwidth_scale_1d=None,
+    bandwidth_scale_2d=None,
 ):
     """The full 1D + all-pairs-2D analysis as ONE jitted program (a single
     device dispatch costs ~26 ms on remote-accelerator environments, so the
     two stages are fused here rather than dispatched separately)."""
     if has_limits:
         d1 = all_1d_densities(
-            samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=periodic, like_weights=like_weights
+            samples, weights, limits_lo=limits_lo, limits_hi=limits_hi, periodic=periodic,
+            like_weights=like_weights, exact_weights=exact_weights, bandwidth_scale=bandwidth_scale_1d,
         )
     else:
-        d1 = all_1d_densities(samples, weights, like_weights=like_weights)
+        d1 = all_1d_densities(
+            samples, weights, like_weights=like_weights, exact_weights=exact_weights,
+            bandwidth_scale=bandwidth_scale_1d,
+        )
     d2 = all_2d_densities(
         samples,
         weights,
@@ -1518,6 +1576,8 @@ def _triangle_program(
         active_hi=d1["active_hi"] if has_limits else None,
         periodic=periodic,
         int8_weights=int8_weights,
+        exact_weights=exact_weights,
+        bandwidth_scale=bandwidth_scale_2d,
         sigma_range=d1["sigma_range"],
         max_corr=max_corr,
         enable_shear=enable_shear,
@@ -1555,6 +1615,9 @@ def triangle_densities(
     max_corr=0.95,
     enable_shear=None,
     like_weights=None,
+    exact_weights=None,
+    bandwidth_scale_1d=None,
+    bandwidth_scale_2d=None,
 ):
     """Convenience wrapper: all 1D and all-pairs 2D densities of a chain.
 
@@ -1566,11 +1629,16 @@ def triangle_densities(
     int8_weights: force/deny the exact int8 MXU histogram path (integer
     weights in [0, 127]); when None it is sniffed only from host (numpy)
     weights — device arrays are never pulled back for sniffing.
+    exact_weights: force/deny the triple-bf16 split histogram path that keeps
+    non-bf16-representable (e.g. importance-reweighted or cooled) weights
+    exact; when None it is sniffed from host weights (device arrays use the
+    plain path — pass True explicitly for float-weight device chains).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    sniffable = isinstance(weights, np.ndarray) or np.isscalar(weights) or isinstance(weights, (list, tuple))
     if int8_weights is None:
-        if isinstance(weights, np.ndarray) or np.isscalar(weights) or isinstance(weights, (list, tuple)):
+        if sniffable:
             w_host = np.asarray(weights)
             int8_weights = bool(
                 w_host.size
@@ -1582,6 +1650,13 @@ def triangle_densities(
             )
         else:
             int8_weights = False  # no device->host sync just to sniff
+    if exact_weights is None:
+        if int8_weights:
+            exact_weights = False  # int8 path is already exact
+        elif sniffable:
+            exact_weights = not _bf16_exact_weights(np.asarray(weights, np.float32))
+        else:
+            exact_weights = False
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
     has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
@@ -1613,4 +1688,7 @@ def triangle_densities(
         max_corr,
         _sniff_shear(samples, max_corr) if enable_shear is None else enable_shear,
         like_weights=None if like_weights is None else jnp.asarray(like_weights, jnp.float32),
+        exact_weights=exact_weights,
+        bandwidth_scale_1d=None if bandwidth_scale_1d is None else jnp.float32(bandwidth_scale_1d),
+        bandwidth_scale_2d=None if bandwidth_scale_2d is None else jnp.float32(bandwidth_scale_2d),
     )

