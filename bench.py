@@ -8,10 +8,13 @@ densities of a weighted MCMC chain, via the fused device pipeline
     {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup>}
 
 vs_baseline is the measured speedup over the reference implementation
-(cmbant/getdist on CPU). Because the reference needs many minutes at full
-size, it is timed on a scaled-down config (SCALE_P params, SCALE_N samples)
-and extrapolated linearly in (number of pairs x samples); the scaling basis
-is printed on stderr.
+(cmbant/getdist on CPU). The reference was MEASURED at full scale on this
+exact chain (not extrapolated): 119.3 s wall-clock (of which 1D = 10.1 s)
+on the shared bench host, 2026-08-17 — re-measure with ``--measure-ref``
+(~2 min). ``--sharded`` instead times the sample-sharded multi-device
+pipeline (``parallel.reductions.sharded_triangle_densities``) on whatever
+mesh exists, re-exec'ing onto a virtual 8-device CPU mesh when only one
+device is visible.
 """
 
 import json
@@ -28,6 +31,9 @@ N_SAMPLES = 1_000_000
 SCALE_P = 6
 SCALE_N = 100_000
 REFERENCE_PATH = "/root/reference"
+# full-scale measurement of the reference on make_chain(N_SAMPLES, N_PARAMS)
+# (see BASELINE.md "Round-3 measurements"); refresh with --measure-ref
+REF_FULL_MEASURED_S = 119.3
 
 
 def make_chain(n, p, seed=7):
@@ -106,23 +112,77 @@ def run_reference(samples, weights):
     return time.perf_counter() - t0
 
 
+def run_sharded(samples, weights, repeats=3):
+    """Time the sample-sharded pipeline over all visible devices.
+
+    With a single visible device, re-exec onto a virtual 8-device CPU mesh
+    (the same configuration the driver's multichip dryrun validates). The
+    virtual mesh timeshares one host CPU, so the workload is scaled down
+    there (the number is a weak-scaling smoke baseline, not a TPU figure)."""
+    import jax
+
+    if jax.device_count() < 2:
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__), "--sharded"], env)
+
+    import jax.numpy as jnp
+
+    from getdist_tpu.parallel.mesh import make_mesh
+    from getdist_tpu.parallel.reductions import sharded_triangle_densities
+
+    if jax.default_backend() == "cpu":
+        samples, weights = samples[::10, :12].copy(), weights[::10].copy()
+
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    # pad the sample axis to a multiple of the mesh
+    n = samples.shape[0] // n_dev * n_dev
+    run = lambda: sharded_triangle_densities(mesh, samples[:n], weights[:n])  # noqa: E731
+    d1, d2 = run()
+    sync = float(jnp.sum(d1["P"]) + jnp.sum(d2["P"]))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        d1, d2 = run()
+        sync += float(jnp.sum(d2["P"][-1]) + jnp.sum(d1["P"][-1]))
+        times.append(time.perf_counter() - t0)
+    return min(times), n_dev, sync
+
+
 def main():
     full_samples, full_weights = make_chain(N_SAMPLES, N_PARAMS)
 
-    ours_s, _ = run_ours(full_samples, full_weights)
-    n_pairs_full = N_PARAMS * (N_PARAMS - 1) // 2
+    if "--sharded" in sys.argv:
+        sharded_s, n_dev, _ = run_sharded(full_samples, full_weights)
+        import jax
 
-    # reference on the scaled config, extrapolated by pair-count x samples
-    # (median of 3 runs: single-run CPU timing varies ~30%)
-    ref_small = sorted(
-        run_reference(full_samples[:SCALE_N, :SCALE_P].copy(), full_weights[:SCALE_N].copy()) for _ in range(3)
-    )[1]
-    n_pairs_small = SCALE_P * (SCALE_P - 1) // 2
-    scale = (n_pairs_full / n_pairs_small) * (N_SAMPLES / SCALE_N)
-    ref_extrapolated = ref_small * scale
+        platform = jax.devices()[0].platform
+        on_tpu = platform != "cpu"
+        size = "30p x 1M" if on_tpu else "12p x 100k (virtual-mesh smoke)"
+        print(
+            json.dumps(
+                {
+                    "metric": f"sharded all-pairs densities, {size}, {n_dev}x {platform}",
+                    "value": round(sharded_s * 1000, 2),
+                    "unit": "ms",
+                    # the reference measurement is for the full-size workload;
+                    # the scaled virtual-mesh smoke run has no baseline
+                    "vs_baseline": round(REF_FULL_MEASURED_S / sharded_s, 1) if on_tpu else None,
+                }
+            )
+        )
+        return
+
+    ours_s, _ = run_ours(full_samples, full_weights)
+
+    if "--measure-ref" in sys.argv:
+        ref_full = run_reference(full_samples, full_weights)
+        print(f"# measured reference at FULL scale: {ref_full:.1f} s", file=sys.stderr)
+    else:
+        ref_full = REF_FULL_MEASURED_S
     print(
-        f"# ours full: {ours_s * 1000:.1f} ms | reference {SCALE_P}p/{SCALE_N}: "
-        f"{ref_small:.2f} s -> extrapolated full: {ref_extrapolated:.1f} s (scale {scale:.0f})",
+        f"# ours full: {ours_s * 1000:.1f} ms | reference full-scale (measured): {ref_full:.1f} s",
         file=sys.stderr,
     )
     print(
@@ -131,7 +191,7 @@ def main():
                 "metric": "all-pairs 1D+2D KDE densities, 30 params x 1M weighted samples",
                 "value": round(ours_s * 1000, 2),
                 "unit": "ms",
-                "vs_baseline": round(ref_extrapolated / ours_s, 1),
+                "vs_baseline": round(ref_full / ours_s, 1),
             }
         )
     )

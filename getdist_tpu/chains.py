@@ -18,7 +18,6 @@ device mirror.
 import os
 import pickle
 import re
-from collections.abc import Sequence
 from copy import deepcopy
 from warnings import warn
 
@@ -43,6 +42,7 @@ print_load_details = True
 _use_device_ops = bool(os.environ.get("GETDIST_TPU_DEVICE_OPS"))
 
 _int_types = (int, np.integer)
+_seq_types = (list, tuple)
 
 
 class WeightedSampleError(Exception):
@@ -98,20 +98,17 @@ class WeightedSamples:
         self.min_weight_ratio = min_weight_ratio
         self._device_cache = None
         if filename:
-            self.name_tag = name_tag or os.path.basename(filename)
+            self.name_tag = name_tag if name_tag else os.path.basename(filename)
             table = loadNumpyTxt(filename, skiprows=ignore_rows)
             if not len(table):
-                raise WeightedSampleError("Empty chain: %s" % filename)
+                raise WeightedSampleError(f"chain file {filename} contains no samples")
             self.setColData(table, are_chains=files_are_chains)
         else:
             self.name_tag = name_tag
-            if samples is not None and int(ignore_rows):
-                print_load_line("Removed %s lines as burn in" % ignore_rows)
-            self.setSamples(
-                slice_or_none(samples, ignore_rows),
-                slice_or_none(weights, ignore_rows),
-                slice_or_none(loglikes, ignore_rows),
-            )
+            if samples is not None and int(ignore_rows) > 0:
+                print_load_line(f"Removed {ignore_rows} lines as burn in")
+            trimmed = (slice_or_none(arr, ignore_rows) for arr in (samples, weights, loglikes))
+            self.setSamples(*trimmed)
         self.needs_update = True
         self.label = label
 
@@ -128,7 +125,7 @@ class WeightedSamples:
     @staticmethod
     def _as_sample_matrix(samples):
         """Coerce vectors / vector lists / arrays to a contiguous (N, n) f64."""
-        if isinstance(samples, (list, tuple)):
+        if isinstance(samples, _seq_types):
             samples = np.column_stack(samples)
         samples = np.asarray(samples, dtype=np.float64)
         if samples.ndim < 2:
@@ -159,10 +156,10 @@ class WeightedSamples:
         w = self.weights
         if w is None and self.samples is not None:
             # unweighted: unit weight per row
-            self.weights = np.ones(self.numrows)
-            self.norm = np.float64(self.numrows)
+            self.weights = np.ones(self.numrows, dtype=np.float64)
+            self.norm = np.float64(len(self.weights))
         elif w is not None:
-            self.norm = np.sum(w)
+            self.norm = w.sum()
         for stale in ("means", "mean_loglike", "diffs", "fullcov", "correlationMatrix", "vars", "sddev"):
             setattr(self, stale, None)
         self.needs_update = True
@@ -202,7 +199,7 @@ class WeightedSamples:
 
     def getLabel(self):
         """The latex label for the samples."""
-        return self.label or escapeLatex(self.getName())
+        return self.label if self.label else escapeLatex(self.getName())
 
     # -- parameter access --------------------------------------------------------
     def _makeParamvec(self, par):
@@ -212,11 +209,11 @@ class WeightedSamples:
             return self.samples[:, par]
         if par == -1:
             if self.loglikes is None:
-                raise WeightedSampleError("Samples do not have logLikes (par=-1)")
+                raise WeightedSampleError("par=-1 requested but these samples carry no logLikes")
             return self.loglikes
         if par == -2:
             return self.weights
-        raise WeightedSampleError("Parameter %i does not exist" % par)
+        raise WeightedSampleError(f"no parameter with index {par}")
 
     def __getitem__(self, item):
         return self._makeParamvec(item)
@@ -269,16 +266,16 @@ class WeightedSamples:
     def get_norm(self, where=None):
         """Sum of sample weights."""
         if where is not None:
-            return np.sum(self.weights[where])
+            return self.weights[where].sum()
         if self.norm is None:
-            self.norm = np.sum(self.weights)
+            self.norm = self.weights.sum()
         return self.norm
 
     def mean(self, paramVec, where=None):
         """Weighted mean of a parameter vector (or list of them)."""
         norm = self.get_norm(where)
-        if isinstance(paramVec, (list, tuple)):
-            sums = [self.weighted_sum(p, where) for p in paramVec]
+        if isinstance(paramVec, _seq_types):
+            sums = [self.weighted_sum(entry, where) for entry in paramVec]
             return np.array(sums) / norm
         return self.weighted_sum(paramVec, where) / norm
 
@@ -296,7 +293,7 @@ class WeightedSamples:
             return vec - self.mean(vec)
         return vec[where] - self.mean(vec, where)
 
-    def mean_diffs(self, pars=None, where=None) -> Sequence:
+    def mean_diffs(self, pars=None, where=None):
         """List of p_i - mean(p_i) arrays."""
         if pars is None:
             pars = self.n
@@ -307,19 +304,20 @@ class WeightedSamples:
                 means = self.getMeans()
                 columns = (self.samples[:, i] - means[i] for i in range(pars))
                 return list(columns)
-        return [self.mean_diff(i, where) for i in pars]
+        return [self.mean_diff(entry, where) for entry in pars]
 
     def var(self, paramVec, where=None):
         """Weighted variance of a parameter vector (or list of them)."""
-        if isinstance(paramVec, (list, tuple)):
-            return np.array([self.var(p) for p in paramVec])
+        if isinstance(paramVec, _seq_types):
+            return np.array([self.var(entry) for entry in paramVec])
         centered = self.mean_diff(paramVec, where)
         w = self.weights if where is None else self.weights[where]
         return (centered * centered) @ w / self.get_norm(where)
 
     def std(self, paramVec, where=None):
         """Weighted standard deviation."""
-        return np.sqrt(self.var(paramVec, where))
+        variance = self.var(paramVec, where)
+        return np.sqrt(variance)
 
     def cov(self, pars=None, where=None):
         """Weighted covariance for the given parameter vectors/indices
@@ -338,14 +336,12 @@ class WeightedSamples:
 
     def corr(self, pars=None):
         """Weighted correlation matrix."""
-        return covToCorr(self.cov(pars))
+        return covToCorr(self.cov(pars), copy=True)
 
     def getCov(self, nparam=None, pars=None):
         """Covariance matrix (cached full version), optionally a submatrix."""
         full = self.fullcov if self.fullcov is not None else self._setCov()
-        if pars is not None:
-            return full[np.ix_(pars, pars)]
-        return full[:nparam, :nparam]
+        return full[np.ix_(pars, pars)] if pars is not None else full[:nparam, :nparam]
 
     def _setCov(self):
         self.fullcov = self.cov()
@@ -354,12 +350,12 @@ class WeightedSamples:
     def getCorrelationMatrix(self):
         """Correlation matrix of all parameters (cached)."""
         if self.correlationMatrix is None:
-            self.correlationMatrix = covToCorr(self.getCov())
+            self.correlationMatrix = covToCorr(self.getCov(), copy=True)
         return self.correlationMatrix
 
     def getSignalToNoise(self, params, noise=None, R=None, eigs_only=False):
         """Signal-to-noise eigenvalues for the given parameters."""
-        return getSignalToNoise(self.cov(params), noise, R, eigs_only)
+        return getSignalToNoise(self.cov(params), noise=noise, R=R, eigs_only=eigs_only)
 
     # -- correlation structure --------------------------------------------------
     def getAutocorrelation(self, paramVec, maxOff=None, weight_units=True, normalized=True):
@@ -378,12 +374,13 @@ class WeightedSamples:
     def getCorrelationLength(self, j, weight_units=True, min_corr=0.05, corr=None):
         """Autocorrelation length (reference ``chains.py:449-466``)."""
         if corr is None:
-            corr = self.getAutocorrelation(j, self.numrows // 10, weight_units=weight_units)
+            corr = self.getAutocorrelation(j, maxOff=self.numrows // 10, weight_units=weight_units)
         return smath.acl_from_curve(corr, min_corr)
 
     def getEffectiveSamples(self, j=0, min_corr=0.05):
         """N_eff = sum(w) / correlation length for parameter j."""
-        return self.get_norm() / self.getCorrelationLength(j, min_corr=min_corr)
+        acl = self.getCorrelationLength(j, min_corr=min_corr)
+        return self.get_norm() / acl
 
     def _independent_draws(self):
         """True when the sampler produces uncorrelated draws, making the
@@ -487,9 +484,10 @@ class WeightedSamples:
         if max_samples is None:
             thin = thin or 1
         elif thin is not None:
-            raise WeightedSampleError("Cannot set thin and max_samples")
+            raise WeightedSampleError("thin and max_samples cannot both be given")
         else:
-            thin = max(1, self.norm / np.max(self.weights) / max_samples)
+            w_max = np.max(self.weights)
+            thin = max(1, self.norm / w_max / max_samples)
         rng = np.random.default_rng(random_state)
         keep_prob = self.weights / (np.max(self.weights) * thin)
         return np.nonzero(rng.random(self.numrows) <= keep_prob)[0]
@@ -529,7 +527,7 @@ class WeightedSamples:
     def cool(self, cool):
         """Multiply -log(likes) by ``cool`` and reweight accordingly."""
         if self.loglikes is None:
-            raise WeightedSampleError("Samples have no likelihood values, required to cool")
+            raise WeightedSampleError("cool() needs likelihood values, which these samples lack")
         best = np.min(self.loglikes)
         cooled = self.loglikes * cool
         self.weights = np.asarray(self.weights, dtype=np.float64) * np.exp(
@@ -561,7 +559,7 @@ class WeightedSamples:
                 if np.allclose(vec, center, rtol=1e-12, atol=0, equal_nan=True):
                     fixed.append(col)
                     values.append(center)
-        kept = np.delete(self.samples, fixed, 1)
+        kept = np.delete(self.samples, fixed, axis=1)
         self.changeSamples(kept)
         return fixed, values
 
@@ -596,7 +594,6 @@ class WeightedSamples:
             table = self.initParamConfidenceData(paramVec, start, end, weights)
         return smath.tail_value(table, limfrac, upper)
 
-    # -- thinning / reweighting ---------------------------------------------------
     # -- output -------------------------------------------------------------
     def saveAsText(self, root, chain_index=None, make_dirs=False):
         """Save as a getdist-format text chain file."""
@@ -650,7 +647,7 @@ class Chains(WeightedSamples):
         self.chains = None
         self.chain_offsets = None
         super().__init__(**kwargs)
-        self.ignore_lines = float(kwargs.get("ignore_rows", 0))
+        self.ignore_lines = float(kwargs.get("ignore_rows") or 0)
         name_source = paramNamesFile or self._sidecar_names(root) or names
         self.setParamNames(name_source)
         if labels is not None:
@@ -678,7 +675,7 @@ class Chains(WeightedSamples):
         """Set the sampler type ('mcmc', 'nested' or 'uncorrelated')."""
         sampler = sampler.lower()
         if sampler not in ("mcmc", "nested", "uncorrelated"):
-            warn(f"Unknown sampler type {sampler}. Assuming MCMC.")
+            warn(f"Sampler type '{sampler}' not recognised; treating as MCMC.")
             sampler = "mcmc"
         self.sampler = sampler
 
@@ -705,7 +702,7 @@ class Chains(WeightedSamples):
         declared = len(self.paramNames.names)
         if self.samples is not None and declared != self.n:
             raise WeightedSampleError(
-                "paramNames size (%s) does not match number of parameters in samples (%s)" % (declared, self.n)
+                f"{declared} names declared but the sample array has {self.n} parameters"
             )
         self.index = {info.name: i for i, info in enumerate(self.paramNames.names)}
         return self.index
@@ -720,7 +717,8 @@ class Chains(WeightedSamples):
                 return None, None
             name = slot
         if isinstance(name, _int_types):
-            return name, self.paramNames.names[name]
+            info = self.paramNames.names[name]
+            return name, info
         raise ParamError(f"Unknown parameter type {name}")
 
     def getRenames(self):
@@ -785,7 +783,7 @@ class Chains(WeightedSamples):
         special = {"weight": self.weights, "loglike": self.loglikes}
         if par in special:
             return special[par]
-        raise ParamError("Unknown parameter %s" % par)
+        raise ParamError(f"no parameter named {par}")
 
     def updateBaseStatistics(self):
         """Recompute means/vars and multiplicity stats after changes."""
@@ -793,8 +791,7 @@ class Chains(WeightedSamples):
         self.setMeans()
         self.getVars()
         self._getParamIndices()
-        self.max_mult = np.max(self.weights)
-        self.mean_mult = self.norm / self.numrows
+        self.max_mult, self.mean_mult = self.weights.max(), self.norm / self.numrows
         return self
 
     def updateChainBaseStatistics(self):
@@ -830,11 +827,11 @@ class Chains(WeightedSamples):
         if ignore_lines is None:
             ignore_lines = self.ignore_lines
         if files_or_samples is None or (hasattr(files_or_samples, "__len__") and not len(files_or_samples)):
-            raise ValueError("files_or_samples empty in loadChains")
+            raise ValueError("loadChains got nothing to load")
         from_files = isinstance(files_or_samples, str) or isinstance(files_or_samples[0], str)
         if from_files:
             if weights is not None or loglikes is not None:
-                raise ValueError("weights and loglikes not needed reading from file")
+                raise ValueError("weights/loglikes arguments only apply to in-memory arrays")
             count = self._chains_from_files(root, files_or_samples, ignore_lines)
         else:
             count = self._chains_from_arrays(files_or_samples, weights, loglikes, ignore_lines)
@@ -844,7 +841,8 @@ class Chains(WeightedSamples):
     def _chains_from_files(self, root, files, ignore_lines):
         if isinstance(files, str):
             files = [files]
-        self.name_tag = self.name_tag or os.path.basename(root)
+        if not self.name_tag:
+            self.name_tag = os.path.basename(root)
         for fname in files:
             print_load_line(fname)
             try:
@@ -852,9 +850,9 @@ class Chains(WeightedSamples):
                     WeightedSamples(fname, ignore_rows=ignore_lines, min_weight_ratio=self.min_weight_ratio)
                 )
             except WeightedSampleError:
-                print_load_line("Ignored file %s (likely empty)" % fname)
+                print_load_line(f"Ignored file {fname} (likely empty)")
         if not self.chains:
-            raise WeightedSampleError("loadChains - no chains found for " + root)
+            raise WeightedSampleError(f"no chains found for root {root}")
         return len(self.chains)
 
     def _chains_from_arrays(self, arrays, weights, loglikes, ignore_lines):
@@ -867,25 +865,28 @@ class Chains(WeightedSamples):
                 self.paramNames = ParamNames(default=self.n)
             return 1
         if depth != 3:
-            raise ValueError("samples or files must be an array of samples, or a list of arrays or files")
+            raise ValueError("expected a sample array, or a list of sample arrays or file names")
         for i, block in enumerate(arrays):
+            w_i = weights[i] if weights is not None else None
+            ll_i = loglikes[i] if loglikes is not None else None
             self.chains.append(
                 WeightedSamples(
                     samples=block,
-                    loglikes=None if loglikes is None else loglikes[i],
-                    weights=None if weights is None else weights[i],
+                    loglikes=ll_i,
+                    weights=w_i,
                     ignore_rows=ignore_lines,
                     min_weight_ratio=self.min_weight_ratio,
                 )
             )
         if self.paramNames is None:
-            self.paramNames = ParamNames(default=self.chains[0].n)
+            first_n = self.chains[0].n
+            self.paramNames = ParamNames(default=first_n)
         return len(self.chains)
 
     def makeSingle(self):
         """Concatenate separate chains into one array, recording offsets."""
         if not self.chains:
-            raise ValueError("There are no separated chains for makeSingle()")
+            raise ValueError("makeSingle() needs separated chains, and there are none")
         lengths = [chain.samples.shape[0] for chain in self.chains]
         self.chain_offsets = np.cumsum(np.array([0] + lengths))
         first = self.chains[0]
@@ -904,7 +905,7 @@ class Chains(WeightedSamples):
         if self.chains is not None:
             return self.chains
         if self.chain_offsets is None:
-            raise WeightedSampleError("Samples were not combined from separate chains")
+            raise WeightedSampleError("these samples were never combined from separate chains")
         return [
             WeightedSamples(
                 samples=self.samples[lo:hi],
@@ -917,7 +918,7 @@ class Chains(WeightedSamples):
     def filter(self, where):
         """Filter samples, fixing up chain offsets so chains stay splittable."""
         if self.chains is not None:
-            raise ValueError("chains are separated, makeSingle first or call filter on individual chains")
+            raise ValueError("chains are still separated: makeSingle first, or filter each chain")
         if self.chain_offsets is not None:
             kept = [
                 np.count_nonzero(where[lo:hi])
@@ -956,7 +957,7 @@ class Chains(WeightedSamples):
             lead, *rest = self.chains
             fixed, values = lead.deleteFixedParams()
             for chain in rest:
-                chain.changeSamples(np.delete(chain.samples, fixed, 1))
+                chain.changeSamples(np.delete(chain.samples, fixed, axis=1))
         else:
             fixed, values = super().deleteFixedParams()
             self.chains = None
@@ -972,7 +973,7 @@ class Chains(WeightedSamples):
         """var(mean)/mean(var) eigenvalues over orthogonalized parameters
         (Brooks & Gelman)."""
         chainlist = chainlist if chainlist is not None else self.getSeparateChains()
-        nparam = nparam or self.paramNames.numNonDerived()
+        nparam = nparam if nparam else self.paramNames.numNonDerived()
         # Per-chain moments are device reductions; the (p, p) eigen-solve is
         # tiny and runs on host with numpy for bit-stable diagnostics text.
         return smath.gelman_rubin_eigs(
@@ -983,7 +984,8 @@ class Chains(WeightedSamples):
 
     def getGelmanRubin(self, nparam=None, chainlist=None):
         """Worst-eigenvalue R-1 statistic (should be << 1 when converged)."""
-        return np.max(self.getGelmanRubinEigenvalues(nparam, chainlist))
+        eigs = self.getGelmanRubinEigenvalues(nparam, chainlist)
+        return np.max(eigs)
 
     # -- output -----------------------------------------------------------------
     def saveAsText(self, root, chain_index=None, make_dirs=False):
@@ -998,8 +1000,8 @@ class Chains(WeightedSamples):
 
     def savePickle(self, filename):
         """Pickle this object to a file."""
-        with open(filename, "wb") as output:
-            pickle.dump(self, output, pickle.HIGHEST_PROTOCOL)
+        with open(filename, "wb") as stream:
+            pickle.dump(self, stream, protocol=pickle.HIGHEST_PROTOCOL)
 
 
 # -- module-level chain-file and matrix helpers ------------------------------
@@ -1023,7 +1025,9 @@ def slice_or_none(x, start=None, end=None):
         start = int(start)
     if isinstance(end, float) and end == int(end):
         end = int(end)
-    return x[start:end] if hasattr(x, "__getitem__") else None
+    if not hasattr(x, "__getitem__"):
+        return None
+    return x[start:end]
 
 
 def chainFiles(root, chain_indices=None, ext=".txt", separator="_", first_chain=0, last_chain=-1, chain_exclude=None):
@@ -1067,7 +1071,7 @@ def loadNumpyTxt(fname, skiprows=None):
     try:
         table = np.loadtxt(fname, skiprows=skiprows or 0)
     except ValueError:
-        print("Error reading %s" % fname)
+        print(f"Error reading {fname}")
         raise
     return np.atleast_2d(table)
 

@@ -48,18 +48,20 @@ def cobaya_params_file(root):
     return None
 
 
-def yaml_file_or_dict(file_or_dict) -> Mapping:
-    if isinstance(file_or_dict, Mapping):
-        return file_or_dict
-    if isinstance(file_or_dict, str):
+def yaml_file_or_dict(source) -> Mapping:
+    if isinstance(source, Mapping):
+        return source
+    if isinstance(source, str):
         from getdist_tpu.yaml_tools import yaml_load_file
 
-        return yaml_load_file(file_or_dict)
+        return yaml_load_file(source)
     raise ValueError("Cobaya parameter input must be a dictionary or filename")
 
 
 def str_to_list(x):
-    return [x] if isinstance(x, str) else x
+    if isinstance(x, str):
+        return [x]
+    return x
 
 
 def expand_info_param(info_param):
@@ -78,7 +80,8 @@ def expand_info_param(info_param):
 
 def is_sampled_param(info_param):
     """True if the parameter has a prior (is sampled)."""
-    return _prior in expand_info_param(info_param)
+    expanded = expand_info_param(info_param)
+    return _prior in expanded
 
 
 def is_derived_param(info_param):
@@ -94,20 +97,20 @@ def get_info_params(info):
     """Full parameter info dict from Cobaya yaml info, including the
     minuslogprior/chi2 per-component derived entries and post-processing
     add/remove blocks."""
-    info = yaml_file_or_dict(info)
-    table = dict(info.get(_params) or {})
-    priors = ["0"] + list(info.get(_prior) or [])
-    likes = list(info.get("likelihood") or [])
+    spec = yaml_file_or_dict(info)
+    table = dict(spec.get(_params) or {})
+    priors = ["0"] + list(spec.get(_prior) or [])
+    likes = list(spec.get("likelihood") or [])
 
-    post_remove = info.get(_post, {}).get("remove", {})
+    post_remove = spec.get(_post, {}).get("remove", {})
     for name in post_remove.get(_params, []) or []:
         table.pop(name, None)
-    for like in str_to_list(post_remove.get("likelihood") or []):
-        likes.remove(like)
-    for prior in str_to_list(post_remove.get(_prior)) or []:
-        priors.remove(prior)
+    for name in str_to_list(post_remove.get("likelihood") or []):
+        likes.remove(name)
+    for name in str_to_list(post_remove.get(_prior)) or []:
+        priors.remove(name)
 
-    post_add = info.get(_post, {}).get("add", {})
+    post_add = spec.get(_post, {}).get("add", {})
     for name, extra in post_add.get(_params, {}).items():
         merged = table.get(name, {})
         merged.update(extra)
@@ -128,24 +131,28 @@ def get_range(param_info):
     Supports explicit min/max, [min, max] lists, and loc/scale scipy.stats
     distributions via their full interval.
     """
-    param_info = expand_info_param(param_info or {})
-    periodic = param_info.get("periodic", False)
-    if not is_sampled_param(param_info):
-        value = param_info.get("value")
+    spec = expand_info_param(param_info if param_info else {})
+    periodic = spec.get("periodic", False)
+    if not is_sampled_param(spec):
+        value = spec.get("value")
         if isinstance(value, Number):
-            return float(value), float(value), False
-        return param_info.get("min"), param_info.get("max"), periodic
+            fixed = float(value)
+            return fixed, fixed, False
+        bounds = tuple(spec.get(edge) for edge in ("min", "max"))
+        return bounds[0], bounds[1], periodic
 
-    prior = param_info[_prior]
-    if isinstance(prior, Sequence) and len(prior) == 2:
-        prior = {"min": prior[0], "max": prior[1]}
-    elif not isinstance(prior, Mapping):
+    prior = spec[_prior]
+    if isinstance(prior, Mapping):
+        prior = dict(prior)
+    elif isinstance(prior, Sequence) and len(prior) == 2:
+        prior = dict(zip(("min", "max"), prior))
+    else:
         raise ValueError(
             "Format of prior not recognised: %r. "
             "Use '[min, max]' or a dictionary following Cobaya's documentation." % (prior,)
         )
-    prior = dict(prior)
-    periodic = periodic or prior.pop("periodic", False)
+    if prior.pop("periodic", False):
+        periodic = True
     if prior.get("min") is not None or prior.get("max") is not None:
         lo, hi = prior.get("min"), prior.get("max")
     elif prior.get("loc") is not None or prior.get("scale") is not None:
@@ -159,7 +166,8 @@ def get_range(param_info):
 
 
 def get_sampler_key(filename_or_info, default_sampler_for_chain_type="mcmc"):
-    return list(yaml_file_or_dict(filename_or_info).get(_sampler, [default_sampler_for_chain_type]))[0]
+    declared = yaml_file_or_dict(filename_or_info).get(_sampler, [default_sampler_for_chain_type])
+    return next(iter(declared))
 
 
 def get_sampler_type(filename_or_info, default_sampler_for_chain_type="mcmc"):
@@ -173,32 +181,37 @@ def get_sampler_type(filename_or_info, default_sampler_for_chain_type="mcmc"):
 
 def get_sampler_temperature(filename_or_info):
     """Sampling temperature, 1 for post-processed chains, None if unknown."""
-    info = yaml_file_or_dict(filename_or_info)
-    if _sampler not in info:
+    spec = yaml_file_or_dict(filename_or_info)
+    if _sampler not in spec:
         return None
-    if _post in info:
+    if _post in spec:
         return 1
-    return (info[_sampler][get_sampler_key(info)] or {}).get("temperature")
+    block = spec[_sampler][get_sampler_key(spec)] or {}
+    return block.get("temperature")
 
 
 def get_sample_label(filename_or_info):
     return yaml_file_or_dict(filename_or_info).get("label")
 
 
-def get_burn_removed(filename_or_info):
-    info = get_info_params(filename_or_info)
+def _post_skip(info):
     return info.get(_post, {}).get("skip", 0)
+
+
+def get_burn_removed(filename_or_info):
+    return _post_skip(get_info_params(filename_or_info))
 
 
 def _validated_columns(collections):
     """Shared column list of the collection(s), with type checks."""
+    first, *rest = collections
     try:
-        columns = list(collections[0].data)
+        columns = list(first.data)
     except AttributeError:
-        raise TypeError("The second argument does not appear to be a (list of) samples `Collection`.")
-    for other in collections[1:]:
+        raise TypeError("collections must be a Cobaya samples `Collection` (or a list of them)")
+    for other in rest:
         if list(other.data) != columns:
-            raise ValueError("The given collections don't have the same columns.")
+            raise ValueError("the collections have mismatched columns")
     return columns
 
 
@@ -217,12 +230,13 @@ def MCSamplesFromCobaya(info, collections, name_tag=None, ignore_rows=0, ini=Non
     columns = _validated_columns(collections)
     info_params = get_info_params(info)
 
-    skip = info.get(_post, {}).get("skip", 0)
-    if ignore_rows != 0 and skip != 0:
-        logging.warning(
+    skip = _post_skip(info)
+    if skip and ignore_rows:
+        msg = (
             "You are asking for rows to be ignored (%r), but some (%r) "
-            "were already ignored in the original chain.", ignore_rows, skip,
+            "were already ignored in the original chain."
         )
+        logging.warning(msg, ignore_rows, skip)
 
     # columns[0:2] are weight and -log(post); the rest must match the info
     sample_columns = columns[2:]
@@ -246,13 +260,14 @@ def MCSamplesFromCobaya(info, collections, name_tag=None, ignore_rows=0, ini=Non
     loglikes = [as_f64(c, "minuslogpost") for c in collections]
 
     temperature = get_sampler_temperature(info)
-    if temperature is not None and temperature != 1:
-        logging.warning(
+    if temperature not in (None, 1):
+        msg = (
             "You have loaded a sample with non-unit temperature. Use the "
             "'MCSamples.cool()' method to turn it into a sample from the original "
             "posterior before performing statistical analyses, but maybe after "
             "thinning the sample with method 'MCSamples.thin_indices()'."
         )
+        logging.warning(msg)
     from getdist_tpu.mcsamples import MCSamples
 
     return MCSamples(

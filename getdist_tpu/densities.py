@@ -11,7 +11,6 @@ with half-weighted edge bins, spline-upsampled equal-density credible
 intervals, and trapezoid-ish integrators with 2^-codimension edge weights.
 """
 
-from collections.abc import Sequence
 
 import numpy as np
 from scipy.interpolate import LinearNDInterpolator, RectBivariateSpline, splev, splrep
@@ -57,7 +56,7 @@ def getContourLevels(inbins, contours=defaultContours, missing_norm=0, half_edge
     cdf = np.cumsum(ranked)
     cuts = np.searchsorted(cdf, targets)
     if np.any(cuts == 0):
-        raise DensitiesError("Contour level outside plotted ranges")
+        raise DensitiesError("a contour level falls outside the plotted range")
     overshoot = (cdf[cuts] - targets) / (cdf[cuts] - cdf[cuts - 1])
     return ranked[cuts] * (1 - overshoot) + overshoot * ranked[cuts - 1]
 
@@ -99,14 +98,13 @@ class GridDensity:
     :ivar P: array of density values
     """
 
-    view_ranges: Sequence[Sequence[float]]
-    axes: Sequence[np.ndarray]
-    norm: float
-
+    # subclasses set: view_ranges (per-axis view windows), axes (grids in
+    # z, y, x order), and norm
     def setP(self, P=None):
         """Set grid values (validates shape against the axes)."""
         if P is None:
-            self.P = np.zeros([ax.size for ax in self.axes])
+            shape = tuple(ax.size for ax in self.axes)
+            self.P = np.zeros(shape)
         else:
             P = np.asarray(P)
             for ax, size in zip(self.axes, P.shape):
@@ -126,14 +124,14 @@ class GridDensity:
 
     def normalize(self, by="integral", in_place=False):
         """Normalize by 'integral' (unit mass) or 'max' (peak = 1)."""
-        if by == "max":
+        if by == "integral":
+            scale = self.norm_integral()
+        elif by == "max":
             scale = np.max(self.P)
             if scale == 0:
-                raise DensitiesError("no samples in bin")
-        elif by == "integral":
-            scale = self.norm_integral()
+                raise DensitiesError("empty density: no samples landed in any bin")
         else:
-            raise DensitiesError("Density: unknown normalization")
+            raise DensitiesError(f"unknown normalization kind: {by}")
         if in_place:
             self.P /= scale
         else:
@@ -167,7 +165,7 @@ class Density1D(GridDensity):
         self.x = np.asarray(x)
         self.view_ranges = view_ranges
         self.n = self.x.size
-        self.spacing = x[1] - x[0]
+        self.spacing = self.x[1] - self.x[0]
         self.axes = [self.x]
         self.setP(P)
 

@@ -25,11 +25,13 @@ def _bracket_arg(line):
 
 def _ini_text(value):
     """Render a python value the way .ini files expect (bools as T/F)."""
-    if isinstance(value, str):
-        return value
-    if isinstance(value, bool):
-        return "T" if value else "F"
-    return str(value)
+    match value:
+        case str():
+            return value
+        case bool():
+            return "T" if value else "F"
+        case _:
+            return str(value)
 
 
 def _expand_env(text):
@@ -77,17 +79,16 @@ class IniFile:
         :param expand_environment_variables: expand $(var) placeholders in
                values from the environment
         """
-        self.params = {}
+        self.params, self.comments = {}, {}
+        self.includes, self.defaults = [], []
         self.readOrder = []
-        self.comments = {}
-        self.includes = []
-        self.defaults = []
         self.expand_environment_variables = expand_environment_variables
         self.original_filename = None
-        if isinstance(settings, str):
-            self.readFile(settings, keep_includes)
-        elif settings:
-            self.params.update(settings)
+        if settings is not None:
+            if isinstance(settings, str):
+                self.readFile(settings, keep_includes)
+            else:
+                self.params.update(settings)
 
     # -- presence & typed scalar getters --------------------------------------
 
@@ -97,55 +98,51 @@ class IniFile:
 
     def isSet(self, name, allowEmpty=False):
         """True when the parameter exists and (unless allowEmpty) is non-empty."""
-        stored = self.params.get(name)
-        if stored is None and name not in self.params:
+        if name not in self.params:
             return False
-        return allowEmpty or stored != ""
+        return allowEmpty or self.params[name] != ""
 
-    def _undefined(self, name):
-        raise IniError("parameter not defined: " + name)
+    def _missing(self, name):
+        raise IniError(f"no such .ini parameter: {name}")
 
     def asType(self, name, tp, default=None, allowEmpty=False):
         if not self.isSet(name, allowEmpty):
             if default is None:
-                self._undefined(name)
+                self._missing(name)
             return default
         # types with bespoke parsing go through their own getter
-        if tp is bool:
-            return self.bool(name, default)
-        if tp is list:
-            return self.split(name, default)
-        if tp is np.ndarray:
-            return self.ndarray(name, default)
-        return tp(self.params[name])
+        bespoke = {bool: self.bool, list: self.split, np.ndarray: self.ndarray}
+        handler = bespoke.get(tp)
+        return handler(name, default) if handler else tp(self.params[name])
 
     def bool(self, name, default=False):
         """Boolean value (text starting T = True, F = False)."""
         if not self.isSet(name):
             if default is None:
-                self._undefined(name)
+                self._missing(name)
             return default
         text = self.params[name]
         if isinstance(text, bool):
             return text
-        first = text[:1]
-        if first == "T":
-            return True
-        if first == "F":
-            return False
-        raise IniError("parameter does not have valid T(rue) or F(alse) boolean value: " + name)
+        flag = {"T": True, "F": False}.get(text[:1])
+        if flag is None:
+            raise IniError(f".ini parameter {name} is not a valid T(rue)/F(alse) boolean")
+        return flag
+
+    def _scalar(self, tp, name, default, allowEmpty=False):
+        return self.asType(name, tp, default, allowEmpty=allowEmpty)
 
     def string(self, name, default=None, allowEmpty=True):
         """String value."""
-        return self.asType(name, str, default, allowEmpty=allowEmpty)
+        return self._scalar(str, name, default, allowEmpty)
 
     def float(self, name, default=None):
         """Float value."""
-        return self.asType(name, float, default)
+        return self._scalar(float, name, default)
 
     def int(self, name, default=None):
         """Int value."""
-        return self.asType(name, int, default)
+        return self._scalar(int, name, default)
 
     # -- list-valued getters ---------------------------------------------------
 
@@ -176,7 +173,8 @@ class IniFile:
 
     def ndarray(self, name, default=None, tp=np.float64):
         """Numpy array of values."""
-        return np.array(self.split(name, default, tp=tp))
+        values = self.split(name, default, tp=tp)
+        return np.array(values)
 
     # -- indexed name(i) getters -------------------------------------------------
 
@@ -291,7 +289,7 @@ class IniFile:
         """Write the settings back to a .ini file."""
         target = filename or self.original_filename
         if not target:
-            raise IniError("No filename for iniFile.saveFile()")
+            raise IniError("saveFile() needs a filename (none stored from a previous read)")
         with open(target, "w", encoding="utf-8") as stream:
             stream.write(str(self))
 
@@ -313,4 +311,5 @@ class IniFile:
         return lines
 
     def __str__(self):
-        return "\n".join(self.fileLines())
+        lines = self.fileLines()
+        return "\n".join(lines)

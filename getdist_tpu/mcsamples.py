@@ -127,7 +127,7 @@ def loadMCSamples(
         if cached is not None:
             return cached
     if not files:
-        raise OSError("No chains found: " + file_root)
+        raise OSError(f"no chain files found for root {file_root}")
     samples.readChains(files)
     if no_cache:
         if os.path.exists(cachefile):
@@ -154,7 +154,7 @@ def _cache_path(file_root):
 
 def _source_files(file_root, files):
     """Chain files plus the metadata sidecars whose mtimes gate the cache."""
-    if os.path.isfile(file_root + ".paramnames"):
+    if os.path.isfile(f"{file_root}.paramnames"):
         return files + [file_root + ext for ext in (".ranges", ".paramnames", ".properties.ini")]
     # Cobaya: any updated/full yaml next to the chains
     folder = os.path.dirname(file_root)
@@ -176,15 +176,14 @@ def _load_valid_cache(cachefile, source_files, samples, ini, settings):
     try:
         with open(cachefile, "rb") as handle:
             cache = pickle.load(handle)
-        if not (
+        same_build = (
             cache.version == pickle_version
-            and samples.ignore_rows == cache.ignore_rows
-            and samples.min_weight_ratio == cache.min_weight_ratio
-        ):
-            return None
-        contours_changed = len(samples.contours) != len(cache.contours) or np.any(
-            np.array(samples.contours) != np.array(cache.contours)
+            and cache.ignore_rows == samples.ignore_rows
+            and cache.min_weight_ratio == samples.min_weight_ratio
         )
+        if not same_build:
+            return None
+        contours_changed = list(np.ravel(samples.contours)) != list(np.ravel(cache.contours))
         cache.updateSettings(ini=ini, settings=settings, doUpdate=contours_changed)
         return cache
     except Exception:
@@ -290,13 +289,14 @@ class MCSamples(Chains):
         if "ignore_rows" in kwargs:
             settings = dict(settings or {})
             settings["ignore_rows"] = kwargs["ignore_rows"]
-        self.ignore_rows = float(kwargs.get("ignore_rows", 0))
-        if self.sampler == "nested" and not np.isclose(self.ignore_rows, 0):
-            raise ValueError("Should not remove burn-in from Nested Sampler samples.")
+        self.ignore_rows = float(kwargs.get("ignore_rows") or 0)
+        if not np.isclose(self.ignore_rows, 0) and self.sampler == "nested":
+            raise ValueError("nested-sampler samples have no burn-in phase to remove")
 
         self.updateSettings(ini=ini, settings=settings)
 
-        if root and os.path.exists(root + ".properties.ini"):
+        sidecar = root + ".properties.ini" if root else None
+        if sidecar and os.path.exists(sidecar):
             self._adopt_properties_ini(root, kwargs)
         else:
             self._adopt_cobaya_properties(root, kwargs, temperature)
@@ -312,11 +312,13 @@ class MCSamples(Chains):
 
     def _adopt_properties_ini(self, root, kwargs):
         """Per-chain .properties.ini overrides the generic settings."""
-        self.properties = IniFile(root + ".properties.ini")
+        own_ini = root + ".properties.ini"
+        self.properties = IniFile(own_ini)
         self._setBurnOptions(self.properties)
         if self.properties.bool("burn_removed", False):
             self._mark_burn_removed()
-        self.label = self.label or self.properties.params.get("label", None)
+        if not self.label:
+            self.label = self.properties.params.get("label")
         if "sampler" not in kwargs:
             self.setSampler(self.properties.string("sampler", self.sampler))
 
@@ -337,12 +339,12 @@ class MCSamples(Chains):
             self.properties.params["sampler"] = self.sampler
             if temperature is None:
                 temperature = cobaya_interface.get_sampler_temperature(info)
-        if temperature is not None and temperature != 1:
+        if temperature not in (None, 1):
             self.properties.params["temperature"] = temperature
 
     def _WritePlotFile(self, filename, subplot_size, text, tag, ext=None):
         if not self.root:
-            raise ValueError("Samples must be loaded from file")
+            raise ValueError("plot scripts need file-rooted samples (no root set)")
         fname = self.rootname + tag + "." + (ext or self.plot_output)
         script = [
             "import getdist_tpu.plots as plots, os",
@@ -356,44 +358,44 @@ class MCSamples(Chains):
             handle.write("\n".join(script) + "\n")
 
     def _writeScriptPlots3D(self, filename, plot_3D, ext=None):
-        text = "sets=[]\n"
-        for pars in plot_3D:
-            text += "sets.append(['%s','%s','%s'])\n" % tuple(pars)
-        text += "g.plots_3d(roots,sets)"
-        self._WritePlotFile(filename, self.subplot_size_inch3, text, "_3D", ext)
+        rows = ["sets=[]"]
+        rows.extend("sets.append(['{}','{}','{}'])".format(*pars) for pars in plot_3D)
+        rows.append("g.plots_3d(roots,sets)")
+        self._WritePlotFile(filename, self.subplot_size_inch3, "\n".join(rows), "_3D", ext)
 
     def _writeScriptPlotsTri(self, filename, triangle_params, ext=None):
         self._WritePlotFile(filename, self.subplot_size_inch, "g.triangle_plot(roots, %s)" % triangle_params, "_tri", ext)
 
     def _writeScriptPlots2D(self, filename, plot_2D_param=None, cust2DPlots=(), ext=None):
         restricted = bool(plot_2D_param) or bool(len(cust2DPlots))
-        wanted = {par1 + "__" + par2 for par1, par2 in cust2DPlots}
+        wanted = {f"{a}__{b}" for a, b in cust2DPlots}
         done2D = {}
         lines = ["pairs=[]"]
-        for j, par1 in enumerate(self.paramNames.list()):
-            if restricted and par1 == plot_2D_param:
+        for j, name1 in enumerate(self.paramNames.list()):
+            if restricted and name1 == plot_2D_param:
                 continue
             start = 0 if restricted else j + 1
             for j2 in range(start, self.n):
-                par2 = self.parName(j2)
-                if plot_2D_param and par2 != plot_2D_param:
+                name2 = self.parName(j2)
+                if plot_2D_param and name2 != plot_2D_param:
                     continue
-                if wanted and (par1 + "__" + par2) not in wanted:
+                if wanted and f"{name1}__{name2}" not in wanted:
                     continue
-                if (par1, par2) not in done2D:
-                    done2D[(par1, par2)] = True
-                    lines.append(f"pairs.append(['{par1}','{par2}'])")
+                if (name1, name2) not in done2D:
+                    done2D[(name1, name2)] = True
+                    lines.append(f"pairs.append(['{name1}','{name2}'])")
         lines.append("g.plots_2d(roots,param_pairs=pairs,filled=True)")
         self._WritePlotFile(filename, self.subplot_size_inch2, "\n".join(lines), "_2D", ext)
         return done2D
 
     def _writeScriptPlots1D(self, filename, plotparams=None, ext=None):
-        text = "markers = " + (str(self.markers) if self.markers else "None") + "\n"
+        rows = ["markers = " + (str(self.markers) if self.markers else "None")]
         if plotparams:
-            text += "g.plots_1d(roots,[" + ",".join(["'" + par + "'" for par in plotparams]) + "], markers=markers)"
+            quoted = ",".join(f"'{name}'" for name in plotparams)
+            rows.append(f"g.plots_1d(roots,[{quoted}], markers=markers)")
         else:
-            text += "g.plots_1d(roots, markers=markers)"
-        self._WritePlotFile(filename, self.subplot_size_inch, text, "", ext)
+            rows.append("g.plots_1d(roots, markers=markers)")
+        self._WritePlotFile(filename, self.subplot_size_inch, "\n".join(rows), "", ext)
 
     class _RLAbort(Exception):
         """Raftery-Lewis hit a degenerate fitted count; abort the battery."""
@@ -444,7 +446,7 @@ class MCSamples(Chains):
         thin_fac = int(round(np.max(chain.weights)))
         nburn = 0
         for j in range(nparamMC):
-            confids = self.confidence(chain.samples[:, j], limits, weights=chain.weights)
+            edges = self.confidence(chain.samples[:, j], limits, weights=chain.weights)
             for endb in (0, 1):
                 # grow the thinning until 2nd-order structure is gone (BIC)
                 tran = None
@@ -453,7 +455,7 @@ class MCSamples(Chains):
                     thin_rows = len(thin_ix)
                     if thin_rows < 2:
                         break
-                    tran = self._rl_binary_transitions(chain.samples[thin_ix, j], confids[endb], order=2)
+                    tran = self._rl_binary_transitions(chain.samples[thin_ix, j], edges[endb], order=2)
                     if self._rl_g2_second_vs_markov(tran) - math.log(float(thin_rows - 2)) * 2 < 0:
                         break
                     thin_fac += 1
@@ -522,15 +524,15 @@ class MCSamples(Chains):
         out.append("\n")
 
     def _report_gelman_rubin(self, out, chainlist, feedback):
-        D = self.getGelmanRubinEigenvalues(chainlist=chainlist)
-        if D is None:
+        eigs = self.getGelmanRubinEigenvalues(chainlist=chainlist)
+        if eigs is None:
             self.GelmanRubin = None
             summary = "Gelman-Rubin covariance not invertible (parameter not moved?)"
             logging.warning(summary)
         else:
-            self.GelmanRubin = np.max(D)
+            self.GelmanRubin = np.max(eigs)
             out.append("var(mean)/mean(var) for eigenvalues of covariance of y of orthonormalized parameters\n")
-            out.extend("%3i%13.5f\n" % (jj + 1, Di) for jj, Di in enumerate(D))
+            out.extend("%3i%13.5f\n" % (k + 1, val) for k, val in enumerate(eigs))
             summary = " var(mean)/mean(var), remaining chains, worst e-value: R-1 = %13.5F" % self.GelmanRubin
         if feedback:
             print(summary)
@@ -553,8 +555,8 @@ class MCSamples(Chains):
                 for lo, hi in zip(cuts[:-1], cuts[1:]):
                     rms[ix] += (self.confidence(column, limits, start=lo, end=hi) - whole) ** 2
                 rms[ix] = np.sqrt(rms[ix] / (ix + 2)) / self.sddev[j]
-            for endb, typestr in enumerate(["upper", "lower"]):
-                out.append(parNames[j] + "".join("%9.4f" % rms[ix, endb] for ix in range(n_splits)) + " %s\n" % typestr)
+            for endb, tail_name in enumerate(("upper", "lower")):
+                out.append(parNames[j] + "".join("%9.4f" % rms[ix, endb] for ix in range(n_splits)) + " %s\n" % tail_name)
         out.append("\n")
 
     def _report_raftery_lewis(self, out, chainlist, limits, nparamMC, test_confidence, feedback):
@@ -653,7 +655,8 @@ class MCSamples(Chains):
             chain.setDiffs()
         parForm = self.paramNames.parFormat()
         parNames = [parForm % self.parName(j) for j in range(self.n)]
-        limits = np.array([1 - (1 - test_confidence) / 2, (1 - test_confidence) / 2])
+        tail = (1 - test_confidence) / 2
+        limits = np.array([1 - tail, tail])
         nparamMC = self.paramNames.numNonDerived()
         integer_weights = np.all(np.abs(self.weights - self.weights.astype(int)) < 1e-4 / self.max_mult)
 
@@ -679,8 +682,9 @@ class MCSamples(Chains):
 
         report = "".join(out)
         if writeDataToFile:
-            with open(filename or (self.rootdirname + ".converge"), "w", encoding="utf-8") as f:
-                f.write(report)
+            from pathlib import Path
+
+            Path(filename or self.rootdirname + ".converge").write_text(report, encoding="utf-8")
         return report
 
     # -- plot-script writers (for the CLI) ---------------------------------------------
@@ -689,12 +693,12 @@ class MCSamples(Chains):
         """Auto-select N (linear) / L (log) mapping per parameter: log when
         the samples sit well away from zero (reference ``mcsamples.py:
         706-713``)."""
-        chosen = ""
-        for par in self.paramNames.parsWithNames(params):
-            self._initParamRanges(par.name)
-            span10 = (par.param_max - par.param_min) / 10
-            chosen += "N" if (par.param_max < 0 or par.param_min < span10) else "L"
-        return chosen
+        chosen = []
+        for info in self.paramNames.parsWithNames(params):
+            self._initParamRanges(info.name)
+            span10 = (info.param_max - info.param_min) / 10
+            chosen.append("N" if (info.param_max < 0 or info.param_min < span10) else "L")
+        return "".join(chosen)
 
     def PCA(
         self, params, param_map=None, normparam=None, writeDataToFile=False, filename=None, conditional_params=(),
@@ -704,12 +708,12 @@ class MCSamples(Chains):
         log-mapped) parameters; returns a text report with e-values,
         e-vectors, and power-law constraint forms (reference
         ``mcsamples.py:683-885``)."""
-        logging.info("Doing PCA for %s parameters", len(params))
-        if len(conditional_params):
-            logging.info("conditional %u fixed parameters", len(conditional_params))
+        logging.info("PCA over %s parameters", len(params))
+        if conditional_params:
+            logging.info("with %s parameters conditioned out", len(conditional_params))
         text = ["PCA for parameters:\n"]
 
-        params = [name for name in params if self.paramNames.parWithName(name)]
+        params = [name for name in params if self.paramNames.parWithName(name) is not None]
         nparams = len(params)
         indices = [self.index[param] for param in params] + [self.index[p] for p in conditional_params]
         normparam = params.index(normparam) if normparam and normparam in params else -1
@@ -822,8 +826,9 @@ class MCSamples(Chains):
 
         report = "".join(text)
         if writeDataToFile:
-            with open(filename or self.rootdirname + ".PCA", "w", encoding="utf-8") as f:
-                f.write(report)
+            from pathlib import Path
+
+            Path(filename or self.rootdirname + ".PCA").write_text(report, encoding="utf-8")
         if n_best_only:
             return mode_texts[0] if n_best_only == 1 else mode_texts[:n_best_only]
         return report
@@ -866,9 +871,9 @@ class MCSamples(Chains):
         mine = set(self.paramNames.list())
         shared = ParamNames()
         shared.names = [
-            ParamInfo(name=p.name, label=p.label, derived=p.isDerived)
-            for p in samps2.paramNames.names
-            if p.name in mine
+            ParamInfo(name=q.name, label=q.label, derived=q.isDerived)
+            for q in samps2.paramNames.names
+            if q.name in mine
         ]
         both_have_likes = self.loglikes is not None and samps2.loglikes is not None
         loglikes = np.concatenate([self.loglikes, samps2.loglikes]) if both_have_likes else None
@@ -891,20 +896,21 @@ class MCSamples(Chains):
 
     def getParamSampleDict(self, ix, want_derived=True, want_fixed=True):
         """Dict of parameter values for one sample row (incl. fixed)."""
-        res = super().getParamSampleDict(ix, want_derived=want_derived)
+        row = super().getParamSampleDict(ix, want_derived=want_derived)
         if want_fixed:
-            res.update(self.ranges.fixedValueDict())
-        return res
+            row.update(self.ranges.fixedValueDict())
+        return row
 
     def getParamBestFitDict(self, best_sample=False, want_derived=True, want_fixed=True, max_posterior=True):
         """Dict of parameter values at the best-fit point (from minimum
         files, or the best sample)."""
         if best_sample:
             if not max_posterior:
-                raise ValueError("best_fit_sample is only maximum posterior")
+                raise ValueError("best_sample=True implies max_posterior=True")
             if self.loglikes is None:
-                raise ValueError("No likelihoods in samples")
-            return self.getParamSampleDict(np.argmin(self.loglikes))
+                raise ValueError("samples carry no likelihood values")
+            best_row = int(np.argmin(self.loglikes))
+            return self.getParamSampleDict(best_row)
         best = self.getBestFit(max_posterior=max_posterior).getParamDict(include_derived=want_derived)
         if want_fixed:
             best.update(self.ranges.fixedValueDict())
@@ -918,7 +924,8 @@ class MCSamples(Chains):
 
     def getCorrelatedVariable2DPlots(self, num_plots=12, nparam=None):
         """Most-correlated parameter pair names, for quick-look plots."""
-        nparam = nparam or self.paramNames.numNonDerived()
+        if not nparam:
+            nparam = self.paramNames.numNonDerived()
         ceiling = 1e5
         best_x = best_y = 0
         pairs = []
@@ -938,17 +945,16 @@ class MCSamples(Chains):
 
     def getNumSampleSummaryText(self):
         """Text summary of sample counts and effective sample sizes."""
-        lines = (
+        out = [
             f"using {self.numrows} rows, {self.paramNames.numParams()} parameters; "
             f"mean weight {self.mean_mult}, tot weight {self.norm}\n"
-        )
+        ]
         if self.indep_thin != 0:
-            lines += "Approx indep samples (N/corr length): %s\n" % (round(self.norm / self.indep_thin))
-        lines += "Equiv number of single samples (sum w)/max(w): %s\n" % (round(self.norm / self.max_mult))
-        lines += "Effective number of weighted samples (sum w)^2/sum(w^2): %s\n" % (
-            int(self.norm**2 / np.dot(self.weights, self.weights))
-        )
-        return lines
+            out.append("Approx indep samples (N/corr length): %s\n" % round(self.norm / self.indep_thin))
+        out.append("Equiv number of single samples (sum w)/max(w): %s\n" % round(self.norm / self.max_mult))
+        n_eff_w = int(self.norm**2 / np.dot(self.weights, self.weights))
+        out.append("Effective number of weighted samples (sum w)^2/sum(w^2): %s\n" % n_eff_w)
+        return "".join(out)
 
     def _setMargeLimits(self, par, paramConfid, max_frac_twotail=None, density1D=None):
         """Set par.limits: one- or two-tail depending on whether the
@@ -957,7 +963,8 @@ class MCSamples(Chains):
         if max_frac_twotail is None:
             max_frac_twotail = self.max_frac_twotail
         par.limits = []
-        density1D = density1D or self.get1DDensity(par.name)
+        if density1D is None:
+            density1D = self.get1DDensity(par.name)
         interpGrid = None
         for level, contour in enumerate(self.contours):
             # a tail counts as prior-cut when the density at that edge is
@@ -1003,20 +1010,19 @@ class MCSamples(Chains):
         """Compute (and cache) all 1D densities and marginalized limits."""
         if self.done_1Dbins:
             return
-        for j in range(self.n):
-            paramConfid = self.initParamConfidenceData(self.samples[:, j])
-            self.get1DDensityGridData(j, paramConfid=paramConfid, meanlikes=meanlikes)
-            self._setMargeLimits(self.paramNames.names[j], paramConfid, max_frac_twotail)
+        for j, info in enumerate(self.paramNames.names):
+            confid = self.initParamConfidenceData(self.samples[:, j])
+            self.get1DDensityGridData(j, paramConfid=confid, meanlikes=meanlikes)
+            self._setMargeLimits(info, confid, max_frac_twotail)
         self.done_1Dbins = True
 
     def getInlineLatex(self, param, limit=1, err_sig_figs=None):
         r"""Inline tex like ``A=x\pm y`` (adjusts for one/two-tail limits)."""
-        labels, texs = self.getLatex([param], limit, err_sig_figs)
-        if texs[0] is None:
-            raise ValueError("parameter %s not found" % param)
-        if texs[0][0] not in ["<", ">"]:
-            return labels[0] + " = " + texs[0]
-        return labels[0] + " " + texs[0]
+        names, snippets = self.getLatex([param], limit, err_sig_figs)
+        if snippets[0] is None:
+            raise ValueError(f"no parameter called {param}")
+        joiner = " " if snippets[0][0] in ("<", ">") else " = "
+        return names[0] + joiner + snippets[0]
 
     def getLatex(self, params=None, limit=1, err_sig_figs=None):
         """(labels, tex snippets) for constraints on a list of parameters."""
@@ -1044,7 +1050,9 @@ class MCSamples(Chains):
 
     def getLikeStats(self):
         """LikeStats with N-D limits and best-fit sample values."""
-        return self.likeStats or self._setLikeStats()
+        if self.likeStats:
+            return self.likeStats
+        return self._setLikeStats()
 
     def getMargeStats(self, include_bestfit=False):
         """MargeStats with marginalized 1D constraints for all parameters."""
@@ -1065,8 +1073,8 @@ class MCSamples(Chains):
         if os.path.exists(bf_file):
             return types.BestFit(bf_file, max_posterior=max_posterior)
         raise MCSamplesError(
-            "Best fit can only be included if loaded from file and file_root%s exists "
-            "(cannot be calculated from samples)" % ext
+            f"a {ext} file next to the chains is required for best-fit values "
+            "(they cannot be derived from the samples themselves)"
         )
 
     def _setLikeStats(self):
@@ -1094,14 +1102,14 @@ class MCSamples(Chains):
         mass = np.cumsum(self.weights[by_like])
         ncontours = len(self.contours)
         cutoffs = np.searchsorted(mass, self.norm * self.contours[0:ncontours])
-        for j, par in enumerate(self.paramNames.names):
-            par.ND_limit_bot = np.empty(ncontours)
-            par.ND_limit_top = np.empty(ncontours)
+        for j, info in enumerate(self.paramNames.names):
+            info.ND_limit_bot = np.empty(ncontours)
+            info.ND_limit_top = np.empty(ncontours)
             for i, cut in enumerate(cutoffs):
                 region = self.samples[by_like[:cut], j]
-                par.ND_limit_bot[i] = np.min(region)
-                par.ND_limit_top[i] = np.max(region)
-            par.bestfit_sample = self.samples[bestfit_ix][j]
+                info.ND_limit_bot[i] = np.min(region)
+                info.ND_limit_top[i] = np.max(region)
+            info.bestfit_sample = self.samples[bestfit_ix, j]
         self.likeStats = stats
         return stats
 
@@ -1124,7 +1132,7 @@ class MCSamples(Chains):
 
         boundary_order = kwargs.get("boundary_correction_order", self.boundary_correction_order)
         bounded = any(info.has_limits for info in infos)
-        nbinsND = kwargs.get("num_bins_ND", self.num_bins_ND)
+        nbinsND = kwargs.get("num_bins_ND") or self.num_bins_ND
 
         binned = [self._binSamples(self.samples[:, col], info, nbinsND) for col, info in zip(columns, infos)]
         ixv = [b[0] for b in binned]
@@ -1140,9 +1148,8 @@ class MCSamples(Chains):
 
         binNDlikes = None
         if meanlikes:
-            likeweights = self.weights * np.exp(self.mean_loglike - self.loglikes)
             # np.array: normalized in place below (device arrays view read-only)
-            flat = np.array(_bincount(flatixv, likeweights, int(np.prod(shape))))
+            flat = np.array(_bincount(flatixv, self._likelihood_weights(), int(np.prod(shape))))
             binNDlikes = flat.reshape(shape[::-1], order="C")
 
         binNDmaxlikes = self._profile_likes_nd(binsND.shape, ixv, ndim) if maxlikes else None
@@ -1156,7 +1163,7 @@ class MCSamples(Chains):
 
         ncontours = len(self.contours)
         if num_plot_contours:
-            ncontours = min(num_plot_contours, ncontours)
+            ncontours = min(int(num_plot_contours), ncontours)
         contours = self.contours[:ncontours]
         density.contours = density.getContourLevels(contours)
 
@@ -1183,12 +1190,12 @@ class MCSamples(Chains):
 
     def _write_nd_density_files(self, density, binsND, binNDlikes, binNDmaxlikes, grids, ndim, meanlikes, maxlikes):
         """Write the plot-data files for an ND histogram density."""
-        stem = self.rootname + "_%s" + "_%sD.dat" % ndim
+        stem = self.rootname + "_%s" + f"_{ndim}D.dat"
         table = [np.ravel(binsND, order="C")]
         for i in range(ndim):
             table.append([grids[i][cell[::-1][i]] for cell in np.ndindex(binsND.shape)])
         np.savetxt(os.path.join(self.plot_data_dir, stem % "posterior"), np.transpose(table), "%16.7E")
-        contfile = self.rootname + "_posterior" + "_%sD_cont.dat" % ndim
+        contfile = f"{self.rootname}_posterior_{ndim}D_cont.dat"
         np.savetxt(os.path.join(self.plot_data_dir, contfile), np.atleast_2d(density.contours), "%16.7E")
         for wanted, values, tag in ((meanlikes, binNDlikes, "meanlike"), (maxlikes, binNDmaxlikes, "maxlike")):
             if wanted:
@@ -1369,7 +1376,7 @@ class MCSamples(Chains):
         has = np.isfinite(lo).any() or np.isfinite(hi).any() or per.any()
         like_w = None
         if meanlikes and self.loglikes is not None:
-            like_w = self.weights * np.exp(self.mean_loglike - self.loglikes)
+            like_w = self._likelihood_weights()
         # reference smooth_scale = -scale convention: auto bandwidth x scale
         scale_1d = -float(self.smooth_scale_1D) if float(self.smooth_scale_1D) < 0 else 1.0
         scale_2d = -float(self.smooth_scale_2D) if float(self.smooth_scale_2D) < 0 else 1.0
@@ -1441,10 +1448,11 @@ class MCSamples(Chains):
 
     def _makeNDhist(self, ixs, xsizes):
         if len(ixs) != len(xsizes):
-            raise ValueError("index and size arrays are of unequal length")
+            raise ValueError("need one bin size per index array")
         flatixv = self._flattenValues(ixs, xsizes)
-        if np.count_nonzero(np.asarray(ixs) - self._unflattenValues(flatixv, xsizes)) != 0:
-            raise ValueError("flatten/unflatten inconsistent")
+        rebuilt = self._unflattenValues(flatixv, xsizes)
+        if np.any(np.asarray(ixs) != np.asarray(rebuilt)):
+            raise ValueError("ND flat-index round-trip failed")
         # np.array (not asarray): device arrays give read-only views, and the
         # caller divides the histogram in place by the edge mask
         hist = np.array(_bincount(flatixv, self.weights, int(np.prod(xsizes)))).reshape(xsizes[::-1], order="C")
@@ -1474,7 +1482,7 @@ class MCSamples(Chains):
         ndim = len(parv)
         vrap = parv[::-1]
         if len(prior_mask.shape) != ndim:
-            raise ValueError("parv and prior_mask or different sizes!")
+            raise ValueError("prior_mask dimensionality does not match the parameter list")
         slices: Any = [slice(None) for _ in range(ndim)]
         for i in range(ndim):
             if vrap[i].has_limits_bot:
@@ -1490,14 +1498,13 @@ class MCSamples(Chains):
         """(working corr, raw corr) for a pair: zeroed when negligible,
         clipped to max_corr_2D when fully degenerate."""
         if abs(self.max_corr_2D) > 1:
-            raise SettingError("max_corr_2D cannot be >=1")
+            raise SettingError("max_corr_2D must be below 1")
         raw = self.getCorrelationMatrix()[j2][j]
         corr = raw
         if abs(abs(corr) - 1.0) <= 1e-8:
-            logging.warning("Parameters are 100%% correlated: %s, %s", parx.name, pary.name)
+            logging.warning("pair %s/%s is fully correlated", parx.name, pary.name)
             corr = np.sign(corr) * self.max_corr_2D
-        logging.debug("Doing 2D: %s - %s", parx.name, pary.name)
-        logging.debug("sample x_err, y_err, correlation: %s, %s, %s", parx.err, pary.err, corr)
+        logging.debug("2D pair %s/%s: errs %s, %s; corr %s", parx.name, pary.name, parx.err, pary.err, corr)
         if abs(corr) < 0.1:
             corr = 0.0
         return corr, raw
@@ -1505,7 +1512,8 @@ class MCSamples(Chains):
     def _degeneracy_adapted_bins(self, corr, base_fine_bins):
         """(fine_bins, coarse nbin2D): more bins along tight degeneracies
         (reference ``mcsamples.py:1812-1819``)."""
-        angle_scale = max(0.2, np.sqrt(1 - min(self.max_corr_2D, abs(corr)) ** 2))
+        tight = min(self.max_corr_2D, abs(corr))
+        angle_scale = max(0.2, np.sqrt(1 - tight**2))
         nbin2D = int(round(self.num_bins_2D / angle_scale))
         fine_bins = base_fine_bins
         if corr:
@@ -1531,9 +1539,9 @@ class MCSamples(Chains):
         return "periodic_y" if pary.periodic else "same"
 
     def _meanlikes_fine_2d(self, flatix, xsize, ysize):
-        like_w = self.weights * np.exp(self.mean_loglike - self.loglikes)
         # np.array: mutated in place later (device arrays view read-only)
-        return np.array(_bincount(flatix, like_w, xsize * ysize)).reshape((ysize, xsize))
+        flat = np.array(_bincount(flatix, self._likelihood_weights(), xsize * ysize))
+        return flat.reshape((ysize, xsize))
 
     @staticmethod
     def _meanlikes_smooth_2d(finebinlikes, bins2D, Win, mode, convolvesize, mult_bias_order):
@@ -1583,7 +1591,7 @@ class MCSamples(Chains):
         boundary_order = pick("boundary_correction_order")
         mult_bias_order = pick("mult_bias_correction_order")
         smooth_scale_2D = float(pick("smooth_scale_2D"))
-        has_prior = parx.has_limits or pary.has_limits or mask_function
+        has_prior = bool(parx.has_limits or pary.has_limits or mask_function)
 
         corr, actual_corr = self._pair_correlation(j, j2, parx, pary)
         fine_bins_2D, nbin2D = self._degeneracy_adapted_bins(corr, base_fine_bins_2D)
@@ -1609,13 +1617,13 @@ class MCSamples(Chains):
             rx = ry = smooth_scale_2D * fine_bins_2D / nbin2D
 
         widest = float(max(rx, ry))
-        logging.debug("corr, rx, ry: %s, %s, %s", corr, rx, ry)
+        logging.debug("kernel corr %s, fine-bin widths %s x %s", corr, rx, ry)
         if widest < 2:
-            logging.warning("fine_bins_2D not large enough for optimal density: %s, %s", parx.name, pary.name)
+            logging.warning("%s/%s: fine_bins_2D too coarse for the optimal 2D kernel", parx.name, pary.name)
         winw = max(1, int(round(2.5 * widest)))
         Win = self._anisotropic_window(rx, ry, corr, winw)
 
-        logging.debug("time 2D binning and bandwidth: %s ; bins: %s", time.time() - stopwatch, fine_bins_2D)
+        logging.debug("2D binning+bandwidth took %s s at %s bins", time.time() - stopwatch, fine_bins_2D)
         stopwatch = time.time()
         convolvesize = xsize + 2 * winw + Win.shape[0]  # oversized for fast fft padding choice
         conv_mode = self._conv_mode_2d(parx, pary)
@@ -1630,7 +1638,7 @@ class MCSamples(Chains):
         prior_mask = masked_out = None
         if need_mask:
             # pad by winw so 'valid' convolutions return (ysize, xsize)
-            prior_mask = np.ones((ysize + 2 * winw, xsize + 2 * winw))
+            prior_mask = np.ones((2 * winw + ysize, 2 * winw + xsize))
             if mask_function:
                 mask_function(
                     x_lo - winw * step_x, y_lo - winw * step_y, step_x, step_y, prior_mask
@@ -1643,7 +1651,9 @@ class MCSamples(Chains):
             self._boundary_correct_2d(surface, pair_hist, prior_mask, Win, winw, boundary_order, conv_mode, convolvesize)
 
         if mult_bias_order and not fully_periodic:
-            self._setAllEdgeMask2D(prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic)
+            self._setAllEdgeMask2D(
+                prior_mask, winw, periodic_x=parx.periodic, periodic_y=pary.periodic
+            )
             self._mult_bias_correct_2d(
                 surface, pair_hist, prior_mask, Win, conv_mode, convolvesize, mult_bias_order, masked_out
             )
@@ -1651,12 +1661,13 @@ class MCSamples(Chains):
         if mask_function:
             surface[masked_out] = 0
 
+        views = [(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)]
         density = Density2D(
             np.linspace(x_lo, x_hi, xsize),
             np.linspace(y_lo, y_hi, ysize),
             surface,
             mask=None if not mask_function else np.asarray(masked_out),
-            view_ranges=[(parx.range_min, parx.range_max), (pary.range_min, pary.range_max)],
+            view_ranges=views,
         )
         density.normalize("max", in_place=True)
         if get_density:
@@ -1664,8 +1675,8 @@ class MCSamples(Chains):
 
         ncontours = len(self.contours)
         if num_plot_contours:
-            ncontours = min(num_plot_contours, ncontours)
-        logging.debug("time 2D convolutions: %s", time.time() - stopwatch)
+            ncontours = min(int(num_plot_contours), ncontours)
+        logging.debug("2D convolutions took %s s", time.time() - stopwatch)
         density.contours = density.getContourLevels(self.contours[:ncontours])
         if meanlikes:
             like_surface /= np.max(like_surface)
@@ -1676,16 +1687,16 @@ class MCSamples(Chains):
     def _mult_bias_correct_2d(surface, pair_hist, prior_mask, Win, conv_mode, convolvesize, order, masked_out):
         """Multiplicative bias iterations in place: divide out the current
         estimate, re-smooth, multiply back (reference ``mcsamples.py:1921-1944``)."""
-        a00 = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
+        mask_mass = convolve2D(prior_mask, Win, "valid", largest_size=convolvesize)
         for _ in range(order):
             flattened = pair_hist.copy()
             significant = surface > np.max(surface) * 1e-8
             flattened[significant] /= surface[significant]
             surface *= convolve2D(flattened, Win, conv_mode, largest_size=convolvesize)
             if masked_out is not None:
-                surface[~masked_out] /= a00[~masked_out]
+                surface[~masked_out] /= mask_mass[~masked_out]
             else:
-                surface /= a00
+                surface /= mask_mass
 
     # -- ND densities ---------------------------------------------------------------
 
@@ -1706,8 +1717,8 @@ class MCSamples(Chains):
     def _getScaleForParam(self, par):
         # Half-width-at-50% based scale; also primes the 1D density cache.
         density = self.get1DDensity(par)
-        mn, mx, lim_bot, lim_top = density.getLimits(0.5, accuracy_factor=1)
-        if lim_bot or lim_top:
+        mn, mx, bot_hit, top_hit = density.getLimits(0.5, accuracy_factor=1)
+        if bot_hit or top_hit:
             return (mx - mn) / 0.675
         return (mx - mn) / (2 * 0.675)
 
@@ -1729,24 +1740,28 @@ class MCSamples(Chains):
             bins2D[live] = normed
             return
         if order != 1:
-            raise SettingError("unknown boundary_correction_order (expected 0 or 1)")
-        # window moments against the mask: subscripts are (x-power, y-power)
-        offsets = np.arange(-winw, winw + 1)
-        wx = Win * offsets[None, :]
-        wy = Win * offsets[:, None]
-        a10 = mask_conv(wx)[live]
-        a01 = mask_conv(wy)[live]
-        a20 = mask_conv(wx * offsets[None, :])[live]
-        a02 = mask_conv(wy * offsets[:, None])[live]
-        a11 = mask_conv(wy * offsets[None, :])[live]
-        xP = convolve2D(histbins, wx, mode, largest_size=convolvesize)[live]
-        yP = convolve2D(histbins, wy, mode, largest_size=convolvesize)[live]
-        denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
+            raise SettingError("2D boundary_correction_order supports only 0 and 1")
+        # window moments against the mask: m[jk] pairs x-power j with y-power k
+        dx = np.arange(-winw, winw + 1)[None, :]
+        dy = dx.reshape(-1, 1)
+        tilted_x, tilted_y = Win * dx, Win * dy
+        m = {
+            jk: mask_conv(w)[live]
+            for jk, w in (
+                ("10", tilted_x), ("01", tilted_y),
+                ("20", tilted_x * dx), ("02", tilted_y * dy), ("11", tilted_y * dx),
+            )
+        }
+        m00, m10, m01 = a00, m["10"], m["01"]
+        m20, m02, m11 = m["20"], m["02"], m["11"]
+        firstP_x = convolve2D(histbins, tilted_x, mode, largest_size=convolvesize)[live]
+        firstP_y = convolve2D(histbins, tilted_y, mode, largest_size=convolvesize)[live]
+        det = m20 * m01**2 + m10**2 * m02 - m00 * m02 * m20 + m11**2 * m00 - 2 * m01 * m10 * m11
         corrected = (
-            bins2D[live] * (a11**2 - a02 * a20)
-            + xP * (a10 * a02 - a01 * a11)
-            + yP * (a01 * a20 - a10 * a11)
-        ) / denom
+            bins2D[live] * (m11**2 - m02 * m20)
+            + firstP_x * (m10 * m02 - m01 * m11)
+            + firstP_y * (m01 * m20 - m10 * m11)
+        ) / det
         # clamped log-space update keeps the correction positive and bounded
         bins2D[live] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
 
@@ -1802,7 +1817,7 @@ class MCSamples(Chains):
 
         span = par.range_max - par.range_min
         if span <= 0:
-            raise MCSamplesError("Parameter range is <= 0: " + par.name)
+            raise MCSamplesError(f"{par.name} has an empty parameter range")
         coarse_width = span / (num_bins - 1)
 
         bin_indices, fine_width, binmin, binmax = self._binSamples(self.samples[:, index], par, fine_bins)
@@ -1823,12 +1838,10 @@ class MCSamples(Chains):
             smooth_1D = smooth_scale_1D * coarse_width / fine_width
 
         if smooth_1D < 2:
-            logging.warning("fine_bins not large enough to well sample smoothing scale - " + par.name)
+            logging.warning("%s: fine_bins too coarse to resolve the smoothing kernel", par.name)
         smooth_1D = min(max(1.0, smooth_1D), fine_bins // 2)
 
-        logging.debug(
-            "%s 1D sigma_range, std: %s, %s; smooth_1D_bins: %s ", par.name, par.sigma_range, par.err, smooth_1D
-        )
+        logging.debug("%s 1D: sigma_range %s, std %s, kernel %s fine bins", par.name, par.sigma_range, par.err, smooth_1D)
 
         support = (fine_bins - 1) if par.periodic else fine_bins
         winw = min(int(round(2.5 * smooth_1D)), support // 2 - 2)
@@ -1858,12 +1871,16 @@ class MCSamples(Chains):
             density1D.likes = None
         return density1D
 
+    def _likelihood_weights(self):
+        """Per-sample weights for mean-likelihood shading surfaces."""
+        return self.weights * np.exp(self.mean_loglike - self.loglikes)
+
     def _fine_like_bins(self, bin_indices, fine_bins):
         """Likelihood-weighted fine histogram for mean-like shading."""
         if self.shade_likes_is_mean_loglikes:
             w = self.weights * self.loglikes
         else:
-            w = self.weights * np.exp(self.mean_loglike - self.loglikes)
+            w = self._likelihood_weights()
         # np.array: mutated in place downstream (device arrays view read-only)
         return np.array(_bincount(bin_indices, w, fine_bins))
 
@@ -1871,11 +1888,11 @@ class MCSamples(Chains):
     def _interior_order2_correct_1d(density1D, bins, kernel):
         """Higher-order kernel in the interior (no boundary): subtract the
         second-moment bias term in clamped log space."""
-        xWin2 = kernel.Win * kernel.x**2
-        x2P = convolve1D(bins, xWin2, "same")
-        a2 = np.sum(xWin2)
-        a4 = np.dot(xWin2, kernel.x**2)
-        corrected = (density1D.P * a4 - a2 * x2P) / (a4 - a2**2)
+        curved = kernel.Win * kernel.x**2
+        secondP = convolve1D(bins, curved, "same")
+        m2 = np.sum(curved)
+        m4 = np.dot(curved, kernel.x**2)
+        corrected = (density1D.P * m4 - m2 * secondP) / (m4 - m2**2)
         positive = density1D.P > 0
         density1D.P[positive] *= np.exp(np.minimum(corrected[positive] / density1D.P[positive], 2) - 1)
 
@@ -1900,7 +1917,7 @@ class MCSamples(Chains):
         window mass (order 0) or solve the linear/quadratic boundary-kernel
         moment system (orders 1/2, Jones 1993 family); reference
         ``mcsamples.py:1600-1647``."""
-        prior_mask = np.ones(fine_bins + 2 * winw)
+        prior_mask = np.ones(2 * winw + fine_bins)
         if par.has_limits_bot:
             prior_mask[winw] = 0.5
             prior_mask[:winw] = 0
@@ -1911,29 +1928,29 @@ class MCSamples(Chains):
         def mask_conv(window):
             return convolve1D(prior_mask, window, "valid")
 
-        a0 = mask_conv(kernel.Win)
-        live = np.nonzero(a0 * density1D.P)
-        a0 = a0[live]
-        normed = density1D.P[live] / a0
+        m0 = mask_conv(kernel.Win)
+        live = np.nonzero(m0 * density1D.P)
+        m0 = m0[live]
+        normed = density1D.P[live] / m0
         if order == 0:
             density1D.P[live] = normed
             return
         if order > 2:
-            raise SettingError("Unknown boundary_correction_order (expected 0, 1, 2)")
-        xWin = kernel.Win * kernel.x
-        a1 = mask_conv(xWin)[live]
-        a2 = mask_conv(xWin * kernel.x)[live]
-        xP = convolve1D(bins, xWin, "same")[live]
+            raise SettingError("boundary_correction_order supports only 0, 1 and 2")
+        tilted = kernel.Win * kernel.x
+        m1 = mask_conv(tilted)[live]
+        m2 = mask_conv(tilted * kernel.x)[live]
+        firstP = convolve1D(bins, tilted, "same")[live]
         if order == 1:
-            corrected = (density1D.P[live] * a2 - xP * a1) / (a0 * a2 - a1**2)
+            corrected = (density1D.P[live] * m2 - firstP * m1) / (m0 * m2 - m1**2)
         else:
-            a3 = mask_conv(xWin * kernel.x**2)[live]
-            a4 = mask_conv(xWin * kernel.x**3)[live]
-            x2P = convolve1D(bins, xWin * kernel.x, "same")[live]
-            denom = a4 * a2 * a0 - a4 * a1**2 - a2**3 - a3**2 * a0 + 2 * a1 * a2 * a3
+            m3 = mask_conv(tilted * kernel.x**2)[live]
+            m4 = mask_conv(tilted * kernel.x**3)[live]
+            secondP = convolve1D(bins, tilted * kernel.x, "same")[live]
+            det = m4 * m2 * m0 - m4 * m1**2 - m2**3 - m3**2 * m0 + 2 * m1 * m2 * m3
             corrected = (
-                density1D.P[live] * (a4 * a2 - a3**2) + xP * (a2 * a3 - a4 * a1) + x2P * (a3 * a1 - a2**2)
-            ) / denom
+                density1D.P[live] * (m4 * m2 - m3**2) + firstP * (m2 * m3 - m4 * m1) + secondP * (m3 * m1 - m2**2)
+            ) / det
         # clamped log-space update keeps the correction positive and bounded
         density1D.P[live] = normed * np.exp(np.minimum(corrected / normed, 4) - 1)
 
@@ -1979,8 +1996,9 @@ class MCSamples(Chains):
             if want_2d and abs(corr) < 0.999:
                 N_eff = self.getEffectiveSamplesGaussianKDE_2d(paramx, paramy)
             else:
-                N_eff = min(self._get1DNeff(parx, paramx), self._get1DNeff(pary, paramy))
-        logging.debug("%s %s AutoBandwidth2D: N_eff=%s, corr=%s", parx.name, pary.name, N_eff, corr)
+                neffs = (self._get1DNeff(parx, paramx), self._get1DNeff(pary, paramy))
+                N_eff = min(neffs)
+        logging.debug("AutoBandwidth2D %s/%s: N_eff %s at corr %s", parx.name, pary.name, N_eff, corr)
 
         plugin_width = N_eff ** (-1.0 / 6)
         clipped_corr = np.clip(corr, -self.max_corr_2D, self.max_corr_2D)
@@ -2012,13 +2030,13 @@ class MCSamples(Chains):
             except ValueError as e:
                 hx, hy, c = fallback_widths(e)
 
-        logging.debug("hx/sig, hy/sig, corr =%s, %s, %s", hx / parx.err, hy / pary.err, c)
+        logging.debug("relative widths %s, %s at kernel corr %s", hx / parx.err, hy / pary.err, c)
         order = self.mult_bias_correction_order if mult_bias_correction_order is None else mult_bias_correction_order
         if order:
             # higher-order estimator: widen by the N-scaling mismatch factor
             scale = 1.1 * N_eff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + order)))
             hx, hy = hx * scale, hy * scale
-            logging.debug("hx/sig, hy/sig, corr, scale =%s, %s, %s, %s", hx / parx.err, hy / pary.err, c, scale)
+            logging.debug("rescaled widths %s, %s (corr %s, factor %s)", hx / parx.err, hy / pary.err, c, scale)
         return hx, hy, c
 
     def _optimize_bandwidth_sheared(self, parx, pary, paramx, paramy, N_eff, nbins):
@@ -2065,7 +2083,8 @@ class MCSamples(Chains):
         if N_eff is None:
             N_eff = self._get1DNeff(par, param)
         h = kde.gaussian_kde_bandwidth_binned(bins, Neff=N_eff)
-        bin_range = max(par.param_max, par.range_max) - min(par.param_min, par.range_min)
+        top, bottom = max(par.param_max, par.range_max), min(par.param_min, par.range_min)
+        bin_range = top - bottom
         floor = 0.01 * N_eff ** (-1.0 / 5) * (par.range_max - par.range_min) / bin_range
         if h is None or h < floor:
             hnew = 1.06 * par.sigma_range * N_eff ** (-1.0 / 5) / bin_range
@@ -2073,14 +2092,20 @@ class MCSamples(Chains):
                 self.no_warning_chi2_params and ("chi2_" in par.name or "minuslog" in par.name)
             )
             if not suppressed:
-                msg = f"auto bandwidth for {par.name} very small or failed (h={h},N_eff={N_eff}). Using fallback (h={hnew})"
+                msg = (
+                    f"ISJ bandwidth for {par.name} tiny or undetermined "
+                    f"(h={h}, N_eff={N_eff}); falling back to h={hnew}"
+                )
                 if getattr(self, "raise_on_bandwidth_errors", False):
                     raise BandwidthError(msg)
                 logging.warning(msg)
             h = hnew
 
         par.kde_h = h
-        m = self.mult_bias_correction_order if mult_bias_correction_order is None else mult_bias_correction_order
+        if mult_bias_correction_order is None:
+            m = self.mult_bias_correction_order
+        else:
+            m = mult_bias_correction_order
         if kernel_order > 1:
             m = max(m, 1)
         if not m:
@@ -2092,8 +2117,7 @@ class MCSamples(Chains):
     def _get1DNeff(self, par, param):
         N_eff = getattr(par, "N_eff_kde", None)
         if N_eff is None:
-            par.N_eff_kde = self.getEffectiveSamplesGaussianKDE(param, scale=par.sigma_range)
-            N_eff = par.N_eff_kde
+            N_eff = par.N_eff_kde = self.getEffectiveSamplesGaussianKDE(param, scale=par.sigma_range)
         return N_eff
 
     # -- bandwidths ----------------------------------------------------------------
@@ -2105,7 +2129,7 @@ class MCSamples(Chains):
         binmin = min(par.param_min, par.range_min) - (0 if par.has_limits_bot else pad)
         binmax = max(par.param_max, par.range_max) + (0 if par.has_limits_top else pad)
         fine_width = (binmax - binmin) / (num_fine_bins - 1)
-        ix = ((paramVec - binmin) / fine_width + 0.5).astype(int)
+        ix = ((paramVec - binmin) / fine_width + 0.5).astype(np.int64)
         return ix, fine_width, binmin, binmax
 
     @staticmethod
@@ -2150,13 +2174,14 @@ class MCSamples(Chains):
         par.param_min = np.min(paramVec)
         par.param_max = np.max(paramVec)
         paramConfid = paramConfid or self.initParamConfidenceData(paramVec)
-        probe = np.concatenate(([self.range_confidence, 1 - self.range_confidence], np.linspace(0.1, 0.9, 9)))
+        deciles = np.linspace(0.1, 0.9, 9)
+        probe = np.concatenate(([self.range_confidence, 1 - self.range_confidence], deciles))
         levels = self.confidence(paramConfid, probe)
         par.range_min, par.range_max = levels[0], levels[1]
         par.sigma_range = self._peak_scale(levels[2:], par.param_min, par.param_max, par.err)
         if self.range_ND_contour >= 0 and self.likeStats:
             if self.range_ND_contour >= par.ND_limit_bot.size:
-                raise SettingError("range_ND_contour should be -1 (off), or an index into the computed contour levels")
+                raise SettingError("range_ND_contour must be -1 (disabled) or a valid contour-level index")
             nd_lo = par.ND_limit_bot[self.range_ND_contour]
             nd_hi = par.ND_limit_top[self.range_ND_contour]
             par.range_min = min(max(par.range_min - par.err, nd_lo), par.range_min)
@@ -2168,7 +2193,8 @@ class MCSamples(Chains):
         if isinstance(j, str):
             j = self.index[j]
         paramVec = self.samples[:, j]
-        return self._initParam(self.paramNames.names[j], paramVec, self.means[j], self.sddev[j], paramConfid)
+        info = self.paramNames.names[j]
+        return self._initParam(info, paramVec, self.means[j], self.sddev[j], paramConfid)
 
     def getLower(self, name):
         """Lower hard bound for a named parameter, or None."""
@@ -2195,34 +2221,32 @@ class MCSamples(Chains):
 
     def _readRanges(self):
         if self.root:
-            ranges_file = self.root + ".ranges"
-            if os.path.isfile(ranges_file):
-                self.ranges = ParamBounds(ranges_file)
+            sidecar = self.root + ".ranges"
+            if os.path.isfile(sidecar):
+                self.ranges = ParamBounds(sidecar)
                 return
-            ranges_file = cobaya_interface.cobaya_params_file(self.root)
-            if ranges_file:
-                self.ranges = ParamBounds(ranges_file)
+            yaml_info = cobaya_interface.cobaya_params_file(self.root)
+            if yaml_info:
+                self.ranges = ParamBounds(yaml_info)
                 return
         self.ranges = ParamBounds()
 
     def getFractionIndices(self, weights, n):
         """Row indices splitting total weight into n equal fractions."""
         cumsum = np.cumsum(weights)
-        return np.append(
-            np.searchsorted(cumsum, np.linspace(0, 1, n, endpoint=False) * self.norm), self.weights.shape[0]
-        )
+        targets = np.linspace(0, 1, n, endpoint=False) * self.norm
+        return np.append(np.searchsorted(cumsum, targets), len(self.weights))
 
     # -- ranges / limits --------------------------------------------------------
 
     def writeCorrelationMatrix(self, filename=None):
         """Write the correlation matrix to text."""
-        filename = filename or self.rootdirname + ".corr"
-        np.savetxt(filename, self.getCorrelationMatrix(), fmt="%15.7E")
+        target = filename or self.rootdirname + ".corr"
+        np.savetxt(target, self.getCorrelationMatrix(), fmt="%15.7E")
 
     def writeCovMatrix(self, filename=None):
         """Write the non-derived parameter covariance to .covmat text."""
-        filename = filename or self.rootdirname + ".covmat"
-        self.getCovMat().saveToFile(filename)
+        self.getCovMat().saveToFile(filename or self.rootdirname + ".covmat")
 
     def getCovMat(self):
         """CovMat of the non-derived parameters."""
@@ -2233,9 +2257,9 @@ class MCSamples(Chains):
         """Write samples at the given indices, optionally cooled."""
         nparams = self.samples.shape[1]
         if cool != 1:
-            logging.info("Cooled thinned output with temp: %s", cool)
+            logging.info("writing thinned samples cooled by %s", cool)
         if self.loglikes is None:
-            raise ValueError("writeThinData assumes you have likelihoods and weights")
+            raise ValueError("thinned output needs likelihood values")
         MaxL = np.max(self.loglikes)
         with open(fname, "w", encoding="utf-8") as handle:
             for i, row in enumerate(thin_ix):
@@ -2253,7 +2277,8 @@ class MCSamples(Chains):
     def makeSingleSamples(self, filename="", single_thin=None, random_state=None):
         """Random unit-weight samples (or write them to a file)."""
         if single_thin is None:
-            single_thin = max(1, self.norm / self.max_mult / self.max_scatter_points)
+            equiv = self.norm / self.max_mult
+            single_thin = max(1, equiv / self.max_scatter_points)
         draws = np.random.default_rng(random_state).random(self.numrows)
         if not filename:
             return self.samples[draws <= self.weights / (self.max_mult * single_thin)]
@@ -2271,7 +2296,7 @@ class MCSamples(Chains):
         weight_ceiling = (self.mean_mult * self.numrows) / min(self.numrows // 2, 500)
         n_outliers = np.sum(self.weights > weight_ceiling)
         if n_outliers:
-            logging.warning("outlier fraction %s ", float(n_outliers) / self.numrows)
+            logging.warning("%s of samples carry outlier weights", float(n_outliers) / self.numrows)
 
         self.indep_thin = 0
         self._setCov()
@@ -2292,12 +2317,12 @@ class MCSamples(Chains):
         stored = self.properties
         if cool is None:
             if not stored.hasKey("temperature"):
-                raise ValueError("Pass a cooling temperature, since the sample does not have one specified")
+                raise ValueError("no stored temperature on these samples: pass the cooling factor explicitly")
             cool = stored.float("temperature")
         if cool == 1:
             return
         if stored.float("cooled", 1) != 1:
-            logging.warning("Chain has already been cooled by %s", stored.float("cooled"))
+            logging.warning("samples were already cooled (factor %s)", stored.float("cooled"))
         super().cool(cool)
         stored.params["cooled"] = cool
         if stored.hasKey("temperature"):
@@ -2314,7 +2339,7 @@ class MCSamples(Chains):
         )
         if self.ignore_frac and not grid_handled:
             self.removeBurnFraction(self.ignore_frac)
-            chains.print_load_line("Removed %s as burn in" % self.ignore_frac)
+            chains.print_load_line(f"Removed {self.ignore_frac} as burn in")
         elif not int(self.ignore_rows):
             chains.print_load_line("Removed no burn in")
 
@@ -2326,7 +2351,8 @@ class MCSamples(Chains):
 
     def updateSettings(self, settings: Mapping[str, Any] | None = None, ini=None, doUpdate=True):
         """Apply settings from an ini file and/or dict of overrides."""
-        assert settings is None or isinstance(settings, Mapping)
+        if settings is not None and not isinstance(settings, Mapping):
+            raise TypeError("settings must be a mapping of option overrides")
         if not ini:
             ini = self.ini or IniFile(getdist_tpu.default_getdist_settings)
         else:
@@ -2347,8 +2373,7 @@ class MCSamples(Chains):
             pieces = spec.split()
             if len(pieces) == 2:
                 self.ranges.setRange(par.name, pieces)
-            par.limmin = self.ranges.getLower(par.name)
-            par.limmax = self.ranges.getUpper(par.name)
+            par.limmin, par.limmax = self.ranges.getLower(par.name), self.ranges.getUpper(par.name)
             par.has_limits_bot = par.limmin is not None
             par.has_limits_top = par.limmax is not None
             par.periodic = par.name in self.ranges.periodic
@@ -2386,7 +2411,7 @@ class MCSamples(Chains):
         ):
             ini.setAttr(name, self)
         if self.force_twotail:
-            logging.warning("Computing two tail limits")
+            logging.warning("force_twotail set: all limits treated as two-tail")
         ini.setAttr("max_corr_2D", self)
 
         if ini.hasKey("contours"):
@@ -2396,8 +2421,8 @@ class MCSamples(Chains):
             self.contours = np.array([ini.float("contour" + str(i + 1)) for i in range(n_levels)])
         # threshold for the edge bin to allow two-tail limits
         self.max_frac_twotail = []
-        for i, contour in enumerate(self.contours):
-            gauss_edge = np.exp(-1.0 * math.pow(norm.ppf((1 - contour) / 2), 2) / 2)
+        for i, level in enumerate(self.contours):
+            gauss_edge = np.exp(-1.0 * math.pow(norm.ppf((1 - level) / 2), 2) / 2)
             self.max_frac_twotail.append(ini.float("max_frac_twotail" + str(i + 1), gauss_edge) if ini else gauss_edge)
 
         ini.setAttr("converge_test_limit", self, self.contours[-1])
@@ -2411,7 +2436,7 @@ class MCSamples(Chains):
                 ini.setAttr(name, self)
             else:
                 ini.setAttr(name, self, default)
-        self.batch_path = ini.string("batch_path", self.batch_path, allowEmpty=False)
+        self.batch_path = ini.string("batch_path", default=self.batch_path, allowEmpty=False)
 
     def _setBurnOptions(self, ini):
         ini.setAttr("ignore_rows", self)
@@ -2421,9 +2446,8 @@ class MCSamples(Chains):
 
     def parLabel(self, i):
         """Latex label for a parameter index or name."""
-        if isinstance(i, str):
-            return self.paramNames.parWithName(i).label
-        return self.paramNames.names[i].label
+        info = self.paramNames.parWithName(i) if isinstance(i, str) else self.paramNames.names[i]
+        return info.label
 
     def parName(self, i, starDerived=False):
         """Name of the i'th parameter."""
@@ -2443,7 +2467,7 @@ class MCSamples(Chains):
         elif isinstance(ranges, ParamBounds):
             self.ranges = copy.deepcopy(ranges)
         else:
-            raise ValueError("MCSamples ranges parameter must be list or dict")
+            raise ValueError("ranges must be a list/array, dict, or ParamBounds")
         self.needs_update = True
 
     def copy(self, label=None, settings=None) -> "MCSamples":

@@ -17,7 +17,9 @@ then the latex table machinery.
 import decimal
 import os
 import tempfile
+from dataclasses import dataclass
 from io import BytesIO
+from pathlib import Path
 from types import MappingProxyType
 
 import numpy as np
@@ -32,21 +34,18 @@ _sci_tolerance = 4
 
 class TextFile:
     def __init__(self, lines=None):
-        if isinstance(lines, str):
-            lines = [lines]
-        self.lines = lines or []
+        self.lines = [lines] if isinstance(lines, str) else list(lines or [])
 
     def write(self, outfile):
-        with open(outfile, "w", encoding="utf-8") as f:
-            f.write("\n".join(self.lines))
+        Path(outfile).write_text("\n".join(self.lines), encoding="utf-8")
 
 
 def texEscapeText(string):
-    return string.replace("_", "{\\textunderscore}")
+    return r"{\textunderscore}".join(string.split("_"))
 
 
 def times_ten_power(exponent):
-    return r"\cdot 10^{%d}" % exponent
+    return r"\cdot 10^{%d}" % int(exponent)
 
 
 class ParamResults(ParamList):
@@ -59,10 +58,11 @@ class ParamResults(ParamList):
 # ---------------------------------------------------------------------------
 
 
+@dataclass
 class LikelihoodChi2:
-    name: str
-    tag: str
-    chisq: float
+    name: str = ""
+    tag: str | None = None
+    chisq: float = 0.0
 
 
 class BestFit(ParamResults):
@@ -77,92 +77,85 @@ class BestFit(ParamResults):
         :param max_posterior: True for .minimum, False for .bestfit
         """
         super().__init__()
-        self.max_posterior = max_posterior
-        if fileName is not None:
-            self.loadFromFile(fileName, want_fixed=want_fixed)
-        if setParamNameFile is not None:
+        self.max_posterior = bool(max_posterior)
+        if fileName:
+            self.loadFromFile(fileName, want_fixed)
+        if setParamNameFile:
             self.setLabelsFromParamNames(setParamNameFile)
 
     def getColumnLabels(self, **_kwargs):
         return ["Best fit"]
 
+    @staticmethod
+    def _header_keyval(line):
+        key, _, val = line.partition("=")
+        return key.strip(), val.strip()
+
     def _parse_chisq_block(self, tail_lines):
         """The trailing per-likelihood chi-squared block of a .minimum file."""
-        for entry in tail_lines:
-            if not entry.strip():
+        for raw in tail_lines:
+            if not raw.strip():
                 continue
-            chisq, rest = [s.strip() for s in entry.split(None, 2)][1:]
-            pieces = [s.strip() for s in rest.split(":", 1)]
-            kind, label = pieces if len(pieces) > 1 else ("", pieces[0])
-            record = LikelihoodChi2()
-            if "=" in label:
-                record.tag, record.name = (s.strip() for s in label.split("="))
-            else:
-                record.tag, record.name = None, label
-            record.chisq = float(chisq)
-            self.chiSquareds.append((kind, record))
+            _idx, chisq, remainder = (tok.strip() for tok in raw.split(None, 2))
+            kind, colon, label = (tok.strip() for tok in remainder.partition(":"))
+            if not colon:
+                kind, label = "", kind
+            tag, eq, name = (tok.strip() for tok in label.partition("="))
+            if not eq:
+                tag, name = None, label
+            self.chiSquareds.append((kind, LikelihoodChi2(name=name, tag=tag, chisq=float(chisq))))
 
     def loadFromFile(self, filename, want_fixed=False):
-        body = self.fileList(filename)
-        header = body[0].strip().split("=")
-        if header[0].strip() == "weight":
-            self.weight = float(header[1].strip())
-            del body[0]
-            header = body[0].strip().split("=")
-        if header[0].strip() != "-log(Like)":
+        rows = self.fileList(filename)
+        key, val = self._header_keyval(rows[0])
+        if key == "weight":
+            self.weight = float(val)
+            del rows[0]
+            key, val = self._header_keyval(rows[0])
+        if key != "-log(Like)":
             raise Exception("Error in format of parameter (best fit) file")
-        self.logLike = float(header[1].strip())
+        self.logLike = float(val)
         self.chiSquareds = []
-        in_fixed_block = False
-        derived_flag = False
-        blanks_seen = 0
-        if len(body[1].strip()) > 0:
-            del body[1]  # optional chi-sq header line variant
-        for row in range(2, len(body)):
-            entry = body[row]
-            if not entry.strip():
-                blanks_seen += 1
-                in_fixed_block = not in_fixed_block
-                derived_flag = True
-                if blanks_seen == 3:
-                    if row + 2 < len(body):
-                        self._parse_chisq_block(body[row + 2 :])
+        if rows[1].strip():
+            del rows[1]  # optional chi-sq header line variant
+        in_fixed, in_derived, gaps = False, False, 0
+        for idx in range(2, len(rows)):
+            raw = rows[idx]
+            if not raw.strip():
+                gaps += 1
+                in_fixed, in_derived = not in_fixed, True
+                if gaps == 3:
+                    if idx + 2 < len(rows):
+                        self._parse_chisq_block(rows[idx + 2 :])
                     break
                 continue
-            if in_fixed_block and not want_fixed:
+            if in_fixed and not want_fixed:
                 continue
-            record = ParamInfo()
-            record.isFixed = in_fixed_block
-            record.isDerived = derived_flag
-            record.number, record.best_fit, record.name, record.label = (s.strip() for s in entry.split(None, 3))
-            record.number = int(record.number)
-            record.best_fit = float(record.best_fit)
-            self.names.append(record)
+            num, fit, pname, plabel = (tok.strip() for tok in raw.split(None, 3))
+            info = ParamInfo()
+            info.isFixed, info.isDerived = in_fixed, in_derived
+            info.number, info.best_fit = int(num), float(fit)
+            info.name, info.label = pname, plabel
+            self.names.append(info)
 
     def sortedChiSquareds(self):
-        grouped = {}
-        for kind, val in self.chiSquareds:
-            grouped.setdefault(kind, []).append(val)
-        return sorted(iter(grouped.items()))
+        by_kind = {}
+        for kind, item in self.chiSquareds:
+            by_kind.setdefault(kind, []).append(item)
+        return sorted(by_kind.items())
 
     def chiSquareForKindName(self, kind, name):
-        for akind, val in self.chiSquareds:
-            if akind == kind and val.name == name:
-                return val.chisq
-        return None
+        hits = (item.chisq for k, item in self.chiSquareds if k == kind and item.name == name)
+        return next(hits, None)
 
     def texValues(self, formatter, p, **_kwargs):
-        record = self.parWithName(p.name)
-        if record is None:
-            return None
-        return [formatter.numberFormatter.formatNumber(record.best_fit)]
+        match = self.parWithName(p.name)
+        return None if match is None else [formatter.numberFormatter.formatNumber(match.best_fit)]
 
     def getParamDict(self, include_derived=True):
-        out = {
-            info.name: info.best_fit for info in self.names if include_derived or not info.isDerived
-        }
-        out["weight"] = 1
-        out["loglike"] = self.logLike
+        wanted = (info for info in self.names if include_derived or not info.isDerived)
+        out = {info.name: info.best_fit for info in wanted}
+        out.update(weight=1, loglike=self.logLike)
         return out
 
 
@@ -176,36 +169,31 @@ class ParamLimit:
     :ivar onetail_lower: True for a one-tail lower limit
     """
 
+    _TAGS = ("two", ">", "<", "none")
+    _KINDS = ("two tail", "one tail upper limit", "one tail lower limit", "none")
+
     def __init__(self, minmax, tag="two"):
         """
         :param minmax: [min, max] values (None if unbounded)
         :param tag: 'two' | '>' | '<' | 'none'
         """
         self.lower, self.upper = minmax[0], minmax[1]
-        self.twotail = tag == "two"
-        self.onetail_upper = tag == ">"
-        self.onetail_lower = tag == "<"
+        self.twotail, self.onetail_upper, self.onetail_lower = (tag == t for t in self._TAGS[:3])
+
+    def _kind_index(self):
+        flags = (self.twotail, self.onetail_upper, self.onetail_lower, True)
+        return flags.index(True)
 
     def limitTag(self):
         """Short tag: 'two', '>', '<' or 'none'."""
-        for flag, tag in ((self.twotail, "two"), (self.onetail_upper, ">"), (self.onetail_lower, "<")):
-            if flag:
-                return tag
-        return "none"
+        return self._TAGS[self._kind_index()]
 
     def limitType(self):
         """Human-readable limit type description."""
-        for flag, kind in (
-            (self.twotail, "two tail"),
-            (self.onetail_upper, "one tail upper limit"),
-            (self.onetail_lower, "one tail lower limit"),
-        ):
-            if flag:
-                return kind
-        return "none"
+        return self._KINDS[self._kind_index()]
 
     def __str__(self):
-        return f"{self.lower:g} {self.upper:g} {self.limitTag()}"
+        return " ".join(["%g" % self.lower, "%g" % self.upper, self.limitTag()])
 
 
 class MargeStats(ParamResults):
@@ -214,94 +202,84 @@ class MargeStats(ParamResults):
 
     def loadFromFile(self, filename):
         """Parse a .margestats file."""
-        body = self.fileList(filename)
-        self.limits = [float(s.strip()) for s in body[0].split(":")[1].split(";")]
+        rows = self.fileList(filename)
+        self.limits = [float(tok) for tok in rows[0].split(":")[1].split(";")]
         self.hasBestFit = False
-        n_lims = len(self.limits)
-        for entry in body[3:]:
-            if not entry.strip():
+        k = len(self.limits)
+        for raw in rows[3:]:
+            if not raw.strip():
                 break
-            record = ParamInfo()
-            fields = [s.strip() for s in entry.split(None, n_lims * 3 + 3)]
-            record.name = fields[0]
-            if record.name.endswith("*"):
-                record.isDerived = True
-                record.name = record.name[:-1]
-            record.mean = float(fields[1])
-            record.err = float(fields[2])
-            record.label = fields[-1]
-            record.limits = [
-                ParamLimit([float(s) for s in fields[3 + i * 3 : 5 + i * 3]], fields[5 + i * 3])
-                for i in range(n_lims)
-            ]
-            self.names.append(record)
+            cells = [tok.strip() for tok in raw.split(None, 3 * k + 3)]
+            info = ParamInfo()
+            info.isDerived = cells[0].endswith("*")
+            info.name = cells[0][:-1] if info.isDerived else cells[0]
+            info.mean, info.err = float(cells[1]), float(cells[2])
+            info.label = cells[-1]
+            triples = (cells[3 + 3 * i : 6 + 3 * i] for i in range(k))
+            info.limits = [ParamLimit([float(lo), float(hi)], kind) for lo, hi, kind in triples]
+            self.names.append(info)
 
     def headerLine(self, inc_limits=False):
         parForm = self.parFormat()
-        cells = [parForm % "parameter" + "  ", "%-15s" % "mean", "%-15s" % "sddev"]
-        for j, limit in enumerate(self.limits):
-            if inc_limits:
-                tag = "_%.0f%%" % (limit * 100)
-                limtxt = "type"
-            else:
-                tag = str(j + 1)
-                limtxt = "limit" + tag
-            cells.append("%-15s" % ("lower" + tag))
-            cells.append("%-15s" % ("upper" + tag))
-            cells.append("%-7s" % limtxt)
-        return "".join(cells), parForm
+        head = parForm % "parameter" + "  " + "mean".ljust(15) + "sddev".ljust(15)
+        for j, frac in enumerate(self.limits):
+            tag = "_%.0f%%" % (100 * frac) if inc_limits else str(j + 1)
+            head += ("lower" + tag).ljust(15) + ("upper" + tag).ljust(15)
+            head += ("type" if inc_limits else "limit" + tag).ljust(7)
+        return head, parForm
 
     def __str__(self):
-        header, parForm = self.headerLine()
-        pieces = ["Marginalized limits: %s\n\n" % "; ".join(str(c) for c in self.limits), header, "\n"]
-        for j, par in enumerate(self.names):
-            pieces.append(parForm % (self.name(j, True)))
-            pieces.append(f"{par.mean:15.7E}{par.err:15.7E}")
-            for lim in par.limits:
-                pieces.append("%15.7E%15.7E  %-5s" % (lim.lower, lim.upper, lim.limitTag()))
-            pieces.append("   %s\n" % par.label)
-        return "".join(pieces)
+        head, parForm = self.headerLine()
+        levels = "; ".join(str(level) for level in self.limits)
+        out = [f"Marginalized limits: {levels}\n\n", head, "\n"]
+        for idx, info in enumerate(self.names):
+            row = parForm % self.name(idx, True) + "%15.7E%15.7E" % (info.mean, info.err)
+            for lim in info.limits:
+                row += "%15.7E%15.7E  %-5s" % (lim.lower, lim.upper, lim.limitTag())
+            out.append(row + f"   {info.label}\n")
+        return "".join(out)
 
     def saveAsText(self, filename):
         """Write the .margestats text format."""
-        with open(filename, "w", encoding="utf-8") as f:
-            f.write(str(self))
+        Path(filename).write_text(str(self), encoding="utf-8")
 
     def addBestFit(self, bf):
         self.hasBestFit = True
         self.logLike = bf.logLike
-        # drop parameters absent from the best fit
-        self.names = [x for x in self.names if bf.parWithName(x.name) is not None]
-        for par in self.names:
-            match = bf.parWithName(par.name)
-            par.best_fit = match.best_fit
-            par.isDerived = match.isDerived
+        kept = []
+        for info in self.names:
+            match = bf.parWithName(info.name)
+            if match is None:
+                continue  # parameters absent from the best fit are dropped
+            info.best_fit, info.isDerived = match.best_fit, match.isDerived
+            kept.append(info)
+        self.names = kept
 
     def limitText(self, limit):
-        txt = str(round(self.limits[limit - 1] * 100.0))
-        if txt.endswith(".0"):
-            txt = txt.split(".")[0]
-        return txt
+        pct = str(round(100.0 * self.limits[limit - 1]))
+        return pct[:-2] if pct.endswith(".0") else pct
 
     def getColumnLabels(self, limit=2):
-        labels = ["Best fit"] if self.hasBestFit else []
-        return labels + [self.limitText(limit) + "\\% limits"]
+        cols = ["Best fit"] if self.hasBestFit else []
+        cols.append(self.limitText(limit) + "\\% limits")
+        return cols
 
     def _shift_annotation(self, param, refResults, shiftSigma_indep, shiftSigma_subset):
         """σ-shift annotation vs a reference result set, or ''."""
-        refVal = refResults.parWithName(param.name)
-        if refVal is None:
+        other = refResults.parWithName(param.name)
+        if other is None:
             return ""
-        delta = param.mean - refVal.mean
+        shift = param.mean - other.mean
         if not (shiftSigma_indep or shiftSigma_subset):
-            return r"\quad(%+.1f \sigma)" % (delta / refVal.err)
+            return r"\quad(%+.1f \sigma)" % (shift / other.err)
         note = r"\quad("
         if shiftSigma_subset:
-            subset_sigma = np.sqrt(abs(param.err**2 - refVal.err**2))
-            note += "%+.1f \\sigma_s" % (delta / max(subset_sigma, refVal.err / 20))
+            sigma_sub = max(np.sqrt(abs(param.err**2 - other.err**2)), other.err / 20)
+            note += "%+.1f \\sigma_s" % (shift / sigma_sub)
         if shiftSigma_indep:
-            indep_sigma = np.sqrt(param.err**2 + refVal.err**2)
-            note += ", %+.1f \\sigma_i" % (delta / indep_sigma)
+            sigma_ind = np.sqrt(param.err**2 + other.err**2)
+            # the ", " prefix is unconditional in the reference (types.py:883)
+            note += ", %+.1f \\sigma_i" % (shift / sigma_ind)
         return note + ")"
 
     def texValues(self, formatter, p, limit=2, refResults=None, shiftSigma_indep=False, shiftSigma_subset=False):
@@ -319,19 +297,17 @@ class MargeStats(ParamResults):
             res = self._twotail_tex(nf, param, lim, limit)
         elif lim.onetail_upper or lim.onetail_lower:
             bound, mark = (lim.upper, "< ") if lim.onetail_upper else (lim.lower, "> ")
-            body, exponent = nf.formatNumber(bound, 3, sci=True)
-            res = mark + body + (times_ten_power(exponent) if exponent else "")
+            body, power = nf.formatNumber(bound, 3, sci=True)
+            res = mark + body + (times_ten_power(power) if power else "")
         else:
             res = formatter.noConstraint
         if refResults is not None and res != formatter.noConstraint:
             res += self._shift_annotation(param, refResults, shiftSigma_indep, shiftSigma_subset)
         if not self.hasBestFit:
             return [res]
-        rangew = (lim.upper - lim.lower) / 10
-        bestfit, _, _, exponent = nf.namesigFigs(param.best_fit, rangew, -rangew, sci=True)
-        if exponent:
-            bestfit += times_ten_power(exponent)
-        return [res, bestfit]
+        halfwidth = (lim.upper - lim.lower) / 10
+        bestfit, _, _, power = nf.namesigFigs(param.best_fit, halfwidth, -halfwidth, sci=True)
+        return [res, bestfit + times_ten_power(power) if power else bestfit]
 
     @staticmethod
     def _chi2_tex(nf, param, limit):
@@ -339,20 +315,18 @@ class MargeStats(ParamResults):
         res, sigma, _ = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=False)
         if limit == 1:
             return res + r"\pm " + sigma
-        return res + r"\,({\nu\rm{:}\,%.1f})" % (param.err**2 / 2)
+        return res + r"\,({\nu\rm{:}\,%.1f})" % (0.5 * param.err**2)
 
     @staticmethod
     def _twotail_tex(nf, param, lim, limit):
         up_off, down_off = lim.upper - param.mean, lim.lower - param.mean
         if nf.plusMinusLimit(limit, up_off, down_off):
-            res, plus_str, minus_str, exponent = nf.namesigFigs(param.mean, up_off, down_off, sci=True)
-            res += "^{" + plus_str + "}_{" + minus_str + "}"
+            res, hi, lo, power = nf.namesigFigs(param.mean, up_off, down_off, sci=True)
+            res += "^{%s}_{%s}" % (hi, lo)
         else:
-            res, plus_str, _, exponent = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=True)
-            res += r"\pm " + plus_str
-        if exponent:
-            res = r"\left(\,%s\,\right)" % res + times_ten_power(exponent)
-        return res
+            res, hi, _, power = nf.namesigFigs(param.mean, param.err, param.err, wantSign=False, sci=True)
+            res += r"\pm " + hi
+        return r"\left(\,%s\,\right)" % res + times_ten_power(power) if power else res
 
 
 class LikeStats(ParamResults):
@@ -362,53 +336,54 @@ class LikeStats(ParamResults):
     def loadFromFile(self, filename):
         """Parse the summary block of a .likestats file."""
         summary = {}
-        for entry in self.fileList(filename):
-            if not entry.strip():
+        for raw in self.fileList(filename):
+            if not raw.strip():
                 break
-            key, value = (x.strip() for x in entry.split("="))
-            summary[key] = float(value)
+            key, _, val = raw.partition("=")
+            summary[key.strip()] = float(val)
         self.logLike_sample = summary.get("Best fit sample -log(Like)")
         self.logMeanInvLike = summary.get("Ln(mean 1/like)")
         self.meanLogLike = summary.get("mean(-Ln(like))")
         self.logMeanLike = summary.get("-Ln(mean like)")
         self.complexity = summary.get("complexity")
         doubled = summary.get("2*Var(Ln(like))")
-        self.varLogLike = 0.5 * doubled if doubled is not None else None
+        self.varLogLike = None if doubled is None else 0.5 * doubled
 
     def likeSummary(self):
-        rows = ["Best fit sample -log(Like) = %f" % self.logLike_sample]
+        out = [f"Best fit sample -log(Like) = {self.logLike_sample:f}"]
         if self.logMeanInvLike:
-            rows.append("Ln(mean 1/like) = %f" % self.logMeanInvLike)
-        rows += [
-            "mean(-Ln(like)) = %f" % self.meanLogLike,
-            "-Ln(mean like)  = %f" % self.logMeanLike,
-            "2*Var(Ln(like)) = %f" % (self.varLogLike * 2.0),
-        ]
-        return "\n".join(rows) + "\n"
+            out.append(f"Ln(mean 1/like) = {self.logMeanInvLike:f}")
+        out.append(f"mean(-Ln(like)) = {self.meanLogLike:f}")
+        out.append(f"-Ln(mean like)  = {self.logMeanLike:f}")
+        out.append(f"2*Var(Ln(like)) = {2.0 * self.varLogLike:f}")
+        return "\n".join(out) + "\n"
 
     def headerLine(self):
-        return self.parFormat() % "parameter" + "  bestfit        lower1         upper1         lower2         upper2\n"
+        cols = "".join(tag.ljust(15) for tag in ("bestfit", "lower1", "upper1", "lower2"))
+        return self.parFormat() % "parameter" + "  " + cols + "upper2\n"
 
     def __str__(self):
-        text = self.likeSummary()
+        out = self.likeSummary()
         parForm = self.parFormat()
-        if len(self.names):
-            text += "\n"
-            text += self.headerLine()
-            for j, par in enumerate(self.names):
-                if par.ND_limit_bot.size < 2:
+        if self.names:
+            out += "\n" + self.headerLine()
+            for idx, info in enumerate(self.names):
+                if info.ND_limit_bot.size < 2:
                     raise Exception("Likestats output assumes at least two contour levels")
-                text += parForm % (self.name(j, True))
-                text += (
-                    f"{par.bestfit_sample:15.7E}{par.ND_limit_bot[0]:15.7E}{par.ND_limit_top[0]:15.7E}"
-                    f"{par.ND_limit_bot[1]:15.7E}{par.ND_limit_top[1]:15.7E}   {par.label}\n"
+                fields = (
+                    info.bestfit_sample,
+                    info.ND_limit_bot[0],
+                    info.ND_limit_top[0],
+                    info.ND_limit_bot[1],
+                    info.ND_limit_top[1],
                 )
-        return text
+                out += parForm % self.name(idx, True)
+                out += "".join("%15.7E" % v for v in fields) + f"   {info.label}\n"
+        return out
 
     def saveAsText(self, filename):
         """Write the .likestats text format."""
-        with open(filename, "w", encoding="utf-8") as f:
-            f.write(str(self))
+        Path(filename).write_text(str(self), encoding="utf-8")
 
 
 class ConvergeStats(ParamResults):
@@ -416,33 +391,31 @@ class ConvergeStats(ParamResults):
 
     def loadFromFile(self, filename):
         try:
-            body = self.fileList(filename)
+            rows = self.fileList(filename)
             self.R_eigs = []
-            for i, row in enumerate(body):
-                if row.find("var(mean)") >= 0:
-                    for entry in body[i + 1 :]:
-                        if not entry.strip():
+            for i, row in enumerate(rows):
+                if "var(mean)" in row:
+                    for raw in rows[i + 1 :]:
+                        if not raw.strip():
                             break
-                        try:
-                            self.R_eigs.append(entry.split()[1])
-                        except Exception:
-                            self.R_eigs.append("1e30")
+                        toks = raw.split()
+                        self.R_eigs.append(toks[1] if len(toks) > 1 else "1e30")
                 elif "Parameter auto-correlations" in row:
-                    self.auto_correlation_steps = [int(s) for s in body[i + 2].split()]
-                    self.auto_correlations = []
-                    self.auto_correlation_pars = []
-                    for entry in body[i + 3 :]:
-                        if not entry.strip():
+                    steps = [int(tok) for tok in rows[i + 2].split()]
+                    self.auto_correlation_steps = steps
+                    self.auto_correlations, self.auto_correlation_pars = [], []
+                    for raw in rows[i + 3 :]:
+                        if not raw.strip():
                             break
-                        fields = entry.split(None, len(self.auto_correlation_steps) + 1)
-                        self.auto_correlation_pars.append(fields[0])
-                        self.auto_correlations.append([float(s) for s in fields[1:-1]])
+                        cells = raw.split(None, len(steps) + 1)
+                        self.auto_correlation_pars.append(cells[0])
+                        self.auto_correlations.append([float(tok) for tok in cells[1:-1]])
         except Exception:
-            print("Error reading: " + filename)
+            print(f"Error reading: {filename}")
             raise
 
     def worstR(self, default=None):
-        return self.R_eigs[len(self.R_eigs) - 1] if self.R_eigs else default
+        return self.R_eigs[-1] if self.R_eigs else default
 
 
 # ---------------------------------------------------------------------------
@@ -453,14 +426,13 @@ class ConvergeStats(ParamResults):
 def float_to_decimal(f):
     """Exact float -> Decimal conversion (no precision loss)."""
     num, den = f.as_integer_ratio()
-    top, bottom = decimal.Decimal(num), decimal.Decimal(den)
     ctx = decimal.Context(prec=60)
-    quotient = ctx.divide(top, bottom)
-    while ctx.flags[decimal.Inexact]:
+    while True:
+        quotient = ctx.divide(decimal.Decimal(num), decimal.Decimal(den))
+        if not ctx.flags[decimal.Inexact]:
+            return quotient
         ctx.flags[decimal.Inexact] = False
         ctx.prec *= 2
-        quotient = ctx.divide(top, bottom)
-    return quotient
 
 
 def numberFigs(number, sigfig, sci=False):
@@ -470,38 +442,33 @@ def numberFigs(number, sigfig, sci=False):
     ``types.py:50-92``)."""
     assert sigfig > 0
     try:
-        dec = decimal.Decimal(number)
+        d = decimal.Decimal(number)
     except TypeError:
-        dec = float_to_decimal(float(number))
-    exponent = 0
+        d = float_to_decimal(float(number))
+    power = 0
     if sci:
-        exponent = dec.adjusted()
-        if abs(exponent) > _sci_tolerance:
-            dec = decimal.getcontext().multiply(dec, float_to_decimal(10.0**-exponent))
+        power = d.adjusted()
+        if abs(power) <= _sci_tolerance:
+            power = 0
         else:
-            exponent = 0
-    sign, digits = dec.as_tuple()[0:2]
-    digits = list(digits)
-    if len(digits) < sigfig:
-        digits += [0] * (sigfig - len(digits))
-    place = dec.adjusted()
-    rounded = int("".join(map(str, digits[:sigfig])))
-    if len(digits) > sigfig and digits[sigfig] >= 5:
-        rounded += 1
-    chars = list(str(rounded))
+            d = decimal.getcontext().multiply(d, float_to_decimal(10.0**-power))
+    negative, digs = d.as_tuple()[:2]
+    digs = list(digs) + [0] * max(0, sigfig - len(digs))
+    kept = int("".join(str(t) for t in digs[:sigfig]))
+    if len(digs) > sigfig and digs[sigfig] >= 5:
+        kept += 1
+    out = list(str(kept))
     # rounding up can grow the digit count; fold that into the place shift
-    place += len(chars) - sigfig
-    chars = chars[:sigfig]
+    place = d.adjusted() + len(out) - sigfig
+    out = out[:sigfig]
     if place >= sigfig - 1:
-        chars += ["0"] * (place - sigfig + 1)
+        out += ["0"] * (place - sigfig + 1)
     elif place >= 0:
-        chars.insert(place + 1, ".")
+        out.insert(place + 1, ".")
     else:
-        chars = ["0."] + ["0"] * (-place - 1) + chars
-    if sign:
-        chars.insert(0, "-")
-    text = "".join(chars)
-    return (text, exponent) if sci else text
+        out = ["0."] + ["0"] * (-place - 1) + out
+    text = ("-" if negative else "") + "".join(out)
+    return (text, power) if sci else text
 
 
 class NumberFormatter:
@@ -514,15 +481,13 @@ class NumberFormatter:
 
     def _choose_sig_figs(self, value, limplus):
         """(value sig figs, error sig figs) adapted to the error scale."""
-        frac = limplus / (abs(value) + limplus)
+        rel = limplus / (abs(value) + limplus)
         sf = self.sig_figs
-        if frac > 0.1 and 100 > value >= 20:
+        if rel > 0.1 and 20 <= value < 100:
             sf = 2
-        elif frac > 0.01 and value < 1000:
+        elif rel > 0.01 and value < 1000:
             sf = 3
-        err_sf = self.err_sf
-        if value >= 20 and frac > 0.1 and limplus >= 2:
-            err_sf = 1
+        err_sf = 1 if (rel > 0.1 and value >= 20 and limplus >= 2) else self.err_sf
         return sf, err_sf
 
     def _match_decimals(self, value, res, sf, maxdp):
@@ -531,9 +496,7 @@ class NumberFormatter:
             sf -= 1
             if sf == 0:
                 res = "%.*f" % (maxdp, value)
-                if float(res) == 0.0:
-                    res = "%.*f" % (maxdp, 0)
-                return res, sf
+                return ("%.*f" % (maxdp, 0) if float(res) == 0.0 else res), sf
             res = self.formatNumber(value, sf)
         return res, sf
 
@@ -541,48 +504,43 @@ class NumberFormatter:
         """Format value and the two limits with consistent decimal places
         (reference ``types.py:102-141``)."""
         sf, err_sf = self._choose_sig_figs(value, limplus)
-        exponent = 0
+        power = 0
         if sci:
             # probe the exponent from the largest-magnitude end of the range
             widest = max(abs(value - limminus), abs(value + limplus))
-            if exponent := self.formatNumber(widest, sci=True)[1]:
-                scale = float_to_decimal(10.0**-exponent)
-                value, limplus, limminus = (
-                    decimal.getcontext().multiply(float_to_decimal(lim), scale)
-                    for lim in [value, limplus, limminus]
-                )
-        plus_str = self.formatNumber(limplus, err_sf, wantSign)
-        minus_str = self.formatNumber(limminus, err_sf, wantSign)
-        maxdp = max(self.decimal_places(plus_str), self.decimal_places(minus_str))
+            if power := self.formatNumber(widest, sci=True)[1]:
+                scale = float_to_decimal(10.0**-power)
+                mul = decimal.getcontext().multiply
+                value, limplus, limminus = (mul(float_to_decimal(v), scale) for v in (value, limplus, limminus))
+        hi = self.formatNumber(limplus, err_sf, wantSign)
+        lo = self.formatNumber(limminus, err_sf, wantSign)
+        maxdp = max(self.decimal_places(hi), self.decimal_places(lo))
         res, sf = self._match_decimals(value, self.formatNumber(value, sf), sf, maxdp)
-        while self.decimal_places(plus_str) > self.decimal_places(res):
+        while self.decimal_places(hi) > self.decimal_places(res):
             sf += 1
             res = self.formatNumber(value, sf)
-        if sci:
-            return res, plus_str, minus_str, exponent
-        return res, plus_str, minus_str
+        return (res, hi, lo, power) if sci else (res, hi, lo)
 
     def formatNumber(self, value, sig_figs=None, wantSign=False, sci=False):
-        sf = self.sig_figs if sig_figs is None else sig_figs
-        formatted = numberFigs(value, sf, sci=sci)
-        exponent = None
+        out = numberFigs(value, sig_figs if sig_figs else self.sig_figs, sci=sci)
+        power = None
         if sci:
-            formatted, exponent = formatted
+            out, power = out
         if wantSign:
-            if formatted[0] != "-" and float(formatted) < 0:
-                formatted = "-" + formatted
-            if float(formatted) > 0:
-                formatted = "+" + formatted
-        if sci:
-            return formatted, exponent
-        return formatted
+            as_float = float(out)
+            if as_float > 0:
+                out = "+" + out
+            elif as_float < 0 and not out.startswith("-"):
+                out = "-" + out
+        return (out, power) if sci else out
 
     def decimal_places(self, s):
-        dot = s.find(".")
-        return len(s) - dot - 1 if dot > 0 else 0
+        whole, dot, frac = s.partition(".")
+        return len(frac) if dot and whole else 0
 
     def plusMinusLimit(self, limit, upper, lower):
-        return limit != 1 or abs(abs(upper / lower) - 1) > self.separate_limit_tol
+        ratio = abs(upper / lower)
+        return limit != 1 or abs(ratio - 1) > self.separate_limit_tol
 
 
 # ---------------------------------------------------------------------------
@@ -611,63 +569,42 @@ class TableFormatter:
     spacer = " "
 
     def __init__(self):
-        self.colSeparator = f"{self.spacer}&{self.spacer}"
+        self.colSeparator = self.spacer + "&" + self.spacer
         self.numberFormatter = NumberFormatter()
 
     def getLine(self, position=None):
-        if position is not None and hasattr(self, position):
-            return getattr(self, position)
-        return self.hline
+        return getattr(self, position) if position and hasattr(self, position) else self.hline
 
     def belowTitleLine(self, colsPerParam, numResults=None):
         return self.getLine("belowTitles")
 
     def startTable(self, ncol, colsPerResult, numResults):
         block = self.majorDividor + (" c" + self.minorDividor) * (colsPerResult - 1) + " c"
-        return (
-            "\\begin{tabular} {"
-            + self.border
-            + " l "
-            + block * numResults
-            + (self.colDividor + " l " + block * numResults) * (ncol - 1)
-            + self.border
-            + "}"
-        )
+        group = " l " + block * numResults
+        inner = self.border + group + (self.colDividor + group) * (ncol - 1) + self.border
+        return "\\begin{tabular} {%s}" % inner
 
     def endTable(self):
-        return "\\end{tabular}"
+        return r"\end{tabular}"
 
     def titleSubColumn(self, colsPerResult, title):
-        return (
-            " \\multicolumn{"
-            + str(colsPerResult)
-            + "}{"
-            + self.majorDividor
-            + "c"
-            + self.majorDividor
-            + "}{"
-            + self.formatTitle(title)
-            + "}"
-        )
+        spec = self.majorDividor + "c" + self.majorDividor
+        return " \\multicolumn{%s}{%s}{%s}" % (colsPerResult, spec, self.formatTitle(title))
 
     def formatTitle(self, title):
-        return "\\bf " + texEscapeText(title)
+        return r"\bf " + texEscapeText(title)
 
     def texEquation(self, txt):
-        if txt and txt[0] != "$":
-            return "$" + txt + "$"
-        return txt
+        return txt if not txt or txt.startswith("$") else "$" + txt + "$"
 
     def textAsColumn(self, txt, latex=False, separator=False, bold=False):
-        width = len(txt) + (2 if latex else 0) + (11 if latex and bold else 0)
-        cell = txt + self.spacer * max(0, 28 - width)
+        pad = 28 - len(txt) - (2 if latex else 0) - (11 if latex and bold else 0)
+        cell = txt + self.spacer * max(0, pad)
         if latex:
             cell = self.texEquation(cell)
             if bold:
-                cell = "{\\boldmath" + cell + "}"
-        if separator:
-            cell += self.colSeparator
-        return cell
+                cell = r"{\boldmath" + cell + "}"
+        return cell + self.colSeparator if separator else cell
 
 
 class OpenTableFormatter(TableFormatter):
@@ -697,8 +634,8 @@ class NoLineTableFormatter(OpenTableFormatter):
     hline = ""
 
     def belowTitleLine(self, colsPerParam, numResults=None):
-        end_col = colsPerParam * numResults + 1
-        return r"\noalign{\vskip 3pt}\cline{2-%d}\noalign{\vskip 3pt}" % end_col
+        last = colsPerParam * numResults + 1
+        return r"\noalign{\vskip 3pt}\cline{2-%d}\noalign{\vskip 3pt}" % last
 
 
 class ResultTable:
@@ -725,8 +662,8 @@ class ResultTable:
         """
         results = [res.getMargeStats() if hasattr(res, "getMargeStats") else res for res in makeList(results)]
         self.lines = []
-        self.format = formatter if formatter is not None else NoLineTableFormatter()
-        if numFormatter is not None:
+        self.format = formatter or NoLineTableFormatter()
+        if numFormatter:
             self.format.numFormatter = numFormatter
         row_source = tableParamNames if tableParamNames is not None else results[0]
         self.tableParamNames = row_source.filteredCopy(paramList) if paramList is not None else row_source
@@ -765,20 +702,17 @@ class ResultTable:
         cells = [self.paramLabelColumn(param) + self.paramResultsTex(param) for param in row]
         short = self.ncol - len(row)
         if short:
-            pad = self.format.colSeparator * ((1 + self.colsPerParam) * short)
-            cells[-1] += pad
+            cells[-1] += self.format.colSeparator * ((1 + self.colsPerParam) * short)
         self._emit_row(cells)
 
     def addLine(self, position):
         rule = self.format.getLine(position)
-        if rule is None:
-            return self.lines
-        return self.lines.append(rule)
+        return self.lines if rule is None else self.lines.append(rule)
 
     def addTitlesRow(self, titles):
         self.addLine("aboveTitles")
         cols = [self.format.titleSubColumn(1, "")]
-        cols += [self.format.titleSubColumn(self.colsPerResult, title) for title in titles]
+        cols.extend(self.format.titleSubColumn(self.colsPerResult, name) for name in titles)
         self._emit_row(cols * self.ncol)
         rule = self.format.belowTitleLine(self.colsPerResult, self.colsPerParam // self.colsPerResult)
         if rule:
@@ -789,7 +723,7 @@ class ResultTable:
         wrap = self.format.headerWrapper.__mod__
         cols = [wrap(self.format.paramText)]
         for result in self.results:
-            cols += [wrap(s) for s in result.getColumnLabels(self.limit)]
+            cols.extend(wrap(s) for s in result.getColumnLabels(self.limit))
         self._emit_row(cols * self.ncol)
         self.addLine("belowHeader")
 
@@ -804,8 +738,7 @@ class ResultTable:
         if values is None:
             return self.format.textAsColumn("") * len(result.getColumnLabels(self.limit))
         txt = self.format.textAsColumn(values[1], True, separator=True) if len(values) > 1 else ""
-        txt += self.format.textAsColumn(values[0], values[0] != self.format.noConstraint)
-        return txt
+        return txt + self.format.textAsColumn(values[0], values[0] != self.format.noConstraint)
 
     def paramLabelColumn(self, param):
         return self.format.textAsColumn(param.getLabel(), True, separator=True, bold=not param.isDerived)
@@ -818,14 +751,11 @@ class ResultTable:
         if not document:
             return "\n".join(self.lines)
         doc = [r"\documentclass{article}", r"\pagestyle{empty}"]
-        doc += [r"\usepackage{%s}" % package for package in packages]
-        doc.append("\\renewcommand{\\arraystretch}{1.5}")
+        doc.extend(r"\usepackage{%s}" % package for package in packages)
+        doc.append(r"\renewcommand{\arraystretch}{1.5}")
         if latex_preamble:
             doc.append(latex_preamble)
-        doc.append("\\begin{document}")
-        doc += self.lines
-        doc.append("\\end{document}")
-        return "\n".join(doc)
+        return "\n".join(doc + [r"\begin{document}"] + self.lines + [r"\end{document}"])
 
     def write(self, fname, **kwargs):
         """Write the latex to a file."""
@@ -868,13 +798,12 @@ class ResultTable:
             raster += ["-T", "tight", "-x", "1000", "-z", "9", "--truecolor", "-o", outfile, stem + ".dvi"]
             run_tool(raster)
         finally:
-            for scratch in [basefile + ext for ext in (".tex", ".dvi", ".aux", ".log")]:
+            for scratch in (stem + ext for ext in (".tex", ".dvi", ".aux", ".log")):
                 if os.path.isfile(scratch):
                     os.remove(scratch)
             os.chdir(here)
         if bytesIO:
-            with open(outfile, "rb") as f:
-                buffer = BytesIO(f.read())
+            buffer = BytesIO(Path(outfile).read_bytes())
             os.remove(outfile)
             buffer.seek(0)
             return buffer
