@@ -84,10 +84,10 @@ class ParamInfo:
 
     def __init__(self, line=None, name="", label="", comment="", derived=False, renames=None, number=None):
         self.number = number
-        self.renames = makeList(renames or [])
+        self.renames = makeList(renames) if renames else []
         self.isDerived = derived
         self.comment = comment
-        self.label = label or name
+        self.label = label if label else name
         self.setName(name)
         if line is not None:
             self.setFromString(line)
@@ -127,7 +127,7 @@ class ParamInfo:
     def setName(self, name):
         _require_name_str(name)
         if any(ch in name for ch in "*? \t"):
-            raise ValueError("Parameter names must not contain spaces, * or ?")
+            raise ValueError(r"spaces, * and ? are not allowed in parameter names")
         self.name = name
 
     def nameEquals(self, name):
@@ -253,7 +253,8 @@ class ParamList:
         return [info.label for info in self.names]
 
     def listString(self):
-        return " ".join(self.list())
+        parts = self.list()
+        return " ".join(parts)
 
     def numParams(self):
         return len(self.names)
@@ -282,7 +283,7 @@ class ParamList:
         return self
 
     def setWithNames(self, names):
-        self.names = [ParamInfo(name) for name in names]
+        self.names = [ParamInfo(tag) for tag in names]
         return self
 
     def setLabels(self, labels):
@@ -354,7 +355,7 @@ class ParamNames(ParamList):
 
     def loadFromFile(self, fileName):
         """Load names from a ``.paramnames`` file or a Cobaya "full" yaml."""
-        self.filenameLoadedFrom = os.path.split(fileName)[1]
+        self.filenameLoadedFrom = os.path.basename(fileName)
         ext = os.path.splitext(fileName)[-1].lower()
         if ext == ".paramnames":
             with open(fileName, encoding="utf-8-sig") as handle:

@@ -49,6 +49,9 @@ from getdist_tpu.paramnames import ParamInfo, ParamNames, escapeLatex, makeList,
 from getdist_tpu.types import empty_dict
 
 
+_list_like = (list, tuple)
+
+
 class GetDistPlotError(Exception):
     """Error raised while plotting."""
 
@@ -312,7 +315,7 @@ class MCSampleAnalysis(_BaseObject):
     def reset(self, settings=None, chain_settings_have_priority=True):
         """Clear caches; optionally set new analysis settings."""
         self.analysis_settings = {}
-        if isinstance(settings, IniFile) or settings.__class__.__name__ == "IniFile":
+        if isinstance(settings, IniFile) or type(settings).__name__ == "IniFile":
             fresh = settings
         elif isinstance(settings, Mapping):
             fresh = IniFile(getdist_tpu.default_getdist_settings)
@@ -334,9 +337,9 @@ class MCSampleAnalysis(_BaseObject):
         if isinstance(root, MCSamples):
             return root
         if isinstance(root, MixtureND):
-            raise GetDistPlotError("MixtureND is a distribution not a set of samples")
+            raise GetDistPlotError("a MixtureND is an analytic distribution, not loadable samples")
         if not isinstance(root, str):
-            raise GetDistPlotError("Root names must be strings (or MCSamples instances)")
+            raise GetDistPlotError("roots must be name strings or MCSamples objects")
         cached = self.mcsamples.get(root) if cache else None
         if cached is not None:
             return cached
@@ -347,7 +350,7 @@ class MCSampleAnalysis(_BaseObject):
         if not file_root:
             file_root, grid_item = self._locate_root(root, overrides)
             if not file_root:
-                raise GetDistPlotError("chain not found: " + root)
+                raise GetDistPlotError(f"no chain found for {root}")
         if not self.chain_settings_have_priority:
             overrides.update(self.ini.params)
             overrides.update(settings or {})
@@ -379,7 +382,8 @@ class MCSampleAnalysis(_BaseObject):
     def add_root(self, file_root):
         """Register samples for a file root (path string or RootInfo)."""
         if not isinstance(file_root, RootInfo):
-            return self.samples_for_root(os.path.basename(file_root), file_root)
+            stem = os.path.basename(file_root)
+        return self.samples_for_root(stem, file_root)
         if file_root.batch:
             return self.samples_for_root(file_root.root)
         full = os.path.normpath(os.path.join(file_root.path, file_root.root))
@@ -397,7 +401,7 @@ class MCSampleAnalysis(_BaseObject):
 
     def bounds_for_root(self, root):
         """Object exposing getUpper/getLower for a root's hard bounds."""
-        if hasattr(root, "get_upper") or hasattr(root, "getUpper"):
+        if any(hasattr(root, attr) for attr in ("get_upper", "getUpper")):
             return root
         return self.samples_for_root(root)
 
@@ -521,15 +525,15 @@ class GetDistPlotter(_BaseObject):
 
     def show_all_settings(self):
         """Print settings and library versions."""
-        print("Python version:", sys.version)
-        print("\nMatplotlib version:", matplotlib.__version__)
+        print(f"Python version: {sys.version}")
+        print(f"\nMatplotlib version: {matplotlib.__version__}")
         print("\nGetDist Plot Settings:")
         print("getdist_tpu version:", getdist_tpu.__version__)
         for key, value in list(self.settings.__dict__.items()):
-            print(key, ":", value)
+            print(f"{key} : {value}")
         print("\nRC params:")
         for key, value in sorted(matplotlib.rcParams.items()):
-            print(key, ":", value)
+            print(f"{key} : {value}")
 
     # -- figure / subplot management -----------------------------------------
 
@@ -585,7 +589,7 @@ class GetDistPlotter(_BaseObject):
         """Axes for a subplot coordinate/parameter tuple (or last used)."""
         if isinstance(ax, int):
             ax = self._axes_by_index(ax)
-        elif isinstance(ax, (list, tuple)):
+        elif isinstance(ax, _list_like):
             if isinstance(ax[0], (str, ParamInfo)):
                 ax = self.get_axes_for_params(*ax)
             else:
@@ -607,7 +611,7 @@ class GetDistPlotter(_BaseObject):
         wanted = self._names_of(pars)
         shape = set if not kwargs.get("ordered", True) else list
         wanted = shape(wanted)
-        for ax in self.subplots.reshape(-1):
+        for ax in self.subplots.flat:
             if not ax:
                 continue
             tagged = getattr(ax, "getdist_params", None)
@@ -618,7 +622,7 @@ class GetDistPlotter(_BaseObject):
 
     @staticmethod
     def _names_of(par_list):
-        return [p.name if isinstance(p, ParamInfo) else p for p in par_list]
+        return [entry.name if isinstance(entry, ParamInfo) else entry for entry in par_list]
 
     # -- parameter / bounds resolution ---------------------------------------
 
@@ -662,7 +666,7 @@ class GetDistPlotter(_BaseObject):
         else:
             info = self.sample_analyser.params_for_root(root, label_params=label_params).parWithName(name)
         if not info:
-            raise GetDistPlotError("Parameter not found: " + name)
+            raise GetDistPlotError(f"no parameter named {name}")
         return info.latexLabel()
 
     def _resolve_param(self, root, param, renames=None):
@@ -674,7 +678,7 @@ class GetDistPlotter(_BaseObject):
                 renames = {name: merged + list(extra)}
         else:
             name = param
-        if isinstance(root, (list, tuple)):
+        if isinstance(root, _list_like):
             if isinstance(param, ParamInfo):
                 root = root[0]
             else:
@@ -683,7 +687,8 @@ class GetDistPlotter(_BaseObject):
                     hit = self.param_names_for_root(candidate).parWithName(name, error=must_exist, renames=renames)
                     if hit is not None:
                         return hit
-        return self.param_names_for_root(root).parWithName(name, error=(name == param), renames=renames)
+        names = self.param_names_for_root(root)
+        return names.parWithName(name, error=(name == param), renames=renames)
 
     def get_param_array(self, roots, params=None, renames: Mapping = None):
         """Resolve parameter name strings (or ParamInfo) for given root(s)
@@ -748,14 +753,14 @@ class GetDistPlotter(_BaseObject):
         if isinstance(colors, str):
             palette = getattr(cm, colors, None)
             if palette is None:
-                raise GetDistPlotError("Unknown matplotlib colormap %s" % colors)
+                raise GetDistPlotError(f"matplotlib has no colormap called {colors}")
         else:
             palette = colors
         entries = getattr(palette, "colors", None) or palette
         if i is None:
             return entries
         if i >= len(entries):
-            raise IndexError("Color index out of range %s" % i)
+            raise IndexError(f"no color at index {i}")
         return entries[i]
 
     def _cycle_entry(self, plotno=0):
@@ -875,7 +880,8 @@ class GetDistPlotter(_BaseObject):
 
     def _whitened_ramp(self, color_rgb, n_levels, pale_factor=None):
         """Ramp of progressively whitened copies of a color, palest first."""
-        pale_factor = pale_factor or self.settings.solid_contour_palefactor
+        if not pale_factor:
+            pale_factor = self.settings.solid_contour_palefactor
         ramp = [matplotlib.colors.colorConverter.to_rgb(color_rgb)]
         for _ in range(n_levels - 1):
             whitened = [channel * (1 - pale_factor) + pale_factor for channel in ramp[0]]
@@ -1055,7 +1061,7 @@ class GetDistPlotter(_BaseObject):
 
     def add_param_markers(self, param_value_dict, *, color=None, ls=None, lw=None):
         """Mark parameter values across all subplots that plot them."""
-        for ax in self.subplots.reshape(-1):
+        for ax in self.subplots.flat:
             tagged = getattr(ax, "getdist_params", None)
             if tagged is None:
                 continue
@@ -1066,7 +1072,7 @@ class GetDistPlotter(_BaseObject):
 
     def _draw_marker_set(self, markers, ax, marker_args, y=False, color=None):
         add = self.add_y_marker if y else self.add_x_marker
-        if isinstance(marker_args, (list, tuple)):
+        if isinstance(marker_args, _list_like):
             for value, style in zip(makeList(markers), marker_args):
                 if color:
                     style["color"] = color
@@ -1144,7 +1150,8 @@ class GetDistPlotter(_BaseObject):
 
     def add_colorbar_label(self, cb, param, label_rotation=None):
         """Set the colorbar label from a parameter's latex label."""
-        label_rotation = label_rotation or self.settings.colorbar_label_rotation
+        if not label_rotation:
+            label_rotation = self.settings.colorbar_label_rotation
         extra = {"va": "bottom"} if label_rotation and 10 < -label_rotation < 170 else {}
         cb.set_label(
             param.latexLabel(),
@@ -1187,7 +1194,8 @@ class GetDistPlotter(_BaseObject):
             if not normalized:
                 density.normalize(by="max")
         else:
-            density = self.sample_analyser.get_density(root, param, likes=self.settings.plot_meanlikes)
+            want_likes = self.settings.plot_meanlikes
+            density = self.sample_analyser.get_density(root, param, likes=want_likes)
             if density is None:
                 return None
         if normalized:
@@ -1210,12 +1218,12 @@ class GetDistPlotter(_BaseObject):
     def _set_1d_title_limit(self, ax, root, param, title_limit):
         """Title the axes with the marginalized constraint at a given limit."""
         if isinstance(root, MixtureND):
-            raise ValueError("title_limit not currently supported for MixtureND")
-        samples = self.sample_analyser.samples_for_root(root)
+            raise ValueError("MixtureND densities do not support title_limit")
+        chain = self.sample_analyser.samples_for_root(root)
         if self.settings.title_limit_labels:
-            tex = samples.getInlineLatex(param, limit=title_limit)
+            tex = chain.getInlineLatex(param, limit=title_limit)
         else:
-            tex = samples.getLatex([param], title_limit)[1][0]
+            tex = chain.getLatex([param], title_limit)[1][0]
         if "---" not in tex:
             size = self._font_pts(self.settings.title_limit_fontsize, self.settings.axes_fontsize)
             ax.set_title("$" + tex + "$", fontsize=size)
@@ -1223,7 +1231,8 @@ class GetDistPlotter(_BaseObject):
     def _contour_density(self, root, ax, param1, param2, param_pair, mask_function):
         """Resolve the Density2D to contour for a root (sample cache, an
         analytic mixture, or a masked recomputation)."""
-        param1, param2 = self.get_param_array(root, param_pair or [param1, param2])
+        wanted = param_pair or [param1, param2]
+        param1, param2 = self.get_param_array(root, wanted)
         ax.getdist_params = (param1, param2)
         n_levels, want_likes = self.settings.num_plot_contours, self.settings.shade_meanlikes
         if mask_function is not None:
@@ -1232,7 +1241,8 @@ class GetDistPlotter(_BaseObject):
                 num_plot_contours=n_levels, meanlikes=want_likes,
             )
         if isinstance(root, MixtureND):
-            return root.marginalizedMixture(params=[param1, param2]).density2D()
+            marge = root.marginalizedMixture(params=[param1, param2])
+            return marge.density2D()
         return self.sample_analyser.get_density_grid(root, param1, param2, conts=n_levels, likes=want_likes)
 
     def _reserve_proxy_slot(self, add_legend_proxy, plotno):
@@ -1353,7 +1363,8 @@ class GetDistPlotter(_BaseObject):
         return self.add_2d_contours(None, density=density, **kwargs)
 
     def add_2d_mixture_projection(self, mixture, param1, param2, **kwargs):
-        density = mixture.marginalizedMixture(params=[param1, param2]).density2D()
+        marge = mixture.marginalizedMixture(params=[param1, param2])
+        density = marge.density2D()
         return self.add_2d_density_contours(density, **kwargs)
 
     def add_2d_covariance(self, means, cov, xvals=None, yvals=None, def_width=4.0, samples_per_std=50.0, **kwargs):
@@ -1379,7 +1390,11 @@ class GetDistPlotter(_BaseObject):
         ax = self.get_axes(ax, pars=(param1, param2))
         if density is None:
             density = self.sample_analyser.get_density_grid(
-                root, param1, param2, conts=self.settings.num_plot_contours, likes=self.settings.shade_meanlikes
+                root,
+                param1,
+                param2,
+                conts=self.settings.num_plot_contours,
+                likes=self.settings.shade_meanlikes,
             )
         if density is None:
             return
@@ -1407,10 +1422,10 @@ class GetDistPlotter(_BaseObject):
         ax = self.get_axes(ax)
         params = self.get_param_array(root, params)
         if alpha_samples:
-            mcsamples = self.sample_analyser.samples_for_root(root)
-            pts, weights = mcsamples.samples, mcsamples.weights
+            chain = self.sample_analyser.samples_for_root(root)
+            pts, weights = chain.samples, chain.weights
         else:
-            mcsamples = None
+            chain = None
             pts, weights = self.sample_analyser.load_single_samples(root), 1
         names = self.param_names_for_root(root)
         columns = [
@@ -1420,8 +1435,8 @@ class GetDistPlotter(_BaseObject):
         ]
         fixed_color = kwargs.get("fixed_color")
         point_size = scatter_size or self.settings.scatter_size
-        if mcsamples:
-            self._alpha_weighted_scatter(ax, mcsamples, columns, weights, fixed_color, alpha, point_size)
+        if chain:
+            self._alpha_weighted_scatter(ax, chain, columns, weights, fixed_color, alpha, point_size)
         else:
             if extra_thin > 1:
                 columns = [col[::extra_thin] for col in columns]
@@ -1435,7 +1450,8 @@ class GetDistPlotter(_BaseObject):
                 alpha=alpha,
             )
         if color_bar and not fixed_color:
-            self.last_colorbar = self.add_colorbar(params[2], mappable=self.last_scatter, ax=ax, **kwargs)
+            cb = self.add_colorbar(params[2], mappable=self.last_scatter, ax=ax, **kwargs)
+            self.last_colorbar = cb
         margins = []
         for col in columns[:2]:
             lo, hi = min(col), max(col)
@@ -1457,7 +1473,8 @@ class GetDistPlotter(_BaseObject):
         chosen = mcsamples.thin_indices(1, repeats)
         x, y, z = x[chosen], y[chosen], z[chosen]
         residual = (scaled / repeats)[chosen]
-        mappable = ScalarMappable(Normalize(z.min(), z.max()), self.settings.colormap_scatter)
+        norm = Normalize(z.min(), z.max())
+        mappable = ScalarMappable(norm, self.settings.colormap_scatter)
         mappable.set_array(z)
         rgba = mappable.to_rgba(z)
         if fixed_color:
@@ -1475,30 +1492,30 @@ class GetDistPlotter(_BaseObject):
         colorbar_args=empty_dict, **kwargs
     ):
         """Add a 3D (x,y,z) scatter colored by a fourth parameter."""
-        samps = self.sample_analyser.samples_for_root(root)
+        chain = self.sample_analyser.samples_for_root(root)
         params = self.get_param_array(root, params)
-        chosen = samps.random_single_samples_indices(max_samples=max_scatter_points or samps.max_scatter_points)
+        chosen = chain.random_single_samples_indices(max_samples=max_scatter_points or chain.max_scatter_points)
         if len(params) == 3:
             fixed_color = fixed_color or "k"
         if len(params) < (3 if fixed_color else 4):
-            raise GetDistPlotError("4d plot must provide list of three or four parameters")
+            raise GetDistPlotError("plot_4d takes three or four parameter names")
         if fixed_color:
             params = params[:3]
         for name, window in lims.items():
             if not isinstance(window, Sequence) or len(window) != 2:
-                raise GetDistPlotError("lims for 4d plot must be dictionary of names and upper/lower tuples")
+                raise GetDistPlotError("plot_4d lims must map parameter names to (lower, upper) tuples")
             if window[0] is not None:
-                chosen = chosen[samps[name][chosen] > window[0]]
+                chosen = chosen[chain[name][chosen] > window[0]]
             if window[1] is not None:
-                chosen = chosen[samps[name][chosen] < window[1]]
+                chosen = chosen[chain[name][chosen] < window[1]]
         columns = []
         for param in params:
             if hasattr(param, "getDerived"):
                 columns.append(
-                    param.getDerived(self._derived_namespace(self.param_names_for_root(root), samps.samples[chosen, :]))
+                    param.getDerived(self._derived_namespace(self.param_names_for_root(root), chain.samples[chosen, :]))
                 )
             else:
-                columns.append(samps[param.name][chosen])
+                columns.append(chain[param.name][chosen])
         x, y, z = columns[:3]
         color_values = fixed_color or columns[3]
         opts = {"marker": "o", "cmap": self.settings.colormap_scatter, "s": self.settings.scatter_size, **kwargs}
@@ -1509,7 +1526,8 @@ class GetDistPlotter(_BaseObject):
             norm = matplotlib.colors.Normalize(color_values.min(), color_values.max())
             mappable = cm.ScalarMappable(norm, cmap=opts["cmap"])
             mappable.set_array(color_values)
-            self.last_colorbar = self.add_colorbar(params[3], mappable=mappable, ax=ax, colorbar_args=colorbar_args)
+            cb = self.add_colorbar(params[3], mappable=mappable, ax=ax, colorbar_args=colorbar_args)
+            self.last_colorbar = cb
         return x, y, z
 
     # -- single-frame composite plots ---------------------------------------------
@@ -1537,7 +1555,7 @@ class GetDistPlotter(_BaseObject):
             if span is not None and drawn_param is None:
                 drawn_param, drawn_root = resolved, root
         if drawn_param is None:
-            raise GetDistPlotError("No roots have parameter: " + str(param))
+            raise GetDistPlotError(f"parameter {param} appears in none of the roots")
         if marker is not None:
             self._draw_marker_set(marker, ax, kwargs.get("marker_args", {}), color=marker_color)
         if kwargs.get("lims") is not None:
@@ -1580,7 +1598,7 @@ class GetDistPlotter(_BaseObject):
         """Single 2D line/contour/filled plot (see reference
         ``plots.py:1788-1888``)."""
         roots = makeList(roots)
-        if isinstance(param1, (list, tuple)):
+        if isinstance(param1, _list_like):
             param_pair, param1 = param1, None
         skip_finish = kwargs.pop("_no_finish", False)
         pair = self.get_param_array(roots, param_pair or [param1, param2])
@@ -1619,11 +1637,11 @@ class GetDistPlotter(_BaseObject):
         skip_finish = kwargs.pop("_no_finish", False)
         if params_for_plots:
             if params is not None:
-                raise GetDistPlotError("plot_3d uses either params OR params_for_plots")
+                raise GetDistPlotError("give plot_3d params or params_for_plots, not both")
             per_root = [self.get_param_array(root, p) for p, root in zip(params_for_plots, roots)]
         else:
             if not params:
-                raise GetDistPlotError("No parameters for plot_3d!")
+                raise GetDistPlotError("plot_3d got an empty parameter list")
             resolved = self.get_param_array(roots[0], params)
             per_root = [resolved] * len(roots)
         ax = self.get_axes(ax, pars=per_root[0])
@@ -1673,7 +1691,7 @@ class GetDistPlotter(_BaseObject):
         rotation animation / mp4 (see reference ``plots.py:3556-3737``)."""
         roots = makeList(roots)
         if not params:
-            raise GetDistPlotError("No parameters for plot_4d!")
+            raise GetDistPlotError("plot_4d got an empty parameter list")
         params = self.get_param_array(roots[0], params)
         if not ax:
             if self.fig is None:
@@ -1790,7 +1808,7 @@ class GetDistPlotter(_BaseObject):
     ):
         """Array of 2D subplots (see reference ``plots.py:2404-2483``)."""
         roots = makeList(roots)
-        if isinstance(param1, (list, tuple)) and len(param1) == 2:
+        if isinstance(param1, _list_like) and len(param1) == 2:
             param1, params2 = param1[0], [param1[1]]
         if param_pairs is not None:
             pairs = [(self._resolve_param(roots, a), self._resolve_param(roots, b)) for a, b in param_pairs]
@@ -1799,9 +1817,9 @@ class GetDistPlotter(_BaseObject):
             others = self.get_param_array(roots, params2)
             pairs = [(anchor, p) for p in others if p.name != anchor.name]
         else:
-            raise GetDistPlotError("No parameter or parameter pairs for 2D plot")
+            raise GetDistPlotError("plots_2d got nothing to plot (no parameters or pairs)")
         if filled and shaded:
-            raise GetDistPlotError("Plots cannot be both filled and shaded")
+            raise GetDistPlotError("filled and shaded are mutually exclusive")
         shape = self.make_figure(len(pairs), nx=nx)
         common = dict(kwargs, filled=filled, shaded=not filled and shaded, _no_finish=True)
         for i, pair in enumerate(pairs):
@@ -1835,10 +1853,11 @@ class GetDistPlotter(_BaseObject):
     def plots_3d_z(self, roots, param_x, param_y, param_z=None, max_z=None, **kwargs):
         """3D subplots of (x, y) colored by each parameter in param_z."""
         roots = makeList(roots)
-        param_z = self.get_param_array(roots[0], param_z)
+        lead = roots[0]
+        param_z = self.get_param_array(lead, param_z)
         if max_z is not None and len(param_z) > max_z:
             param_z = param_z[:max_z]
-        param_x, param_y = self.get_param_array(roots[0], [param_x, param_y])
+        param_x, param_y = self.get_param_array(lead, [param_x, param_y])
         triplets = [[param_x, param_y, z] for z in param_z if z not in (param_x, param_y)]
         return self.plots_3d(roots, triplets, **kwargs)
 
@@ -1879,7 +1898,7 @@ class GetDistPlotter(_BaseObject):
         ``plots.py:2990-3115``)."""
         given = [src for src in (roots, yroots, plot_roots) if src]
         if len(given) > 1:
-            raise GetDistPlotError("rectangle plot: must have one of roots, yroots, plot_roots")
+            raise GetDistPlotError("rectangle_plot needs roots, yroots or plot_roots")
         xparams, yparams = makeList(xparams), makeList(yparams)
         if roots:
             roots = makeList(roots)
@@ -1987,7 +2006,8 @@ class GetDistPlotter(_BaseObject):
             rotation=self.settings.colorbar_tick_rotation or 0,
             labelsize=self.settings.colorbar_axes_fontsize,
         )
-        self.add_colorbar_label(cb, col_param, label_rotation=-self.settings.colorbar_label_rotation)
+        flipped = -self.settings.colorbar_label_rotation
+        self.add_colorbar_label(cb, col_param, label_rotation=flipped)
 
     def triangle_plot(
         self, roots, params=None, legend_labels=None, plot_3d_with_param=None, filled=False, shaded=False,
@@ -2012,7 +2032,7 @@ class GetDistPlotter(_BaseObject):
         upper_contour_args = upper_line_args = None
         if upper_roots is not None:
             if col_param is not None:
-                logging.warning("triangle_plot upper_roots currently doesn't work with plot_3d_with_param")
+                logging.warning("upper_roots and plot_3d_with_param cannot be combined in triangle_plot")
             upper_contour_args, upper_line_args = self._triangle_upper_styles(
                 upper_roots, upper_kwargs, filled, contour_args, contour_colors, contour_ls, contour_lws
             )
@@ -2250,7 +2270,7 @@ class GetDistPlotter(_BaseObject):
 
     def samples_for_root(self, root, file_root=None, cache=True, settings=None):
         """MCSamples for a root name (delegates to the sample analyser)."""
-        return self.sample_analyser.samples_for_root(root, file_root, cache, settings)
+        return self.sample_analyser.samples_for_root(root, file_root=file_root, cache=cache, settings=settings)
 
     def _display_label(self, root, i):
         for getter in ("get_label", "getLabel", "label"):
@@ -2328,7 +2348,7 @@ class GetDistPlotter(_BaseObject):
             if str(label_order) == "-1":
                 label_order = range(len(handles))[::-1]
             handles = [handles[i] for i in label_order]
-            legend_labels = [legend_labels[i] for i in label_order]
+            legend_labels = [legend_labels[k] for k in label_order]
 
         if not figure:
             args["frameon"] = opts.legend_frame and not colored_text
@@ -2375,7 +2395,7 @@ class GetDistPlotter(_BaseObject):
             legend_loc = "upper center"
         vert, horiz = legend_loc.split(" ")
         if vert == "center":
-            raise ValueError("Cannot use centre location for figure legend outside")
+            raise ValueError("an outside figure legend cannot be centred")
         margin = self.settings.legend_frac_subplot_margin
         if vert == "upper":
             x = {"left": 0, "right": self.plot_col}.get(horiz, self.plot_col / 2)
@@ -2439,7 +2459,7 @@ class StyleManager:
         if name != previous:
             cls = self._plot_styles.get(name)
             if cls is None:
-                raise ValueError("Unknown style %s. Make sure you have imported the relevant style module." % name)
+                raise ValueError(f"style {name} is not registered; import its style module first")
             if self._orig_rc is None:
                 self._orig_rc = rcParams.copy()
             else:
