@@ -1290,6 +1290,9 @@ class MCSamples(Chains):
             density.likes = None if getattr(flipped, "likes", None) is None else flipped.likes.T
         if density is None:
             return None
+        if meanlikes and getattr(density, "likes", None) is None:
+            # regrid/rescued pairs don't carry shading grids; host path serves
+            return None
         self._initParamRanges(jx)
         self._initParamRanges(jy)
         out = Density2D(density.x, density.y, density.P,
@@ -1398,31 +1401,144 @@ class MCSamples(Chains):
         d2["regrid"] = self._fast_regrid_pairs(
             idx, pairs, d1, contours, lo if has else None, hi if has else None, per, scale_2d
         )
+        self._fast_rescue_clamped_pairs(
+            idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d
+        )
         return d1, d2, pairs
+
+    def _fast_rescue_clamped_pairs(self, idx, pairs, d1, d2, contours, lo, hi, per, scale_2d=1.0):
+        """Re-run pairs whose kernel width saturated the fused program's
+        fixed convolution window (rx/ry at winw/2.5 bins).
+
+        The reference sizes its window from the bandwidth with no cap
+        (``mcsamples.py:1884`` winw = 2.5*width), so near-uniform bounded
+        distributions legitimately need very wide kernels; the fused
+        program's static window under-smooths them (zoo shape "flat":
+        0.19 max-grid error before this pass). The rescue re-runs just
+        those pairs with a near-half-grid window and serves its results.
+        """
+        from getdist_tpu.ops.batched import all_2d_densities
+
+        regrid = d2.get("regrid", {})
+        base_cap = 30 / 2.5
+
+        def regrid_cap(entry):
+            n_fine = int(np.asarray(entry["P"]).shape[0])
+            return max(30, int(round(n_fine / 9.0))) / 2.5
+
+        rxs, rys = np.asarray(d2["rx"]), np.asarray(d2["ry"])
+        saturated = []
+        for k, key in enumerate(pairs):
+            entry = regrid.get(key)
+            if entry is not None:
+                widest = max(float(entry["rx"]), float(entry["ry"]))
+                cap = regrid_cap(entry)
+            else:
+                widest, cap = max(float(rxs[k]), float(rys[k])), base_cap
+            if widest >= cap - 1e-3:
+                saturated.append(key)
+        if not saturated:
+            return
+        fine = 256
+        pa = jnp.asarray(np.array([a for a, _ in saturated], np.int32))
+        pb = jnp.asarray(np.array([b for _, b in saturated], np.int32))
+        bounded = lo is not None or hi is not None
+        d2w = all_2d_densities(
+            self.samples[:, idx],
+            self.weights,
+            pa,
+            pb,
+            d1["neff"],
+            d1["range"][0],
+            d1["range"][1],
+            jnp.asarray(np.array(contours, np.float32)),
+            fine_bins=fine,
+            use_pallas=False,
+            bandwidth_scale=None if scale_2d == 1.0 else jnp.float32(scale_2d),
+            active_lo=d1["active_lo"] if bounded else None,
+            active_hi=d1["active_hi"] if bounded else None,
+            periodic=jnp.asarray(per) if per is not None and per.any() else None,
+            sigma_range=d1["sigma_range"],
+            max_corr=float(self.max_corr_2D),
+            winw=fine // 2 - 2,
+        )
+        for i, key in enumerate(saturated):
+            regrid[key] = {name: d2w[name][i] for name in ("P", "contours", "rx", "ry", "corr", "neff")}
+        d2["regrid"] = regrid
 
     def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0):
         """Re-run tightly-correlated pairs at the reference's corr-adaptive
         fine grid (mcsamples.py:1812-1819 scales fine_bins_2D by the
-        degeneracy angle); returns {(a, b): per-pair 2D results}."""
+        degeneracy angle); returns {(a, b): per-pair 2D results}.
+
+        Strongly-correlated shearable pairs (|corr| >= 0.5) additionally get
+        their bandwidth matrix from the sample-space sheared re-binning
+        program (``ops.batched.sheared_pair_bandwidths``) via the override
+        hook: at high correlation the in-program frequency-space shear of
+        the coarse histogram is not accurate enough (zoo shapes tight /
+        bimodal WJ3/WJ4)."""
         from getdist_tpu.ops.batched import all_2d_densities
 
         max_corr = float(self.max_corr_2D)
         corr = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
+        par_objs = [self.paramNames.names[j] for j in idx]
+
+        def limited(k):
+            info = par_objs[k]
+            return bool(getattr(info, "has_limits_bot", False) or getattr(info, "has_limits_top", False))
+
         groups = {}
         for a, b in pairs:
-            cc = float(np.clip(corr[a, b], -max_corr, max_corr))
-            if abs(cc) < 0.1:
-                continue
-            angle_scale = max(0.2, np.sqrt(1 - min(max_corr, abs(cc)) ** 2))
-            if int(1 / angle_scale) <= 1:
-                continue
-            scaled = 192 * int(3 / angle_scale) // 3
-            if scaled > 256:
-                groups.setdefault(scaled, []).append((a, b))
+            cc_raw = float(corr[a, b])
+            cc = float(np.clip(cc_raw, -max_corr, max_corr))
+            fine = 256
+            if abs(cc) >= 0.1:
+                angle_scale = max(0.2, np.sqrt(1 - min(max_corr, abs(cc)) ** 2))
+                if int(1 / angle_scale) > 1:
+                    scaled = 192 * int(3 / angle_scale) // 3
+                    if scaled > 256:
+                        fine = scaled
+            assist = 0.5 <= abs(cc_raw) <= max_corr and not (limited(a) and limited(b))
+            if fine > 256 or assist:
+                groups.setdefault((fine, assist), []).append((a, b))
         regrid = {}
-        for fine, plist in groups.items():
+        for (fine, assist), plist in groups.items():
             pa = jnp.asarray(np.array([a for a, _ in plist], np.int32))
             pb = jnp.asarray(np.array([b for _, b in plist], np.int32))
+            override = None
+            if assist:
+                # host-exact sheared bandwidths (the parity helper itself):
+                # at high correlation the optimizer's ISJ root selection can
+                # sit on a knife edge where a single f32-shifted histogram
+                # count picks a different fixed point, so the f64 host path
+                # is the only way to reproduce the reference branch exactly;
+                # samples are host-resident, and only |corr| >= 0.5 pairs
+                # pay the per-pair host re-binning
+                neff_h = np.asarray(d1["neff"])
+                sr_h = np.asarray(d1["sigma_range"])
+                order = int(self.mult_bias_correction_order)
+                hx = np.empty(len(plist))
+                hy = np.empty(len(plist))
+                c = np.empty(len(plist))
+                for i, (a, b) in enumerate(plist):
+                    pair_neff = float(min(neff_h[a], neff_h[b]))
+                    parx = self._initParamRanges(idx[a])
+                    pary = self._initParamRanges(idx[b])
+                    try:
+                        wx_d, wy_d, cc = self._optimize_bandwidth_sheared(
+                            parx, pary, idx[a], idx[b], pair_neff, 256
+                        )
+                    except ValueError:
+                        # the reference's optimizer-failure fallback: plug-in
+                        # widths at the clipped sample correlation
+                        plug = pair_neff ** (-1.0 / 6)
+                        wx_d, wy_d = sr_h[a] * plug, sr_h[b] * plug
+                        cc = np.clip(corr[a, b], -max_corr, max_corr)
+                    if order:
+                        rescale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + order)))
+                        wx_d, wy_d = wx_d * rescale, wy_d * rescale
+                    hx[i], hy[i], c[i] = wx_d, wy_d, cc
+                override = (jnp.asarray(hx, jnp.float32), jnp.asarray(hy, jnp.float32), jnp.asarray(c, jnp.float32))
             d2x = all_2d_densities(
                 self.samples[:, idx],
                 self.weights,
@@ -1435,6 +1551,7 @@ class MCSamples(Chains):
                 fine_bins=fine,
                 use_pallas=False,
                 bandwidth_scale=None if scale_2d == 1.0 else jnp.float32(scale_2d),
+                bandwidth_override=override,
                 active_lo=d1["active_lo"] if lo is not None or hi is not None else None,
                 active_hi=d1["active_hi"] if lo is not None or hi is not None else None,
                 periodic=jnp.asarray(per) if per.any() else None,

@@ -550,7 +550,12 @@ _W_LO, _W_HI = 1e-3, 0.3
 def _amise_minimize(p, neff, wx0, wy0, rho0, free_rho, iters=60):
     """Fixed-iteration bounded AMISE minimization (role of the reference's
     TNC search, kde_bandwidth.py:289-306): widths via log-sigmoid transform,
-    correlation via scaled tanh; backtracking gradient descent, jit-safe."""
+    correlation via scaled tanh; backtracking gradient descent, jit-safe.
+
+    The free-correlation search is multi-started over a spread of kernel
+    correlations: the AMISE surface has separated basins in rho for
+    multimodal densities, and a single gradient descent from rho0 misses
+    the global one (the reference's TNC escapes via its curvature model)."""
 
     def to_u(w):
         frac = jnp.clip((w - _W_LO) / (_W_HI - _W_LO), 1e-6, 1 - 1e-6)
@@ -567,7 +572,6 @@ def _amise_minimize(p, neff, wx0, wy0, rho0, free_rho, iters=60):
         val, _ = _amise_2d(wx, wy, rho, p, neff)
         return val
 
-    z0 = jnp.stack([to_u(wx0), to_u(wy0), jnp.arctanh(jnp.clip(rho0 / rho_cap, -0.999, 0.999))])
     grad = jax.grad(objective)
 
     def body(_, state):
@@ -579,7 +583,17 @@ def _amise_minimize(p, neff, wx0, wy0, rho0, free_rho, iters=60):
         step = jnp.where(better, step * 1.2, step * 0.5)
         return z, step
 
-    z, _ = jax.lax.fori_loop(0, iters, body, (z0, jnp.asarray(0.25, z0.dtype)))
+    def solve(z0):
+        z, _ = jax.lax.fori_loop(0, iters, body, (z0, jnp.asarray(0.25, z0.dtype)))
+        return z, objective(z)
+
+    u0 = jnp.arctanh(jnp.clip(rho0 / rho_cap, -0.999, 0.999))
+    rho_seeds = jnp.stack([u0] + [jnp.full_like(u0, jnp.arctanh(r / rho_cap)) for r in (-0.75, -0.35, 0.35, 0.75)])
+    # when the correlation is pinned (free_rho False) every seed collapses
+    # to the same problem, so the multi-start is a no-op there
+    starts = jnp.stack([jnp.full_like(rho_seeds, to_u(wx0)), jnp.full_like(rho_seeds, to_u(wy0)), rho_seeds], axis=1)
+    zs, vals = jax.vmap(solve)(starts)
+    z = zs[jnp.argmin(vals)]
     wx, wy = from_u(z[0]), from_u(z[1])
     rho = jnp.where(free_rho, rho_cap * jnp.tanh(z[2]), rho0)
     val, bias = _amise_2d(wx, wy, rho, p, neff)
@@ -742,17 +756,21 @@ def _sheared_power(hist, xc_a, xc_b, r0, r1, swap):
     first = jnp.where(swap, xc_b, xc_a)  # (size,) centers of p1 (columns)
     second = jnp.where(swap, xc_a, xc_b)  # centers of the other coord (rows)
     p2 = r0 * first[None, :] + r1 * second[:, None]  # (size, size)
-    tot = jnp.sum(h)
-    mean2 = jnp.sum(h * p2) / tot
-    var2 = jnp.sum(h * (p2 - mean2) ** 2) / tot
-    col_mass = jnp.sum(h, axis=0)
-    mean1 = jnp.sum(col_mass * first) / tot
-    var1 = jnp.sum(col_mass * (first - mean1) ** 2) / tot
     step1 = first[1] - first[0]
     step2 = second[1] - second[0]
+    # Both axis ranges follow the host path's kde_bandwidth.bin_samples
+    # convention: occupied extent padded 10% per side. This matters twice:
+    # the NUDFT below is periodic with period range, so a too-small range
+    # aliases tail/mode mass (multimodal shapes were badly mis-measured by
+    # a sigma-scaled p2 range), while a too-wide range (the full fine grid)
+    # shifts the optimizer's range-relative width bounds and was observed
+    # to destabilize the correlation search on bimodal shapes.
+    occupied = h > 0
+    p2_lo = jnp.min(jnp.where(occupied, p2, jnp.inf))
+    p2_hi = jnp.max(jnp.where(occupied, p2, -jnp.inf))
+    second_range = 1.2 * (p2_hi - p2_lo)
     first_range = first[-1] - first[0] + step1
-    # same sigma coverage on the sheared axis as the p1 axis has
-    second_range = first_range * jnp.sqrt(var2 / var1)
+    tot = jnp.sum(h)
 
     # s_hat[f1, f2] = sum_xy h[y, x] e^{-2 pi i [(f1 a + f2 b) x + (f2 c) y]}
     # (global phases drop out of the power)
@@ -1670,7 +1688,7 @@ def triangle_densities(
     else:
         limits_lo = limits_hi = None
     per = None if periodic is None else jnp.asarray(np.asarray(periodic, bool))
-    pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
+    pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32).reshape(-1, 2)
     return _triangle_program(
         samples,
         weights,

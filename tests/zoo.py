@@ -99,17 +99,20 @@ def mise_sweep_2d(prob, nsamp=DEFAULT_NSAMP, nsim=20, scales=np.arange(0.6, 1.5,
     mise = np.zeros(np.size(scales))
     for sim in range(nsim):
         samps = prob.MCSamples(nsamp, settings=settings, random_state=sim)
-        truth = None
+        truth, truth_shape = None, None
         for i, scale in enumerate(scales):
             if fused:
                 density = _fused_2d_density(samps, scale)
             else:
                 density = samps.get2DDensity("x", "y", smooth_scale_2D=-scale)
             density.normalize()
-            if truth is None:
+            if truth is None or density.P.shape != truth_shape:
+                # grid size can change with scale (corr-adaptive regrid /
+                # wide-kernel rescue), so the truth grid tracks the density
                 xg, yg = np.meshgrid(density.x, density.y)
                 truth = prob.pdf(xg, yg)
                 truth /= density.integrate(truth)
+                truth_shape = truth.shape
             mise[i] += np.sum((truth - density.P) ** 2) / np.sum(truth**2)
     return scales, mise / (nsim - 1)
 
