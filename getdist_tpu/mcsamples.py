@@ -1304,7 +1304,125 @@ class MCSamples(Chains):
         out.likes = getattr(density, "likes", None)
         return out
 
-    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True, meanlikes=False):
+    def fastParityDensities(self, params=None, contours=None):
+        """Reference-exact triangle densities at batched-device speed.
+
+        The host parity pipeline with its per-pair python loop replaced by
+        float64 fused device programs: exact host ranges, N_eff values and
+        bandwidth matrices (the same code the parity path runs) feed
+        :func:`~.ops.batched.all_2d_densities` per corr-adaptive fine-grid
+        group through its override hooks. Measured max-grid delta vs
+        ``get2DDensityGridData`` is ~1e-5 on the distribution zoo — the
+        "fast AND faithful" mode (benchmarked by ``bench.py --parity``).
+
+        1D densities run through the (cheap, byte-exact) host path.
+        Requires float64 (``jax_enable_x64`` on a CPU backend); only the
+        default auto-bandwidth smoothing settings are supported, and
+        mean-likelihood shading is served by the host path.
+
+        :return: ({name: Density1D}, {(name_a, name_b): Density2D})
+        """
+        import jax
+
+        from getdist_tpu.ops.batched import all_2d_densities
+
+        if not jax.config.jax_enable_x64:
+            raise MCSamplesError("parity mode needs float64: jax.config.update('jax_enable_x64', True) on CPU")
+        if float(self.smooth_scale_2D) >= 0 or float(self.smooth_scale_1D) >= 0:
+            raise SettingError("parity mode supports the auto-bandwidth smooth_scale settings only")
+        if self.needs_update:
+            self.updateBaseStatistics()
+        idx = list(range(self.n)) if params is None else [self._parAndNumber(q)[0] for q in params]
+        contours = np.asarray(self.contours if contours is None else contours, float)
+
+        infos = [self._initParamRanges(j) for j in idx]
+        names = [info.name for info in infos]
+        dens1 = {info.name: self.get1DDensityGridData(j, **{}) for j, info in zip(idx, infos)}
+        neff = np.array([self._get1DNeff(info, j) for j, info in zip(idx, infos)])
+
+        # per-param fine ranges (the reference _binSamples convention)
+        def grid_edge(par):
+            pad = (par.range_max - par.range_min) * 0.1
+            bmin = min(par.param_min, par.range_min) - (0 if par.has_limits_bot else pad)
+            bmax = max(par.param_max, par.range_max) + (0 if par.has_limits_top else pad)
+            return bmin, bmax
+        edges = np.array([grid_edge(info) for info in infos])
+        binmin, binmax = edges[:, 0], edges[:, 1]
+
+        # per-pair: corr-adaptive fine size + the host path's exact bandwidth
+        scale_2d = abs(float(self.smooth_scale_2D))
+        corr_mat = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
+        groups = {}
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                parx, pary = infos[a], infos[b]
+                corr, actual_corr = self._pair_correlation(idx[a], idx[b], parx, pary)
+                fine, _nbin2d = self._degeneracy_adapted_bins(corr, self.fine_bins_2D)
+                ix, step_x, x_lo, x_hi = self._binSamples(self.samples[:, idx[a]], parx, fine)
+                iy, step_y, y_lo, y_hi = self._binSamples(self.samples[:, idx[b]], pary, fine)
+                hist, _ = self._make2Dhist(ix, iy, fine, fine)
+                hx, hy, c = self.getAutoBandwidth2D(
+                    hist, parx, pary, idx[a], idx[b], actual_corr, x_hi - x_lo, y_hi - y_lo,
+                    self.fine_bins_2D, mult_bias_correction_order=self.mult_bias_correction_order,
+                )
+                rx = hx * scale_2d / step_x
+                ry = hy * scale_2d / step_y
+                winw = max(1, int(round(2.5 * max(rx, ry))))
+                groups.setdefault(fine, []).append((a, b, hx, hy, c, winw))
+
+        active_lo = np.array([info.has_limits_bot for info in infos])
+        active_hi = np.array([info.has_limits_top for info in infos])
+        per = np.array([bool(getattr(info, "periodic", False)) for info in infos])
+        bounded = active_lo.any() or active_hi.any()
+        dens2 = {}
+        for fine, plist in groups.items():
+            # +3 headroom: the program clips kernel widths at winw/2.5, and
+            # the per-pair kernel_support (not the static window) is what
+            # must match the reference truncation
+            winw = min(max(entry[5] for entry in plist) + 3, fine // 2 - 2)
+            d2 = all_2d_densities(
+                jnp.asarray(self.samples[:, idx]),
+                jnp.asarray(self.weights),
+                jnp.asarray(np.array([entry[0] for entry in plist], np.int32)),
+                jnp.asarray(np.array([entry[1] for entry in plist], np.int32)),
+                jnp.asarray(neff),
+                jnp.asarray(binmin),
+                jnp.asarray(binmax),
+                jnp.asarray(contours),
+                fine_bins=fine,
+                use_pallas=False,
+                winw=winw,
+                bandwidth_scale=None if scale_2d == 1.0 else jnp.float64(scale_2d),
+                bandwidth_override=(
+                    jnp.asarray(np.array([entry[2] for entry in plist])),
+                    jnp.asarray(np.array([entry[3] for entry in plist])),
+                    jnp.asarray(np.array([entry[4] for entry in plist])),
+                ),
+                kernel_support=jnp.asarray(np.array([float(entry[5]) for entry in plist])),
+                active_lo=jnp.asarray(active_lo) if bounded else None,
+                active_hi=jnp.asarray(active_hi) if bounded else None,
+                periodic=jnp.asarray(per) if per.any() else None,
+                sigma_range=jnp.asarray(np.array([info.sigma_range for info in infos])),
+                max_corr=float(self.max_corr_2D),
+                enable_shear=False,  # bandwidths are host-exact overrides
+                exact_mult_bias=True,
+            )
+            grids = np.asarray(d2["P"], float)
+            for k, (a, b, *_rest) in enumerate(plist):
+                density = Density2D(
+                    np.linspace(binmin[a], binmax[a], fine),
+                    np.linspace(binmin[b], binmax[b], fine),
+                    grids[k],
+                    view_ranges=[(infos[a].range_min, infos[a].range_max), (infos[b].range_min, infos[b].range_max)],
+                )
+                # host water levels on the final grid (byte-exact convention)
+                density.contours = density.getContourLevels(contours)
+                density.likes = None
+                dens2[(names[a], names[b])] = density
+        return dens1, dens2
+
+    def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True, meanlikes=False,
+                      parity=False):
         """Fused-pipeline densities as plot-ready objects: a dict of
         :class:`~.densities.Density1D` per parameter name and a dict of
         :class:`~.densities.Density2D` per name pair.
@@ -1312,8 +1430,14 @@ class MCSamples(Chains):
         With ``cache_1d`` the 1D results populate the ``density1D`` cache,
         so subsequent ``get1DDensity``/1D plotting reuses them; 2D objects
         plot via ``add_2d_contours(..., density=...)``. Fast-path KDE
-        conventions (see :meth:`fastTriangleDensities`).
+        conventions (see :meth:`fastTriangleDensities`), or reference-exact
+        ones with ``parity=True`` (see :meth:`fastParityDensities`).
         """
+        if parity:
+            dens1, dens2 = self.fastParityDensities(params=params, contours=contours)
+            if cache_1d:
+                self.density1D.update(dens1)
+            return dens1, dens2
         d1, d2, pairs = self.fastTriangleDensities(
             params=params, contours=contours, use_pallas=use_pallas, meanlikes=meanlikes
         )

@@ -797,9 +797,11 @@ def _sheared_power(hist, xc_a, xc_b, r0, r1, swap):
 # ---------------------------------------------------------------------------
 
 
-def _gauss_kernel_2d(rx, ry, corr, winw, dtype):
+def _gauss_kernel_2d(rx, ry, corr, winw, dtype, support=None):
     """Anisotropic correlated Gaussian window on a fixed (2*winw+1)^2 grid,
-    zeroed outside the per-pair effective support (2.5 * max(rx, ry))."""
+    zeroed outside the per-pair effective support (2.5 * max(rx, ry) by
+    default; parity mode passes the reference's exact integer half-width,
+    round(2.5 * widest), so the truncation ring matches to the bin)."""
     idx = jnp.arange(-winw, winw + 1, dtype=dtype)
     iy = idx[:, None]
     ix = idx[None, :]
@@ -809,7 +811,8 @@ def _gauss_kernel_2d(rx, ry, corr, winw, dtype):
     c11 = ry**2 / det
     c01 = -rx * ry * corr / det
     q = iy**2 * c00 + ix**2 * c11 + 2 * c01 * iy * ix
-    support = jnp.maximum(rx, ry) * 2.5
+    if support is None:
+        support = jnp.maximum(rx, ry) * 2.5
     win = jnp.exp(-q / 2) * ((jnp.abs(iy) <= support) & (jnp.abs(ix) <= support))
     return win / jnp.sum(win)
 
@@ -1167,6 +1170,7 @@ def all_1d_densities(
         "boundary_order",
         "max_corr",
         "enable_shear",
+        "exact_mult_bias",
     ),
 )
 def all_2d_densities(
@@ -1195,8 +1199,10 @@ def all_2d_densities(
     max_corr=0.95,
     enable_shear=True,
     bandwidth_override=None,
+    kernel_support=None,
     prior_mask=None,
     like_weights=None,
+    exact_mult_bias=False,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1366,7 +1372,12 @@ def all_2d_densities(
     rx = jnp.clip(hx / fine_width[pair_a], 0.8, winw / 2.5)  # bin units
     ry = jnp.clip(hy / fine_width[pair_b], 0.8, winw / 2.5)
 
-    kernels = jax.vmap(lambda a, b, cc: _gauss_kernel_2d(a, b, cc, winw, samples.dtype))(rx, ry, c)
+    if kernel_support is None:
+        kernels = jax.vmap(lambda a, b, cc: _gauss_kernel_2d(a, b, cc, winw, samples.dtype))(rx, ry, c)
+    else:
+        kernels = jax.vmap(lambda a, b, cc, sp: _gauss_kernel_2d(a, b, cc, winw, samples.dtype, support=sp))(
+            rx, ry, c, jnp.asarray(kernel_support)
+        )
 
     pad = next_fast_len(fine_bins + 2 * winw)
     has_periodic = periodic is not None
@@ -1507,13 +1518,56 @@ def all_2d_densities(
     # Multiplicative bias iteration. Without limits the reference's a00
     # edge-normalization mask is ~1 everywhere that matters (grids carry 10%
     # empty borders) — the deviation is quantified in tests/test_batched.py;
-    # with limits each round divides by a00 as the reference does.
+    # with limits each round divides by a00 as the reference does. Parity
+    # mode (exact_mult_bias) reproduces the reference's full mask instead:
+    # ones with zeroed winw borders on non-periodic axes, half-weight limit
+    # lines on hard-limited directions (mcsamples.py _setAllEdgeMask2D after
+    # _setEdgeMask2D), convolved with the pair kernel.
+    if mult_bias_order and exact_mult_bias:
+        ext_mb = fine_bins + 2 * winw
+        pad_mb = next_fast_len(ext_mb + 2 * winw)
+        idx_mb = jnp.arange(ext_mb)
+        if has_periodic:
+            per_arr = jnp.asarray(periodic)
+            mb_per_x, mb_per_y = per_arr[pair_a], per_arr[pair_b]
+        else:
+            mb_per_x = mb_per_y = jnp.zeros(pair_a.shape, bool)
+        if has_limits:
+            mb_l_a, mb_h_a = active_lo[pair_a], active_hi[pair_a]
+            mb_l_b, mb_h_b = active_lo[pair_b], active_hi[pair_b]
+        else:
+            mb_l_a = mb_h_a = mb_l_b = mb_h_b = jnp.zeros(pair_a.shape, bool)
+
+        def _mb_axis_mask(act_l, act_h, per_ax):
+            m = jnp.ones((ext_mb,), samples.dtype)
+            border = (idx_mb < winw) | (idx_mb >= ext_mb - winw)
+            m = jnp.where(~per_ax & border, 0.0, m)
+            if boundary_order >= 0:
+                m = jnp.where(act_l & ~per_ax & (idx_mb == winw), m * 0.5, m)
+                m = jnp.where(act_h & ~per_ax & (idx_mb == ext_mb - winw - 1), m * 0.5, m)
+            return m
+
+        mb_x = jax.vmap(_mb_axis_mask)(mb_l_a, mb_h_a, mb_per_x)
+        mb_y = jax.vmap(_mb_axis_mask)(mb_l_b, mb_h_b, mb_per_y)
+        mb_masks = mb_y[:, :, None] * mb_x[:, None, :]
+        if prior_mask is not None:
+            mb_masks = mb_masks * prior_mask
+        mb_f = jnp.fft.rfftn(mb_masks, (pad_mb, pad_mb), axes=(1, 2))
+        kf_mb = jnp.fft.rfftn(kernels, (pad_mb, pad_mb), axes=(1, 2))
+        full_mb = jnp.fft.irfftn(mb_f * kf_mb, (pad_mb, pad_mb), axes=(1, 2))
+        a00_mb = jax.lax.dynamic_slice(full_mb, (0, 2 * winw, 2 * winw), (mb_masks.shape[0], fine_bins, fine_bins))
+        fully_per = mb_per_x & mb_per_y
+        a00_mb = jnp.where(fully_per[:, None, None] | (a00_mb <= 1e-12), 1.0, a00_mb)
+    else:
+        a00_mb = None
     if mult_bias_order:
         for _ in range(mult_bias_order):
             maxes = jnp.max(smoothed, axis=(1, 2), keepdims=True)
             flat = jnp.where(smoothed > maxes * 1e-8, hists / jnp.where(smoothed == 0, 1.0, smoothed), hists)
             round_conv = _conv_periodic(flat) if has_periodic else _conv2d_same_kf(flat, kf_shared, pad, winw)
-            if has_limits:
+            if a00_mb is not None:
+                round_conv = round_conv / a00_mb
+            elif has_limits:
                 round_conv = jnp.where(pair_limited[:, None, None], round_conv / a00, round_conv)
             smoothed = smoothed * round_conv
 

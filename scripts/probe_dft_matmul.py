@@ -77,7 +77,7 @@ def main():
             return jax.lax.dynamic_slice(out, (0, W, W), (K, N, N))
 
     conv_dft_hi = jax.jit(lambda g, k: conv_dft(g, k, "float32"))
-    conv_dft_bf = jax.jit(lambda g, k: conv_dft(g, k, "bfloat16_3x"))
+    conv_dft_bf = jax.jit(lambda g, k: conv_dft(g, k, "BF16_BF16_F32_X3"))
 
     ref = timed(conv_fft, grids, kernels, label="xla rfft conv")
     hi = timed(conv_dft_hi, grids, kernels, label="dft-matmul f32")
