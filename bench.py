@@ -150,7 +150,7 @@ def run_sharded(samples, weights, repeats=3):
     return min(times), n_dev, sync
 
 
-def run_parity(samples, weights, repeats=2):
+def run_parity(samples, weights, repeats=1):
     """Time the reference-exact parity mode (f64 fused programs on CPU x64).
 
     The "fast AND faithful" number: <= ~1e-5 max-grid delta vs the

@@ -515,7 +515,21 @@ def _psi_multi_pow(power, freqs, exponents, ts, signs):
 
 def _odd_table_2d(power, freqs, neff, p00, t_star):
     """Plug-in table for the odd functionals psi_13/psi_31 (device twin of
-    kde_bandwidth._odd_table), level-batched like the even table."""
+    kde_bandwidth._odd_table), level-batched like the even table.
+
+    The power is antisymmetrized pairwise in each frequency sign BEFORE the
+    weighted sums: an odd functional is a near-total cancellation between
+    ±f terms of the (symmetric-dominated) power, and letting that
+    cancellation happen across the full f32 accumulation loses it entirely
+    (measured 4000x error on multimodal histograms, which silently disabled
+    the kernel-correlation search on f32 backends). Elementwise pairing
+    makes every term of the remaining sum carry the same sign."""
+
+    def negate_axis(m, axis):
+        return jnp.roll(jnp.flip(m, axis=axis), 1, axis=axis)
+
+    power = 0.5 * (power - negate_axis(power, 0))
+    power = 0.5 * (power - negate_axis(power, 1))
     keys = _ODD_LEVELS[10]
     ones = [1.0] * len(keys)
     table = dict(zip(keys, _psi_multi_pow(power, freqs, keys, [t_star] * len(keys), ones)))
@@ -679,7 +693,14 @@ def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=Non
     # odd functionals from the (possibly sheared) FFT power spectrum
     p00 = table[(0, 0)]
     odd = _odd_table_2d(power, freqs, neff, p00, t_star)
-    p = (pxx, pyy, pxy, odd[(3, 1)], odd[(1, 3)])
+    # Cauchy-Schwarz bound |psi_31| <= sqrt(psi_40 psi_22) (the functionals
+    # are inner products of density derivatives): the odd part of the power
+    # can sit below the f32 FFT noise floor, and an unbounded noise value
+    # (observed 1000x the bound on multimodal histograms) would otherwise
+    # dominate the AMISE correlation search
+    bound_31 = jnp.sqrt(pxx * pxy)
+    bound_13 = jnp.sqrt(pyy * pxy)
+    p = (pxx, pyy, pxy, jnp.clip(odd[(3, 1)], -bound_31, bound_31), jnp.clip(odd[(1, 3)], -bound_13, bound_13))
 
     best, _ = _amise_2d(wx, wy, jnp.zeros_like(wx), p, neff)
     rho = jnp.zeros_like(wx)
