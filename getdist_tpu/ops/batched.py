@@ -34,12 +34,14 @@ estimate (vs adaptive stepping), fixed-iteration projected gradient for
 the AMISE search (vs scipy TNC), and histogram-resampled shearing.
 """
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from getdist_tpu.ops import dft_conv
 from getdist_tpu.ops.fft import dct, next_fast_len
 
 __all__ = [
@@ -838,6 +840,46 @@ def _gauss_kernel_2d(rx, ry, corr, winw, dtype, support=None):
     return win / jnp.sum(win)
 
 
+# XLA's TPU irfftn silently corrupts outputs (~30% wrong values) above a
+# batch-size cliff while the forward rfftn stays bit-exact: >=385 at
+# 320x320 frames, between 179 and 256 at 384x384 (measured,
+# scripts/probe_xla_fft_batch.py). Every batched 2D inverse in this module
+# therefore goes through this chunked wrapper on TPU; the primary conv
+# path avoids XLA FFT entirely via ops/dft_conv.py.
+_IRFFT_SAFE_BATCH = 128
+
+
+def _irfftn_2d(spec, sizes):
+    if jax.default_backend() != "tpu" or spec.shape[0] <= _IRFFT_SAFE_BATCH:
+        return jnp.fft.irfftn(spec, sizes, axes=(1, 2))
+    return jnp.concatenate(
+        [
+            jnp.fft.irfftn(spec[i : i + _IRFFT_SAFE_BATCH], sizes, axes=(1, 2))
+            for i in range(0, spec.shape[0], _IRFFT_SAFE_BATCH)
+        ]
+    )
+
+
+def _dft_conv_mode(dtype, fine_bins, winw):
+    """('use DFT-matmul convolutions', 'interpret mode', precision).
+
+    The Pallas DFT-matmul convolution replaces XLA FFT convs on TPU: ~2.5x
+    faster at production geometry AND exact at batch 435, where the XLA
+    irfft path silently was not (see _irfftn_2d).  GETDIST_TPU_DFT_CONV
+    forces it on (interpret-mode on CPU, for tests) or off; the shared
+    384-frame must cover the largest conv in the program."""
+    env = os.environ.get("GETDIST_TPU_DFT_CONV", "").strip().lower()
+    if env in ("0", "off", "false"):
+        return False, False, "split3"
+    if dtype != jnp.float32 or fine_bins + 4 * winw + 1 > dft_conv.DEFAULT_PAD:
+        return False, False, "split3"
+    prec = os.environ.get("GETDIST_TPU_DFT_PRECISION", "split3").strip().lower()
+    on_tpu = jax.default_backend() == "tpu"
+    if env in ("1", "on", "true"):
+        return True, not on_tpu, prec
+    return on_tpu, False, prec
+
+
 @partial(jax.jit, static_argnames=("pad", "half_m"))
 def _conv2d_same_kf(grids, kf, pad, half_m):
     """Batched 'same' convolution against a PRE-TRANSFORMED kernel spectrum
@@ -845,7 +887,7 @@ def _conv2d_same_kf(grids, kf, pad, half_m):
     kernel FFT is the shared third of each convolution's cost."""
     n = grids.shape[-1]
     gf = jnp.fft.rfftn(grids, (pad, pad), axes=(1, 2))
-    full = jnp.fft.irfftn(gf * kf, (pad, pad), axes=(1, 2))
+    full = _irfftn_2d(gf * kf, (pad, pad))
     return jax.lax.dynamic_slice(full, (0, half_m, half_m), (grids.shape[0], n, n))
 
 
@@ -1401,6 +1443,20 @@ def all_2d_densities(
         )
 
     pad = next_fast_len(fine_bins + 2 * winw)
+    dft_on, dft_interp, dft_prec = _dft_conv_mode(samples.dtype, fine_bins, winw)
+    if dft_on:
+        dft_spec = dft_conv.dft_conv_spectrum(kernels, precision=dft_prec, interpret=dft_interp)
+
+    def _dft_same(grids):
+        # 'same' convolution of (K, fine, fine) grids against `kernels`
+        return dft_conv.dft_conv2d(grids, *dft_spec, fine_bins, winw, precision=dft_prec, interpret=dft_interp)
+
+    def _dft_valid_ext(grids, spec=None):
+        # 'valid' slice of the (K, fine+2*winw, ..) extended-frame convs
+        return dft_conv.dft_conv2d(
+            grids, *(spec or dft_spec), fine_bins, 2 * winw, precision=dft_prec, interpret=dft_interp
+        )
+
     has_periodic = periodic is not None
     if has_periodic:
         # periodic axes: fold the duplicated wrap line and extend the grid
@@ -1435,10 +1491,13 @@ def all_2d_densities(
 
         def _conv_periodic(h):
             g = _extend2(h)
-            gf = jnp.fft.rfftn(g, (pad_ext2, pad_ext2), axes=(1, 2))
-            kf2 = jnp.fft.rfftn(kernels, (pad_ext2, pad_ext2), axes=(1, 2))
-            full = jnp.fft.irfftn(gf * kf2, (pad_ext2, pad_ext2), axes=(1, 2))
-            out = jax.lax.dynamic_slice(full, (0, 2 * winw, 2 * winw), (h.shape[0], fine_bins, fine_bins))
+            if dft_on:
+                out = _dft_valid_ext(g)
+            else:
+                gf = jnp.fft.rfftn(g, (pad_ext2, pad_ext2), axes=(1, 2))
+                kf2 = jnp.fft.rfftn(kernels, (pad_ext2, pad_ext2), axes=(1, 2))
+                full = _irfftn_2d(gf * kf2, (pad_ext2, pad_ext2))
+                out = jax.lax.dynamic_slice(full, (0, 2 * winw, 2 * winw), (h.shape[0], fine_bins, fine_bins))
             # wrap line duplicates its partner row/column
             out = jnp.where(per_y[:, None, None], out.at[:, -1, :].set(out[:, 0, :]), out)
             return jnp.where(per_x[:, None, None], out.at[:, :, -1].set(out[:, :, 0]), out)
@@ -1446,15 +1505,17 @@ def all_2d_densities(
         smoothed = _conv_periodic(hists)
         kf_shared = None
     else:
-        kf_shared = jnp.fft.rfftn(kernels, (pad, pad), axes=(1, 2))
-        smoothed = _conv2d_same_kf(hists, kf_shared, pad, winw)
+        kf_shared = None if dft_on else jnp.fft.rfftn(kernels, (pad, pad), axes=(1, 2))
+        smoothed = _dft_same(hists) if dft_on else _conv2d_same_kf(hists, kf_shared, pad, winw)
 
     if like_weights is not None:
         # mean-likelihood grids (reference mcsamples.py:1888-1901): smooth
         # the like-weighted bins, optionally bias-flatten, divide by the
         # smoothed density where it carries mass
         def _like_conv(grids):
-            return _conv_periodic(grids) if has_periodic else _conv2d_same_kf(grids, kf_shared, pad, winw)
+            if has_periodic:
+                return _conv_periodic(grids)
+            return _dft_same(grids) if dft_on else _conv2d_same_kf(grids, kf_shared, pad, winw)
 
         bin2dlikes = _like_conv(like_hists)
         if mult_bias_order:
@@ -1496,16 +1557,19 @@ def all_2d_densities(
             # (K, ext, ext) indicator multiplied into the edge masks
             masks = masks * prior_mask
         # 'valid' convolution of the padded mask returns (fine, fine)
-        mf = jnp.fft.rfftn(masks, (pad_ext, pad_ext), axes=(1, 2))
+        mf = None if dft_on else jnp.fft.rfftn(masks, (pad_ext, pad_ext), axes=(1, 2))
 
-        def _mask_conv(kern):
+        def _mask_conv(kern, spec=None):
+            if dft_on:
+                spec = spec or dft_conv.dft_conv_spectrum(kern, precision=dft_prec, interpret=dft_interp)
+                return _dft_valid_ext(masks, spec)
             kf_ = jnp.fft.rfftn(kern, (pad_ext, pad_ext), axes=(1, 2))
-            full_ = jnp.fft.irfftn(mf * kf_, (pad_ext, pad_ext), axes=(1, 2))
+            full_ = _irfftn_2d(mf * kf_, (pad_ext, pad_ext))
             return jax.lax.dynamic_slice(
                 full_, (0, 2 * winw, 2 * winw), (masks.shape[0], fine_bins, fine_bins)
             )
 
-        a00 = _mask_conv(kernels)
+        a00 = _mask_conv(kernels, spec=dft_spec if dft_on else None)
         pair_limited = (active_lo | active_hi)[pair_a] | (active_lo | active_hi)[pair_b]
         good = pair_limited[:, None, None] & (a00 > 1e-12)
         a00 = jnp.where(good, a00, 1.0)
@@ -1517,13 +1581,21 @@ def all_2d_densities(
             moment = jnp.arange(-winw, winw + 1, dtype=samples.dtype)
             win_x = kernels * moment[None, None, :]
             win_y = kernels * moment[None, :, None]
-            a10 = _mask_conv(win_x)
-            a01 = _mask_conv(win_y)
+            if dft_on:
+                spec_wx = dft_conv.dft_conv_spectrum(win_x, precision=dft_prec, interpret=dft_interp)
+                spec_wy = dft_conv.dft_conv_spectrum(win_y, precision=dft_prec, interpret=dft_interp)
+                a10 = _mask_conv(win_x, spec=spec_wx)
+                a01 = _mask_conv(win_y, spec=spec_wy)
+                x_p = dft_conv.dft_conv2d(hists, *spec_wx, fine_bins, winw, precision=dft_prec, interpret=dft_interp)
+                y_p = dft_conv.dft_conv2d(hists, *spec_wy, fine_bins, winw, precision=dft_prec, interpret=dft_interp)
+            else:
+                a10 = _mask_conv(win_x)
+                a01 = _mask_conv(win_y)
+                x_p = _conv2d_same_batch(hists, win_x, pad)
+                y_p = _conv2d_same_batch(hists, win_y, pad)
             a20 = _mask_conv(win_x * moment[None, None, :])
             a02 = _mask_conv(win_y * moment[None, :, None])
             a11 = _mask_conv(win_y * moment[None, None, :])
-            x_p = _conv2d_same_batch(hists, win_x, pad)
-            y_p = _conv2d_same_batch(hists, win_y, pad)
             denom = a20 * a01**2 + a10**2 * a02 - a00 * a02 * a20 + a11**2 * a00 - 2 * a01 * a10 * a11
             lin_a = a11**2 - a02 * a20
             lin_x = a10 * a02 - a01 * a11
@@ -1573,10 +1645,15 @@ def all_2d_densities(
         mb_masks = mb_y[:, :, None] * mb_x[:, None, :]
         if prior_mask is not None:
             mb_masks = mb_masks * prior_mask
-        mb_f = jnp.fft.rfftn(mb_masks, (pad_mb, pad_mb), axes=(1, 2))
-        kf_mb = jnp.fft.rfftn(kernels, (pad_mb, pad_mb), axes=(1, 2))
-        full_mb = jnp.fft.irfftn(mb_f * kf_mb, (pad_mb, pad_mb), axes=(1, 2))
-        a00_mb = jax.lax.dynamic_slice(full_mb, (0, 2 * winw, 2 * winw), (mb_masks.shape[0], fine_bins, fine_bins))
+        if dft_on:
+            a00_mb = _dft_valid_ext(mb_masks)
+        else:
+            mb_f = jnp.fft.rfftn(mb_masks, (pad_mb, pad_mb), axes=(1, 2))
+            kf_mb = jnp.fft.rfftn(kernels, (pad_mb, pad_mb), axes=(1, 2))
+            full_mb = _irfftn_2d(mb_f * kf_mb, (pad_mb, pad_mb))
+            a00_mb = jax.lax.dynamic_slice(
+                full_mb, (0, 2 * winw, 2 * winw), (mb_masks.shape[0], fine_bins, fine_bins)
+            )
         fully_per = mb_per_x & mb_per_y
         a00_mb = jnp.where(fully_per[:, None, None] | (a00_mb <= 1e-12), 1.0, a00_mb)
     else:
@@ -1585,7 +1662,10 @@ def all_2d_densities(
         for _ in range(mult_bias_order):
             maxes = jnp.max(smoothed, axis=(1, 2), keepdims=True)
             flat = jnp.where(smoothed > maxes * 1e-8, hists / jnp.where(smoothed == 0, 1.0, smoothed), hists)
-            round_conv = _conv_periodic(flat) if has_periodic else _conv2d_same_kf(flat, kf_shared, pad, winw)
+            if has_periodic:
+                round_conv = _conv_periodic(flat)
+            else:
+                round_conv = _dft_same(flat) if dft_on else _conv2d_same_kf(flat, kf_shared, pad, winw)
             if a00_mb is not None:
                 round_conv = round_conv / a00_mb
             elif has_limits:

@@ -266,3 +266,33 @@ def test_triangle_densities_sniffs_float_weights():
     w_float = w_int * (1 / 3)
     d1_float, _ = triangle_densities(samples, w_float, use_pallas=False)
     assert np.allclose(np.asarray(d1_int["P"]), np.asarray(d1_float["P"]), atol=5e-6)
+
+
+def test_dft_conv_route_matches_fft_route(chain, monkeypatch):
+    """The Pallas DFT-matmul conv route (forced via GETDIST_TPU_DFT_CONV=1,
+    interpret mode on CPU) reproduces the FFT conv route inside the full
+    fused 2D program."""
+    samples, weights = chain
+    samples = samples[:8000]
+    weights = weights[:8000]
+    sf = jnp.asarray(samples, jnp.float32)
+    wf = jnp.asarray(weights, jnp.float32)
+    pair_a = jnp.asarray([0, 0, 1], jnp.int32)
+    pair_b = jnp.asarray([1, 2, 3], jnp.int32)
+    d1 = batched.all_1d_densities(sf, wf)
+    args = (sf, wf, pair_a, pair_b, d1["neff"], d1["range"][0], d1["range"][1], jnp.asarray([0.68, 0.95]))
+    monkeypatch.setenv("GETDIST_TPU_DFT_CONV", "0")
+    off = batched.all_2d_densities.__wrapped__(*args)
+    monkeypatch.setenv("GETDIST_TPU_DFT_CONV", "1")
+    on = batched.all_2d_densities.__wrapped__(*args)
+    err = float(jnp.max(jnp.abs(on["P"] - off["P"])))
+    assert err < 5e-4, err
+    # hard limits exercise the mask-conv and boundary-kernel DFT sites
+    lo = jnp.asarray([True, False, False, False])
+    hi = jnp.asarray([False, True, False, False])
+    monkeypatch.setenv("GETDIST_TPU_DFT_CONV", "0")
+    off_l = batched.all_2d_densities.__wrapped__(*args, active_lo=lo, active_hi=hi)
+    monkeypatch.setenv("GETDIST_TPU_DFT_CONV", "1")
+    on_l = batched.all_2d_densities.__wrapped__(*args, active_lo=lo, active_hi=hi)
+    err_l = float(jnp.max(jnp.abs(on_l["P"] - off_l["P"])))
+    assert err_l < 5e-4, err_l
