@@ -77,7 +77,7 @@ def run_ours(samples, weights, repeats=3):
         return batched._triangle_program(
             dev_s, dev_w, pa, pb, contours, None, None, None,
             256, use_pallas, static_pairs, int8_weights, False,
-            enable_shear=batched._sniff_shear(samples, 0.95),
+            enable_shear=batched._sniff_shear(samples, 0.95, pairs=pairs, weights=weights),
         )
 
     # compile + settle (block_until_ready is unreliable through the axon

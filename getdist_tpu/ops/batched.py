@@ -1280,6 +1280,17 @@ def all_2d_densities(
     """
     n, p = samples.shape
 
+    # enable_shear may be a STATIC tuple of pair positions (host pre-sniffed,
+    # see _sniff_shear): the expensive sheared-spectrum NUDFT then runs only
+    # on that subset instead of all K pairs (~31 ms for 435 pairs on v5e
+    # when usually only a handful are correlated enough to shear)
+    shear_subset = None
+    if isinstance(enable_shear, tuple):
+        shear_subset = np.asarray(enable_shear, np.int32)
+        enable_shear = shear_subset.size > 0
+        if enable_shear and shear_subset.size == int(pair_a.shape[0]):
+            shear_subset = None  # every pair shears: use the plain full batch
+
     def _ps2(v):
         return jax.lax.psum(v, axis_name) if axis_name else v
 
@@ -1383,9 +1394,20 @@ def all_2d_densities(
         cov_bb = cov[pair_b, pair_b]
         swap = lim_b  # limited parameter goes first so the shear keeps its bounds
         r0, r1, s_mats = jax.vmap(_shear_plan_2d)(cov_aa, cov_ab, cov_bb, swap)
-        sh_power, sh_range1, sh_range2 = jax.vmap(_sheared_power)(
-            hists, xc[pair_a], xc[pair_b], r0, r1, swap
-        )
+        if shear_subset is not None:
+            sub = jnp.asarray(shear_subset)
+            sh_p_s, sh_r1_s, sh_r2_s = jax.vmap(_sheared_power)(
+                hists[sub], xc[pair_a[sub]], xc[pair_b[sub]], r0[sub], r1[sub], swap[sub]
+            )
+            k_all = pair_a.shape[0]
+            sh_power = jnp.zeros((k_all,) + sh_p_s.shape[1:], sh_p_s.dtype).at[sub].set(sh_p_s)
+            sh_range1 = range_a.at[sub].set(sh_r1_s)
+            sh_range2 = range_b.at[sub].set(sh_r2_s)
+            shear_sel = shear_sel & jnp.zeros(k_all, bool).at[sub].set(True)
+        else:
+            sh_power, sh_range1, sh_range2 = jax.vmap(_sheared_power)(
+                hists, xc[pair_a], xc[pair_b], r0, r1, swap
+            )
         opt_range1 = jnp.where(shear_sel, sh_range1, range_a)
         opt_range2 = jnp.where(shear_sel, sh_range2, range_b)
         opt_corr = jnp.where(shear_sel, 0.0, c_eff)
@@ -1759,20 +1781,38 @@ def _triangle_program(
     return d1, d2
 
 
-def _sniff_shear(samples, max_corr):
-    """Host pre-check: does any pair want bandwidth shearing (0.2 < |corr|)?
+def _sniff_shear(samples, max_corr, pairs=None, weights=None):
+    """Host pre-check: which pairs may want bandwidth shearing (0.2 < |corr|)?
 
     Only inspects host (numpy) samples — device arrays return True (stay
     correct, pay the shear cost) rather than forcing a device->host sync.
+    Without ``pairs`` returns a bool (any pair close to the threshold).
+    With ``pairs`` (a (K, 2) index list) returns the STATIC tuple of pair
+    positions whose host-estimated |corr| clears 0.15 — a 0.05 margin under
+    the device's 0.2 shear threshold so borderline f32 disagreements stay
+    inside the subset — or True/False for all/none.
     """
     if not isinstance(samples, np.ndarray):
         return True
     if samples.shape[1] < 2:
         return False
-    sub = samples[:: max(1, samples.shape[0] // 100000)]
-    corr = np.corrcoef(sub.T)
-    off = corr[~np.eye(corr.shape[0], dtype=bool)]
-    return bool(np.any(np.abs(off) > 0.18))  # margin below the 0.2 threshold
+    step = max(1, samples.shape[0] // 100000)
+    sub = samples[::step]
+    if weights is not None and isinstance(weights, np.ndarray) and weights.shape[:1] == samples.shape[:1]:
+        cv = np.cov(sub.T, aweights=weights[::step])
+        sd = np.sqrt(np.diag(cv))
+        corr = cv / np.outer(sd, sd)
+    else:
+        corr = np.corrcoef(sub.T)
+    if pairs is None:
+        off = corr[~np.eye(corr.shape[0], dtype=bool)]
+        return bool(np.any(np.abs(off) > 0.18))  # margin below the 0.2 threshold
+    sel = [k for k, (a, b) in enumerate(np.asarray(pairs)) if abs(corr[a, b]) > 0.15]
+    if not sel:
+        return False
+    if len(sel) == len(pairs):
+        return True
+    return tuple(sel)
 
 
 def triangle_densities(
@@ -1830,6 +1870,8 @@ def triangle_densities(
             exact_weights = not _bf16_exact_weights(np.asarray(weights, np.float32))
         else:
             exact_weights = False
+    host_samples = samples if isinstance(samples, np.ndarray) else None
+    host_weights = np.asarray(weights) if sniffable else None
     samples, weights = prepare_chain(samples, weights)
     p = samples.shape[1]
     has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
@@ -1859,7 +1901,9 @@ def triangle_densities(
         int8_weights,
         has_limits,
         max_corr,
-        _sniff_shear(samples, max_corr) if enable_shear is None else enable_shear,
+        _sniff_shear(host_samples if host_samples is not None else samples, max_corr, pairs=pairs, weights=host_weights)
+        if enable_shear is None
+        else enable_shear,
         like_weights=None if like_weights is None else jnp.asarray(like_weights, jnp.float32),
         exact_weights=exact_weights,
         bandwidth_scale_1d=None if bandwidth_scale_1d is None else jnp.float32(bandwidth_scale_1d),
