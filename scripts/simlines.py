@@ -62,14 +62,30 @@ def stripped_lines(path: Path) -> list[str]:
     return out
 
 
-def overlap(a: Path, b: Path) -> tuple[float, float, int]:
+def is_api_floor(line: str) -> bool:
+    """Lines whose sharing is mandated by the public API / host-library
+    semantics rather than provenance: signatures, imports, decorators,
+    attribute delegations, and short fragments.  The *logic* overlap
+    (everything else) is the provenance-bearing metric."""
+    s = line.strip()
+    return (
+        s.startswith(("def ", "class ", "import ", "from ", "return ", "@", "self.", "super()."))
+        and len(s) <= 120
+    ) or len(s) <= 25
+
+
+def overlap(a: Path, b: Path) -> tuple[float, float, float, int, int]:
     la, lb = stripped_lines(a), stripped_lines(b)
     ca, cb = Counter(la), Counter(lb)
     shared = sum(min(ca[k], cb.get(k, 0)) for k in ca)
     frac = shared / max(1, len(la))
+    lla = [ln for ln in la if not is_api_floor(ln)]
+    llb = [ln for ln in lb if not is_api_floor(ln)]
+    lshared = sum((Counter(lla) & Counter(llb)).values())
+    lfrac = lshared / max(1, len(lla))
     ta, tb = code_tokens(a), code_tokens(b)
     qr = SequenceMatcher(None, ta, tb, autojunk=False).quick_ratio()
-    return frac, qr, len(la)
+    return frac, lfrac, qr, len(la), len(lla)
 
 
 def main() -> None:
@@ -80,12 +96,12 @@ def main() -> None:
         rp, fp = REPO / repo_rel, REF / ref_rel
         if not rp.exists() or not fp.exists():
             continue
-        frac, qr, n = overlap(rp, fp)
-        rows.append((frac, qr, repo_rel, n))
+        frac, lfrac, qr, n, nl = overlap(rp, fp)
+        rows.append((frac, lfrac, qr, repo_rel, n, nl))
     rows.sort(reverse=True)
-    for frac, qr, name, n in rows:
-        flag = " <-- HIGH" if frac >= 0.45 else (" (watch)" if frac >= 0.3 else "")
-        print(f"lines {frac:5.2f}  tokq {qr:4.2f}  {name}  ({n} lines){flag}")
+    for frac, lfrac, qr, name, n, nl in rows:
+        flag = " <-- HIGH" if lfrac >= 0.3 else (" (watch)" if lfrac >= 0.2 else "")
+        print(f"lines {frac:5.2f}  logic {lfrac:5.2f}  tokq {qr:4.2f}  {name}  ({n} lines, {nl} logic){flag}")
 
 
 if __name__ == "__main__":
