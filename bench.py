@@ -156,11 +156,14 @@ def run_parity(samples, weights, repeats=1):
     The "fast AND faithful" number: <= ~1e-5 max-grid delta vs the
     reference pipeline (measured 1.9e-7 worst-case on the distribution
     zoo), against the same measured full-scale reference wall-clock."""
-    import jax
-
-    if jax.default_backend() != "cpu":
+    # decide from the env, not jax.default_backend(): querying the backend
+    # initializes the TPU plugin, which this CPU-only mode doesn't need (and
+    # which blocks for many minutes when the tunnel is down)
+    if os.environ.get("JAX_PLATFORMS") != "cpu":
         env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
         os.execve(sys.executable, [sys.executable, os.path.abspath(__file__), "--parity"], env)
+    import jax
+
     jax.config.update("jax_enable_x64", True)
 
     from getdist_tpu.mcsamples import MCSamples

@@ -1352,14 +1352,23 @@ class MCSamples(Chains):
         # per-pair: corr-adaptive fine size + the host path's exact bandwidth
         scale_2d = abs(float(self.smooth_scale_2D))
         corr_mat = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
+        bin_cache = {}
+
+        def binned(k, fine):
+            # each param is re-binned ~n_params times per fine size without
+            # memoization; ix is the raw reference _binSamples index
+            if (k, fine) not in bin_cache:
+                bin_cache[(k, fine)] = self._binSamples(self.samples[:, idx[k]], infos[k], fine)
+            return bin_cache[(k, fine)]
+
         groups = {}
         for a in range(len(idx)):
             for b in range(a + 1, len(idx)):
                 parx, pary = infos[a], infos[b]
                 corr, actual_corr = self._pair_correlation(idx[a], idx[b], parx, pary)
                 fine, _nbin2d = self._degeneracy_adapted_bins(corr, self.fine_bins_2D)
-                ix, step_x, x_lo, x_hi = self._binSamples(self.samples[:, idx[a]], parx, fine)
-                iy, step_y, y_lo, y_hi = self._binSamples(self.samples[:, idx[b]], pary, fine)
+                ix, step_x, x_lo, x_hi = binned(a, fine)
+                iy, step_y, y_lo, y_hi = binned(b, fine)
                 hist, _ = self._make2Dhist(ix, iy, fine, fine)
                 hx, hy, c = self.getAutoBandwidth2D(
                     hist, parx, pary, idx[a], idx[b], actual_corr, x_hi - x_lo, y_hi - y_lo,
@@ -1368,7 +1377,7 @@ class MCSamples(Chains):
                 rx = hx * scale_2d / step_x
                 ry = hy * scale_2d / step_y
                 winw = max(1, int(round(2.5 * max(rx, ry))))
-                groups.setdefault(fine, []).append((a, b, hx, hy, c, winw))
+                groups.setdefault(fine, []).append((a, b, hx, hy, c, winw, hist))
 
         active_lo = np.array([info.has_limits_bot for info in infos])
         active_hi = np.array([info.has_limits_top for info in infos])
@@ -1380,6 +1389,13 @@ class MCSamples(Chains):
             # the per-pair kernel_support (not the static window) is what
             # must match the reference truncation
             winw = min(max(entry[5] for entry in plist) + 3, fine // 2 - 2)
+            # reuse the host pair histograms computed for the bandwidth
+            # derivation above: _make2Dhist (rows = b, cols = a) is exactly
+            # the program's _pair_hist_256 convention, and np.bincount is
+            # far faster than a dense one-hot contraction on the CPU
+            # backend this f64 mode runs on (the one-hot matmul is the
+            # right algorithm only on the MXU)
+            hists = np.stack([entry[6] for entry in plist])
             d2 = all_2d_densities(
                 jnp.asarray(self.samples[:, idx]),
                 jnp.asarray(self.weights),
@@ -1406,6 +1422,7 @@ class MCSamples(Chains):
                 max_corr=float(self.max_corr_2D),
                 enable_shear=False,  # bandwidths are host-exact overrides
                 exact_mult_bias=True,
+                hists_in=jnp.asarray(hists),
             )
             grids = np.asarray(d2["P"], float)
             for k, (a, b, *_rest) in enumerate(plist):
@@ -1523,7 +1540,8 @@ class MCSamples(Chains):
         pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
         d2 = dict(d2)
         d2["regrid"] = self._fast_regrid_pairs(
-            idx, pairs, d1, contours, lo if has else None, hi if has else None, per, scale_2d
+            idx, pairs, d1, contours, lo if has else None, hi if has else None, per, scale_2d,
+            fragile=np.asarray(d2["fragile"]),
         )
         self._fast_rescue_clamped_pairs(
             idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d
@@ -1590,7 +1608,7 @@ class MCSamples(Chains):
             regrid[key] = {name: d2w[name][i] for name in ("P", "contours", "rx", "ry", "corr", "neff")}
         d2["regrid"] = regrid
 
-    def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0):
+    def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0, fragile=None):
         """Re-run tightly-correlated pairs at the reference's corr-adaptive
         fine grid (mcsamples.py:1812-1819 scales fine_bins_2D by the
         degeneracy angle); returns {(a, b): per-pair 2D results}.
@@ -1600,19 +1618,48 @@ class MCSamples(Chains):
         program (``ops.batched.sheared_pair_bandwidths``) via the override
         hook: at high correlation the in-program frequency-space shear of
         the coarse histogram is not accurate enough (zoo shapes tight /
-        bimodal WJ3/WJ4)."""
+        bimodal WJ3/WJ4).
+
+        ``fragile`` (per-pair bools reported by the fused program): pairs
+        whose f32 AMISE correlation search sat on a knife edge — odd-psi
+        clamp bound or the 10%-win acceptance band — get their bandwidth
+        matrix from the f64 host optimizer (the reference branch itself,
+        :meth:`getAutoBandwidth2D`); zoo shapes 'rotating'/'trimodal WJ2'
+        are served this way (host and device otherwise pick opposite-sign
+        kernel correlations, ~2e-2 grid error)."""
         from getdist_tpu.ops.batched import all_2d_densities
 
         max_corr = float(self.max_corr_2D)
         corr = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
         par_objs = [self.paramNames.names[j] for j in idx]
 
+        if fragile is not None and fragile.ndim > 1:
+            fragile = None  # diagnostics mode (GETDIST_TPU_FRAGILE_SIGNAL=debug)
+        if fragile is not None and fragile.any():
+            # gate the device's blind-search flags on actual non-Gaussian
+            # pair structure: |k31| + |k13| + |k22| of the standardized
+            # weighted samples.  Hard zoo shapes measure 0.4-3.4, Gaussian
+            # chains <= 0.11 — below 0.25 host and device both land on
+            # rho ~ 0, so the f64 assist would change nothing
+            step = max(1, self.samples.shape[0] // 200000)
+            sub = self.samples[::step][:, idx]
+            wn = np.asarray(self.weights[::step], float)
+            wn = wn / wn.sum()
+            zc = sub - wn @ sub
+            zc = zc / np.sqrt(wn @ (zc * zc))
+            z2, z3 = zc * zc, zc ** 3
+            rho_z = (zc * wn[:, None]).T @ zc
+            k31 = (z3 * wn[:, None]).T @ zc - 3 * rho_z
+            k22 = (z2 * wn[:, None]).T @ z2 - 1 - 2 * rho_z ** 2
+            cum_score = np.abs(k31) + np.abs(k31.T) + np.abs(k22)
+            fragile = np.array([bool(f) and cum_score[a, b] > 0.25 for f, (a, b) in zip(fragile, pairs)])
+
         def limited(k):
             info = par_objs[k]
             return bool(getattr(info, "has_limits_bot", False) or getattr(info, "has_limits_top", False))
 
         groups = {}
-        for a, b in pairs:
+        for k, (a, b) in enumerate(pairs):
             cc_raw = float(corr[a, b])
             cc = float(np.clip(cc_raw, -max_corr, max_corr))
             fine = 256
@@ -1623,10 +1670,11 @@ class MCSamples(Chains):
                     if scaled > 256:
                         fine = scaled
             assist = 0.5 <= abs(cc_raw) <= max_corr and not (limited(a) and limited(b))
-            if fine > 256 or assist:
-                groups.setdefault((fine, assist), []).append((a, b))
+            frag = bool(fragile is not None and fragile[k]) and not assist
+            if fine > 256 or assist or frag:
+                groups.setdefault((fine, assist, frag), []).append((a, b))
         regrid = {}
-        for (fine, assist), plist in groups.items():
+        for (fine, assist, frag), plist in groups.items():
             pa = jnp.asarray(np.array([a for a, _ in plist], np.int32))
             pb = jnp.asarray(np.array([b for _, b in plist], np.int32))
             override = None
@@ -1662,6 +1710,29 @@ class MCSamples(Chains):
                         rescale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + order)))
                         wx_d, wy_d = wx_d * rescale, wy_d * rescale
                     hx[i], hy[i], c[i] = wx_d, wy_d, cc
+                override = (jnp.asarray(hx, jnp.float32), jnp.asarray(hy, jnp.float32), jnp.asarray(c, jnp.float32))
+            elif frag:
+                # f64 host bandwidths through the reference branch itself
+                # (getAutoBandwidth2D shears/plains by |corr| exactly as the
+                # host KDE path does); only flagged pairs pay the host
+                # re-binning, and the density convolution still runs on
+                # device with the override
+                neff_h = np.asarray(d1["neff"])
+                hx = np.empty(len(plist))
+                hy = np.empty(len(plist))
+                c = np.empty(len(plist))
+                for i, (a, b) in enumerate(plist):
+                    parx = self._initParamRanges(idx[a])
+                    pary = self._initParamRanges(idx[b])
+                    _, actual_corr = self._pair_correlation(idx[a], idx[b], parx, pary)
+                    ix_, _sx, x_lo, x_hi = self._binSamples(self.samples[:, idx[a]], parx, 256)
+                    iy_, _sy, y_lo, y_hi = self._binSamples(self.samples[:, idx[b]], pary, 256)
+                    hist, _ = self._make2Dhist(ix_, iy_, 256, 256)
+                    hx[i], hy[i], c[i] = self.getAutoBandwidth2D(
+                        hist, parx, pary, idx[a], idx[b], actual_corr, x_hi - x_lo, y_hi - y_lo,
+                        256, mult_bias_correction_order=self.mult_bias_correction_order,
+                        N_eff=float(min(neff_h[a], neff_h[b])),
+                    )
                 override = (jnp.asarray(hx, jnp.float32), jnp.asarray(hy, jnp.float32), jnp.asarray(c, jnp.float32))
             d2x = all_2d_densities(
                 self.samples[:, idx],

@@ -702,6 +702,13 @@ def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=Non
     # dominate the AMISE correlation search
     bound_31 = jnp.sqrt(pxx * pxy)
     bound_13 = jnp.sqrt(pyy * pxy)
+    # the clamp binding means the raw f32 value exceeded a rigorous bound,
+    # i.e. the odd functionals are pure accumulation noise and the
+    # correlation search below runs blind: flag such pairs FRAGILE so the
+    # caller can route their bandwidths through the f64 host optimizer
+    # (observed: zoo 'rotating'/'trimodal WJ2', where host and device pick
+    # opposite-sign kernel correlations and the grids differ by ~2e-2)
+    clamp_bind = (jnp.abs(odd[(3, 1)]) > bound_31) | (jnp.abs(odd[(1, 3)]) > bound_13)
     p = (pxx, pyy, pxy, jnp.clip(odd[(3, 1)], -bound_31, bound_31), jnp.clip(odd[(1, 3)], -bound_13, bound_13))
 
     best, _ = _amise_2d(wx, wy, jnp.zeros_like(wx), p, neff)
@@ -720,10 +727,36 @@ def _kernel_bandwidth_2d(hist, neff, sample_corr, do_correlation, fallback_t=Non
     # search 2: free correlation, accepted only on a clear (10%) win
     wx2, wy2, rho2, val2, ok2 = _amise_minimize(p, neff, wxc, wyc, sample_corr, jnp.asarray(True))
     take2 = do_correlation & ok2 & (val2 < best * 0.9)
+    # acceptance knife edge: a small f32 shift of the AMISE values flips
+    # the 10%-win decision (and with it the kernel correlation), so treat
+    # the band around the threshold as fragile too
+    # FRAGILE = the correlation search ran blind in f32 (odd-psi clamp
+    # bound) AND its free-correlation stage misbehaved: failed outright
+    # (minimize diverged / unphysical non-positive AMISE - the signature on
+    # multimodal spectra, where f64 succeeds and picks a materially
+    # different kernel correlation), made no progress at all (zoo
+    # 'trimodal WJ2'), or sat in a tight band around the 10%-win acceptance
+    # threshold where an f32-sized shift flips the decision.  The caller
+    # additionally gates on a host non-Gaussianity score (cross-cumulants,
+    # mcsamples._fast_regrid_pairs) before paying the f64 host assist:
+    # benign Gaussian-ish pairs can flag blind here, but host and device
+    # then agree on rho ~ 0 anyway.
+    # "healthy" free search: converged, physical value, real progress over
+    # the incumbent (a garbage f32 evaluation shows up as non-positive OR
+    # bigger than the value it started from - XLA fusion differences flip
+    # the garbage's sign, so test both), and clear of the threshold band
+    edge_band = (val2 > best * 0.88) & (val2 < best * 0.92)
+    good2 = ok2 & (val2 > 0) & (val2 <= best * 0.98) & ~edge_band
+    fragile = do_correlation & clamp_bind & ~good2
+    if os.environ.get("GETDIST_TPU_FRAGILE_SIGNAL") == "debug":
+        fragile = jnp.stack([
+            rho, rho2, val2 / best, clamp_bind.astype(rho.dtype),
+            ok2.astype(rho.dtype), take2.astype(rho.dtype),
+        ])
     wxc = jnp.where(take2, wx2, wxc)
     wyc = jnp.where(take2, wy2, wyc)
     rho = jnp.where(take2, rho2, rho)
-    return wxc, wyc, rho, ok
+    return wxc, wyc, rho, ok, fragile
 
 
 def _shear_plan_2d(cov_aa, cov_ab, cov_bb, swap):
@@ -1266,6 +1299,7 @@ def all_2d_densities(
     prior_mask=None,
     like_weights=None,
     exact_mult_bias=False,
+    hists_in=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1277,6 +1311,12 @@ def all_2d_densities(
     with plug-in fallback -> correlated Gaussian kernel (sample correlation,
     clipped) -> batched FFT convolution -> analytic edge normalization ->
     multiplicative bias iteration -> contour levels by bisection.
+
+    hists_in: optional pre-binned (K, fine, fine) pair histograms replacing
+    the in-program one-hot binning (rows = b, cols = a, the _pair_hist_256
+    convention). The parity mode computes these with np.bincount on host:
+    the dense one-hot contraction is the right algorithm on the MXU but
+    ~1000x slower than bincount on CPU, where the f64 parity program runs.
     """
     n, p = samples.shape
 
@@ -1354,7 +1394,7 @@ def all_2d_densities(
         parts = _split_weights_bf16(w_in)
         return sum(make_pair_hists(part, False) for part in parts)
 
-    hists = exact_pair_hists(weights, int8_weights, exact_weights)
+    hists = exact_pair_hists(weights, int8_weights, exact_weights) if hists_in is None else hists_in
     like_hists = None if like_weights is None else exact_pair_hists(like_weights, False, True)
 
     pair_neff = jnp.minimum(neff[pair_a], neff[pair_b])
@@ -1363,93 +1403,102 @@ def all_2d_densities(
     sr = sd if sigma_range is None else sigma_range
     sr_a, sr_b = sr[pair_a], sr[pair_b]
 
-    # branch selection (reference mcsamples.py:1334-1412): shear correlated
-    # pairs for bandwidth estimation; pure rule-of-thumb at extreme
-    # correlation; plain optimizer otherwise
-    c_s = corr_mat[pair_a, pair_b]
-    c_cap = jnp.clip(c_s, -max_corr, max_corr)
-    c_eff = jnp.where(jnp.abs(c_cap) < 0.1, 0.0, c_cap)
-    if active_lo is not None:
-        par_lim = active_lo | active_hi
-        lim_a, lim_b = par_lim[pair_a], par_lim[pair_b]
-    else:
-        lim_a = lim_b = jnp.zeros(pair_a.shape, bool)
-    both_lim = lim_a & lim_b
-    either_lim = lim_a | lim_b
-    do_correlated = ~both_lim
-    shear_sel = (jnp.abs(c_eff) > 0.2) & (jnp.abs(c_eff) <= max_corr) & do_correlated
-    rule_sel = (jnp.abs(c_s) > max_corr) | (~do_correlated & (c_s > 0.8))
-
-    do_corr = ~either_lim
-    fb_t = (jnp.minimum(sr_a / range_a, sr_b / range_b) / pair_neff ** (1.0 / 6)) ** 2
-    if enable_shear:
-        # the sheared spectrum feeds the optimizer for correlated pairs (the
-        # density convolution still runs on the original grid, as the
-        # reference does: the shear only decorrelates the bandwidth
-        # estimate). enable_shear=False (host pre-check: no pair has
-        # 0.2 < |corr| <= max_corr) skips the shear spectra entirely.
-        xc = binmin[:, None] + fine_width[:, None] * jnp.arange(fine_bins, dtype=samples.dtype)[None, :]
-        cov_aa = cov[pair_a, pair_a]
-        cov_ab = cov[pair_a, pair_b]
-        cov_bb = cov[pair_b, pair_b]
-        swap = lim_b  # limited parameter goes first so the shear keeps its bounds
-        r0, r1, s_mats = jax.vmap(_shear_plan_2d)(cov_aa, cov_ab, cov_bb, swap)
-        if shear_subset is not None:
-            sub = jnp.asarray(shear_subset)
-            sh_p_s, sh_r1_s, sh_r2_s = jax.vmap(_sheared_power)(
-                hists[sub], xc[pair_a[sub]], xc[pair_b[sub]], r0[sub], r1[sub], swap[sub]
-            )
-            k_all = pair_a.shape[0]
-            sh_power = jnp.zeros((k_all,) + sh_p_s.shape[1:], sh_p_s.dtype).at[sub].set(sh_p_s)
-            sh_range1 = range_a.at[sub].set(sh_r1_s)
-            sh_range2 = range_b.at[sub].set(sh_r2_s)
-            shear_sel = shear_sel & jnp.zeros(k_all, bool).at[sub].set(True)
-        else:
-            sh_power, sh_range1, sh_range2 = jax.vmap(_sheared_power)(
-                hists, xc[pair_a], xc[pair_b], r0, r1, swap
-            )
-        opt_range1 = jnp.where(shear_sel, sh_range1, range_a)
-        opt_range2 = jnp.where(shear_sel, sh_range2, range_b)
-        opt_corr = jnp.where(shear_sel, 0.0, c_eff)
-    else:
-        shear_sel = jnp.zeros_like(shear_sel)
-        opt_range1, opt_range2, opt_corr = range_a, range_b, c_eff
-        sh_power = None
-
-    # vmap (not lax.map): all pairs bisect in lockstep so each psi
-    # functional evaluates as one large batched contraction instead of 435
-    # latency-bound small matvecs
-    if enable_shear:
-        wx, wy, c_k, ok = jax.vmap(
-            lambda h_, n_, c_, d_, t_, p_, s_: _kernel_bandwidth_2d(h_, n_, c_, d_, t_, p_, s_)
-        )(hists, pair_neff, opt_corr, do_corr, fb_t, sh_power, shear_sel)
-    else:
-        wx, wy, c_k, ok = jax.vmap(_kernel_bandwidth_2d)(hists, pair_neff, opt_corr, do_corr, fb_t)
-    hx = wx * opt_range1
-    hy = wy * opt_range2
-    c = c_k
-    if enable_shear:
-        # map sheared-space kernels back through the scaled Cholesky root
-        hx_sh, hy_sh, c_sh = jax.vmap(_shear_kernel_back)(hx, hy, c_k, s_mats, swap)
-        hx = jnp.where(shear_sel, hx_sh, hx)
-        hy = jnp.where(shear_sel, hy_sh, hy)
-        c = jnp.where(shear_sel, c_sh, c)
-    # rule-of-thumb branch and optimizer-failure fallback (data units)
-    rule_hx = sr_a / pair_neff ** (1.0 / 6)
-    rule_hy = sr_b / pair_neff ** (1.0 / 6)
-    use_rule = rule_sel | ~ok
-    hx = jnp.where(use_rule, rule_hx, hx)
-    hy = jnp.where(use_rule, rule_hy, hy)
-    c = jnp.where(use_rule, c_cap, c)
-    c = jnp.clip(c, -0.99, 0.99)
-    if mult_bias_order:
-        scale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_order)))
-        hx = hx * scale
-        hy = hy * scale
-
     if bandwidth_override is not None:
-        # parity mode: host-exact bandwidth matrices (data units) + corr
+        # parity / fragile-assist mode: host-exact bandwidth matrices
+        # (data units) + kernel correlation.  The in-program optimizer is
+        # skipped at trace time, not left for DCE: parity mode re-traces
+        # this program per fine-grid group on its CPU backend, and the
+        # optimizer subgraph alone costs seconds to trace.
         hx, hy, c = bandwidth_override
+        fragile = jnp.zeros(pair_a.shape, bool)
+    else:
+        # branch selection (reference mcsamples.py:1334-1412): shear correlated
+        # pairs for bandwidth estimation; pure rule-of-thumb at extreme
+        # correlation; plain optimizer otherwise
+        c_s = corr_mat[pair_a, pair_b]
+        c_cap = jnp.clip(c_s, -max_corr, max_corr)
+        c_eff = jnp.where(jnp.abs(c_cap) < 0.1, 0.0, c_cap)
+        if active_lo is not None:
+            par_lim = active_lo | active_hi
+            lim_a, lim_b = par_lim[pair_a], par_lim[pair_b]
+        else:
+            lim_a = lim_b = jnp.zeros(pair_a.shape, bool)
+        both_lim = lim_a & lim_b
+        either_lim = lim_a | lim_b
+        do_correlated = ~both_lim
+        shear_sel = (jnp.abs(c_eff) > 0.2) & (jnp.abs(c_eff) <= max_corr) & do_correlated
+        rule_sel = (jnp.abs(c_s) > max_corr) | (~do_correlated & (c_s > 0.8))
+
+        do_corr = ~either_lim
+        fb_t = (jnp.minimum(sr_a / range_a, sr_b / range_b) / pair_neff ** (1.0 / 6)) ** 2
+        if enable_shear:
+            # the sheared spectrum feeds the optimizer for correlated pairs (the
+            # density convolution still runs on the original grid, as the
+            # reference does: the shear only decorrelates the bandwidth
+            # estimate). enable_shear=False (host pre-check: no pair has
+            # 0.2 < |corr| <= max_corr) skips the shear spectra entirely.
+            xc = binmin[:, None] + fine_width[:, None] * jnp.arange(fine_bins, dtype=samples.dtype)[None, :]
+            cov_aa = cov[pair_a, pair_a]
+            cov_ab = cov[pair_a, pair_b]
+            cov_bb = cov[pair_b, pair_b]
+            swap = lim_b  # limited parameter goes first so the shear keeps its bounds
+            r0, r1, s_mats = jax.vmap(_shear_plan_2d)(cov_aa, cov_ab, cov_bb, swap)
+            if shear_subset is not None:
+                sub = jnp.asarray(shear_subset)
+                sh_p_s, sh_r1_s, sh_r2_s = jax.vmap(_sheared_power)(
+                    hists[sub], xc[pair_a[sub]], xc[pair_b[sub]], r0[sub], r1[sub], swap[sub]
+                )
+                k_all = pair_a.shape[0]
+                sh_power = jnp.zeros((k_all,) + sh_p_s.shape[1:], sh_p_s.dtype).at[sub].set(sh_p_s)
+                sh_range1 = range_a.at[sub].set(sh_r1_s)
+                sh_range2 = range_b.at[sub].set(sh_r2_s)
+                shear_sel = shear_sel & jnp.zeros(k_all, bool).at[sub].set(True)
+            else:
+                sh_power, sh_range1, sh_range2 = jax.vmap(_sheared_power)(
+                    hists, xc[pair_a], xc[pair_b], r0, r1, swap
+                )
+            opt_range1 = jnp.where(shear_sel, sh_range1, range_a)
+            opt_range2 = jnp.where(shear_sel, sh_range2, range_b)
+            opt_corr = jnp.where(shear_sel, 0.0, c_eff)
+        else:
+            shear_sel = jnp.zeros_like(shear_sel)
+            opt_range1, opt_range2, opt_corr = range_a, range_b, c_eff
+            sh_power = None
+
+        # vmap (not lax.map): all pairs bisect in lockstep so each psi
+        # functional evaluates as one large batched contraction instead of 435
+        # latency-bound small matvecs
+        if enable_shear:
+            wx, wy, c_k, ok, fragile = jax.vmap(
+                lambda h_, n_, c_, d_, t_, p_, s_: _kernel_bandwidth_2d(h_, n_, c_, d_, t_, p_, s_)
+            )(hists, pair_neff, opt_corr, do_corr, fb_t, sh_power, shear_sel)
+        else:
+            wx, wy, c_k, ok, fragile = jax.vmap(_kernel_bandwidth_2d)(hists, pair_neff, opt_corr, do_corr, fb_t)
+        hx = wx * opt_range1
+        hy = wy * opt_range2
+        c = c_k
+        if enable_shear:
+            # map sheared-space kernels back through the scaled Cholesky root
+            hx_sh, hy_sh, c_sh = jax.vmap(_shear_kernel_back)(hx, hy, c_k, s_mats, swap)
+            hx = jnp.where(shear_sel, hx_sh, hx)
+            hy = jnp.where(shear_sel, hy_sh, hy)
+            c = jnp.where(shear_sel, c_sh, c)
+        # rule-of-thumb branch and optimizer-failure fallback (data units)
+        rule_hx = sr_a / pair_neff ** (1.0 / 6)
+        rule_hy = sr_b / pair_neff ** (1.0 / 6)
+        use_rule = rule_sel | ~ok
+        # rule-of-thumb pairs never used the optimizer; overridden bandwidths
+        # make its fragility moot
+        if fragile.dtype == jnp.bool_:
+            fragile = fragile & ~use_rule
+        hx = jnp.where(use_rule, rule_hx, hx)
+        hy = jnp.where(use_rule, rule_hy, hy)
+        c = jnp.where(use_rule, c_cap, c)
+        c = jnp.clip(c, -0.99, 0.99)
+        if mult_bias_order:
+            scale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + mult_bias_order)))
+            hx = hx * scale
+            hy = hy * scale
     if bandwidth_scale is not None:
         # MISE-sweep hook: reference smooth_scale_2D = -scale convention
         hx = hx * bandwidth_scale
@@ -1705,6 +1754,10 @@ def all_2d_densities(
         "corr": c,
         "neff": pair_neff,
         "likes": likes_grid,
+        # pairs whose f32 correlation search sat on a knife edge (odd-psi
+        # clamp bound or the 10%-win acceptance band): the caller should
+        # re-derive their bandwidths on the f64 host path
+        "fragile": fragile,
     }
 
 

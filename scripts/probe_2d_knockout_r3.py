@@ -54,7 +54,7 @@ orig_kb = B._kernel_bandwidth_2d
 
 def stub_kb(hist, neff, sample_corr, do_correlation, fallback_t=None, power_override=None, use_override=False):
     w = jnp.full((), 0.05, hist.dtype)
-    return w, w, jnp.zeros((), hist.dtype), jnp.ones((), bool)
+    return w, w, jnp.zeros((), hist.dtype), jnp.ones((), bool), jnp.zeros((), bool)
 
 
 B._kernel_bandwidth_2d = stub_kb

@@ -28,17 +28,17 @@ tchains.print_load_details = False
 N_2D = 40000
 
 # max |fused - parity| over the peak-normalized grid where parity > 0.05.
-# 5e-3 is the generic budget (f32 + lag-grid N_eff approximations); shapes
-# whose parity branch is served by the in-program f32 optimizer alone
-# (low-correlation multimodal) carry a documented looser budget.
+# 5e-3 is the generic budget (f32 + lag-grid N_eff approximations).  The
+# former 2e-2 outliers are gone: 'rotating' (2e-2 -> 2.5e-3) via the
+# Cauchy-Schwarz clamp on the odd psi functionals (its f32 correlation
+# search now finds the same clear minimum f64 does), and 'trimodal WJ2'
+# (1.9e-2 -> 9e-4) via the fragile-pair assist (its search stays blind, so
+# the pair is flagged and served f64 host bandwidths in the regrid pass).
 TOL_2D = {
-    "rotating": 2e-2,
-    "trimodal WJ2": 2e-2,
-    "tight": 8e-3,
-    "hammer": 8e-3,
-    "skew": 8e-3,
-    "cut correlated": 8e-3,
-    "trimodal WJ1": 8e-3,
+    "tight": 7e-3,
+    "cut correlated": 7e-3,
+    "hammer": 6e-3,
+    "trimodal WJ1": 6e-3,
 }
 DEFAULT_TOL_2D = 5e-3
 
@@ -89,3 +89,26 @@ def test_fused_tracks_parity_across_1d_zoo(label):
     grid = np.clip(ref.x, fused.x[0], fused.x[-1])
     delta = np.abs(fused.Prob(grid) / fused.P.max() - ref.Prob(ref.x) / ref.P.max())
     assert float(np.max(delta)) < 6e-3, (label, float(np.max(delta)))
+
+
+def test_fragile_assist_engages_on_blind_correlation_searches():
+    """'trimodal WJ2': the f32 correlation search runs blind (odd-psi clamp
+    binds) and makes no progress, so the fused program must flag the pair
+    and the regrid pass must serve f64 host bandwidths (the grid is ~1.9e-2
+    wrong without the assist, 9e-4 with it)."""
+    samps = _SHAPES_2D["trimodal WJ2"].MCSamples(N_2D, random_state=7)
+    d1, d2, pairs = samps.fastTriangleDensities(use_pallas=False)
+    assert bool(np.asarray(d2["fragile"])[0]), "fused program no longer flags the pair"
+    assert pairs[0] in d2["regrid"], "fragile pair was not host-assisted"
+
+
+def test_fragile_assist_skips_gaussian_chains():
+    """Gaussian-ish pairs may flag blind searches too, but the host
+    cross-cumulant gate must keep them off the (host-priced) assist path."""
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(5)
+    cols = rng.standard_normal((30000, 4))
+    s = MCSamples(samples=cols, names=[f"p{i}" for i in range(4)])
+    d1, d2, pairs = s.fastTriangleDensities(use_pallas=False)
+    assert not d2["regrid"], d2["regrid"].keys()
