@@ -296,3 +296,36 @@ def test_dft_conv_route_matches_fft_route(chain, monkeypatch):
     on_l = batched.all_2d_densities.__wrapped__(*args, active_lo=lo, active_hi=hi)
     err_l = float(jnp.max(jnp.abs(on_l["P"] - off_l["P"])))
     assert err_l < 5e-4, err_l
+
+
+def test_prebinned_histogram_hook_matches_onehot(chain):
+    """hists_in (host np.bincount, rows = b / cols = a) must reproduce the
+    in-program one-hot binning bit-for-bit: same clip((x-lo)/w + 0.5)
+    indices, so the rest of the program is unchanged.  Parity mode feeds
+    the program through this hook."""
+    samples, weights = chain
+    samples = samples[:20000]
+    weights = weights[:20000]
+    s64 = jnp.asarray(samples, jnp.float64)
+    w64 = jnp.asarray(weights, jnp.float64)
+    pair_a = jnp.asarray([0, 1], jnp.int32)
+    pair_b = jnp.asarray([1, 2], jnp.int32)
+    d1 = batched.all_1d_densities(s64, w64)
+    binmin = np.asarray(d1["range"][0])
+    binmax = np.asarray(d1["range"][1])
+    args = (s64, w64, pair_a, pair_b, d1["neff"], d1["range"][0], d1["range"][1], jnp.asarray([0.68, 0.95]))
+    base = batched.all_2d_densities.__wrapped__(*args)
+    fine = 256
+    fw = (binmax - binmin) / (fine - 1)
+    ix = {j: np.clip(((samples[:, j] - binmin[j]) / fw[j] + 0.5).astype(np.int64), 0, fine - 1) for j in range(3)}
+    hists = np.stack(
+        [
+            np.bincount(ix[b] * fine + ix[a], weights=weights, minlength=fine * fine).reshape(fine, fine)
+            for a, b in [(0, 1), (1, 2)]
+        ]
+    )
+    hooked = batched.all_2d_densities.__wrapped__(*args, hists_in=jnp.asarray(hists))
+    # the bincount indices/counts are verified bit-identical; the residual
+    # is dtype only (the one-hot dot accumulates f32, hists_in stays f64 —
+    # strictly more exact).  A wrong orientation would be O(1) here.
+    assert float(jnp.max(jnp.abs(hooked["P"] - base["P"]))) < 1e-6
