@@ -9,7 +9,11 @@ import os
 import sys
 
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the calling environment may pin JAX_PLATFORMS to a
+# remote TPU backend, and tests that exec emitted plot scripts / app bundles
+# in subprocesses must inherit the CPU setting or they hang on a dead tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax
 
