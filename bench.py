@@ -54,7 +54,7 @@ def make_chain(n, p, seed=7):
     return x, weights
 
 
-def run_ours(samples, weights, repeats=3):
+def run_ours(samples, weights, repeats=7):
     print("# compiling + first run (cold start can take minutes on the axon tunnel)...", file=sys.stderr)
     import jax
     import jax.numpy as jnp
@@ -178,7 +178,32 @@ def run_parity(samples, weights, repeats=1):
     return min(times)
 
 
+def _preflight_device(timeout_s=600):
+    """Fail fast (instead of hanging forever) when the remote TPU tunnel is
+    unreachable: device discovery + one tiny op in a subprocess with a hard
+    timeout. No-op for local CPU runs."""
+    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+        return
+    import subprocess
+
+    probe = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()), jax.devices()[0].platform)"
+    try:
+        subprocess.run([sys.executable, "-c", probe], timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(
+            f"# FATAL: accelerator backend {os.environ.get('JAX_PLATFORMS')} unresponsive for "
+            f"{timeout_s}s (tunnel down?) - refusing to hang; rerun when the device is reachable",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    except subprocess.CalledProcessError as exc:
+        print(f"# FATAL: device probe failed:\n{exc.stderr.decode()[-2000:]}", file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
+    if "--parity" not in sys.argv:
+        _preflight_device()
     full_samples, full_weights = make_chain(N_SAMPLES, N_PARAMS)
 
     if "--parity" in sys.argv:
