@@ -1384,11 +1384,27 @@ class MCSamples(Chains):
         per = np.array([bool(getattr(info, "periodic", False)) for info in infos])
         bounded = active_lo.any() or active_hi.any()
         dens2 = {}
-        for fine, plist in groups.items():
-            # +3 headroom: the program clips kernel widths at winw/2.5, and
-            # the per-pair kernel_support (not the static window) is what
-            # must match the reference truncation
-            winw = min(max(entry[5] for entry in plist) + 3, fine // 2 - 2)
+
+        def winw_level(w, fine):
+            # pairs with small kernels shouldn't pay the widest pair's FFT
+            # padding: bucket each fine-grid group by kernel window. Fixed
+            # level steps keep the compiled program shapes cache-stable
+            # across chains; +3 headroom because the program clips kernel
+            # widths at winw/2.5 while the per-pair kernel_support is what
+            # must match the reference truncation.
+            cap = fine // 2 - 2
+            for level in (18, 34, 66):
+                if w + 3 <= level <= cap:
+                    return level
+            return cap
+
+        bucketed = []
+        for fine, plist_all in groups.items():
+            by_level = {}
+            for entry in plist_all:
+                by_level.setdefault(winw_level(entry[5], fine), []).append(entry)
+            bucketed.extend((fine, winw, plist) for winw, plist in by_level.items())
+        for fine, winw, plist in bucketed:
             # reuse the host pair histograms computed for the bandwidth
             # derivation above: _make2Dhist (rows = b, cols = a) is exactly
             # the program's _pair_hist_256 convention, and np.bincount is
