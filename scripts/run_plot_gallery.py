@@ -5,6 +5,7 @@ output directory. Doubles as an acceptance test of the plotting layer
 
 import argparse
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
@@ -82,6 +83,50 @@ def main():
     g = plots.get_single_plotter(width_inch=4, auto_close=True)
     g.plot_2d([samples1, gauss], "x0", "x1", filled=[True, False])
     export(g, "mixture_overlay.png")
+
+    g = plots.get_subplot_plotter(auto_close=True)
+    g.plots_2d([samples1, samples2], param_pairs=[["x0", "x1"], ["x1", "x2"], ["x2", "x3"]], nx=3, filled=True)
+    export(g, "plots_2d_grid.png")
+
+    g = plots.get_subplot_plotter(auto_close=True)
+    g.plots_2d_triplets(
+        [(samples1, "x0", "x1"), (samples2, "x1", "x2"), (samples1, "x2", "x3")], nx=3, filled=True
+    )
+    export(g, "plots_2d_triplets.png")
+
+    g = plots.get_subplot_plotter(auto_close=True)
+    g.plots_3d([samples1, samples2], [["x0", "x1", "x2"], ["x1", "x2", "x3"]], nx=2)
+    export(g, "plots_3d_grid.png")
+
+    g = plots.get_single_plotter(width_inch=4, auto_close=True)
+    g.plot_2d(samples1, "x0", "x1")
+    g.add_2d_covariance(
+        [samples1.mean("x0"), samples1.mean("x1")], samples1.cov(["x0", "x1"]), ls="--", color="crimson"
+    )
+    g.add_x_marker(0, ls=":")
+    g.add_y_marker(0, ls=":")
+    g.add_x_bands(0, 0.5)
+    g.add_text("covariance ellipse", x=0.05, y=0.9)
+    export(g, "covariance_markers.png")
+
+    g = plots.get_single_plotter(width_inch=4, auto_close=True)
+    g.plot_1d([samples1, samples2], "x0", normalized=True)
+    g.add_legend(["Sim 1", "Sim 2"], colored_text=True)
+    export(g, "normalized_colored_legend.png")
+
+    from getdist_tpu.styles import planck, tab10  # noqa: F401  (registers the styles)
+
+    # the planck style sets text.usetex (like the reference's) and needs a
+    # latex binary on PATH
+    styles = ("tab10", "planck") if shutil.which("latex") else ("tab10",)
+    for style in styles:
+        try:
+            plots.set_active_style(style)
+            g = plots.get_single_plotter(width_inch=4, auto_close=True)
+            g.plot_2d([samples1, samples2], "x0", "x1", filled=True)
+            export(g, f"style_{style}.png")
+        finally:
+            plots.set_active_style()
 
     print(f"\ngallery complete: {len(made)} figures in {args.out_dir}")
     return 0
