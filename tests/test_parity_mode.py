@@ -70,3 +70,49 @@ def test_parity_mode_via_fastdensities_flag():
     assert float(np.abs(fused.P - ref.P / ref.P.max()).max()) < 1e-5
     # 1D results land in the density cache like the fast path's do
     assert samps.density1D.get("x") is dens1["x"]
+
+
+def test_parity_mode_mixed_kernel_scales_hits_multiple_buckets():
+    """A chain mixing very smooth and very peaked marginals spreads its
+    pairs across kernel-window buckets (fastParityDensities groups pairs by
+    window level so narrow kernels don't pay the widest pair's FFT
+    padding); every pair must still match the per-pair host path."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("parity mode needs x64")
+    from getdist_tpu.mcsamples import MCSamples
+
+    rng = np.random.RandomState(17)
+    n = 30000
+    broad = rng.standard_normal(n)  # few-bin kernel
+    spiky = np.where(rng.uniform(size=n) < 0.5, rng.standard_normal(n) * 0.03, 2 + rng.standard_normal(n) * 0.04)
+    mid = 0.6 * broad + 0.8 * rng.standard_normal(n)
+    flatish = rng.uniform(-3, 3, n)  # oversmoothed wide kernel
+    samples = np.column_stack([broad, spiky, mid, flatish])
+    samps = MCSamples(samples=samples, names=["a", "b", "c", "d"])
+
+    # the bucket decomposition itself: more than one window level in play
+    import getdist_tpu.ops.batched as batched
+
+    calls = []
+    orig = batched.all_2d_densities
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("winw"))
+        return orig(*args, **kwargs)
+
+    try:
+        # fastParityDensities imports the symbol at call time, so patching
+        # the module attribute intercepts it
+        batched.all_2d_densities = spy
+        _, dens2 = samps.fastParityDensities()
+    finally:
+        batched.all_2d_densities = orig
+    assert len(set(calls)) > 1, f"expected multiple winw buckets, got {calls}"
+
+    for a, b in [("a", "b"), ("b", "d"), ("a", "d"), ("c", "d")]:
+        ref = samps.get2DDensityGridData(a, b)
+        fused = dens2[(a, b)]
+        assert fused.P.shape == ref.P.shape, (a, b)
+        assert float(np.abs(fused.P - ref.P / ref.P.max()).max()) < 1e-5, (a, b)
