@@ -1393,7 +1393,7 @@ class MCSamples(Chains):
             # widths at winw/2.5 while the per-pair kernel_support is what
             # must match the reference truncation.
             cap = fine // 2 - 2
-            for level in (18, 34, 66):
+            for level in (18, 34, 66, 98):
                 if w + 3 <= level <= cap:
                     return level
             return cap
@@ -1404,6 +1404,17 @@ class MCSamples(Chains):
             for entry in plist_all:
                 by_level.setdefault(winw_level(entry[5], fine), []).append(entry)
             bucketed.extend((fine, winw, plist) for winw, plist in by_level.items())
+        # loop-invariant device conversions, hoisted: the sample matrix alone
+        # is ~240 MB f64 at bench scale and must not be re-copied per bucket
+        dev_samples = jnp.asarray(self.samples[:, idx])
+        dev_weights = jnp.asarray(self.weights)
+        dev_neff = jnp.asarray(neff)
+        dev_binmin, dev_binmax = jnp.asarray(binmin), jnp.asarray(binmax)
+        dev_contours = jnp.asarray(contours)
+        dev_lo = jnp.asarray(active_lo) if bounded else None
+        dev_hi = jnp.asarray(active_hi) if bounded else None
+        dev_per = jnp.asarray(per) if per.any() else None
+        dev_sigma = jnp.asarray(np.array([info.sigma_range for info in infos]))
         for fine, winw, plist in bucketed:
             # reuse the host pair histograms computed for the bandwidth
             # derivation above: _make2Dhist (rows = b, cols = a) is exactly
@@ -1413,14 +1424,14 @@ class MCSamples(Chains):
             # right algorithm only on the MXU)
             hists = np.stack([entry[6] for entry in plist])
             d2 = all_2d_densities(
-                jnp.asarray(self.samples[:, idx]),
-                jnp.asarray(self.weights),
+                dev_samples,
+                dev_weights,
                 jnp.asarray(np.array([entry[0] for entry in plist], np.int32)),
                 jnp.asarray(np.array([entry[1] for entry in plist], np.int32)),
-                jnp.asarray(neff),
-                jnp.asarray(binmin),
-                jnp.asarray(binmax),
-                jnp.asarray(contours),
+                dev_neff,
+                dev_binmin,
+                dev_binmax,
+                dev_contours,
                 fine_bins=fine,
                 use_pallas=False,
                 winw=winw,
@@ -1431,10 +1442,10 @@ class MCSamples(Chains):
                     jnp.asarray(np.array([entry[4] for entry in plist])),
                 ),
                 kernel_support=jnp.asarray(np.array([float(entry[5]) for entry in plist])),
-                active_lo=jnp.asarray(active_lo) if bounded else None,
-                active_hi=jnp.asarray(active_hi) if bounded else None,
-                periodic=jnp.asarray(per) if per.any() else None,
-                sigma_range=jnp.asarray(np.array([info.sigma_range for info in infos])),
+                active_lo=dev_lo,
+                active_hi=dev_hi,
+                periodic=dev_per,
+                sigma_range=dev_sigma,
                 max_corr=float(self.max_corr_2D),
                 enable_shear=False,  # bandwidths are host-exact overrides
                 exact_mult_bias=True,

@@ -12,12 +12,15 @@ os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_p
 # Force (not setdefault): the calling environment may pin JAX_PLATFORMS to a
 # remote TPU backend, and tests that exec emitted plot scripts / app bundles
 # in subprocesses must inherit the CPU setting or they hang on a dead tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# GETDIST_TPU_TEST_PLATFORM overrides for deliberate on-device debugging runs
+# (note: the parity suite needs x64, which TPU backends don't provide).
+os.environ["JAX_PLATFORMS"] = os.environ.get("GETDIST_TPU_TEST_PLATFORM", "cpu")
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 # sanitizer mode (the role ruff/pre-commit + single-threading play in the
 # reference, SURVEY.md section 5): trap NaNs inside jitted kernels

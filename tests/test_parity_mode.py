@@ -20,7 +20,8 @@ from getdist_tpu import chains as tchains  # noqa: E402
 
 tchains.print_load_details = False
 
-CASES = ["Gaussian", "flat", "tight", "bimodal WJ4", "quadrimodal", "cut correlated"]
+# the FULL 2D zoo: the README's parity-exactness claim is pinned here
+CASES = sorted(shapes_2d().keys())
 
 
 @pytest.mark.parametrize("label", CASES, ids=[c.replace(" ", "_") for c in CASES])
