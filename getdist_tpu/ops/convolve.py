@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from getdist_tpu.ops.fft import dct, idct, next_fast_len
+from getdist_tpu.ops.fft import dct, dct2d, idct, idct2d, next_fast_len
 
 __all__ = [
     "convolve1D",
@@ -37,7 +37,18 @@ __all__ = [
     "convolveGaussian",
     "convolveGaussianDCT",
     "convolveGaussianTrunc",
+    "dct2d",
+    "idct2d",
+    "nearestFFTnumber",
 ]
+
+
+def nearestFFTnumber(x):
+    """Smallest fast (5-smooth) FFT size >= x; reference-named entry point
+    (``convolve.py:192``), scalar or array."""
+    if np.ndim(x) == 0:
+        return next_fast_len(int(x))
+    return np.asarray([next_fast_len(int(v)) for v in np.ravel(x)]).reshape(np.shape(x))
 
 
 @partial(jax.jit, static_argnames=("mode", "largest_size"))

@@ -105,3 +105,34 @@ def test_density2d_and_contours_parity(reference_getdist):
     np.testing.assert_allclose(ours.Prob(0.5, -0.3), theirs.Prob(0.5, -0.3), rtol=1e-12)
     ref_levels = ref_densities.getContourLevels(P, (0.5, 0.9), half_edge=False)
     np.testing.assert_allclose(getContourLevels(P, (0.5, 0.9), half_edge=False), ref_levels, rtol=1e-12)
+
+
+def test_func2d_recursion_matches_reference(reference_getdist):
+    """The public func2d/func2d_odd recursion (reference API twins) must
+    agree with the reference class on the same histogram."""
+    from getdist import kde_bandwidth as ref_kde
+
+    rng = np.random.RandomState(4)
+    pts = rng.multivariate_normal([0, 0], [[1, 0.5], [0.5, 1]], 40000)
+    hist, _, _ = np.histogram2d(pts[:, 0], pts[:, 1], bins=256)
+    n = 40000.0
+    ours = KernelOptimizer2D(hist, n, 0.5)
+    theirs = ref_kde.KernelOptimizer2D(hist, n, 0.5)
+    t = theirs.t_star
+    for s in [(0, 2), (2, 0), (1, 1), (0, 4), (2, 2)]:
+        a, b = ours.func2d(s, t), theirs.func2d(list(s), t)
+        assert abs(a - b) <= 1e-6 * max(1.0, abs(b)), (s, a, b)
+    # odd functionals need the reference's get_h side effects (p00)
+    ours.get_h()
+    theirs.get_h()
+    for s in [(3, 1), (1, 3)]:
+        a, b = ours.func2d_odd(s, t), theirs.func2d_odd(list(s), t)
+        assert abs(a - b) <= 1e-6 * max(1.0, abs(b)), (s, a, b)
+
+
+def test_nearest_fft_number_shapes():
+    from getdist_tpu.ops.convolve import nearestFFTnumber
+
+    assert nearestFFTnumber(17) >= 17
+    arr = nearestFFTnumber(np.array([[17, 100], [257, 1]]))
+    assert arr.shape == (2, 2) and (arr >= [[17, 100], [257, 1]]).all()
