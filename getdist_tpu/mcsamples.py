@@ -1573,7 +1573,49 @@ class MCSamples(Chains):
         self._fast_rescue_clamped_pairs(
             idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d
         )
+        if has:
+            d1 = self._fast_rescue_wide_bounded_1d(idx, d1, lo, hi)
         return d1, d2, pairs
+
+    def _fast_rescue_wide_bounded_1d(self, idx, d1, lo, hi):
+        """Serve hard-limited params whose kernel covers a large fraction
+        of the support from the host convention.
+
+        The fused 1D boundary correction uses analytic frequency-domain
+        kernel moments; at kernel sigma ~ range/3 with cuts (zoo 1D shape
+        "flat") it drifts a few 1e-3 from the reference's masked spatial
+        iteration while picking the identical bandwidth. For those few
+        params, recompute host-side at the device-chosen width (passed as
+        a fixed smoothing scale in fine bins) and resample onto the fused
+        grid. No-op for unbounded chains.
+        """
+        bw = np.asarray(d1["bandwidth"], float)
+        bmin = np.asarray(d1["range"][0], float)
+        bmax = np.asarray(d1["range"][1], float)
+        span = np.maximum(bmax - bmin, 1e-30)
+        flagged = [
+            i
+            for i, j in enumerate(idx)
+            if (np.isfinite(lo[i]) or np.isfinite(hi[i])) and bw[i] / span[i] > 0.15
+        ]
+        if not flagged:
+            return d1
+        p_rows = np.array(d1["P"], float)
+        for i in flagged:
+            # fixed positive smooth_scale_1D >= 1 is in COARSE (num_bins)
+            # bin units (get1DDensityGridData convention)
+            par = self._initParamRanges(idx[i])
+            coarse_width = (par.range_max - par.range_min) / (self.num_bins - 1)
+            width_bins = max(bw[i] / coarse_width, 1.001)
+            dens = self.get1DDensityGridData(idx[i], smooth_scale_1D=float(width_bins), meanlikes=False)
+            xg = np.clip(np.asarray(d1["x"][i], float), dens.x[0], dens.x[-1])
+            vals = dens.Prob(xg)
+            peak = vals.max()
+            if peak > 0:
+                p_rows[i] = vals / peak
+        d1 = dict(d1)
+        d1["P"] = p_rows
+        return d1
 
     def _fast_rescue_clamped_pairs(self, idx, pairs, d1, d2, contours, lo, hi, per, scale_2d=1.0):
         """Re-run pairs whose kernel width saturated the fused program's

@@ -1106,6 +1106,12 @@ def all_1d_densities(
         h_frac = jnp.where(ok & (h_frac > 0.01 * neff ** (-0.2) * 0.5), h_frac, fallback)
     if mult_bias_order:
         h_frac = h_frac * neff ** (1.0 / 5 - 1.0 / (4 * mult_bias_order + 5))
+    if bandwidth_override is None:
+        # the reference caps the auto bandwidth at a quarter of the range
+        # (mcsamples.py:1571) BEFORE the smooth-scale multiplier; without
+        # this the device oversmooths near-uniform bounded shapes (zoo 1D
+        # 'flat': 344 vs the host's 256 fine-bin width)
+        h_frac = jnp.minimum(h_frac, 0.25)
     if bandwidth_scale is not None:
         # MISE-sweep hook: reference smooth_scale_1D = -scale convention
         h_frac = h_frac * bandwidth_scale

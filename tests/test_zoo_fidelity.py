@@ -112,3 +112,23 @@ def test_fragile_assist_skips_gaussian_chains():
     s = MCSamples(samples=cols, names=[f"p{i}" for i in range(4)])
     d1, d2, pairs = s.fastTriangleDensities(use_pallas=False)
     assert not d2["regrid"], d2["regrid"].keys()
+
+
+def test_wide_kernel_bounded_1d_served_host_exact():
+    """Near-uniform double-cut 1D shapes (kernel sigma ~ range/3) hit two
+    round-3 fixes: the device now applies the reference's range/4 auto
+    bandwidth cap, and hard-limited params with kernel width > 0.15x range
+    are served from the host boundary-correction convention. Fused output
+    must then match the parity path essentially exactly."""
+    import numpy as np
+
+    prob = shapes_1d()["flat"]
+    s = prob.MCSamples(10000, random_state=1)
+    ref = s.get1DDensity("x")
+    ref.normalize()
+    s._fused_cache = None
+    d1, _ = s.fastDensities(use_pallas=False)
+    fused = d1["x"]
+    fused.normalize()
+    # residual is the f32 transport of the (identical) bandwidth: ~3e-7
+    assert np.max(np.abs(fused.P - ref.P)) < 1e-5
