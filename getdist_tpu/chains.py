@@ -164,6 +164,9 @@ class WeightedSamples:
             setattr(self, stale, None)
         self.needs_update = True
         self._device_cache = None
+        # fused-pipeline device residency + derived host sniffs (MCSamples)
+        self._fast_chain_cache = None
+        self._param_range_cache = {}
 
     # -- device bridge ---------------------------------------------------------
     @staticmethod
@@ -244,7 +247,11 @@ class WeightedSamples:
     def getVars(self):
         """Weighted parameter variances (cached; also sets sddev)."""
         means = self.getMeans()
-        if self._device_stats_ok():
+        if self.fullcov is not None:
+            # the full covariance (when already computed) holds the variances;
+            # skip the extra O(N x p) centered pass
+            self.vars = self.fullcov.diagonal().copy()
+        elif self._device_stats_ok():
             dev_samples, dev_weights, _ = self._dev()
             self.vars = np.array(_stats.weighted_var(dev_samples, dev_weights, jnp.asarray(means)))
         else:
@@ -559,8 +566,10 @@ class WeightedSamples:
                 if np.allclose(vec, center, rtol=1e-12, atol=0, equal_nan=True):
                     fixed.append(col)
                     values.append(center)
-        kept = np.delete(self.samples, fixed, axis=1)
-        self.changeSamples(kept)
+        if fixed:
+            # rebuilding the sample matrix copies O(N x p): skip when nothing varies
+            kept = np.delete(self.samples, fixed, axis=1)
+            self.changeSamples(kept)
         return fixed, values
 
     def removeBurn(self, remove=0.3):
@@ -997,6 +1006,14 @@ class Chains(WeightedSamples):
     def saveTextMetadata(self, root):
         """Save metadata (.paramnames) alongside chain text files."""
         self.paramNames.saveAsText(root + ".paramnames")
+
+    def __getstate__(self):
+        """Pickle without the device-resident caches (they rebuild lazily
+        and a cached f32 chain copy would double the pickle size)."""
+        state = self.__dict__.copy()
+        state["_device_cache"] = None
+        state["_fast_chain_cache"] = None
+        return state
 
     def savePickle(self, filename):
         """Pickle this object to a file."""

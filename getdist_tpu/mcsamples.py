@@ -1519,18 +1519,96 @@ class MCSamples(Chains):
             self.density1D.update(dens1)
         return dens1, dens2
 
+    def _fast_chain_state(self):
+        """Device-resident f32 chain for the fused pipeline plus the host
+        sniffs the fused programs need (int8/exact weight classification),
+        cached until the samples change (``chains._weightsChanged``).
+
+        The fused path used to re-upload the full sample matrix on every
+        call (~2.4 s for a 1M x 30 chain through a remote-accelerator
+        tunnel); with this cache repeated public-path calls pay device
+        compute only. ``native`` arrays keep the ambient jnp dtype (f64
+        under x64 on CPU) for the regrid/rescue reruns, aliasing the f32
+        arrays when x64 is off.
+        """
+        st = getattr(self, "_fast_chain_cache", None)
+        if st is None:
+            import jax
+
+            from getdist_tpu.ops.batched import _bf16_exact_weights, prepare_chain
+
+            w = self.weights
+            int8 = bool(
+                w.size
+                and np.all(w == np.round(w))
+                and w.min() >= 0
+                and w.max() <= 127
+                and w.size * float(w.max()) < 2**31
+            )
+            exact = False if int8 else not _bf16_exact_weights(np.asarray(w, np.float32))
+            dev_s, dev_w = prepare_chain(self.samples, w)
+            if jax.config.jax_enable_x64:
+                nat_s, nat_w = jnp.asarray(self.samples), jnp.asarray(w)
+            else:
+                nat_s, nat_w = dev_s, dev_w
+            st = {
+                "samples": dev_s,
+                "weights": dev_w,
+                "native_samples": nat_s,
+                "native_weights": nat_w,
+                "int8": int8,
+                "exact": exact,
+                "cum_score": None,
+                "like_weights": None,
+            }
+            self._fast_chain_cache = st
+        return st
+
+    def _fast_cum_score(self):
+        """|k31| + |k13| + |k22| standardized joint cumulants per pair —
+        the gate separating genuinely non-Gaussian pairs (hard zoo shapes
+        measure 0.4-3.4) from Gaussian ones (<= 0.11) when the fused
+        program flags a fragile bandwidth search. Computed on device from
+        the cached chain (a host numpy pass cost ~2 s per call at 1M x 30)
+        and cached with it."""
+        st = self._fast_chain_state()
+        if st["cum_score"] is None:
+            from getdist_tpu.ops.batched import pair_cumulant_score
+
+            st["cum_score"] = np.asarray(pair_cumulant_score(st["samples"], st["weights"]))
+        return st["cum_score"]
+
+    def _fast_device_view(self, idx, native=False):
+        """Cached device chain restricted to the given parameter columns."""
+        st = self._fast_chain_state()
+        s = st["native_samples" if native else "samples"]
+        w = st["native_weights" if native else "weights"]
+        if list(idx) != list(range(self.n)):
+            s = jnp.take(s, jnp.asarray(np.asarray(idx, np.int32)), axis=1)
+        return s, w
+
     def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, meanlikes=False):
         """All 1D and all-pairs 2D densities via the fused device pipeline
-        (``getdist_tpu.ops.batched.triangle_densities``), with this chain's
-        hard prior bounds wired in automatically.
+        (:mod:`getdist_tpu.ops.batched`), with this chain's hard prior
+        bounds wired in automatically.
 
         Orders of magnitude faster than per-pair ``get2DDensityGridData``
         for many parameters (one jitted program per stage, Pallas binning on
         TPU); results follow the fast path's own KDE conventions rather than
         exact reference parity. Returns the (d1, d2) dicts plus the pair
         index list.
+
+        Pipelined for latency: the 1D program is dispatched and synced
+        first (it is small), the all-pairs 2D program is dispatched
+        asynchronously, and the host-side rescue preparation (sheared f64
+        bandwidths for |corr| >= 0.5 pairs, corr-adaptive fine regrid
+        groups — see :meth:`_fast_regrid_plan`) runs on the host WHILE the
+        device executes the 2D program. Only the fragile-pair rescue has to
+        wait for the 2D program's own diagnostics.
         """
-        from getdist_tpu.ops.batched import triangle_densities
+        import jax
+
+        from getdist_tpu.ops.batched import all_1d_densities, all_2d_densities
 
         if self.needs_update:
             self.updateBaseStatistics()
@@ -1544,37 +1622,103 @@ class MCSamples(Chains):
         lo = np.array([p.limmin if p.has_limits_bot else np.nan for p in pars], np.float32)
         hi = np.array([p.limmax if p.has_limits_top else np.nan for p in pars], np.float32)
         per = np.array([bool(getattr(p, "periodic", False)) for p in pars])
-        has = np.isfinite(lo).any() or np.isfinite(hi).any() or per.any()
+        has = bool(np.isfinite(lo).any() or np.isfinite(hi).any() or per.any())
+        st = self._fast_chain_state()
         like_w = None
         if meanlikes and self.loglikes is not None:
-            like_w = self._likelihood_weights()
+            if st["like_weights"] is None:
+                st["like_weights"] = jnp.asarray(self._likelihood_weights(), jnp.float32)
+            like_w = st["like_weights"]
         # reference smooth_scale = -scale convention: auto bandwidth x scale
         scale_1d = -float(self.smooth_scale_1D) if float(self.smooth_scale_1D) < 0 else 1.0
         scale_2d = -float(self.smooth_scale_2D) if float(self.smooth_scale_2D) < 0 else 1.0
-        d1, d2 = triangle_densities(
-            self.samples[:, idx],
-            self.weights,
-            contours=contours,
+        bs1 = None if scale_1d == 1.0 else jnp.float32(scale_1d)
+        bs2 = None if scale_2d == 1.0 else jnp.float32(scale_2d)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+
+        dev_s, dev_w = self._fast_device_view(idx)
+        p = len(idx)
+        pairs = [(a, b) for a in range(p) for b in range(a + 1, p)]
+        pairs_arr = np.array(pairs, np.int32).reshape(-1, 2)
+        # exact weighted correlations decide the static shear subset (the
+        # same 0.15-margin rule as ops.batched._sniff_shear, but from the
+        # chain's cached correlation matrix instead of a subsample pass)
+        corr = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
+        sel = [k for k, (a, b) in enumerate(pairs) if abs(corr[a, b]) > 0.15]
+        enable_shear = False if not sel else (True if len(sel) == len(pairs) else tuple(sel))
+
+        if has:
+            limits_lo = jnp.asarray(lo)
+            limits_hi = jnp.asarray(hi)
+        per_dev = jnp.asarray(per) if per.any() else None
+        contours_dev = jnp.asarray(np.array(contours, np.float32))
+
+        # program A: all 1D densities (small; host rescue planning needs its
+        # neff/range outputs, so it is synced first)
+        if has:
+            d1 = all_1d_densities(
+                dev_s, dev_w, limits_lo=limits_lo, limits_hi=limits_hi, periodic=per_dev,
+                like_weights=like_w, exact_weights=st["exact"], bandwidth_scale=bs1,
+            )
+        else:
+            d1 = all_1d_densities(
+                dev_s, dev_w, like_weights=like_w, exact_weights=st["exact"], bandwidth_scale=bs1,
+            )
+        # program B: all-pairs 2D densities, dispatched asynchronously (it
+        # consumes program A's device outputs without a host round-trip)
+        d2 = all_2d_densities(
+            dev_s,
+            dev_w,
+            jnp.asarray(pairs_arr[:, 0]),
+            jnp.asarray(pairs_arr[:, 1]),
+            d1["neff"],
+            d1["range"][0],
+            d1["range"][1],
+            contours_dev,
+            fine_bins=256,
             use_pallas=use_pallas,
-            limits_lo=lo if has else None,
-            limits_hi=hi if has else None,
-            periodic=per if per.any() else None,
+            static_pairs=tuple(map(tuple, pairs_arr.tolist())) if use_pallas else None,
+            active_lo=d1["active_lo"] if has else None,
+            active_hi=d1["active_hi"] if has else None,
+            periodic=per_dev,
+            int8_weights=st["int8"],
+            exact_weights=st["exact"],
+            bandwidth_scale=bs2,
+            sigma_range=d1["sigma_range"],
             max_corr=float(self.max_corr_2D),
+            enable_shear=enable_shear,
             like_weights=like_w,
-            bandwidth_scale_1d=None if scale_1d == 1.0 else scale_1d,
-            bandwidth_scale_2d=None if scale_2d == 1.0 else scale_2d,
+            export_hists=True,
         )
-        pairs = [(a, b) for a in range(len(idx)) for b in range(a + 1, len(idx))]
         d2 = dict(d2)
-        d2["regrid"] = self._fast_regrid_pairs(
-            idx, pairs, d1, contours, lo if has else None, hi if has else None, per, scale_2d,
-            fragile=np.asarray(d2["fragile"]),
+        hists = d2.pop("hists", None)
+        lo_a = lo if has else None
+        hi_a = hi if has else None
+        # host rescue planning overlapped with the device 2D program:
+        # dispatch is async, so this host work (plus the wide-1D rescue)
+        # runs while the device executes program B; syncing d1 fields only
+        # waits on program A
+        plan = self._fast_regrid_plan(idx, pairs, d1, lo_a, hi_a, per, scale_2d, fragile=None)
+        if has:
+            d1 = self._fast_rescue_wide_bounded_1d(idx, d1, lo, hi)
+        regrid = self._fast_regrid_exec(
+            plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists
         )
+        # fragile-pair rescue needs program B's own diagnostics (sync point)
+        frag = np.asarray(d2["fragile"])
+        plan = self._fast_regrid_plan(
+            idx, pairs, d1, lo_a, hi_a, per, scale_2d, fragile=frag, fragile_only=True
+        )
+        regrid.update(
+            self._fast_regrid_exec(
+                plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists
+            )
+        )
+        d2["regrid"] = regrid
         self._fast_rescue_clamped_pairs(
             idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d
         )
-        if has:
-            d1 = self._fast_rescue_wide_bounded_1d(idx, d1, lo, hi)
         return d1, d2, pairs
 
     def _fast_rescue_wide_bounded_1d(self, idx, d1, lo, hi):
@@ -1654,9 +1798,10 @@ class MCSamples(Chains):
         pa = jnp.asarray(np.array([a for a, _ in saturated], np.int32))
         pb = jnp.asarray(np.array([b for _, b in saturated], np.int32))
         bounded = lo is not None or hi is not None
+        dev_samples, dev_weights = self._fast_device_view(idx, native=True)
         d2w = all_2d_densities(
-            self.samples[:, idx],
-            self.weights,
+            dev_samples,
+            dev_weights,
             pa,
             pb,
             d1["neff"],
@@ -1677,17 +1822,22 @@ class MCSamples(Chains):
             regrid[key] = {name: d2w[name][i] for name in ("P", "contours", "rx", "ry", "corr", "neff")}
         d2["regrid"] = regrid
 
-    def _fast_regrid_pairs(self, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0, fragile=None):
-        """Re-run tightly-correlated pairs at the reference's corr-adaptive
-        fine grid (mcsamples.py:1812-1819 scales fine_bins_2D by the
-        degeneracy angle); returns {(a, b): per-pair 2D results}.
+    def _fast_regrid_plan(self, idx, pairs, d1, lo, hi, per, scale_2d=1.0, fragile=None,
+                          fragile_only=False):
+        """Host half of the regrid rescue for tightly-correlated pairs: pick
+        the pairs to re-run at the reference's corr-adaptive fine grid
+        (mcsamples.py:1812-1819 scales fine_bins_2D by the degeneracy angle)
+        and compute their f64 bandwidth overrides. Pure host + d1-sync work:
+        :meth:`fastTriangleDensities` runs it while the device executes the
+        asynchronously-dispatched all-pairs 2D program. Returns a list of
+        ``(fine, plist, override)`` groups for :meth:`_fast_regrid_exec`.
 
-        Strongly-correlated shearable pairs (|corr| >= 0.5) additionally get
-        their bandwidth matrix from the sample-space sheared re-binning
-        program (``ops.batched.sheared_pair_bandwidths``) via the override
-        hook: at high correlation the in-program frequency-space shear of
-        the coarse histogram is not accurate enough (zoo shapes tight /
-        bimodal WJ3/WJ4).
+        Strongly-correlated shearable pairs (|corr| >= 0.5) get their
+        bandwidth matrix from the host f64 sample-space sheared re-binning
+        (:meth:`_optimize_bandwidth_sheared`, the parity helper itself): at
+        high correlation the in-program frequency-space shear of the coarse
+        histogram is not accurate enough (zoo shapes tight / bimodal
+        WJ3/WJ4).
 
         ``fragile`` (per-pair bools reported by the fused program): pairs
         whose f32 AMISE correlation search sat on a knife edge — odd-psi
@@ -1696,8 +1846,6 @@ class MCSamples(Chains):
         :meth:`getAutoBandwidth2D`); zoo shapes 'rotating'/'trimodal WJ2'
         are served this way (host and device otherwise pick opposite-sign
         kernel correlations, ~2e-2 grid error)."""
-        from getdist_tpu.ops.batched import all_2d_densities
-
         max_corr = float(self.max_corr_2D)
         corr = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
         par_objs = [self.paramNames.names[j] for j in idx]
@@ -1709,19 +1857,12 @@ class MCSamples(Chains):
             # pair structure: |k31| + |k13| + |k22| of the standardized
             # weighted samples.  Hard zoo shapes measure 0.4-3.4, Gaussian
             # chains <= 0.11 — below 0.25 host and device both land on
-            # rho ~ 0, so the f64 assist would change nothing
-            step = max(1, self.samples.shape[0] // 200000)
-            sub = self.samples[::step][:, idx]
-            wn = np.asarray(self.weights[::step], float)
-            wn = wn / wn.sum()
-            zc = sub - wn @ sub
-            zc = zc / np.sqrt(wn @ (zc * zc))
-            z2, z3 = zc * zc, zc ** 3
-            rho_z = (zc * wn[:, None]).T @ zc
-            k31 = (z3 * wn[:, None]).T @ zc - 3 * rho_z
-            k22 = (z2 * wn[:, None]).T @ z2 - 1 - 2 * rho_z ** 2
-            cum_score = np.abs(k31) + np.abs(k31.T) + np.abs(k22)
+            # rho ~ 0, so the f64 assist would change nothing. Computed on
+            # device from the cached chain (see _fast_cum_score).
+            cum_score = self._fast_cum_score()[np.ix_(np.asarray(idx), np.asarray(idx))]
             fragile = np.array([bool(f) and cum_score[a, b] > 0.25 for f, (a, b) in zip(fragile, pairs)])
+        if fragile_only and (fragile is None or not fragile.any()):
+            return []
 
         def limited(k):
             info = par_objs[k]
@@ -1740,12 +1881,16 @@ class MCSamples(Chains):
                         fine = scaled
             assist = 0.5 <= abs(cc_raw) <= max_corr and not (limited(a) and limited(b))
             frag = bool(fragile is not None and fragile[k]) and not assist
-            if fine > 256 or assist or frag:
+            if fragile_only:
+                # post-2D-program pass: only pairs whose in-program bandwidth
+                # search was flagged fragile (everything else was already
+                # handled in the overlapped pre-pass)
+                if frag:
+                    groups.setdefault((fine, False, True), []).append((a, b))
+            elif fine > 256 or assist or frag:
                 groups.setdefault((fine, assist, frag), []).append((a, b))
-        regrid = {}
+        plan = []
         for (fine, assist, frag), plist in groups.items():
-            pa = jnp.asarray(np.array([a for a, _ in plist], np.int32))
-            pb = jnp.asarray(np.array([b for _, b in plist], np.int32))
             override = None
             if assist:
                 # host-exact sheared bandwidths (the parity helper itself):
@@ -1779,7 +1924,7 @@ class MCSamples(Chains):
                         rescale = 1.1 * pair_neff ** (1.0 / 6 - 1.0 / (2 + 4 * (1 + order)))
                         wx_d, wy_d = wx_d * rescale, wy_d * rescale
                     hx[i], hy[i], c[i] = wx_d, wy_d, cc
-                override = (jnp.asarray(hx, jnp.float32), jnp.asarray(hy, jnp.float32), jnp.asarray(c, jnp.float32))
+                override = (hx, hy, c)
             elif frag:
                 # f64 host bandwidths through the reference branch itself
                 # (getAutoBandwidth2D shears/plains by |corr| exactly as the
@@ -1802,10 +1947,41 @@ class MCSamples(Chains):
                         256, mult_bias_correction_order=self.mult_bias_correction_order,
                         N_eff=float(min(neff_h[a], neff_h[b])),
                     )
-                override = (jnp.asarray(hx, jnp.float32), jnp.asarray(hy, jnp.float32), jnp.asarray(c, jnp.float32))
+                override = (hx, hy, c)
+            plan.append((fine, plist, override))
+        return plan
+
+    def _fast_regrid_exec(self, plan, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0, hists=None):
+        """Device half of the regrid rescue: re-run each planned group.
+        ``hists`` (the all-pairs program's exported device pair histograms)
+        lets fine=256 groups skip the O(N) re-binning entirely — the rerun
+        then costs only the grid-local stages. Reuse is gated off under x64
+        (there the rescue reruns historically bin in f64, and the exported
+        histograms are f32-binned)."""
+        regrid = {}
+        if not plan:
+            return regrid
+        import jax
+
+        from getdist_tpu.ops.batched import all_2d_densities
+
+        max_corr = float(self.max_corr_2D)
+        reuse_ok = hists is not None and not jax.config.jax_enable_x64
+        pair_pos = {key: k for k, key in enumerate(pairs)}
+        dev_samples, dev_weights = self._fast_device_view(idx, native=True)
+        for fine, plist, override_np in plan:
+            pa = jnp.asarray(np.array([a for a, _ in plist], np.int32))
+            pb = jnp.asarray(np.array([b for _, b in plist], np.int32))
+            override = None
+            if override_np is not None:
+                override = tuple(jnp.asarray(v, jnp.float32) for v in override_np)
+            hin = None
+            if reuse_ok and fine == 256:
+                sel = jnp.asarray(np.array([pair_pos[key] for key in plist], np.int32))
+                hin = jnp.take(hists, sel, axis=0)
             d2x = all_2d_densities(
-                self.samples[:, idx],
-                self.weights,
+                dev_samples,
+                dev_weights,
                 pa,
                 pb,
                 d1["neff"],
@@ -1822,6 +1998,7 @@ class MCSamples(Chains):
                 sigma_range=d1["sigma_range"],
                 max_corr=max_corr,
                 winw=max(30, int(round(fine / 9.0))),
+                hists_in=hin,
             )
             for i, key in enumerate(plist):
                 regrid[key] = {name: d2x[name][i] for name in ("P", "contours", "rx", "ry", "corr", "neff")}
@@ -2573,9 +2750,18 @@ class MCSamples(Chains):
     def _initParamRanges(self, j, paramConfid=None):
         if isinstance(j, str):
             j = self.index[j]
+        cache = getattr(self, "_param_range_cache", None)
+        if paramConfid is None and cache is not None and j in cache:
+            # _initParam is idempotent for fixed settings but costs an
+            # O(N log N) confidence argsort per call; the cache is dropped
+            # whenever samples or analysis settings change
+            return cache[j]
         paramVec = self.samples[:, j]
         info = self.paramNames.names[j]
-        return self._initParam(info, paramVec, self.means[j], self.sddev[j], paramConfid)
+        par = self._initParam(info, paramVec, self.means[j], self.sddev[j], paramConfid)
+        if paramConfid is None and cache is not None:
+            cache[j] = par
+        return par
 
     def getLower(self, name):
         """Lower hard bound for a named parameter, or None."""
@@ -2673,6 +2859,11 @@ class MCSamples(Chains):
 
     def updateBaseStatistics(self):
         """Refresh basic statistics, limits, and the ND confidence region."""
+        # full covariance first: getVars (inside the base update) then reads
+        # the variances off its diagonal instead of a second O(N x p) pass
+        self.means = None
+        self.fullcov = None
+        self._setCov()
         super().updateBaseStatistics()
         weight_ceiling = (self.mean_mult * self.numrows) / min(self.numrows // 2, 500)
         n_outliers = np.sum(self.weights > weight_ceiling)
@@ -2680,10 +2871,10 @@ class MCSamples(Chains):
             logging.warning("%s of samples carry outlier weights", float(n_outliers) / self.numrows)
 
         self.indep_thin = 0
-        self._setCov()
         self.done_1Dbins = False
         self.density1D = dict()
         self._fused_cache = None
+        self._param_range_cache = {}
         self._initLimits(self.ini)
         for par in self.paramNames.names:
             par.N_eff_kde = None
@@ -2741,6 +2932,7 @@ class MCSamples(Chains):
         ini.params.update(settings or {})
         self.ini = ini
         self.initParameters(ini)
+        self._param_range_cache = {}
         if doUpdate and self.samples is not None:
             self.updateBaseStatistics()
 

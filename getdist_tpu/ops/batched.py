@@ -172,6 +172,24 @@ def _bf16_exact_weights(w_host):
     return bool(np.all(w_host == np.asarray(w_host, ml_dtypes.bfloat16).astype(w_host.dtype)))
 
 
+@jax.jit
+def pair_cumulant_score(samples, weights):
+    """|k31| + |k13| + |k22| standardized joint cumulants for every param
+    pair, as a (P, P) matrix. These vanish for jointly-Gaussian pairs, so
+    the host uses them to gate the fragile-bandwidth f64 assist
+    (:meth:`MCSamples._fast_regrid_pairs`): genuinely non-Gaussian zoo
+    shapes measure 0.4-3.4 where Gaussian chains stay below ~0.11."""
+    wn = weights / jnp.sum(weights)
+    zc = samples - wn @ samples
+    zc = zc / jnp.sqrt(wn @ (zc * zc))
+    z2 = zc * zc
+    zw = zc * wn[:, None]
+    rho = zw.T @ zc
+    k31 = (z2 * zw).T @ zc - 3 * rho
+    k22 = (z2 * wn[:, None]).T @ z2 - 1 - 2 * rho * rho
+    return jnp.abs(k31) + jnp.abs(k31).T + jnp.abs(k22)
+
+
 # ---------------------------------------------------------------------------
 # range / N_eff estimation
 # ---------------------------------------------------------------------------
@@ -1273,6 +1291,7 @@ def all_1d_densities(
         "max_corr",
         "enable_shear",
         "exact_mult_bias",
+        "export_hists",
     ),
 )
 def all_2d_densities(
@@ -1306,6 +1325,7 @@ def all_2d_densities(
     like_weights=None,
     exact_mult_bias=False,
     hists_in=None,
+    export_hists=False,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1752,7 +1772,7 @@ def all_2d_densities(
     peak = jnp.max(smoothed, axis=(1, 2), keepdims=True)
     density = smoothed / peak
     levels = _contour_levels_batch(density, contours)
-    return {
+    out = {
         "P": density,
         "contours": levels,
         "rx": rx,
@@ -1765,6 +1785,12 @@ def all_2d_densities(
         # re-derive their bandwidths on the f64 host path
         "fragile": fragile,
     }
+    if export_hists:
+        # device handle onto the raw pair histograms: the rescue reruns
+        # (host-assisted bandwidth overrides, saturated-window pairs) reuse
+        # them via hists_in instead of repeating the O(N) binning
+        out["hists"] = hists
+    return out
 
 
 @partial(
