@@ -55,6 +55,38 @@ def make_chain(n, p, seed=7):
 
 
 def run_ours(samples, weights, repeats=7):
+    """Time the PUBLIC end-to-end API: ``MCSamples.fastTriangleDensities``,
+    including every host rescue pass (sheared-bandwidth assists, fragile
+    re-derivations, corr-adaptive regrids, saturated-window and wide-1D
+    rescues) — the same path the accuracy tests validate. ``--program``
+    instead times the raw fused program (no MCSamples layer), the
+    subset number rounds 1-3 reported."""
+    print("# compiling + first run (cold start can take minutes on the axon tunnel)...", file=sys.stderr)
+    import jax.numpy as jnp
+
+    from getdist_tpu.mcsamples import MCSamples
+
+    names = [f"p{i}" for i in range(samples.shape[1])]
+    mc = MCSamples(samples=samples, weights=weights, names=names)
+
+    # compile + settle (block_until_ready is unreliable through the axon
+    # tunnel: force a host readback of data depending on everything)
+    d1, d2, _pairs = mc.fastTriangleDensities()
+    sync = float(jnp.sum(d1["P"]) + jnp.sum(d2["P"]) + jnp.sum(d2["contours"]))
+    print("# compiled; timing warm runs", file=sys.stderr)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        d1, d2, _pairs = mc.fastTriangleDensities()
+        sync += float(jnp.sum(d2["P"][-1]) + jnp.sum(d1["P"][-1]))
+        for entry in d2["regrid"].values():
+            sync += float(jnp.sum(entry["P"][-1]))
+        times.append(time.perf_counter() - t0)
+    return min(times), sync
+
+
+def run_program_only(samples, weights, repeats=7):
+    """The raw fused device program, no public-API layer (subset number)."""
     print("# compiling + first run (cold start can take minutes on the axon tunnel)...", file=sys.stderr)
     import jax
     import jax.numpy as jnp
@@ -80,8 +112,6 @@ def run_ours(samples, weights, repeats=7):
             enable_shear=batched._sniff_shear(samples, 0.95, pairs=pairs, weights=weights),
         )
 
-    # compile + settle (block_until_ready is unreliable through the axon
-    # tunnel: force a host readback of data depending on everything)
     d1, d2 = full()
     sync = float(jnp.sum(d1["P"]) + jnp.sum(d2["P"]) + jnp.sum(d2["contours"]))
     print("# compiled; timing warm runs", file=sys.stderr)
@@ -215,6 +245,7 @@ def main():
                     "value": round(parity_s * 1000, 2),
                     "unit": "ms",
                     "vs_baseline": round(REF_FULL_MEASURED_S / parity_s, 1),
+                    "vs_baseline_semantics": "speedup_vs_reference_cpu_wallclock",
                 }
             )
         )
@@ -236,12 +267,18 @@ def main():
                     # the reference measurement is for the full-size workload;
                     # the scaled virtual-mesh smoke run has no baseline
                     "vs_baseline": round(REF_FULL_MEASURED_S / sharded_s, 1) if on_tpu else None,
+                    "vs_baseline_semantics": "speedup_vs_reference_cpu_wallclock",
                 }
             )
         )
         return
 
-    ours_s, _ = run_ours(full_samples, full_weights)
+    if "--program" in sys.argv:
+        ours_s, _ = run_program_only(full_samples, full_weights)
+        metric = "fused program only (no public-API layer), 30 params x 1M weighted samples"
+    else:
+        ours_s, _ = run_ours(full_samples, full_weights)
+        metric = "public fastTriangleDensities end-to-end (all rescue passes), 30 params x 1M weighted samples"
 
     if "--measure-ref" in sys.argv:
         ref_full = run_reference(full_samples, full_weights)
@@ -255,10 +292,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "all-pairs 1D+2D KDE densities, 30 params x 1M weighted samples",
+                "metric": metric,
                 "value": round(ours_s * 1000, 2),
                 "unit": "ms",
+                # speedup ratio: measured reference wall-clock / ours
                 "vs_baseline": round(ref_full / ours_s, 1),
+                "vs_baseline_semantics": "speedup_vs_reference_cpu_wallclock",
             }
         )
     )

@@ -1695,20 +1695,43 @@ class MCSamples(Chains):
         hists = d2.pop("hists", None)
         lo_a = lo if has else None
         hi_a = hi if has else None
+        # one packed host readback of the small per-param planning fields
+        # (each np.asarray would otherwise pay its own ~27 ms tunnel round
+        # trip); only waits on program A, so the host keeps overlapping
+        # the asynchronously-executing program B
+        packed = np.asarray(
+            jnp.concatenate(
+                [d1["neff"], d1["sigma_range"], d1["range"][0], d1["range"][1], d1["bandwidth"]]
+            )
+        )
+        d1h = {
+            "neff": packed[:p],
+            "sigma_range": packed[p : 2 * p],
+            "range0": packed[2 * p : 3 * p],
+            "range1": packed[3 * p : 4 * p],
+            "bandwidth": packed[4 * p : 5 * p],
+        }
         # host rescue planning overlapped with the device 2D program:
         # dispatch is async, so this host work (plus the wide-1D rescue)
-        # runs while the device executes program B; syncing d1 fields only
-        # waits on program A
-        plan = self._fast_regrid_plan(idx, pairs, d1, lo_a, hi_a, per, scale_2d, fragile=None)
+        # runs while the device executes program B
+        plan = self._fast_regrid_plan(
+            idx, pairs, d1, lo_a, hi_a, per, scale_2d, fragile=None, d1_host=d1h
+        )
         if has:
-            d1 = self._fast_rescue_wide_bounded_1d(idx, d1, lo, hi)
+            d1 = self._fast_rescue_wide_bounded_1d(idx, d1, lo, hi, d1_host=d1h)
         regrid = self._fast_regrid_exec(
             plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists
         )
-        # fragile-pair rescue needs program B's own diagnostics (sync point)
-        frag = np.asarray(d2["fragile"])
+        # program B's packed diagnostics (fragile flags + kernel widths in
+        # bin units): ONE readback — the pipeline's only sync on the
+        # all-pairs program
+        k_pairs = len(pairs)
+        diag = np.asarray(d2["diag"])
+        frag = diag[:k_pairs] > 0.5
+        rx_h = diag[k_pairs : 2 * k_pairs]
+        ry_h = diag[2 * k_pairs : 3 * k_pairs]
         plan = self._fast_regrid_plan(
-            idx, pairs, d1, lo_a, hi_a, per, scale_2d, fragile=frag, fragile_only=True
+            idx, pairs, d1, lo_a, hi_a, per, scale_2d, fragile=frag, fragile_only=True, d1_host=d1h
         )
         regrid.update(
             self._fast_regrid_exec(
@@ -1717,11 +1740,12 @@ class MCSamples(Chains):
         )
         d2["regrid"] = regrid
         self._fast_rescue_clamped_pairs(
-            idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d
+            idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d,
+            rx_host=rx_h, ry_host=ry_h,
         )
         return d1, d2, pairs
 
-    def _fast_rescue_wide_bounded_1d(self, idx, d1, lo, hi):
+    def _fast_rescue_wide_bounded_1d(self, idx, d1, lo, hi, d1_host=None):
         """Serve hard-limited params whose kernel covers a large fraction
         of the support from the host convention.
 
@@ -1733,9 +1757,14 @@ class MCSamples(Chains):
         a fixed smoothing scale in fine bins) and resample onto the fused
         grid. No-op for unbounded chains.
         """
-        bw = np.asarray(d1["bandwidth"], float)
-        bmin = np.asarray(d1["range"][0], float)
-        bmax = np.asarray(d1["range"][1], float)
+        if d1_host is not None:
+            bw = np.asarray(d1_host["bandwidth"], float)
+            bmin = np.asarray(d1_host["range0"], float)
+            bmax = np.asarray(d1_host["range1"], float)
+        else:
+            bw = np.asarray(d1["bandwidth"], float)
+            bmin = np.asarray(d1["range"][0], float)
+            bmax = np.asarray(d1["range"][1], float)
         span = np.maximum(bmax - bmin, 1e-30)
         flagged = [
             i
@@ -1761,7 +1790,8 @@ class MCSamples(Chains):
         d1["P"] = p_rows
         return d1
 
-    def _fast_rescue_clamped_pairs(self, idx, pairs, d1, d2, contours, lo, hi, per, scale_2d=1.0):
+    def _fast_rescue_clamped_pairs(self, idx, pairs, d1, d2, contours, lo, hi, per, scale_2d=1.0,
+                                   rx_host=None, ry_host=None):
         """Re-run pairs whose kernel width saturated the fused program's
         fixed convolution window (rx/ry at winw/2.5 bins).
 
@@ -1781,7 +1811,10 @@ class MCSamples(Chains):
             n_fine = int(np.asarray(entry["P"]).shape[0])
             return max(30, int(round(n_fine / 9.0))) / 2.5
 
-        rxs, rys = np.asarray(d2["rx"]), np.asarray(d2["ry"])
+        if rx_host is not None:
+            rxs, rys = rx_host, ry_host
+        else:
+            rxs, rys = np.asarray(d2["rx"]), np.asarray(d2["ry"])
         saturated = []
         for k, key in enumerate(pairs):
             entry = regrid.get(key)
@@ -1823,7 +1856,7 @@ class MCSamples(Chains):
         d2["regrid"] = regrid
 
     def _fast_regrid_plan(self, idx, pairs, d1, lo, hi, per, scale_2d=1.0, fragile=None,
-                          fragile_only=False):
+                          fragile_only=False, d1_host=None):
         """Host half of the regrid rescue for tightly-correlated pairs: pick
         the pairs to re-run at the reference's corr-adaptive fine grid
         (mcsamples.py:1812-1819 scales fine_bins_2D by the degeneracy angle)
@@ -1850,17 +1883,25 @@ class MCSamples(Chains):
         corr = np.asarray(self.getCorrelationMatrix())[np.ix_(idx, idx)]
         par_objs = [self.paramNames.names[j] for j in idx]
 
+        cum_cache = [None]
+
+        def cum_gate(a, b):
+            # actual non-Gaussian pair structure: |k31| + |k13| + |k22| of
+            # the standardized weighted samples. Hard zoo shapes measure
+            # 0.4-3.4, Gaussian chains <= 0.11 — below 0.25 host f64 and
+            # device f32 land on the same bandwidths to ~1e-3 (the ISJ
+            # optimum is flat there), so a host assist would change
+            # nothing. Computed on device from the cached chain
+            # (see _fast_cum_score), one small program per chain.
+            if cum_cache[0] is None:
+                cum_cache[0] = self._fast_cum_score()[np.ix_(np.asarray(idx), np.asarray(idx))]
+            return cum_cache[0][a, b] > 0.25
+
         if fragile is not None and fragile.ndim > 1:
             fragile = None  # diagnostics mode (GETDIST_TPU_FRAGILE_SIGNAL=debug)
         if fragile is not None and fragile.any():
-            # gate the device's blind-search flags on actual non-Gaussian
-            # pair structure: |k31| + |k13| + |k22| of the standardized
-            # weighted samples.  Hard zoo shapes measure 0.4-3.4, Gaussian
-            # chains <= 0.11 — below 0.25 host and device both land on
-            # rho ~ 0, so the f64 assist would change nothing. Computed on
-            # device from the cached chain (see _fast_cum_score).
-            cum_score = self._fast_cum_score()[np.ix_(np.asarray(idx), np.asarray(idx))]
-            fragile = np.array([bool(f) and cum_score[a, b] > 0.25 for f, (a, b) in zip(fragile, pairs)])
+            # gate the device's blind-search flags on the same score
+            fragile = np.array([bool(f) and cum_gate(a, b) for f, (a, b) in zip(fragile, pairs)])
         if fragile_only and (fragile is None or not fragile.any()):
             return []
 
@@ -1879,7 +1920,16 @@ class MCSamples(Chains):
                     scaled = 192 * int(3 / angle_scale) // 3
                     if scaled > 256:
                         fine = scaled
-            assist = 0.5 <= abs(cc_raw) <= max_corr and not (limited(a) and limited(b))
+            # the O(N)-per-pair host re-binning assist is reserved for pairs
+            # that are BOTH strongly correlated and measurably non-Gaussian:
+            # only there can the host/device ISJ root selection diverge
+            # (multi-root knife edges); Gaussian correlated pairs keep the
+            # in-program frequency-space sheared bandwidths
+            assist = (
+                0.5 <= abs(cc_raw) <= max_corr
+                and not (limited(a) and limited(b))
+                and cum_gate(a, b)
+            )
             frag = bool(fragile is not None and fragile[k]) and not assist
             if fragile_only:
                 # post-2D-program pass: only pairs whose in-program bandwidth
@@ -1900,8 +1950,8 @@ class MCSamples(Chains):
                 # is the only way to reproduce the reference branch exactly;
                 # samples are host-resident, and only |corr| >= 0.5 pairs
                 # pay the per-pair host re-binning
-                neff_h = np.asarray(d1["neff"])
-                sr_h = np.asarray(d1["sigma_range"])
+                neff_h = d1_host["neff"] if d1_host else np.asarray(d1["neff"])
+                sr_h = d1_host["sigma_range"] if d1_host else np.asarray(d1["sigma_range"])
                 order = int(self.mult_bias_correction_order)
                 hx = np.empty(len(plist))
                 hy = np.empty(len(plist))
@@ -1931,7 +1981,7 @@ class MCSamples(Chains):
                 # host KDE path does); only flagged pairs pay the host
                 # re-binning, and the density convolution still runs on
                 # device with the override
-                neff_h = np.asarray(d1["neff"])
+                neff_h = d1_host["neff"] if d1_host else np.asarray(d1["neff"])
                 hx = np.empty(len(plist))
                 hy = np.empty(len(plist))
                 c = np.empty(len(plist))

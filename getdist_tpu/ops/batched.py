@@ -1784,6 +1784,15 @@ def all_2d_densities(
         # clamp bound or the 10%-win acceptance band): the caller should
         # re-derive their bandwidths on the f64 host path
         "fragile": fragile,
+        # packed host-facing diagnostics [fragile, rx, ry]: the public path
+        # reads ALL its post-program decisions in one transfer instead of
+        # one tunnel round trip per field (debug-mode 2D fragile signals
+        # flag themselves with a leading -1 row)
+        "diag": (
+            jnp.concatenate([jnp.full((pair_a.shape[0],), -1.0, rx.dtype), rx, ry])
+            if fragile.ndim > 1
+            else jnp.concatenate([fragile.astype(rx.dtype), rx, ry])
+        ),
     }
     if export_hists:
         # device handle onto the raw pair histograms: the rescue reruns
