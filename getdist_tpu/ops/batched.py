@@ -172,6 +172,17 @@ def _bf16_exact_weights(w_host):
     return bool(np.all(w_host == np.asarray(w_host, ml_dtypes.bfloat16).astype(w_host.dtype)))
 
 
+# Statistical contractions (bandwidth functionals, moments, cumulants) run
+# at HIGHEST matmul precision: TPU's default rounds dot operands to bf16,
+# which is catastrophic for the tiny squared-DCT coefficients the ISJ
+# functional chain contracts (measured: 1D trimodal bandwidth 6x too wide
+# on TPU, MISE 150x worse than CPU before this) and sloppy for 1M-sample
+# moment sums. These dots are a negligible share of the program's flops —
+# the MXU budget lives in the one-hot histogram kernels, which are exact
+# by construction (0/1 operands).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 @jax.jit
 def pair_cumulant_score(samples, weights):
     """|k31| + |k13| + |k22| standardized joint cumulants for every param
@@ -180,13 +191,13 @@ def pair_cumulant_score(samples, weights):
     (:meth:`MCSamples._fast_regrid_pairs`): genuinely non-Gaussian zoo
     shapes measure 0.4-3.4 where Gaussian chains stay below ~0.11."""
     wn = weights / jnp.sum(weights)
-    zc = samples - wn @ samples
-    zc = zc / jnp.sqrt(wn @ (zc * zc))
+    zc = samples - jnp.matmul(wn, samples, precision=_PREC)
+    zc = zc / jnp.sqrt(jnp.matmul(wn, zc * zc, precision=_PREC))
     z2 = zc * zc
     zw = zc * wn[:, None]
-    rho = zw.T @ zc
-    k31 = (z2 * zw).T @ zc - 3 * rho
-    k22 = (z2 * wn[:, None]).T @ z2 - 1 - 2 * rho * rho
+    rho = jnp.matmul(zw.T, zc, precision=_PREC)
+    k31 = jnp.matmul((z2 * zw).T, zc, precision=_PREC) - 3 * rho
+    k22 = jnp.matmul((z2 * wn[:, None]).T, z2, precision=_PREC) - 1 - 2 * rho * rho
     return jnp.abs(k31) + jnp.abs(k31).T + jnp.abs(k22)
 
 
@@ -344,14 +355,30 @@ def _neff_kde_batch(values, weights, sigmas, lags, axis_name=None, axis_size=1):
 # ---------------------------------------------------------------------------
 
 
-def _isj_gamma(h2_pi2, big_i, log_i, a2, neff):
-    """gamma functional chain of the 1D ISJ fixed point (vectorized over
-    the DCT modes); h2_pi2 = pi^2 h^2."""
-    f = 2 * np.pi ** (2 * _ISJ_LMAX) * jnp.dot(a2, jnp.exp(_ISJ_LMAX * log_i - big_i * h2_pi2))
+def _isj_log_gamma(h2_pi2, big_i, log_i, log_a2, neff):
+    """log of the gamma functional chain of the 1D ISJ fixed point
+    (vectorized over the DCT modes); h2_pi2 = pi^2 h^2.
+
+    Everything stays in log space via log-sum-exp: the naive chain
+    evaluates exp(LMAX*log_i - damping), and when the expression sits in a
+    program with the bisection while_loop, XLA's TPU pipeline hoists the
+    loop-invariant exp(LMAX*log_i) factor (= i^14, inf above i~563 in f32)
+    out of the damped product — the small-h residuals silently corrupt,
+    the root bracket is missed, and multimodal shapes fall back to the
+    rule of thumb (~6x oversmoothing, measured on zoo 'trimodal').
+    Bounded exponents make the computation immune to such rewrites."""
+
+    def log_f(j, t):
+        e = j * log_i - big_i * t + log_a2
+        m = jnp.max(e)
+        return jnp.log(jnp.sum(jnp.exp(e - m))) + m + np.log(2.0) + 2 * j * np.log(np.pi)
+
+    lf = log_f(jnp.asarray(float(_ISJ_LMAX), big_i.dtype), h2_pi2)
+    log_neff = jnp.log(neff)
     for j, const in zip(range(_ISJ_LMAX - 1, 1, -1), _ISJ_CONSTS):
-        t_j = (const / neff / f) ** (2 / (3.0 + 2 * j))
-        f = 2 * np.pi ** (2 * j) * jnp.dot(a2, jnp.exp(j * log_i - big_i * (_PI_SQ * t_j)))
-    return f
+        log_t = (2.0 / (3.0 + 2 * j)) * (np.log(const) - log_neff - lf)
+        lf = log_f(jnp.asarray(float(j), big_i.dtype), _PI_SQ * jnp.exp(log_t))
+    return lf
 
 
 def _isj_bandwidth_1d(bins, neff):
@@ -362,10 +389,12 @@ def _isj_bandwidth_1d(bins, neff):
     log_i = jnp.log(big_i)
     a = dct(bins / jnp.sum(bins))
     a2 = (a[1:] / 2) ** 2
+    log_a2 = jnp.log(a2)  # -inf rows (zero coefficients) drop out of the LSE
+    log_norm = jnp.log(2 * neff * _ROOT_PI)
 
     def residual(h):
-        f = _isj_gamma(_PI_SQ * h**2, big_i, log_i, a2, neff)
-        return h - (2 * neff * _ROOT_PI * f) ** (-1.0 / 5)
+        lf = _isj_log_gamma(_PI_SQ * h**2, big_i, log_i, log_a2, neff)
+        return h - jnp.exp(-0.2 * (log_norm + lf))
 
     n_scale = neff ** (-1.0 / 5)
     # bracket the root by scanning a log grid of seeds: a two-endpoint
@@ -408,7 +437,12 @@ def _psi_2d(s0, s1, time, big_i, log_i, a2):
     w = -big_i * (_PI_SQ * time)
     wx = jnp.exp(w + log_i * s0)
     wy = jnp.exp(w + log_i * s1)
-    return (-1) ** (s0 + s1) * wy @ a2 @ wx * np.pi ** (2 * (s0 + s1)) / 4
+    return (
+        (-1) ** (s0 + s1)
+        * jnp.dot(jnp.dot(wy, a2, precision=_PREC), wx, precision=_PREC)
+        * np.pi ** (2 * (s0 + s1))
+        / 4
+    )
 
 
 def _func2d(s0, s1, t, big_i, log_i, a2, neff):
@@ -510,7 +544,7 @@ def _psi_multi_dct(a2, big_i, log_i, orders, ts):
     damp = -big_i[None, :] * (_PI_SQ * t_vec[:, None])  # (k, F)
     wx = jnp.exp(damp + log_i[None, :] * jnp.asarray([s[0] for s in orders], a2.dtype)[:, None])
     wy = jnp.exp(damp + log_i[None, :] * jnp.asarray([s[1] for s in orders], a2.dtype)[:, None])
-    g = a2 @ wx.T  # (F, k): the single pass over the spectrum
+    g = jnp.matmul(a2, wx.T, precision=_PREC)  # (F, k): the single pass over the spectrum
     vals = jnp.sum(wy.T * g, axis=0)
     scale = np.array([(-1) ** (s[0] + s[1]) * np.pi ** (2 * (s[0] + s[1])) / 4 for s in orders], np.float64)
     return vals * jnp.asarray(scale, a2.dtype)
@@ -525,7 +559,7 @@ def _psi_multi_pow(power, freqs, exponents, ts, signs):
     damp = jnp.exp(-(freqs[None, :] ** 2) * (4 * _PI_SQ) * t_vec[:, None])  # (k, F)
     wx = damp * jnp.stack([freqs ** s[0] for s in exponents])
     wy = damp * jnp.stack([freqs ** s[1] for s in exponents])
-    g = power @ wx.T  # (F, k): the single pass over the spectrum
+    g = jnp.matmul(power, wx.T, precision=_PREC)  # (F, k): the single pass over the spectrum
     vals = jnp.sum(wy.T * g, axis=0)  # (k,)
     scale = np.array(
         [sg * (2 * np.pi) ** (s[0] + s[1]) for s, sg in zip(exponents, signs)], np.float64
@@ -802,7 +836,11 @@ def _shear_kernel_back(hx, hy, c, s_mat, swap):
     k00 = hx**2
     k01 = hx * hy * c
     k11 = hy**2
-    kc = s_mat @ jnp.array([[k00, k01], [k01, k11]]) @ s_mat.T
+    kc = jnp.matmul(
+        jnp.matmul(s_mat, jnp.array([[k00, k01], [k01, k11]]), precision=_PREC),
+        s_mat.T,
+        precision=_PREC,
+    )
     out_hx = jnp.sqrt(kc[0, 0])
     out_hy = jnp.sqrt(kc[1, 1])
     out_c = kc[0, 1] / (out_hx * out_hy)
@@ -855,10 +893,10 @@ def _sheared_power(hist, xc_a, xc_b, r0, r1, swap):
     c_coef = r1 * step2 / second_range
     two_pi = 2 * np.pi
     cmat = jnp.exp(-1j * (two_pi * c_coef) * f[:, None] * x[None, :])  # (F2, y)
-    g = cmat @ h.astype(cmat.dtype)  # (F2, x)
+    g = jnp.matmul(cmat, h.astype(cmat.dtype), precision=_PREC)  # (F2, x)
     bmat = jnp.exp(-1j * (two_pi * b_coef) * f[:, None] * x[None, :])  # (F2, x)
     amat = jnp.exp(-1j * (two_pi * a_coef) * f[:, None] * x[None, :])  # (F1, x)
-    s_hat = amat @ (bmat * g).T  # (F1, F2)
+    s_hat = jnp.matmul(amat, (bmat * g).T, precision=_PREC)  # (F1, F2)
     power = (s_hat * jnp.conj(s_hat)).real / tot**2
     # orientation [f_p2, f_p1] to match the optimizer's (rows = y) layout;
     # zero the DC line so even functionals match the DCT convention
@@ -1047,8 +1085,8 @@ def all_1d_densities(
 
     cols = samples.T  # (P, N)
     norm = _ps(jnp.sum(weights))
-    means = _ps(cols @ weights) / norm
-    variances = _ps((cols - means[:, None]) ** 2 @ weights) / norm
+    means = _ps(jnp.matmul(cols, weights, precision=_PREC)) / norm
+    variances = _ps(jnp.matmul((cols - means[:, None]) ** 2, weights, precision=_PREC)) / norm
     sigmas = jnp.sqrt(variances)
 
     # ranges from histogram quantiles
@@ -1362,9 +1400,9 @@ def all_2d_densities(
 
     cols = samples.T
     norm = _ps2(jnp.sum(weights))
-    means = _ps2(cols @ weights) / norm
+    means = _ps2(jnp.matmul(cols, weights, precision=_PREC)) / norm
     diffs = cols - means[:, None]
-    cov = _ps2((diffs * weights[None, :]) @ diffs.T) / norm
+    cov = _ps2(jnp.matmul(diffs * weights[None, :], diffs.T, precision=_PREC)) / norm
     sd = jnp.sqrt(jnp.diagonal(cov))
     corr_mat = cov / jnp.outer(sd, sd)
 

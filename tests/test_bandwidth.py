@@ -136,3 +136,33 @@ def test_nearest_fft_number_shapes():
     assert nearestFFTnumber(17) >= 17
     arr = nearestFFTnumber(np.array([[17, 100], [257, 1]]))
     assert arr.shape == (2, 2) and (arr >= [[17, 100], [257, 1]]).all()
+
+
+def test_isj_1d_multimodal_root_bracketing():
+    """The device ISJ seed scan must bracket the SMALL fixed-point root of a
+    well-separated trimodal mixture — the regime where the residual curve is
+    shallow near the root and a few-1e-3 evaluation error silently forces
+    the rule-of-thumb fallback (~6x oversmoothing).
+
+    Regression for a TPU-only failure: XLA hoisted the loop-invariant
+    exp(LMAX*log_i) factor (= i^14, inf in f32) out of the bisection loop's
+    gamma chain, corrupting the small-h residuals; the fix computes the
+    chain in log space (ops.batched._isj_log_gamma), which this test pins
+    on every backend.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from getdist_tpu import kde_bandwidth as kde
+    from getdist_tpu.ops.batched import _isj_bandwidth_1d
+
+    rng = np.random.RandomState(0)
+    comps = rng.choice(3, size=10000, p=[0.4, 0.35, 0.25])
+    x = np.array([0.0, 2.0, 5.0])[comps] + np.array([0.2, 0.7, 0.4])[comps] * rng.standard_normal(10000)
+    ix, _ = kde.bin_samples(x, nbins=1024)
+    bins = np.bincount(ix, minlength=1024).astype(np.float64)
+
+    host = kde.gaussian_kde_bandwidth_binned(bins, Neff=10000.0)
+    h_dev, ok = jax.jit(_isj_bandwidth_1d)(jnp.asarray(bins, jnp.float32), jnp.float32(10000.0))
+    assert bool(ok), "seed scan failed to bracket the trimodal ISJ root"
+    assert abs(float(h_dev) / host - 1) < 0.02, (float(h_dev), host)
