@@ -14,6 +14,9 @@ from dataclasses import dataclass, field
 __all__ = [
     "SettingField",
     "analysis_settings_schema",
+    "plot_settings_schema",
+    "update_script_plot_settings",
+    "update_script_analysis_settings",
     "PlotSpec",
     "GuiSession",
     "load_recent_dirs",
@@ -102,6 +105,89 @@ def analysis_settings_schema(ini_file=None):
     return fields
 
 
+def plot_settings_schema():
+    """The plot-settings form schema (name, type, default per knob of
+    :class:`~getdist_tpu.plots.GetDistPlotSettings`) — the GUIs expose the
+    full style surface for editing, as the reference's plot-settings
+    dialog does (``mainwindow.py:993-1021``). Container- and None-valued
+    knobs edit as python-literal strings."""
+    from getdist_tpu.plots import _PLOT_SETTING_DEFAULTS
+
+    fields = []
+    for name in sorted(_PLOT_SETTING_DEFAULTS):
+        default = _PLOT_SETTING_DEFAULTS[name]
+        if isinstance(default, bool):
+            caster = bool
+        elif isinstance(default, int):
+            caster = int
+        elif isinstance(default, float):
+            caster = float
+        else:
+            caster = str
+            default = repr(default) if not isinstance(default, str) else default
+        fields.append(SettingField(name, caster, default))
+    return fields
+
+
+def parse_plot_setting(field, text):
+    """Typed value for a plot-settings form entry: numeric/bool fields cast
+    directly; string fields accept python literals (lists, dicts, None) or
+    bare words (the reference's eval-with-plain-string fallback,
+    ``mainwindow.py:1041-1055``)."""
+    if field.type is not str:
+        return field.type(text)
+    text = text.strip()
+    import ast
+
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text  # bare string such as a colormap name
+
+
+def _is_plotter_line(line):
+    return line.startswith("g=") or line.startswith("g = ")
+
+
+def update_script_plot_settings(script_text, custom_plot_settings):
+    """Rewrite the ``g.settings.<key> = <value>`` block of a generated plot
+    script to match ``custom_plot_settings`` (the reference edits the script
+    pane in place when plot settings change, ``mainwindow.py:1060-1090``)."""
+    new_lines = [
+        f"g.settings.{key} = {value!r}" for key, value in custom_plot_settings.items()
+    ]
+    first = None
+    kept = []
+    for line in script_text.split("\n"):
+        if line.startswith("g.settings."):
+            if first is None:
+                first = len(kept)
+            continue
+        kept.append(line)
+    if first is None:
+        first = next(
+            (i + 1 for i, line in enumerate(kept) if _is_plotter_line(line)),
+            len(kept),
+        )
+    return "\n".join(kept[:first] + new_lines + kept[first:])
+
+
+def update_script_analysis_settings(script_text, overrides):
+    """Rewrite the ``analysis_settings = {...}`` block of a generated plot
+    script (single-line dict form) and make the plotter constructor consume
+    it (role of reference ``settingsChanged``, ``mainwindow.py:961-991``)."""
+    # drop any existing assignment (the generator emits it as one line)
+    lines = [ln for ln in script_text.split("\n") if not ln.startswith("analysis_settings =")]
+    if overrides:
+        insert_at = next((i for i, ln in enumerate(lines) if _is_plotter_line(ln)), 0)
+        lines.insert(insert_at, f"analysis_settings = {overrides!r}")
+        for i, ln in enumerate(lines):
+            if _is_plotter_line(ln) and "analysis_settings" not in ln:
+                lines[i] = ln.rstrip()[:-1] + ", analysis_settings=analysis_settings)"
+                break
+    return "\n".join(lines)
+
+
 @dataclass
 class PlotSpec:
     """Everything needed to produce one plot (and its script)."""
@@ -143,6 +229,7 @@ class GuiSession:
         self.grid = None  # ChainDirGrid when the directory is a grid
         self.root_order = []  # user-ordered selected roots
         self.analysis_settings = {}
+        self.custom_plot_settings = {}  # GetDistPlotSettings overrides
         self.plot_module = None  # style module name, e.g. 'getdist_tpu.styles.planck'
         self._plotter = None
 
@@ -260,6 +347,16 @@ class GuiSession:
         self.analysis_settings = {}
         self._plotter = None
 
+    def apply_plot_settings(self, settings):
+        """Set plot-style overrides applied to every generated script/figure
+        (role of the reference's custom_plot_settings,
+        ``mainwindow.py:1038-1058``); values differing from the defaults
+        only."""
+        self.custom_plot_settings = dict(settings)
+
+    def reset_plot_settings(self):
+        self.custom_plot_settings = {}
+
     def set_plot_module(self, module_name):
         self.plot_module = module_name or None
         self._plotter = None
@@ -268,9 +365,11 @@ class GuiSession:
 
     def script_for(self, spec):
         """The runnable script for a plot spec (always generated first, as
-        the reference GUI does, so every figure is reproducible)."""
+        the reference GUI does, so every figure is reproducible). Session
+        plot-style overrides merge under any spec-level ones."""
         from getdist_tpu.gui.plot_script import generate_plot_script
 
+        merged_style = {**self.custom_plot_settings, **dict(spec.plot_settings)}
         return generate_plot_script(
             list(self.root_order),
             list(spec.x_params),
@@ -285,8 +384,20 @@ class GuiSession:
             width_inch=spec.width_inch,
             analysis_settings=dict(self.analysis_settings) or None,
             plot_module=self.plot_module,
-            plot_settings=dict(spec.plot_settings) or None,
+            plot_settings=merged_style or None,
         )
+
+    def run_script(self, script_text):
+        """Execute (possibly user-edited) plot-script text and return the
+        resulting figure — the reference GUI's editable-script preview
+        (``mainwindow.py:plotData2``): edits in the script pane drive the
+        next preview rather than being discarded."""
+        env = {}
+        exec(compile(script_text, "<gui plot script>", "exec"), env)  # noqa: S102 - the GUI's own script
+        plotter = env.get("g")
+        if plotter is None or getattr(plotter, "fig", None) is None:
+            raise ValueError("script did not produce a plotter figure (expected a 'g' with g.fig)")
+        return plotter.fig
 
     def make_figure(self, spec):
         """(figure, script): build the script, execute it, return both."""
@@ -294,9 +405,7 @@ class GuiSession:
         if issues:
             raise ValueError("; ".join(issues))
         script = self.script_for(spec)
-        env = {}
-        exec(compile(script, "<gui plot script>", "exec"), env)  # noqa: S102 - the GUI's own script
-        return env["g"].fig, script
+        return self.run_script(script), script
 
     # -- statistics views -----------------------------------------------------------
 

@@ -96,18 +96,20 @@ if _HAVE_QT:
             layout.addWidget(buttons)
 
     class SettingsDialog(QDialog):
-        """Analysis-settings editor over the full defaults schema
-        (role of reference mainwindow.py:950-1050)."""
+        """Schema-driven settings editor used for BOTH the analysis settings
+        (role of reference mainwindow.py:950-1050) and the plot-style
+        settings (``:993-1058``): pass the schema and the current override
+        dict."""
 
-        def __init__(self, parent, current):
+        def __init__(self, parent, current, schema=None, title="Analysis settings"):
             super().__init__(parent)
-            self.setWindowTitle("Analysis settings")
+            self.setWindowTitle(title)
             self.resize(480, 640)
             outer = QVBoxLayout(self)
             form_host = QWidget()
             form = QFormLayout(form_host)
             self._editors = {}
-            self._schema = analysis_settings_schema()
+            self._schema = schema if schema is not None else analysis_settings_schema()
             for fieldspec in self._schema:
                 value = current.get(fieldspec.name, fieldspec.default)
                 if fieldspec.type is bool:
@@ -210,6 +212,8 @@ if _HAVE_QT:
 
             options_menu = bar.addMenu("&Options")
             options_menu.addAction("Analysis settings...", self.edit_settings)
+            options_menu.addAction("Plot settings...", self.edit_plot_settings)
+            options_menu.addAction("Reset plot settings", lambda: self.session.reset_plot_settings())
             self.style_menu = options_menu.addMenu("Plot style module")
             for label, module in (
                 ("default", None),
@@ -285,9 +289,17 @@ if _HAVE_QT:
             self.canvas_holder = QWidget()
             self.canvas_layout = QVBoxLayout(self.canvas_holder)
             self.tabs.addTab(self.canvas_holder, "Plot")
+            # editable script pane: edits are re-executed for the preview
+            # (the reference GUI's script-tab workflow, mainwindow.py:1637+)
+            script_host = QWidget()
+            script_layout = QVBoxLayout(script_host)
             self.script_edit = QPlainTextEdit()
             PythonHighlighter(self.script_edit.document())
-            self.tabs.addTab(self.script_edit, "Script")
+            script_layout.addWidget(self.script_edit)
+            run_script_btn = QPushButton("Run script for preview")
+            run_script_btn.clicked.connect(self.run_edited_script)
+            script_layout.addWidget(run_script_btn)
+            self.tabs.addTab(script_host, "Script")
             central.addWidget(self.tabs)
             central.setSizes([320, 880])
 
@@ -411,6 +423,9 @@ if _HAVE_QT:
                 QMessageBox.critical(self, "Plot failed", str(e))
                 return
             self.script_edit.setPlainText(script)
+            self._show_figure(fig)
+
+        def _show_figure(self, fig):
             self.current_fig = fig
             if self.canvas is not None:
                 self.canvas_layout.removeWidget(self.canvas)
@@ -452,8 +467,61 @@ if _HAVE_QT:
         def edit_settings(self):
             dialog = SettingsDialog(self, self.session.analysis_settings)
             if dialog.exec() == QDialog.Accepted:
+                from getdist_tpu.gui.app_logic import update_script_analysis_settings
+
                 self.session.apply_analysis_settings(dialog.overrides())
                 self.update_params()
+                # keep the script pane in sync (reference settingsChanged)
+                text = self.script_edit.toPlainText()
+                if text:
+                    self.script_edit.setPlainText(
+                        update_script_analysis_settings(text, self.session.analysis_settings)
+                    )
+                if self.current_fig is not None:
+                    self.make_plot()
+
+        def edit_plot_settings(self):
+            """Plot-style settings editor over the full GetDistPlotSettings
+            schema; overrides update the session, the script pane, and the
+            live preview (role of reference mainwindow.py:993-1090)."""
+            from getdist_tpu.gui.app_logic import (
+                parse_plot_setting,
+                plot_settings_schema,
+                update_script_plot_settings,
+            )
+
+            schema = plot_settings_schema()
+            current = {k: str(v) for k, v in self.session.custom_plot_settings.items()}
+            dialog = SettingsDialog(self, current, schema=schema, title="Plot settings")
+            if dialog.exec() != QDialog.Accepted:
+                return
+            overrides = {}
+            by_name = {f.name: f for f in schema}
+            try:
+                for key, raw in dialog.overrides().items():
+                    overrides[key] = parse_plot_setting(by_name[key], str(raw))
+            except Exception as e:
+                QMessageBox.critical(self, "Plot settings", str(e))
+                return
+            self.session.apply_plot_settings(overrides)
+            text = self.script_edit.toPlainText()
+            if text:
+                self.script_edit.setPlainText(update_script_plot_settings(text, overrides))
+            if self.current_fig is not None:
+                self.run_edited_script() if text else self.make_plot()
+
+        def run_edited_script(self):
+            """Execute the (possibly edited) script pane text for the
+            preview — edits are honored, not regenerated away."""
+            text = self.script_edit.toPlainText()
+            if not text:
+                return
+            try:
+                fig = self.session.run_script(text)
+            except Exception as e:
+                QMessageBox.critical(self, "Script failed", str(e))
+                return
+            self._show_figure(fig)
 
         def set_style(self, module):
             self.session.set_plot_module(module)

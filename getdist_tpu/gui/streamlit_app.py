@@ -32,6 +32,8 @@ from getdist_tpu.gui.app_logic import (
     PlotSpec,
     analysis_settings_schema,
     load_recent_dirs,
+    parse_plot_setting,
+    plot_settings_schema,
 )
 
 STYLE_MODULES = {
@@ -127,6 +129,37 @@ def _sidebar_settings(st, state, session):
         if col_b.button("Reset defaults"):
             session.reset_analysis_settings()
             st.rerun()
+    with st.expander("Plot settings (style)"):
+        # full GetDistPlotSettings schema, as the reference's plot-settings
+        # dialog exposes (mainwindow.py:993-1058); string fields accept
+        # python literals (lists/dicts/None) or bare words
+        overrides = {}
+        errors = []
+        for fieldspec in plot_settings_schema():
+            applied = session.custom_plot_settings.get(fieldspec.name, fieldspec.default)
+            key = f"ps_{fieldspec.name}"
+            if fieldspec.type is bool:
+                value = st.checkbox(fieldspec.name, value=bool(applied), key=key)
+            elif fieldspec.type is int:
+                value = st.number_input(fieldspec.name, value=int(applied), step=1, key=key)
+            elif fieldspec.type is float:
+                value = st.number_input(fieldspec.name, value=float(applied), format="%.5g", key=key)
+            else:
+                value = st.text_input(fieldspec.name, value=str(applied), key=key)
+            if value != fieldspec.default:
+                try:
+                    overrides[fieldspec.name] = parse_plot_setting(fieldspec, str(value))
+                except Exception as e:
+                    errors.append(f"{fieldspec.name}: {e}")
+        if errors:
+            st.error("; ".join(errors))
+        col_c, col_d = st.columns(2)
+        if col_c.button("Apply plot settings"):
+            session.apply_plot_settings(overrides)
+            st.rerun()
+        if col_d.button("Reset plot settings"):
+            session.reset_plot_settings()
+            st.rerun()
     style = st.selectbox("Plot style module", list(STYLE_MODULES), index=0)
     if STYLE_MODULES[style] != session.plot_module:
         session.set_plot_module(STYLE_MODULES[style])
@@ -199,17 +232,55 @@ def _render_plot_tab(st, state, session, params):
         fig.savefig(png, format="png", dpi=150, bbox_inches="tight")
         pdf = io.BytesIO()
         fig.savefig(pdf, format="pdf", bbox_inches="tight")
-        d1, d2 = st.columns(2)
+        svg = io.BytesIO()
+        fig.savefig(svg, format="svg", bbox_inches="tight")
+        d1, d2, d3 = st.columns(3)
         d1.download_button("Download PNG", png.getvalue(), "getdist_plot.png", "image/png")
         d2.download_button("Download PDF", pdf.getvalue(), "getdist_plot.pdf", "application/pdf")
-    with st.expander("Plot script (reproducible)", expanded=fig is None):
-        st.code(script, language="python")
-        st.download_button("Download script", script, "plot_script.py", "text/x-python")
+        d3.download_button("Download SVG", svg.getvalue(), "getdist_plot.svg", "image/svg+xml")
+    with st.expander("Plot script (editable, reproducible)", expanded=fig is None):
+        # the edited text is re-executed for the preview — the reference
+        # GUI's script-tab workflow (mainwindow.py plotData2)
+        edited = st.text_area("Script", value=state.get("script_text", script), height=320, key="script_area")
+        state["script_text"] = edited
+        e1, e2, e3 = st.columns(3)
+        if e1.button("Run edited script"):
+            try:
+                state["current_fig"] = session.run_script(edited)
+                st.rerun()
+            except Exception as e:
+                st.error(f"Script failed: {e}")
+        if e2.button("Regenerate from controls"):
+            state["script_text"] = script
+            st.rerun()
+        e3.download_button("Download script", edited, "plot_script.py", "text/x-python")
 
 
 def _render_stats_tab(st, state, session, params):
-    root = st.selectbox("Root", session.root_order)
+    multi = len(session.root_order) > 1
+    root_pick = ["(compare all roots)"] + session.root_order if multi else session.root_order
+    root = st.selectbox("Root", root_pick)
     which = st.radio("View", list(STATS_VIEWS), horizontal=True)
+    if root == "(compare all roots)":
+        # side-by-side stats for the whole selection (the reference
+        # streamlit app's multi-root stats views, streamlit_app.py:499-664)
+        columns = st.columns(len(session.root_order))
+        for col, one in zip(columns, session.root_order):
+            with col:
+                st.caption(one)
+                try:
+                    if which == "Marginalized stats":
+                        st.text(session.marge_stats(one))
+                    elif which == "Likelihood stats":
+                        st.text(session.like_stats(one))
+                    elif which == "Convergence":
+                        st.text(session.converge_stats(one))
+                    else:
+                        st.info("Pick a single root for PCA / tables.")
+                        break
+                except Exception as e:
+                    st.error(f"{one}: {e}")
+        return
     try:
         if which == "Marginalized stats":
             st.text(session.marge_stats(root))

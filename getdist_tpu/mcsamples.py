@@ -1587,7 +1587,8 @@ class MCSamples(Chains):
             s = jnp.take(s, jnp.asarray(np.asarray(idx, np.int32)), axis=1)
         return s, w
 
-    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, meanlikes=False):
+    def fastTriangleDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, meanlikes=False,
+                              mesh=None):
         """All 1D and all-pairs 2D densities via the fused device pipeline
         (:mod:`getdist_tpu.ops.batched`), with this chain's hard prior
         bounds wired in automatically.
@@ -1605,6 +1606,15 @@ class MCSamples(Chains):
         groups — see :meth:`_fast_regrid_plan`) runs on the host WHILE the
         device executes the 2D program. Only the fragile-pair rescue has to
         wait for the 2D program's own diagnostics.
+
+        ``mesh``: a :class:`jax.sharding.Mesh` (see
+        :func:`getdist_tpu.parallel.make_mesh`) routes every device program
+        — including the regrid/rescue reruns — through ``shard_map`` with
+        the sample axis sharded across the mesh and bin/moment reductions
+        psum'd over ICI, so the multi-chip path serves the SAME feature set
+        (limits, periodic axes, shearing, meanlikes, host-assisted
+        bandwidths) as the single-device one. The sample count is trimmed
+        to a mesh multiple.
         """
         import jax
 
@@ -1638,6 +1648,24 @@ class MCSamples(Chains):
             use_pallas = jax.default_backend() not in ("cpu",)
 
         dev_s, dev_w = self._fast_device_view(idx)
+        if mesh is not None:
+            from getdist_tpu.parallel import reductions as _reductions
+            from getdist_tpu.parallel.mesh import SAMPLE_AXIS, shard_samples
+
+            dev_s, dev_w = shard_samples(mesh, dev_s, dev_w)
+            if like_w is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                like_w = jax.device_put(
+                    like_w[: dev_w.shape[0]], NamedSharding(mesh, PartitionSpec(SAMPLE_AXIS))
+                )
+
+            def all_1d_densities(*a, **k):  # noqa: F811 - mesh-routed twins
+                return _reductions.sharded_all_1d_densities(mesh, *a, **k)
+
+            def all_2d_densities(*a, **k):  # noqa: F811
+                return _reductions.sharded_all_2d_densities(mesh, *a, **k)
+
         p = len(idx)
         pairs = [(a, b) for a in range(p) for b in range(a + 1, p)]
         pairs_arr = np.array(pairs, np.int32).reshape(-1, 2)
@@ -1720,7 +1748,7 @@ class MCSamples(Chains):
         if has:
             d1 = self._fast_rescue_wide_bounded_1d(idx, d1, lo, hi, d1_host=d1h)
         regrid = self._fast_regrid_exec(
-            plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists
+            plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists, mesh=mesh
         )
         # program B's packed diagnostics (fragile flags + kernel widths in
         # bin units): ONE readback — the pipeline's only sync on the
@@ -1735,13 +1763,13 @@ class MCSamples(Chains):
         )
         regrid.update(
             self._fast_regrid_exec(
-                plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists
+                plan, idx, pairs, d1, contours, lo_a, hi_a, per, scale_2d, hists=hists, mesh=mesh
             )
         )
         d2["regrid"] = regrid
         self._fast_rescue_clamped_pairs(
             idx, pairs, d1, d2, contours, lo if has else None, hi if has else None, per, scale_2d,
-            rx_host=rx_h, ry_host=ry_h,
+            rx_host=rx_h, ry_host=ry_h, mesh=mesh,
         )
         return d1, d2, pairs
 
@@ -1791,7 +1819,7 @@ class MCSamples(Chains):
         return d1
 
     def _fast_rescue_clamped_pairs(self, idx, pairs, d1, d2, contours, lo, hi, per, scale_2d=1.0,
-                                   rx_host=None, ry_host=None):
+                                   rx_host=None, ry_host=None, mesh=None):
         """Re-run pairs whose kernel width saturated the fused program's
         fixed convolution window (rx/ry at winw/2.5 bins).
 
@@ -1832,7 +1860,17 @@ class MCSamples(Chains):
         pb = jnp.asarray(np.array([b for _, b in saturated], np.int32))
         bounded = lo is not None or hi is not None
         dev_samples, dev_weights = self._fast_device_view(idx, native=True)
-        d2w = all_2d_densities(
+        if mesh is not None:
+            from functools import partial as _partial
+
+            from getdist_tpu.parallel import reductions as _reductions
+            from getdist_tpu.parallel.mesh import shard_samples
+
+            dev_samples, dev_weights = shard_samples(mesh, dev_samples, dev_weights)
+            all_2d = _partial(_reductions.sharded_all_2d_densities, mesh)
+        else:
+            all_2d = all_2d_densities
+        d2w = all_2d(
             dev_samples,
             dev_weights,
             pa,
@@ -2001,7 +2039,8 @@ class MCSamples(Chains):
             plan.append((fine, plist, override))
         return plan
 
-    def _fast_regrid_exec(self, plan, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0, hists=None):
+    def _fast_regrid_exec(self, plan, idx, pairs, d1, contours, lo, hi, per, scale_2d=1.0, hists=None,
+                          mesh=None):
         """Device half of the regrid rescue: re-run each planned group.
         ``hists`` (the all-pairs program's exported device pair histograms)
         lets fine=256 groups skip the O(N) re-binning entirely — the rerun
@@ -2019,6 +2058,16 @@ class MCSamples(Chains):
         reuse_ok = hists is not None and not jax.config.jax_enable_x64
         pair_pos = {key: k for k, key in enumerate(pairs)}
         dev_samples, dev_weights = self._fast_device_view(idx, native=True)
+        if mesh is not None:
+            from functools import partial as _partial
+
+            from getdist_tpu.parallel import reductions as _reductions
+            from getdist_tpu.parallel.mesh import shard_samples
+
+            dev_samples, dev_weights = shard_samples(mesh, dev_samples, dev_weights)
+            run_2d = _partial(_reductions.sharded_all_2d_densities, mesh)
+        else:
+            run_2d = all_2d_densities
         for fine, plist, override_np in plan:
             pa = jnp.asarray(np.array([a for a, _ in plist], np.int32))
             pb = jnp.asarray(np.array([b for _, b in plist], np.int32))
@@ -2029,7 +2078,7 @@ class MCSamples(Chains):
             if reuse_ok and fine == 256:
                 sel = jnp.asarray(np.array([pair_pos[key] for key in plist], np.int32))
                 hin = jnp.take(hists, sel, axis=0)
-            d2x = all_2d_densities(
+            d2x = run_2d(
                 dev_samples,
                 dev_weights,
                 pa,

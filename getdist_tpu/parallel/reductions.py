@@ -30,7 +30,114 @@ __all__ = [
     "sharded_pair_hists",
     "sharded_triangle_step",
     "sharded_triangle_densities",
+    "sharded_all_1d_densities",
+    "sharded_all_2d_densities",
 ]
+
+# cache of built shard_map callables keyed by (mesh, program, static config,
+# present-array set): rebuilding the shard_map + jit wrapper per call would
+# re-trace the full fused program every time
+_PROGRAM_CACHE = {}
+
+
+def _spec_for(name):
+    if name == "samples":
+        return P(SAMPLE_AXIS, None)
+    if name in ("weights", "like_weights"):
+        return P(SAMPLE_AXIS)
+    return P()
+
+
+def _build_sharded(mesh, program, static_cfg, arg_names):
+    """shard_map + jit wrapper running ``program`` (all_1d/all_2d_densities)
+    with samples/weights sharded on the mesh's sample axis and every other
+    array replicated; grid-local stages run replicated per device and all
+    sample reductions psum over ICI (the fused programs' ``axis_name``
+    hooks)."""
+    key = (mesh, program.__name__, static_cfg, arg_names)
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        return fn
+    specs = {name: _spec_for(name) for name in arg_names}
+    static_kwargs = dict(static_cfg)
+    static_kwargs["axis_name"] = SAMPLE_AXIS
+    if program.__name__ == "all_1d_densities":
+        static_kwargs["axis_size"] = int(mesh.devices.size)
+
+    @partial(shard_map, mesh=mesh, in_specs=(specs,), out_specs=P(), check_vma=False)
+    def _run(arrays):
+        return program(**arrays, **static_kwargs)
+
+    fn = jax.jit(_run)
+    _PROGRAM_CACHE[key] = fn
+    return fn
+
+
+def sharded_all_1d_densities(mesh, samples, weights, **kwargs):
+    """:func:`getdist_tpu.ops.batched.all_1d_densities` over a sample-sharded
+    mesh, same signature/result (replicated). Array kwargs (limits_lo,
+    limits_hi, periodic, like_weights, bandwidth_scale, ...) are replicated
+    except ``like_weights`` which shards with the samples."""
+    from getdist_tpu.ops import batched
+
+    arrays = {"samples": samples, "weights": weights}
+    static_cfg = []
+    for k, v in kwargs.items():
+        if v is None:
+            continue
+        if k in ("fine_bins", "mult_bias_order", "exact_weights"):
+            static_cfg.append((k, v))
+        else:
+            arrays[k] = jnp.asarray(v)
+    fn = _build_sharded(mesh, batched.all_1d_densities, tuple(sorted(static_cfg)), tuple(sorted(arrays)))
+    return fn(arrays)
+
+
+_ALL_2D_STATIC = (
+    "fine_bins",
+    "mult_bias_order",
+    "winw",
+    "use_pallas",
+    "static_pairs",
+    "int8_weights",
+    "exact_weights",
+    "boundary_order",
+    "max_corr",
+    "enable_shear",
+    "exact_mult_bias",
+    "export_hists",
+)
+
+
+def sharded_all_2d_densities(mesh, samples, weights, pair_a, pair_b, neff, binmin, binmax, contours, **kwargs):
+    """:func:`getdist_tpu.ops.batched.all_2d_densities` over a sample-sharded
+    mesh, same signature/result (replicated): the full pipeline — limits,
+    periodic axes, shearing, meanlikes, bandwidth overrides, histogram
+    reuse — with the pair binning psum'd over ICI."""
+    from getdist_tpu.ops import batched
+
+    arrays = {
+        "samples": samples,
+        "weights": weights,
+        "pair_a": pair_a,
+        "pair_b": pair_b,
+        "neff": neff,
+        "binmin": binmin,
+        "binmax": binmax,
+        "contours": contours,
+    }
+    static_cfg = []
+    for k, v in kwargs.items():
+        if v is None:
+            continue
+        if k in _ALL_2D_STATIC:
+            static_cfg.append((k, v))
+        elif k == "bandwidth_override":
+            arrays[k] = tuple(jnp.asarray(x) for x in v)
+        else:
+            arrays[k] = jnp.asarray(v)
+    fn = _build_sharded(mesh, batched.all_2d_densities, tuple(sorted(static_cfg)), tuple(sorted(arrays)))
+    return fn(arrays)
 
 
 def sharded_moments(mesh, samples, weights):
@@ -184,13 +291,30 @@ def sharded_triangle_step(mesh, samples, weights, pair_a, pair_b, fine_bins=128,
 
 
 def sharded_triangle_densities(
-    mesh, samples, weights, contours=(0.68, 0.95), use_pallas=False, interpret=False, exact_weights=None
+    mesh,
+    samples,
+    weights,
+    contours=(0.68, 0.95),
+    use_pallas=False,
+    interpret=False,
+    exact_weights=None,
+    limits_lo=None,
+    limits_hi=None,
+    periodic=None,
+    like_weights=None,
+    int8_weights=False,
+    bandwidth_scale_1d=None,
+    bandwidth_scale_2d=None,
+    max_corr=0.95,
+    enable_shear=True,
+    export_hists=False,
 ):
     """The FULL fused triangle pipeline on a sample-sharded mesh: identical
     algorithm to :func:`getdist_tpu.ops.batched.triangle_densities` (ISJ
-    bisection bandwidths, batched FFT convolutions, bias corrections,
-    water-level contours) with every sample reduction psum'd over ICI and
-    the grid-local stages replicated per device.
+    bisection bandwidths, hard-limit boundary kernels, periodic axes,
+    frequency-space shearing, meanlikes grids, batched FFT convolutions,
+    bias corrections, water-level contours) with every sample reduction
+    psum'd over ICI and the grid-local stages replicated per device.
 
     The effective sample sizes come from the real lag estimator: each shard
     exchanges a max-lag halo with its neighbor (ppermute) and the per-lag
@@ -198,7 +322,7 @@ def sharded_triangle_densities(
     (see ``ops.batched._neff_kde_batch``). Returns the (d1, d2) dicts
     (replicated).
     """
-    from getdist_tpu.ops.batched import _bf16_exact_weights, all_1d_densities, all_2d_densities
+    from getdist_tpu.ops.batched import _bf16_exact_weights
 
     if exact_weights is None:
         host_w = isinstance(weights, np.ndarray)
@@ -207,35 +331,45 @@ def sharded_triangle_densities(
     samples = jnp.asarray(samples, jnp.float32)
     weights = jnp.asarray(weights, jnp.float32)
     p = samples.shape[1]
-    n_dev = int(mesh.devices.size)
     pairs = np.array([(i, j) for i in range(p) for j in range(i + 1, p)], np.int32)
     pa = jnp.asarray(pairs[:, 0])
     pb = jnp.asarray(pairs[:, 1])
     cont = jnp.asarray(np.array(contours, np.float32))
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(SAMPLE_AXIS, None), P(SAMPLE_AXIS), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
+    d1 = sharded_all_1d_densities(
+        mesh,
+        samples,
+        weights,
+        limits_lo=limits_lo,
+        limits_hi=limits_hi,
+        periodic=periodic,
+        like_weights=like_weights,
+        exact_weights=exact_weights or None,
+        bandwidth_scale=bandwidth_scale_1d,
     )
-    def _run(s, w, pa_, pb_, cont_):
-        d1 = all_1d_densities(s, w, axis_name=SAMPLE_AXIS, axis_size=n_dev, exact_weights=exact_weights)
-        d2 = all_2d_densities(
-            s,
-            w,
-            pa_,
-            pb_,
-            d1["neff"],
-            d1["range"][0],
-            d1["range"][1],
-            cont_,
-            use_pallas=use_pallas,
-            static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
-            axis_name=SAMPLE_AXIS,
-            exact_weights=exact_weights,
-        )
-        return d1, d2
-
-    return jax.jit(_run)(samples, weights, pa, pb, cont)
+    has_limits = limits_lo is not None or limits_hi is not None or periodic is not None
+    d2 = sharded_all_2d_densities(
+        mesh,
+        samples,
+        weights,
+        pa,
+        pb,
+        d1["neff"],
+        d1["range"][0],
+        d1["range"][1],
+        cont,
+        use_pallas=use_pallas or None,
+        static_pairs=tuple(map(tuple, pairs.tolist())) if use_pallas else None,
+        int8_weights=int8_weights or None,
+        exact_weights=exact_weights or None,
+        active_lo=d1["active_lo"] if has_limits else None,
+        active_hi=d1["active_hi"] if has_limits else None,
+        periodic=periodic,
+        like_weights=like_weights,
+        sigma_range=d1["sigma_range"],
+        max_corr=max_corr if max_corr != 0.95 else None,
+        enable_shear=enable_shear if enable_shear is not True else None,
+        bandwidth_scale=bandwidth_scale_2d,
+        export_hists=export_hists or None,
+    )
+    return d1, d2

@@ -172,6 +172,14 @@ class FakeStreamlit(types.ModuleType):
     def number_input(self, label, value=0, **kw):
         return self._answer(label, value)
 
+    def text_area(self, label, value="", **kw):
+        body = self._answer(label, value)
+        self.rec.codes.append(body)
+        return body
+
+    def write(self, *a, **kw):
+        pass
+
     def radio(self, label, options, **kw):
         return self._answer(label, list(options)[0])
 
@@ -304,6 +312,89 @@ def test_streamlit_stats_views(chain_dir, monkeypatch, tmp_path):
         )
         rec = _drive_app(fake, monkeypatch)
         assert any(needle in t for t in rec.texts), (view, rec.texts[:1])
+
+
+def test_plot_settings_schema_and_parsing():
+    from getdist_tpu.gui.app_logic import parse_plot_setting, plot_settings_schema
+    from getdist_tpu.plots import _PLOT_SETTING_DEFAULTS
+
+    schema = plot_settings_schema()
+    names = {f.name for f in schema}
+    # full style surface: every GetDistPlotSettings knob is editable
+    assert names == set(_PLOT_SETTING_DEFAULTS)
+    by_name = {f.name: f for f in schema}
+    assert by_name["num_plot_contours"].type is int
+    assert by_name["alpha_filled_add"].type is float
+    assert by_name["line_labels"].type is bool
+    # python-literal parsing for container/None-valued knobs
+    assert parse_plot_setting(by_name["line_styles"], "['-k', '--r']") == ["-k", "--r"]
+    assert parse_plot_setting(by_name["plot_args"], "None") is None
+    # bare words (e.g. colormap names) pass through as strings
+    assert parse_plot_setting(by_name["colormap"], "viridis") == "viridis"
+
+
+def test_script_settings_rewrites():
+    from getdist_tpu.gui.app_logic import (
+        update_script_analysis_settings,
+        update_script_plot_settings,
+    )
+
+    script = "from getdist_tpu import plots\ng=plots.get_subplot_plotter(chain_dir=r'/tmp')\nroots = ['a']\ng.triangle_plot(roots, ['x'])\n"
+    with_style = update_script_plot_settings(script, {"num_plot_contours": 3, "colormap": "viridis"})
+    assert "g.settings.num_plot_contours = 3" in with_style
+    assert "g.settings.colormap = 'viridis'" in with_style
+    # settings lines land after the plotter construction
+    assert with_style.index("g=") < with_style.index("g.settings.")
+    # re-applying replaces, not duplicates
+    again = update_script_plot_settings(with_style, {"num_plot_contours": 4})
+    assert again.count("g.settings.") == 1 and "= 4" in again
+
+    with_analysis = update_script_analysis_settings(script, {"fine_bins": 512})
+    assert "analysis_settings = {'fine_bins': 512}" in with_analysis
+    assert "analysis_settings=analysis_settings)" in with_analysis
+    # removal round-trip
+    cleared = update_script_analysis_settings(with_analysis, {})
+    assert "analysis_settings" not in cleared.replace("analysis_settings=analysis_settings", "")
+
+
+def test_session_plot_settings_and_script_reexec(chain_dir):
+    """Plot-style overrides flow into the generated script, and an edited
+    script re-executes for the preview (the reference's editable script
+    pane, mainwindow.py:1637-1760)."""
+    session = GuiSession()
+    session.open_directory(chain_dir)
+    session.add_root("sess_chain")
+    session.apply_plot_settings({"num_plot_contours": 1})
+    fig, script = session.make_figure(PlotSpec(plot_type="2d_filled", x_params=["x", "y"]))
+    assert fig is not None
+    assert "g.settings.num_plot_contours = 1" in script
+    # user edits the script text; the edit is honored, not regenerated away
+    edited = script.replace("g.settings.num_plot_contours = 1", "g.settings.num_plot_contours = 3")
+    fig2 = session.run_script(edited)
+    assert fig2 is not None and fig2 is not fig
+    with pytest.raises(ValueError):
+        session.run_script("x = 1")
+    session.reset_plot_settings()
+    assert session.custom_plot_settings == {}
+
+
+def test_streamlit_multi_root_compare(chain_dir, grid_dir, monkeypatch, tmp_path):
+    """Multi-root stats comparison renders stats text per root."""
+    monkeypatch.setattr("getdist_tpu.gui.app_logic.RECENT_FILE", str(tmp_path / "recent"))
+    fake = FakeStreamlit(
+        answers={
+            "Chain directory or grid path": grid_dir,
+            "Parameter tag": "(all)",
+            "Roots": ["run_tagA", "run_tagB"],
+            "X parameters": ["x"],
+            "Plot type": "1d",
+            "Root": "(compare all roots)",
+            "View": "Marginalized stats",
+        },
+        pressed={"Open directory"},
+    )
+    rec = _drive_app(fake, monkeypatch)
+    assert sum("Marginalized limits" in t for t in rec.texts) == 2
 
 
 def test_mainwindow_importable_without_qt():
