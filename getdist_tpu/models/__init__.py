@@ -1,7 +1,7 @@
 """Analytic distribution models (the framework's "model families"):
-Gaussian mixtures used as truth distributions, Fisher-forecast inputs, and
-sample generators. Re-exported from gaussian_mixtures for the package
-layout; see that module for the implementations."""
+Gaussian mixtures used as truth distributions and sample generators
+(re-exported from gaussian_mixtures), plus Fisher-matrix forecasting
+helpers (:mod:`getdist_tpu.models.fisher`)."""
 
 from getdist_tpu.gaussian_mixtures import (
     Gaussian1D,
@@ -13,6 +13,16 @@ from getdist_tpu.gaussian_mixtures import (
     RandomTestMixtureND,
     randomTestMCSamples,
 )
+from getdist_tpu.models.fisher import (
+    combine_fishers,
+    condition_fisher,
+    confidence_ellipse,
+    figure_of_merit,
+    fisher_sigma,
+    fisher_to_cov,
+    gaussian_from_fisher,
+    marginalize_fisher,
+)
 
 __all__ = [
     "Gaussian1D",
@@ -23,4 +33,12 @@ __all__ = [
     "MixtureND",
     "RandomTestMixtureND",
     "randomTestMCSamples",
+    "combine_fishers",
+    "condition_fisher",
+    "confidence_ellipse",
+    "figure_of_merit",
+    "fisher_sigma",
+    "fisher_to_cov",
+    "gaussian_from_fisher",
+    "marginalize_fisher",
 ]
