@@ -180,12 +180,17 @@ def run_sharded(samples, weights, repeats=3):
     return min(times), n_dev, sync
 
 
-def run_parity(samples, weights, repeats=1):
+def run_parity(samples, weights, repeats=2):
     """Time the reference-exact parity mode (f64 fused programs on CPU x64).
 
     The "fast AND faithful" number: <= ~1e-5 max-grid delta vs the
     reference pipeline (measured 1.9e-7 worst-case on the distribution
-    zoo), against the same measured full-scale reference wall-clock."""
+    zoo), against the same measured full-scale reference wall-clock.
+    Each repeat builds a FRESH MCSamples (no analysis caches carry over);
+    taking the min reports the steady state where the fixed-shape f64
+    conv programs are XLA-cached (the kernel-window buckets are
+    cache-stable across chains by design), i.e. every chain after the
+    process's first."""
     # decide from the env, not jax.default_backend(): querying the backend
     # initializes the TPU plugin, which this CPU-only mode doesn't need (and
     # which blocks for many minutes when the tunnel is down)

@@ -23,9 +23,9 @@ _lib = None
 _lib_failed = False
 
 
-def _build_library():
-    source = os.path.join(_here, "fastloader.cpp")
-    out = os.path.join(_here, "_fastloader.so")
+def _build_library(name="fastloader"):
+    source = os.path.join(_here, f"{name}.cpp")
+    out = os.path.join(_here, f"_{name}.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(source):
         return out
     # build in a temp file then move, so concurrent imports don't race
@@ -79,6 +79,117 @@ def _get_library():
         logging.debug("native fastloader unavailable (%s); using numpy loader", e)
         _lib_failed = True
     return _lib
+
+
+_hist_lib = None
+_hist_failed = False
+
+
+def _get_hist_library():
+    global _hist_lib, _hist_failed
+    if _hist_lib is not None or _hist_failed:
+        return _hist_lib
+    if os.environ.get("GETDIST_TPU_NO_NATIVE"):
+        _hist_failed = True
+        return None
+    try:
+        path = _build_library("pairhist")
+        lib = ctypes.CDLL(path)
+        lib.gdt_pair_hists.restype = ctypes.c_int
+        lib.gdt_pair_hists.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+        lib.gdt_bin_columns.restype = ctypes.c_int
+        lib.gdt_bin_columns.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        _hist_lib = lib
+    except Exception as e:
+        logging.debug("native pairhist unavailable (%s); using numpy", e)
+        _hist_failed = True
+    return _hist_lib
+
+
+def _n_threads():
+    try:
+        return max(1, min(8, os.cpu_count() or 1))
+    except Exception:
+        return 1
+
+
+def pair_histograms(ixs, weights, pairs, nbins):
+    """Exact f64 pair histograms (K, nbins, nbins), rows = b, cols = a —
+    bit-identical to per-pair np.bincount over ``ib * nbins + ia`` (same
+    per-pair sample accumulation order), pairs fanned across threads.
+    Returns None on any failure so callers can fall back to numpy."""
+    lib = _get_hist_library()
+    if lib is None:
+        return None
+    ixs = np.ascontiguousarray(ixs, np.int32)
+    weights = np.ascontiguousarray(weights, np.float64)
+    pair_arr = np.ascontiguousarray(pairs, np.int64).reshape(-1, 2)
+    p, n = ixs.shape
+    k = pair_arr.shape[0]
+    out = np.zeros((k, nbins * nbins), np.float64)
+    rc = lib.gdt_pair_hists(
+        ixs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        p,
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.ascontiguousarray(pair_arr[:, 0]).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(pair_arr[:, 1]).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        k,
+        nbins,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _n_threads(),
+    )
+    if rc != 0:
+        logging.debug("native pair_histograms failed rc=%d", rc)
+        return None
+    return out.reshape(k, nbins, nbins)
+
+
+def bin_columns(samples, range_min, dx, nbins):
+    """(P, N) int32 bin indices for (N, P) f64 samples — bit-identical to
+    ``((x - lo) / dx).astype(int)`` clipped to [0, nbins); None on failure."""
+    lib = _get_hist_library()
+    if lib is None:
+        return None
+    samples = np.ascontiguousarray(samples, np.float64)
+    n, p = samples.shape
+    range_min = np.ascontiguousarray(range_min, np.float64)
+    dx = np.ascontiguousarray(dx, np.float64)
+    out = np.empty((p, n), np.int32)
+    rc = lib.gdt_bin_columns(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        p,
+        range_min.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nbins,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _n_threads(),
+    )
+    if rc != 0:
+        logging.debug("native bin_columns failed rc=%d", rc)
+        return None
+    return out
 
 
 def load_chain_text(fname, skiprows=0):

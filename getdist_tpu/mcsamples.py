@@ -1337,6 +1337,20 @@ class MCSamples(Chains):
 
         infos = [self._initParamRanges(j) for j in idx]
         names = [info.name for info in infos]
+        # warm the per-param N_eff caches CONCURRENTLY: the adaptive-lag
+        # estimator is ~0.5 s of numpy per param at 1M samples and numpy
+        # ufuncs release the GIL, so a thread pool gets real parallelism;
+        # each param's own evaluation order is unchanged (values identical
+        # to the sequential path), and get1DDensityGridData below reuses
+        # the cached values
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.get_norm()  # materialize the lazily-cached norm before forking
+        workers = max(1, min(8, _os.cpu_count() or 1))
+        if workers > 1 and len(idx) > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(lambda ji: self._get1DNeff(ji[1], ji[0]), zip(idx, infos)))
         dens1 = {info.name: self.get1DDensityGridData(j, **{}) for j, info in zip(idx, infos)}
         neff = np.array([self._get1DNeff(info, j) for j, info in zip(idx, infos)])
 
@@ -1361,18 +1375,59 @@ class MCSamples(Chains):
                 bin_cache[(k, fine)] = self._binSamples(self.samples[:, idx[k]], infos[k], fine)
             return bin_cache[(k, fine)]
 
-        groups = {}
+        # decide each pair's corr-adaptive fine size first, then compute all
+        # pair histograms per fine group in ONE multi-threaded native pass
+        # (bit-identical to the per-pair np.bincount, getdist_tpu._native;
+        # at 435 pairs x 1M samples the python loop was ~15% of the parity
+        # wall-clock); bandwidth derivation stays the exact per-pair host
+        # algorithm
+        pair_fine = {}
+        sheared_jobs = []
         for a in range(len(idx)):
             for b in range(a + 1, len(idx)):
-                parx, pary = infos[a], infos[b]
-                corr, actual_corr = self._pair_correlation(idx[a], idx[b], parx, pary)
+                corr, actual_corr = self._pair_correlation(idx[a], idx[b], infos[a], infos[b])
                 fine, _nbin2d = self._degeneracy_adapted_bins(corr, self.fine_bins_2D)
+                pair_fine.setdefault(fine, []).append((a, b, actual_corr))
+                # pairs that will take getAutoBandwidth2D's sheared branch:
+                # batch their O(N) re-binning across pairs (identical values)
+                both_limited = infos[a].has_limits and infos[b].has_limits
+                if (
+                    0.2 < abs(actual_corr) <= self.max_corr_2D
+                    and not both_limited
+                    and not (both_limited and actual_corr > 0.8)
+                    and not self.use_effective_samples_2D
+                ):
+                    sheared_jobs.append(
+                        (infos[a], infos[b], idx[a], idx[b], float(min(neff[a], neff[b])))
+                    )
+        sheared_results = (
+            self._sheared_bandwidths_batch(sheared_jobs, self.fine_bins_2D) if sheared_jobs else {}
+        )
+
+        from getdist_tpu import _native
+
+        groups = {}
+        for fine, members in pair_fine.items():
+            params_in = sorted({k for a, b, _ in members for k in (a, b)})
+            for k in params_in:
+                binned(k, fine)
+            local = {k: i for i, k in enumerate(params_in)}
+            ix_rows = np.ascontiguousarray(np.stack([bin_cache[(k, fine)][0] for k in params_in]))
+            native_hists = _native.pair_histograms(
+                ix_rows, self.weights, [(local[a], local[b]) for a, b, _ in members], fine
+            )
+            for i, (a, b, actual_corr) in enumerate(members):
+                parx, pary = infos[a], infos[b]
                 ix, step_x, x_lo, x_hi = binned(a, fine)
                 iy, step_y, y_lo, y_hi = binned(b, fine)
-                hist, _ = self._make2Dhist(ix, iy, fine, fine)
+                if native_hists is not None:
+                    hist = native_hists[i]
+                else:
+                    hist, _ = self._make2Dhist(ix, iy, fine, fine)
                 hx, hy, c = self.getAutoBandwidth2D(
                     hist, parx, pary, idx[a], idx[b], actual_corr, x_hi - x_lo, y_hi - y_lo,
                     self.fine_bins_2D, mult_bias_correction_order=self.mult_bias_correction_order,
+                    sheared_result=sheared_results.get((idx[a], idx[b])),
                 )
                 rx = hx * scale_2d / step_x
                 ry = hy * scale_2d / step_y
@@ -1682,6 +1737,66 @@ class MCSamples(Chains):
         per_dev = jnp.asarray(per) if per.any() else None
         contours_dev = jnp.asarray(np.array(contours, np.float32))
 
+        # Single-dispatch fast path: when no host rescue can fire — no hard
+        # limits or periodic axes, no meanlikes grids, no corr-adaptive
+        # fine>256 pairs (|corr| >= ~0.87), and no sheared-assist candidates
+        # (|corr| >= 0.5 AND measurably non-Gaussian) — programs A and B
+        # fuse into ONE device dispatch and the only host sync is the
+        # packed diagnostics readback. Saves a dispatch + readback round
+        # trip (~30-55 ms through a remote-accelerator tunnel). The fragile
+        # flags are still honored post-hoc from the diagnostics buffer.
+        abs_corr = np.abs(np.asarray(corr, float))
+        np.fill_diagonal(abs_corr, 0.0)
+        max_corr_val = float(abs_corr.max(initial=0.0))
+        single = mesh is None and not has and like_w is None and max_corr_val < 0.866
+        if single and max_corr_val >= 0.5:
+            cum = self._fast_cum_score()[np.ix_(np.asarray(idx), np.asarray(idx))]
+            single = not any(
+                abs(corr[a, b]) >= 0.5 and cum[a, b] > 0.25 for a, b in pairs
+            )
+        if single:
+            from getdist_tpu.ops.batched import _triangle_program
+
+            d1, d2 = _triangle_program(
+                dev_s,
+                dev_w,
+                jnp.asarray(pairs_arr[:, 0]),
+                jnp.asarray(pairs_arr[:, 1]),
+                contours_dev,
+                None,
+                None,
+                None,
+                256,
+                use_pallas,
+                tuple(map(tuple, pairs_arr.tolist())) if use_pallas else None,
+                st["int8"],
+                False,
+                max_corr=float(self.max_corr_2D),
+                enable_shear=enable_shear,
+                exact_weights=st["exact"],
+                bandwidth_scale_1d=bs1,
+                bandwidth_scale_2d=bs2,
+            )
+            d2 = dict(d2)
+            k_pairs = len(pairs)
+            diag = np.asarray(d2["diag"])
+            frag = diag[:k_pairs] > 0.5
+            rx_h = diag[k_pairs : 2 * k_pairs]
+            ry_h = diag[2 * k_pairs : 3 * k_pairs]
+            regrid = {}
+            if frag.any():
+                plan = self._fast_regrid_plan(
+                    idx, pairs, d1, None, None, per, scale_2d, fragile=frag, fragile_only=True
+                )
+                regrid = self._fast_regrid_exec(
+                    plan, idx, pairs, d1, contours, None, None, per, scale_2d
+                )
+            d2["regrid"] = regrid
+            self._fast_rescue_clamped_pairs(
+                idx, pairs, d1, d2, contours, None, None, per, scale_2d, rx_host=rx_h, ry_host=ry_h
+            )
+            return d1, d2, pairs
+
         # program A: all 1D densities (small; host rescue planning needs its
         # neff/range outputs, so it is synced first)
         if has:
@@ -1725,13 +1840,10 @@ class MCSamples(Chains):
         hi_a = hi if has else None
         # one packed host readback of the small per-param planning fields
         # (each np.asarray would otherwise pay its own ~27 ms tunnel round
-        # trip); only waits on program A, so the host keeps overlapping
-        # the asynchronously-executing program B
-        packed = np.asarray(
-            jnp.concatenate(
-                [d1["neff"], d1["sigma_range"], d1["range"][0], d1["range"][1], d1["bandwidth"]]
-            )
-        )
+        # trip; the buffer is packed inside program A itself); only waits
+        # on program A, so the host keeps overlapping the asynchronously-
+        # executing program B
+        packed = np.asarray(d1["host_pack"])
         d1h = {
             "neff": packed[:p],
             "sigma_range": packed[p : 2 * p],
@@ -2643,7 +2755,8 @@ class MCSamples(Chains):
 
     def getAutoBandwidth2D(
         self, bins, parx, pary, paramx, paramy, corr, rangex, rangey, base_fine_bins_2D,
-        mult_bias_correction_order=None, min_corr=0.2, N_eff=None, use_2D_Neff=False
+        mult_bias_correction_order=None, min_corr=0.2, N_eff=None, use_2D_Neff=False,
+        sheared_result=None,
     ):
         """Bandwidth matrix (hx, hy, c) in parameter units via 2D ISJ in
         (optionally Cholesky-sheared) coordinates (reference
@@ -2672,10 +2785,17 @@ class MCSamples(Chains):
             # too degenerate to optimize: plug-in widths at clipped correlation
             hx, hy, c = parx.sigma_range * plugin_width, pary.sigma_range * plugin_width, clipped_corr
         elif abs(corr) > min_corr and not both_limited:
-            try:
-                hx, hy, c = self._optimize_bandwidth_sheared(parx, pary, paramx, paramy, N_eff, base_fine_bins_2D)
-            except ValueError as e:
-                hx, hy, c = fallback_widths(e)
+            # sheared_result: the same branch precomputed by the batched
+            # driver (_sheared_bandwidths_batch) — identical values, the
+            # O(N)-per-pair re-binning vectorized across pairs
+            if sheared_result is not None:
+                hx, hy, c = fallback_widths(sheared_result) if isinstance(sheared_result, Exception) \
+                    else sheared_result
+            else:
+                try:
+                    hx, hy, c = self._optimize_bandwidth_sheared(parx, pary, paramx, paramy, N_eff, base_fine_bins_2D)
+                except ValueError as e:
+                    hx, hy, c = fallback_widths(e)
         else:
             seed_t = (min(pary.sigma_range / rangey, parx.sigma_range / rangex) * plugin_width) ** 2
             try:
@@ -2695,6 +2815,84 @@ class MCSamples(Chains):
             hx, hy = hx * scale, hy * scale
             logging.debug("rescaled widths %s, %s (corr %s, factor %s)", hx / parx.err, hy / pary.err, c, scale)
         return hx, hy, c
+
+    def _sheared_bandwidths_batch(self, jobs, nbins):
+        """Batched twin of :meth:`_optimize_bandwidth_sheared`: identical
+        per-pair values (the shear/bin/optimize arithmetic is elementwise
+        and runs on the same operands in the same order), with the three
+        O(N)-per-pair host passes vectorized across pairs and the 2D
+        histograms computed by the multi-threaded native kernel. Returns
+        ``{(paramx, paramy): (hx, hy, c) | ValueError}`` — failures carry
+        the exception so the caller applies the reference fallback.
+
+        ``jobs``: list of (parx, pary, paramx, paramy, N_eff).
+        """
+        from getdist_tpu import _native
+
+        out = {}
+        lead_cache = {}
+        chunk_size = 24
+        n = self.samples.shape[0]
+        for start in range(0, len(jobs), chunk_size):
+            chunk = jobs[start : start + chunk_size]
+            metas = []
+            resid_rows = np.empty((len(chunk), n), np.float64)
+            for i, (parx, pary, paramx, paramy, n_eff) in enumerate(chunk):
+                lead_par, other = (pary, paramx) if pary.has_limits else (parx, paramy)
+                lead = paramy if pary.has_limits else paramx
+                pair_cov = self.getCov(pars=[lead, other])
+                root = np.linalg.cholesky(pair_cov)
+                unshear = root / root[0, 0]
+                resid_rows[i] = (root[0, 0] * self.samples[:, other] - root[1, 0] * self.samples[:, lead]) / root[1, 1]
+                if lead not in lead_cache:
+                    bound_lo = lead_par.range_min if lead_par.has_limits_bot else None
+                    bound_hi = lead_par.range_max if lead_par.has_limits_top else None
+                    lead_cache[lead] = kde.bin_samples(
+                        self.samples[:, lead], nbins=nbins, range_min=bound_lo, range_max=bound_hi
+                    )
+                metas.append((parx, pary, paramx, paramy, n_eff, lead, unshear))
+            # vectorized kde.bin_samples over the residual rows (identical
+            # elementwise arithmetic: lo/hi per row, 10% pad, (x-lo)/dx)
+            lo = resid_rows.min(axis=1)
+            hi = resid_rows.max(axis=1)
+            pad = (hi - lo) * 0.1
+            rmin = lo - pad
+            width = (hi + pad) - rmin
+            dx = width / (nbins - 1)
+            resid_ix = ((resid_rows - rmin[:, None]) / dx[:, None]).astype(int)
+            leads = sorted({m[5] for m in metas})
+            lead_pos = {lead: i for i, lead in enumerate(leads)}
+            ix_rows = np.ascontiguousarray(
+                np.concatenate(
+                    [np.stack([lead_cache[lead][0] for lead in leads]), resid_ix], axis=0
+                ),
+                np.int32,
+            )
+            pair_list = [(lead_pos[m[5]], len(leads) + i) for i, m in enumerate(metas)]
+            hists = _native.pair_histograms(ix_rows, self.weights, pair_list, nbins)
+            for i, (parx, pary, paramx, paramy, n_eff, lead, unshear) in enumerate(metas):
+                if hists is not None:
+                    hist = hists[i]
+                else:
+                    hist, _ = self._make2Dhist(lead_cache[lead][0], resid_ix[i], nbins, nbins)
+                try:
+                    opt = kde.KernelOptimizer2D(
+                        hist, n_eff, 0, do_correlation=not (parx.has_limits or pary.has_limits)
+                    )
+                    h1, h2, c12 = opt.get_h()
+                except ValueError as e:
+                    out[(paramx, paramy)] = e
+                    continue
+                h1 *= lead_cache[lead][1]
+                h2 *= width[i]
+                kernel_cov = unshear @ np.array([[h1 * h1, h1 * h2 * c12], [h1 * h2 * c12, h2 * h2]]) @ unshear.T
+                widths = np.sqrt(kernel_cov.diagonal())
+                c = kernel_cov[0, 1] / (widths[0] * widths[1])
+                if pary.has_limits:
+                    out[(paramx, paramy)] = (widths[1], widths[0], c)
+                else:
+                    out[(paramx, paramy)] = (widths[0], widths[1], c)
+        return out
 
     def _optimize_bandwidth_sheared(self, parx, pary, paramx, paramy, N_eff, nbins):
         """2D bandwidth for a correlated pair: shear the samples so the pair

@@ -1298,11 +1298,12 @@ def all_1d_densities(
     peak = jnp.max(conv, axis=1)
     density = conv / peak[:, None]
     x = binmin[:, None] + fine_width[:, None] * jnp.arange(fine_bins)[None, :]
+    bandwidth = h_frac * (binmax - binmin)
     return {
         "x": x,
         "P": density,
         "neff": neff,
-        "bandwidth": h_frac * (binmax - binmin),
+        "bandwidth": bandwidth,
         "sigma": sigmas,
         "sigma_range": sigma_range,
         "mean": means,
@@ -1311,6 +1312,10 @@ def all_1d_densities(
         "active_hi": active_hi,
         "periodic": per,
         "likes": likes,
+        # the small per-param fields the public path's host planner reads,
+        # pre-packed IN this program: one buffer = one readback round trip,
+        # and no separate concatenation dispatch
+        "host_pack": jnp.concatenate([neff, sigma_range, binmin, binmax, bandwidth]),
     }
 
 

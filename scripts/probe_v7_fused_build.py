@@ -173,17 +173,20 @@ def check(interpret=True, n=4096, p=7, group=3, block=512):
 
 
 def timeit(label, fn, *a):
-    r = fn(*a)
-    jax.block_until_ready(r)
-    _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    # sync with a device-side scalar reduction: np.asarray of the full
+    # (435, 256, 256) output costs seconds of tunnel transfer and swamps
+    # the kernel time
+    def sync(r):
+        return float(jnp.sum(jax.tree_util.tree_leaves(r)[0][-1]))
+
+    s = sync(fn(*a))
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
         r = fn(*a)
-        jax.block_until_ready(r)
-        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        s += sync(r)
         ts.append(time.perf_counter() - t0)
-    print(f"{label}: med {sorted(ts)[2] * 1000:.0f} ms", flush=True)
+    print(f"{label}: med {sorted(ts)[2] * 1000:.0f} ms (sync {s:.0f})", flush=True)
 
 
 def main():

@@ -166,3 +166,30 @@ def test_isj_1d_multimodal_root_bracketing():
     h_dev, ok = jax.jit(_isj_bandwidth_1d)(jnp.asarray(bins, jnp.float32), jnp.float32(10000.0))
     assert bool(ok), "seed scan failed to bracket the trimodal ISJ root"
     assert abs(float(h_dev) / host - 1) < 0.02, (float(h_dev), host)
+
+
+def test_sheared_bandwidth_batch_matches_sequential():
+    """_sheared_bandwidths_batch returns BIT-IDENTICAL values to the
+    per-pair _optimize_bandwidth_sheared loop (same operands, same
+    elementwise arithmetic; the native histogram kernel accumulates in
+    np.bincount order)."""
+    from getdist_tpu.gaussian_mixtures import GaussianND
+    from getdist_tpu import chains as tchains
+
+    tchains.print_load_details = False
+    cov = np.array(
+        [[1.0, 0.7, 0.2, 0.0], [0.7, 1.0, 0.1, 0.0], [0.2, 0.1, 1.0, 0.55], [0.0, 0.0, 0.55, 1.0]]
+    )
+    g = GaussianND([0, 0, 0, 0], cov, names=["a", "b", "c", "d"])
+    s = g.MCSamples(30000, random_state=4)
+    s.updateBaseStatistics()
+    infos = [s._initParamRanges(j) for j in range(4)]
+    neffs = [s._get1DNeff(infos[j], j) for j in range(4)]
+    jobs = []
+    for a, b in [(0, 1), (2, 3)]:  # the |corr| > 0.2 pairs
+        jobs.append((infos[a], infos[b], a, b, float(min(neffs[a], neffs[b]))))
+    batch = s._sheared_bandwidths_batch(jobs, s.fine_bins_2D)
+    for parx, pary, a, b, n_eff in jobs:
+        hx, hy, c = s._optimize_bandwidth_sheared(parx, pary, a, b, n_eff, s.fine_bins_2D)
+        bx, by, bc = batch[(a, b)]
+        assert (hx, hy, c) == (bx, by, bc), ((a, b), (hx, hy, c), (bx, by, bc))

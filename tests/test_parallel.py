@@ -174,7 +174,12 @@ def test_sharded_neff_real_lag_estimator():
 
 def test_sharded_triangle_densities_matches_single_device():
     """Full fused pipeline under shard_map equals the single-device path,
-    both running the REAL lag N_eff estimator, on a rho=0.8 chain."""
+    both running the REAL lag N_eff estimator, on a rho=0.8 chain. The
+    algorithm is identical up to f32 reduction order, so the tolerances
+    are float-noise-sized, not approximation-sized: integer-weight
+    histograms are exact either way, psum'd moments differ only in
+    summation order, and the N_eff halo exchange reproduces the same
+    global lag sums."""
     from getdist_tpu.ops import batched
     from getdist_tpu.parallel.mesh import make_mesh
     from getdist_tpu.parallel.reductions import sharded_triangle_densities
@@ -193,7 +198,51 @@ def test_sharded_triangle_densities_matches_single_device():
     cont = jnp.asarray(np.array([0.68, 0.95], np.float32))
     d2 = batched.all_2d_densities(sj, wj, pa, pb, d1["neff"], d1["range"][0], d1["range"][1], cont)
 
-    np.testing.assert_allclose(np.asarray(d1s["neff"]), np.asarray(d1["neff"]), rtol=0.05)
-    np.testing.assert_allclose(np.asarray(d1s["P"]), np.asarray(d1["P"]), atol=5e-3)
-    np.testing.assert_allclose(np.asarray(d2s["P"]), np.asarray(d2["P"]), atol=2e-2)
-    np.testing.assert_allclose(np.asarray(d2s["contours"]), np.asarray(d2["contours"]), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(d1s["neff"]), np.asarray(d1["neff"]), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d1s["P"]), np.asarray(d1["P"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2s["P"]), np.asarray(d2["P"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(d2s["contours"]), np.asarray(d2["contours"]), rtol=1e-3)
+
+
+def test_sharded_public_path_full_features():
+    """The PUBLIC fastTriangleDensities(mesh=...) — limits, a periodic
+    axis, a strongly correlated pair (shear branch), and the rescue
+    machinery — matches the single-device public path at float-noise
+    tolerances (the sharded pipeline is the same algorithm, not a feature
+    subset)."""
+    from getdist_tpu.mcsamples import MCSamples
+    from getdist_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(5)
+    n, p = 8 * 3000, 4
+    s = rng.standard_normal((n, p))
+    s[:, 1] = 0.8 * s[:, 0] + 0.6 * s[:, 1]  # corr ~ 0.8
+    s[:, 2] = np.abs(s[:, 2])  # bounded at 0
+    s[:, 3] = np.mod(s[:, 3], 2.0)  # periodic on [0, 2)
+    w = rng.randint(1, 4, n).astype(np.float64)
+    ranges = {"c": [0, None], "d": [0, 2]}
+
+    def build():
+        mc = MCSamples(samples=s, weights=w, names=["a", "b", "c", "d"], ranges=ranges)
+        mc.paramNames.parWithName("d").periodic = True
+        return mc
+
+    d1s, d2s, pairs = build().fastTriangleDensities(mesh=make_mesh())
+    d1u, d2u, _ = build().fastTriangleDensities()
+
+    np.testing.assert_allclose(
+        np.asarray(d1s["neff"]), np.asarray(d1u["neff"]), rtol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(d1s["P"]), np.asarray(d1u["P"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d2s["P"]), np.asarray(d2u["P"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(d2s["contours"]), np.asarray(d2u["contours"]), rtol=1e-3
+    )
+    # the rescue machinery ran identically on both paths
+    assert sorted(d2s["regrid"]) == sorted(d2u["regrid"])
+    for key in d2u["regrid"]:
+        np.testing.assert_allclose(
+            np.asarray(d2s["regrid"][key]["P"]),
+            np.asarray(d2u["regrid"][key]["P"]),
+            atol=2e-5,
+        )
