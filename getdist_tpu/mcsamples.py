@@ -1223,6 +1223,12 @@ class MCSamples(Chains):
         flag = os.environ.get("GETDIST_TPU_FUSED")
         if flag == "0":
             return False
+        if getattr(self, "_force_host_densities", False):
+            # parity device mode serves 1D through the byte-exact host path;
+            # letting the f32-convention fused route answer would both break
+            # parity and (under x64 on TPU) trace f64 programs the backend
+            # cannot compile (c128 FFT)
+            return False
         if not (
             float(self.smooth_scale_1D) < 0
             and float(self.smooth_scale_2D) < 0
@@ -1304,7 +1310,7 @@ class MCSamples(Chains):
         out.likes = getattr(density, "likes", None)
         return out
 
-    def fastParityDensities(self, params=None, contours=None):
+    def fastParityDensities(self, params=None, contours=None, device=False, materialize=True):
         """Reference-exact triangle densities at batched-device speed.
 
         The host parity pipeline with its per-pair python loop replaced by
@@ -1316,9 +1322,20 @@ class MCSamples(Chains):
         "fast AND faithful" mode (benchmarked by ``bench.py --parity``).
 
         1D densities run through the (cheap, byte-exact) host path.
-        Requires float64 (``jax_enable_x64`` on a CPU backend); only the
-        default auto-bandwidth smoothing settings are supported, and
+        Requires float64 (``jax_enable_x64``); only the default
+        auto-bandwidth smoothing settings are supported, and
         mean-likelihood shading is served by the host path.
+
+        ``device=True`` selects the accelerator-resident variant
+        (:meth:`_parity_densities_device`): every O(N) pass — binning,
+        exact pair histograms, sheared residuals, N_eff lag sums — runs
+        as f64 jitted programs on the default backend, only compact
+        per-pair histograms return to the host-exact bandwidth
+        optimizers, and the convolution programs run on device (f32 with
+        exact integer histogram inputs on TPU, f64 on CPU). With
+        ``materialize=False`` the 2D grids stay device-resident (the
+        same convention as :meth:`fastTriangleDensities`) and the return
+        is ``(dens1, group_list)``; see the method docstring.
 
         :return: ({name: Density1D}, {(name_a, name_b): Density2D})
         """
@@ -1326,6 +1343,8 @@ class MCSamples(Chains):
 
         from getdist_tpu.ops.batched import all_2d_densities
 
+        if device:
+            return self._parity_densities_device(params, contours, materialize=materialize)
         if not jax.config.jax_enable_x64:
             raise MCSamplesError("parity mode needs float64: jax.config.update('jax_enable_x64', True) on CPU")
         if float(self.smooth_scale_2D) >= 0 or float(self.smooth_scale_1D) >= 0:
@@ -1519,6 +1538,398 @@ class MCSamples(Chains):
                 density.likes = None
                 dens2[(names[a], names[b])] = density
         return dens1, dens2
+
+    @staticmethod
+    def _parity_winw_level(w, fine):
+        # pairs with small kernels shouldn't pay the widest pair's FFT
+        # padding: bucket each fine-grid group by kernel window. Fixed
+        # level steps keep the compiled program shapes cache-stable
+        # across chains; +3 headroom because the program clips kernel
+        # widths at winw/2.5 while the per-pair kernel_support is what
+        # must match the reference truncation.
+        cap = fine // 2 - 2
+        for level in (18, 34, 66, 98):
+            if w + 3 <= level <= cap:
+                return level
+        return cap
+
+    def _parity_densities_device(self, params=None, contours=None, materialize=True):
+        """Accelerator-resident parity mode: the O(N) stages of
+        :meth:`fastParityDensities` as f64 device programs.
+
+        Tunnel-aware split (measured in docs/performance.md round 4 —
+        h2d ~2 MB/s, d2h ~12 MB/s, f64 elementwise fast, device
+        optimizer not a host twin):
+
+        - the f64 chain rides the device once per chain
+          (:meth:`_fast_chain_state`);
+        - bin indices (``_binSamples`` / ``kde_bandwidth.bin_samples``
+          conventions), exact bf16-split one-hot pair histograms,
+          sheared Cholesky residuals and the adaptive-lag N_eff pair
+          sums all run as jitted f64 programs
+          (:mod:`~getdist_tpu.ops.parity_device`);
+        - only compact per-pair histograms return (uint16 when every
+          count fits), feeding the UNCHANGED host-exact bandwidth
+          optimizers — the device f64 optimizer measurably diverges on
+          knife-edge shapes (scripts/probe_opt_twins.py), so bandwidth
+          semantics stay host;
+        - the fused convolution programs run on device with
+          host-bandwidth overrides: f32 with exact integer histogram
+          inputs on TPU (c128 FFT is unsupported there), native f64 on
+          CPU, where this method reproduces :meth:`fastParityDensities`
+          to reduction order.
+
+        With ``materialize=False`` the 2D grids and their water levels
+        stay device-resident and the return is ``(dens1, groups)`` where
+        each group is a dict with keys ``pairs`` (list of name tuples),
+        ``P`` ((K, fine, fine) device grids), ``contours`` ((K, C)
+        device water levels), ``ranges`` (per-pair ((xmin, xmax),
+        (ymin, ymax))), and ``fine``. Reference semantics:
+        ``/root/reference/getdist/mcsamples.py:1517-2010``.
+        """
+        import jax
+
+        from getdist_tpu.ops import parity_device as pdev
+        from getdist_tpu.ops.batched import all_2d_densities
+
+        if not jax.config.jax_enable_x64:
+            raise MCSamplesError("parity device mode needs float64 enabled (jax_enable_x64)")
+        if float(self.smooth_scale_2D) >= 0 or float(self.smooth_scale_1D) >= 0:
+            raise SettingError("parity mode supports the auto-bandwidth smooth_scale settings only")
+        if self.needs_update:
+            self.updateBaseStatistics()
+        idx = list(range(self.n)) if params is None else [self._parAndNumber(q)[0] for q in params]
+        contours = np.asarray(self.contours if contours is None else contours, float)
+
+        infos = [self._initParamRanges(j) for j in idx]
+        names = [info.name for info in infos]
+        on_tpu = jax.default_backend() != "cpu"
+
+        st = self._fast_chain_state()
+        dev_s64, dev_w64 = st["native_samples"], st["native_weights"]
+        parts = pdev.weight_parts(st["weights"])
+
+        # -- N_eff: batched adaptive-lag pair sums on device ------------------
+        norm = self.get_norm()
+        if self._independent_draws():
+            neff = np.full(len(idx), self._weight_based_neff())
+        else:
+            kstds, maxoffs = [], []
+            for j, info in zip(idx, infos):
+                if getattr(info, "N_eff_kde", None) is not None:
+                    kstds.append(None)  # cached; skip device work
+                    maxoffs.append(0)
+                    continue
+                acl = self.getCorrelationLength(j, weight_units=False)
+                maxoffs.append(min(4 + int(1.5 * acl), self.numrows // 10))
+                kstds.append(0.2 * info.sigma_range)
+            todo = [p for p, k in enumerate(kstds) if k is not None]
+            if todo:
+                n_den = pdev.kde_neff_batch(
+                    dev_s64,
+                    dev_w64,
+                    self.weights,
+                    [kstds[p] for p in todo],
+                    [maxoffs[p] for p in todo],
+                    self.numrows,
+                    col_ix=[idx[p] for p in todo],
+                )
+                for p, nd in zip(todo, n_den):
+                    infos[p].N_eff_kde = norm * norm / nd
+            neff = np.array([infos[p].N_eff_kde for p in range(len(idx))])
+
+        # 1D densities: the cheap byte-exact host path, reusing the primed
+        # N_eff cache (the expensive lag sums above)
+        self._force_host_densities = True
+        try:
+            dens1 = {info.name: self.get1DDensityGridData(j) for j, info in zip(idx, infos)}
+        finally:
+            self._force_host_densities = False
+
+        # per-param fine ranges (the reference _binSamples convention)
+        def grid_edge(par):
+            pad = (par.range_max - par.range_min) * 0.1
+            bmin = min(par.param_min, par.range_min) - (0 if par.has_limits_bot else pad)
+            bmax = max(par.param_max, par.range_max) + (0 if par.has_limits_top else pad)
+            return bmin, bmax
+
+        edges = np.array([grid_edge(info) for info in infos])
+        binmin, binmax = edges[:, 0], edges[:, 1]
+
+        scale_2d = abs(float(self.smooth_scale_2D))
+        pair_fine = {}
+        sheared_jobs = []
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                corr, actual_corr = self._pair_correlation(idx[a], idx[b], infos[a], infos[b])
+                fine, _nbin2d = self._degeneracy_adapted_bins(corr, self.fine_bins_2D)
+                pair_fine.setdefault(fine, []).append((a, b, actual_corr))
+                both_limited = infos[a].has_limits and infos[b].has_limits
+                if (
+                    0.2 < abs(actual_corr) <= self.max_corr_2D
+                    and not both_limited
+                    and not (both_limited and actual_corr > 0.8)
+                    and not self.use_effective_samples_2D
+                ):
+                    sheared_jobs.append((a, b))
+
+        # -- device binning + exact pair histograms per fine group -----------
+        col_arr = jnp.asarray(np.asarray(idx, np.int32))
+        sub64 = dev_s64 if idx == list(range(self.n)) else jnp.take(dev_s64, col_arr, axis=1)
+        group_hists = {}
+        for fine, members in pair_fine.items():
+            params_in = sorted({k for a, b, _ in members for k in (a, b)})
+            local = {k: i for i, k in enumerate(params_in)}
+            sel = jnp.take(sub64, jnp.asarray(np.asarray(params_in, np.int32)), axis=1)
+            fw = (binmax[params_in] - binmin[params_in]) / (fine - 1)
+            ix = pdev.bin_indices(sel, jnp.asarray(binmin[params_in]), jnp.asarray(fw))
+            hists = pdev.group_pair_hists(
+                ix,
+                jnp.asarray(np.asarray([local[a] for a, b, _ in members], np.int32)),
+                jnp.asarray(np.asarray([local[b] for a, b, _ in members], np.int32)),
+                parts,
+                fine,
+            )
+            group_hists[fine] = hists
+
+        # -- sheared bandwidths: device residual binning + host optimizer ----
+        sheared_results = {}
+        if sheared_jobs:
+            metas = []
+            r00 = np.empty(len(sheared_jobs))
+            r10 = np.empty(len(sheared_jobs))
+            r11 = np.empty(len(sheared_jobs))
+            lead_pos_arr = np.empty(len(sheared_jobs), np.int32)
+            other_pos_arr = np.empty(len(sheared_jobs), np.int32)
+            for i, (a, b) in enumerate(sheared_jobs):
+                parx, pary = infos[a], infos[b]
+                lead_par, other_loc = (pary, a) if pary.has_limits else (parx, b)
+                lead_loc = b if pary.has_limits else a
+                pair_cov = self.getCov(pars=[idx[lead_loc], idx[other_loc]])
+                root = np.linalg.cholesky(pair_cov)
+                r00[i], r10[i], r11[i] = root[0, 0], root[1, 0], root[1, 1]
+                lead_pos_arr[i] = lead_loc
+                other_pos_arr[i] = other_loc
+                metas.append((a, b, lead_par, lead_loc, root / root[0, 0]))
+            nbins = self.fine_bins_2D
+            rows, rlo, rhi = pdev.sheared_rows_minmax(
+                sub64,
+                jnp.asarray(other_pos_arr),
+                jnp.asarray(lead_pos_arr),
+                jnp.asarray(r00),
+                jnp.asarray(r10),
+                jnp.asarray(r11),
+            )
+            rlo, rhi = np.asarray(rlo), np.asarray(rhi)
+            pad = (rhi - rlo) * 0.1
+            rmin = rlo - pad
+            rwidth = (rhi + pad) - rmin
+            rdx = rwidth / (nbins - 1)
+            resid_ix = pdev.bin_rows(rows, jnp.asarray(rmin), jnp.asarray(rdx))
+            # lead binning: kde_bandwidth.bin_samples semantics, host scalars
+            leads = sorted({m[3] for m in metas})
+            lead_rank = {k: i for i, k in enumerate(leads)}
+            lead_lo = np.empty(len(leads))
+            lead_dx = np.empty(len(leads))
+            lead_width = np.empty(len(leads))
+            for i, k in enumerate(leads):
+                par = infos[k]
+                col = self.samples[:, idx[k]]
+                lo_d, hi_d = float(col.min()), float(col.max())
+                pad_l = (hi_d - lo_d) * 0.1
+                range_min = par.range_min if par.has_limits_bot else lo_d - pad_l
+                range_max = par.range_max if par.has_limits_top else hi_d + pad_l
+                lead_lo[i] = range_min
+                lead_width[i] = range_max - range_min
+                lead_dx[i] = lead_width[i] / (nbins - 1)
+            lead_cols = jnp.take(sub64, jnp.asarray(np.asarray(leads, np.int32)), axis=1).T
+            lead_ix = pdev.bin_rows(lead_cols, jnp.asarray(lead_lo), jnp.asarray(lead_dx))
+            stacked = jnp.concatenate([lead_ix, resid_ix], axis=0)
+            sh_hists_dev = pdev.group_pair_hists(
+                stacked,
+                jnp.asarray(np.asarray([lead_rank[m[3]] for m in metas], np.int32)),
+                jnp.asarray(np.arange(len(metas), dtype=np.int32) + len(leads)),
+                parts,
+                nbins,
+            )
+            sh_hists = self._compact_readback(sh_hists_dev)
+            for i, (a, b, lead_par, lead_loc, unshear) in enumerate(metas):
+                parx, pary = infos[a], infos[b]
+                n_eff = min(neff[a], neff[b])
+                try:
+                    opt = kde.KernelOptimizer2D(
+                        sh_hists[i], n_eff, 0, do_correlation=not (parx.has_limits or pary.has_limits)
+                    )
+                    h1, h2, c12 = opt.get_h()
+                except ValueError as e:
+                    sheared_results[(idx[a], idx[b])] = e
+                    continue
+                h1 *= lead_width[lead_rank[lead_loc]]
+                h2 *= rwidth[i]
+                kernel_cov = unshear @ np.array([[h1 * h1, h1 * h2 * c12], [h1 * h2 * c12, h2 * h2]]) @ unshear.T
+                widths = np.sqrt(kernel_cov.diagonal())
+                c = kernel_cov[0, 1] / (widths[0] * widths[1])
+                if pary.has_limits:
+                    sheared_results[(idx[a], idx[b])] = (widths[1], widths[0], c)
+                else:
+                    sheared_results[(idx[a], idx[b])] = (widths[0], widths[1], c)
+
+        # -- plain-branch pairs: compact histogram readback -------------------
+        # mirror getAutoBandwidth2D's branch selection on the corr value the
+        # bandwidth loop below passes it (actual_corr): only the final
+        # KernelOptimizer2D branch consumes the histogram
+        def _takes_plain_branch(actual_corr, parx, pary):
+            both_limited = parx.has_limits and pary.has_limits
+            if abs(actual_corr) > self.max_corr_2D or (both_limited and actual_corr > 0.8):
+                return False  # rule-of-thumb widths
+            if abs(actual_corr) > 0.2 and not both_limited:
+                return False  # sheared branch (device-assisted or host O(N) fallback)
+            return True
+
+        plain_hists = {}
+        for fine, members in pair_fine.items():
+            sel_rows = [
+                k
+                for k, (a, b, actual_corr) in enumerate(members)
+                if _takes_plain_branch(actual_corr, infos[a], infos[b])
+            ]
+            if sel_rows:
+                sel = jnp.take(group_hists[fine], jnp.asarray(np.asarray(sel_rows, np.int32)), axis=0)
+                host = self._compact_readback(sel)
+                for r, k in enumerate(sel_rows):
+                    plain_hists[(fine, k)] = host[r]
+
+        # -- host-exact bandwidths + conv grouping ----------------------------
+        groups = {}
+        for fine, members in pair_fine.items():
+            fw = (binmax - binmin) / (fine - 1)
+            for k, (a, b, actual_corr) in enumerate(members):
+                parx, pary = infos[a], infos[b]
+                hist = plain_hists.get((fine, k))
+                hx, hy, c = self.getAutoBandwidth2D(
+                    hist,
+                    parx,
+                    pary,
+                    idx[a],
+                    idx[b],
+                    actual_corr,
+                    binmax[a] - binmin[a],
+                    binmax[b] - binmin[b],
+                    self.fine_bins_2D,
+                    mult_bias_correction_order=self.mult_bias_correction_order,
+                    sheared_result=sheared_results.get((idx[a], idx[b])),
+                )
+                rx = hx * scale_2d / fw[a]
+                ry = hy * scale_2d / fw[b]
+                winw = max(1, int(round(2.5 * max(rx, ry))))
+                groups.setdefault(fine, []).append((a, b, hx, hy, c, winw, k))
+
+        # -- fused convolution programs with host-bandwidth overrides --------
+        active_lo = np.array([info.has_limits_bot for info in infos])
+        active_hi = np.array([info.has_limits_top for info in infos])
+        per = np.array([bool(getattr(info, "periodic", False)) for info in infos])
+        bounded = active_lo.any() or active_hi.any()
+
+        conv_env = os.environ.get("GETDIST_TPU_PARITY_CONV_DTYPE", "auto").strip().lower()
+        conv_f64 = conv_env == "f64" or (conv_env == "auto" and not on_tpu)
+        conv_dtype = jnp.float64 if conv_f64 else jnp.float32
+        conv_samples = dev_s64 if conv_f64 else st["samples"]
+        if idx != list(range(self.n)):
+            conv_samples = jnp.take(conv_samples, col_arr, axis=1)
+        conv_weights = dev_w64 if conv_f64 else st["weights"]
+        dev_neff = jnp.asarray(neff, conv_dtype)
+        dev_binmin, dev_binmax = jnp.asarray(binmin, conv_dtype), jnp.asarray(binmax, conv_dtype)
+        dev_contours = jnp.asarray(contours, conv_dtype)
+        dev_lo = jnp.asarray(active_lo) if bounded else None
+        dev_hi = jnp.asarray(active_hi) if bounded else None
+        dev_per = jnp.asarray(per) if per.any() else None
+        dev_sigma = jnp.asarray(np.array([info.sigma_range for info in infos]), conv_dtype)
+
+        bucketed = []
+        for fine, plist_all in groups.items():
+            by_level = {}
+            for entry in plist_all:
+                by_level.setdefault(self._parity_winw_level(entry[5], fine), []).append(entry)
+            bucketed.extend((fine, winw, plist) for winw, plist in by_level.items())
+
+        dens2 = {}
+        out_groups = []
+        for fine, winw, plist in bucketed:
+            hists_in = jnp.take(
+                group_hists[fine], jnp.asarray(np.asarray([entry[6] for entry in plist], np.int32)), axis=0
+            ).astype(conv_dtype)
+            d2 = all_2d_densities(
+                conv_samples,
+                conv_weights,
+                jnp.asarray(np.array([entry[0] for entry in plist], np.int32)),
+                jnp.asarray(np.array([entry[1] for entry in plist], np.int32)),
+                dev_neff,
+                dev_binmin,
+                dev_binmax,
+                dev_contours,
+                fine_bins=fine,
+                use_pallas=False,
+                winw=winw,
+                bandwidth_scale=None if scale_2d == 1.0 else conv_dtype(scale_2d),
+                bandwidth_override=(
+                    jnp.asarray(np.array([entry[2] for entry in plist]), conv_dtype),
+                    jnp.asarray(np.array([entry[3] for entry in plist]), conv_dtype),
+                    jnp.asarray(np.array([entry[4] for entry in plist]), conv_dtype),
+                ),
+                kernel_support=jnp.asarray(np.array([float(entry[5]) for entry in plist]), conv_dtype),
+                active_lo=dev_lo,
+                active_hi=dev_hi,
+                periodic=dev_per,
+                sigma_range=dev_sigma,
+                max_corr=float(self.max_corr_2D),
+                enable_shear=False,  # bandwidths are host-exact overrides
+                exact_mult_bias=True,
+                hists_in=hists_in,
+                # split3's dropped lo x lo term costs ~3e-4 of the grid peak
+                # on sharp multimodal shapes; parity needs f32-exact products
+                dft_precision=None if conv_f64 else "highest",
+            )
+            if not materialize:
+                out_groups.append(
+                    {
+                        "pairs": [(names[entry[0]], names[entry[1]]) for entry in plist],
+                        "P": d2["P"],
+                        "contours": d2["contours"],
+                        "ranges": [
+                            ((binmin[entry[0]], binmax[entry[0]]), (binmin[entry[1]], binmax[entry[1]]))
+                            for entry in plist
+                        ],
+                        "fine": fine,
+                    }
+                )
+                continue
+            grids = np.asarray(d2["P"], float)
+            for k, (a, b, *_rest) in enumerate(plist):
+                density = Density2D(
+                    np.linspace(binmin[a], binmax[a], fine),
+                    np.linspace(binmin[b], binmax[b], fine),
+                    grids[k],
+                    view_ranges=[
+                        (infos[a].range_min, infos[a].range_max),
+                        (infos[b].range_min, infos[b].range_max),
+                    ],
+                )
+                density.contours = density.getContourLevels(contours)
+                density.likes = None
+                dens2[(names[a], names[b])] = density
+        return (dens1, dens2) if materialize else (dens1, out_groups)
+
+    @staticmethod
+    def _compact_readback(dev_hists):
+        """Read a (K, n, n) device histogram batch back as float64 via the
+        narrowest exact dtype (uint16 when every count fits — the tunnel
+        moves ~12 MB/s, so bytes are the cost, docs/performance.md)."""
+        import jax.numpy as jnp_
+
+        max_v = float(jnp_.max(dev_hists)) if dev_hists.shape[0] else 0.0
+        if max_v < 65536 and float(jnp_.min(dev_hists)) >= 0:
+            return np.asarray(dev_hists.astype(jnp_.uint16)).astype(np.float64)
+        return np.asarray(dev_hists).astype(np.float64)
 
     def fastDensities(self, params=None, contours=(0.68, 0.95), use_pallas=None, cache_1d=True, meanlikes=False,
                       parity=False):

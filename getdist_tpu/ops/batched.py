@@ -1335,6 +1335,7 @@ def all_1d_densities(
         "enable_shear",
         "exact_mult_bias",
         "export_hists",
+        "dft_precision",
     ),
 )
 def all_2d_densities(
@@ -1369,6 +1370,7 @@ def all_2d_densities(
     exact_mult_bias=False,
     hists_in=None,
     export_hists=False,
+    dft_precision=None,
 ):
     """All-pairs marginalized 2D densities in one program.
 
@@ -1584,18 +1586,52 @@ def all_2d_densities(
 
     pad = next_fast_len(fine_bins + 2 * winw)
     dft_on, dft_interp, dft_prec = _dft_conv_mode(samples.dtype, fine_bins, winw)
+    dft_pad = dft_conv.DEFAULT_PAD
+    if dft_precision is not None:
+        # caller-pinned MXU precision for the DFT-matmul convolutions: the
+        # parity device mode needs "highest" (6-pass, f32-exact products) —
+        # split3's dropped lo x lo term is ~1.5e-5 relative to the SPECTRUM
+        # magnitudes (~ total mass), i.e. ~3e-4 of the grid peak on sharp
+        # multimodal shapes. The same mode also sizes the DFT frame to the
+        # actual conv instead of refusing past the shared 384 frame: XLA's
+        # TPU FFT (the fallback) computes bf16-twiddle transforms, measured
+        # ~3e-4 of the grid peak on the winw>=34 parity buckets
+        # (docs/performance.md round 4).
+        dft_prec = dft_precision
+        needed = fine_bins + 4 * winw + 1
+        dft_pad = max(dft_conv.DEFAULT_PAD, -(-needed // 128) * 128)
+        if jax.default_backend() == "tpu" and samples.dtype == jnp.float32:
+            # 1152^2 frames keep the kernel's working set under its 100 MB
+            # VMEM budget; larger (extreme stretched-fine groups) falls back
+            dft_on = dft_pad <= 1152
+            dft_interp = False
+    # frames past the shared 384 pad fail to compile in the Pallas kernel on
+    # this Mosaic toolchain ('failed to legalize func.return' at pad 512,
+    # measured round 4); the plain-XLA einsum twins take those
+    xla_dft = dft_pad > dft_conv.DEFAULT_PAD
+
+    def _dft_spectrum(kern):
+        if xla_dft:
+            return dft_conv.dft_conv_spectrum_xla(kern, pad=dft_pad, precision=dft_prec)
+        return dft_conv.dft_conv_spectrum(kern, pad=dft_pad, precision=dft_prec, interpret=dft_interp)
+
+    def _dft_apply(grids, spec, out_size, offset):
+        if xla_dft:
+            return dft_conv.dft_conv2d_xla(grids, *spec, out_size, offset, pad=dft_pad, precision=dft_prec)
+        return dft_conv.dft_conv2d(
+            grids, *spec, out_size, offset, pad=dft_pad, precision=dft_prec, interpret=dft_interp
+        )
+
     if dft_on:
-        dft_spec = dft_conv.dft_conv_spectrum(kernels, precision=dft_prec, interpret=dft_interp)
+        dft_spec = _dft_spectrum(kernels)
 
     def _dft_same(grids):
         # 'same' convolution of (K, fine, fine) grids against `kernels`
-        return dft_conv.dft_conv2d(grids, *dft_spec, fine_bins, winw, precision=dft_prec, interpret=dft_interp)
+        return _dft_apply(grids, dft_spec, fine_bins, winw)
 
     def _dft_valid_ext(grids, spec=None):
         # 'valid' slice of the (K, fine+2*winw, ..) extended-frame convs
-        return dft_conv.dft_conv2d(
-            grids, *(spec or dft_spec), fine_bins, 2 * winw, precision=dft_prec, interpret=dft_interp
-        )
+        return _dft_apply(grids, spec or dft_spec, fine_bins, 2 * winw)
 
     has_periodic = periodic is not None
     if has_periodic:
@@ -1701,7 +1737,7 @@ def all_2d_densities(
 
         def _mask_conv(kern, spec=None):
             if dft_on:
-                spec = spec or dft_conv.dft_conv_spectrum(kern, precision=dft_prec, interpret=dft_interp)
+                spec = spec or _dft_spectrum(kern)
                 return _dft_valid_ext(masks, spec)
             kf_ = jnp.fft.rfftn(kern, (pad_ext, pad_ext), axes=(1, 2))
             full_ = _irfftn_2d(mf * kf_, (pad_ext, pad_ext))
@@ -1722,12 +1758,12 @@ def all_2d_densities(
             win_x = kernels * moment[None, None, :]
             win_y = kernels * moment[None, :, None]
             if dft_on:
-                spec_wx = dft_conv.dft_conv_spectrum(win_x, precision=dft_prec, interpret=dft_interp)
-                spec_wy = dft_conv.dft_conv_spectrum(win_y, precision=dft_prec, interpret=dft_interp)
+                spec_wx = _dft_spectrum(win_x)
+                spec_wy = _dft_spectrum(win_y)
                 a10 = _mask_conv(win_x, spec=spec_wx)
                 a01 = _mask_conv(win_y, spec=spec_wy)
-                x_p = dft_conv.dft_conv2d(hists, *spec_wx, fine_bins, winw, precision=dft_prec, interpret=dft_interp)
-                y_p = dft_conv.dft_conv2d(hists, *spec_wy, fine_bins, winw, precision=dft_prec, interpret=dft_interp)
+                x_p = _dft_apply(hists, spec_wx, fine_bins, winw)
+                y_p = _dft_apply(hists, spec_wy, fine_bins, winw)
             else:
                 a10 = _mask_conv(win_x)
                 a01 = _mask_conv(win_y)

@@ -47,7 +47,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dft_conv_spectrum", "dft_conv2d", "dft_conv2d_ref", "DEFAULT_PAD"]
+__all__ = [
+    "dft_conv_spectrum",
+    "dft_conv2d",
+    "dft_conv_spectrum_xla",
+    "dft_conv2d_xla",
+    "dft_conv2d_ref",
+    "DEFAULT_PAD",
+]
 
 DEFAULT_PAD = 384
 
@@ -214,6 +221,53 @@ def dft_conv2d(grids, ur, ui, out_size, offset, pad=DEFAULT_PAD, precision="high
         interpret=interpret,
     )(jnp.asarray(fr), jnp.asarray(fi), jnp.asarray(br), jnp.asarray(bi), gp, ur, ui)
     return jax.lax.slice(full, (0, offset, offset), (k, offset + out_size, offset + out_size))
+
+
+def _xla_lmm(m, x, precision):
+    # (pad, pad) x (K, pad, pad) with explicit MXU precision
+    return jnp.einsum("ij,kjl->kil", m, x, precision=_PRECISIONS["highest" if precision == "split3" else precision])
+
+
+def _xla_rmm(x, m, precision):
+    # (K, pad, pad) x (pad, pad)
+    return jnp.einsum("kij,jl->kil", x, m, precision=_PRECISIONS["highest" if precision == "split3" else precision])
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "precision"))
+def dft_conv_spectrum_xla(kernels, pad=DEFAULT_PAD, precision="highest"):
+    """Plain-XLA twin of :func:`dft_conv_spectrum` for frame sizes the
+    Pallas kernel's Mosaic toolchain refuses (measured: pad=512 fails with
+    'failed to legalize operation func.return'). Same math as batched
+    einsums; the complex intermediates round-trip HBM, so it is slower,
+    but any MXU-aligned pad compiles. split3 maps to HIGHEST (this path
+    exists for the parity mode, which needs f32-exact products anyway)."""
+    k, m, _ = kernels.shape
+    fr, fi, _, _ = (jnp.asarray(a) for a in _dft_mats(pad))
+    kp = jnp.pad(kernels.astype(jnp.float32), ((0, 0), (0, pad - m), (0, pad - m)))
+    tr = _xla_lmm(fr, kp, precision)
+    ti = _xla_lmm(fi, kp, precision)
+    ur = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
+    ui = _xla_rmm(tr, fi, precision) + _xla_rmm(ti, fr, precision)
+    return ur, ui
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "offset", "pad", "precision"))
+def dft_conv2d_xla(grids, ur, ui, out_size, offset, pad=DEFAULT_PAD, precision="highest"):
+    """Plain-XLA twin of :func:`dft_conv2d` (see
+    :func:`dft_conv_spectrum_xla`)."""
+    k, in_size, _ = grids.shape
+    fr, fi, br, bi = (jnp.asarray(a) for a in _dft_mats(pad))
+    gp = jnp.pad(grids.astype(jnp.float32), ((0, 0), (0, pad - in_size), (0, pad - in_size)))
+    tr = _xla_lmm(fr, gp, precision)
+    ti = _xla_lmm(fi, gp, precision)
+    uhr = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
+    uhi = _xla_rmm(tr, fi, precision) + _xla_rmm(ti, fr, precision)
+    er = uhr * ur - uhi * ui
+    ei = uhr * ui + uhi * ur
+    t2r = _xla_lmm(br, er, precision) - _xla_lmm(bi, ei, precision)
+    t2i = _xla_lmm(br, ei, precision) + _xla_lmm(bi, er, precision)
+    out = _xla_rmm(t2r, br, precision) - _xla_rmm(t2i, bi, precision)
+    return out[:, offset : offset + out_size, offset : offset + out_size]
 
 
 def dft_conv2d_ref(grids, kernels, out_size, offset, pad=DEFAULT_PAD):

@@ -69,3 +69,20 @@ def test_pallas_kernel_production_frame_small_batch():
     ur, ui = dft_conv_spectrum(kernels, pad=DEFAULT_PAD, interpret=True)
     got = dft_conv2d(grids, ur, ui, 256, 30, pad=DEFAULT_PAD, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-4 * float(jnp.max(jnp.abs(want))))
+
+
+@pytest.mark.parametrize("pad,n,m", [(512, 256, 137), (640, 256, 265)])
+def test_xla_twin_oversized_pads(pad, n, m):
+    """The plain-XLA einsum twins serve the parity-mode frames the Pallas
+    kernel's Mosaic toolchain refuses (>384): 'same' convolution parity
+    against the rFFT path at winw=34 and winw=66 geometries."""
+    from getdist_tpu.ops.dft_conv import dft_conv2d_xla, dft_conv_spectrum_xla
+
+    half = (m - 1) // 2
+    grids, _ = _fixtures(k=2, n=n, m=m, seed=4)
+    rng = np.random.RandomState(5)
+    kernels = jnp.asarray(rng.rand(2, m, m).astype(np.float32))
+    want = _conv2d_same_batch(grids, kernels, pad)
+    ur, ui = dft_conv_spectrum_xla(kernels, pad=pad)
+    got = dft_conv2d_xla(grids, ur, ui, n, half, pad=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-4 * float(jnp.max(jnp.abs(want))))
