@@ -169,15 +169,24 @@ class WeightedSamples:
         self._param_range_cache = {}
 
     # -- device bridge ---------------------------------------------------------
-    @staticmethod
-    def _device_stats_ok():
+    def _device_stats_ok(self):
         """Whether the basic per-statistic calls (means/vars/cov) should run
         through jax. On the local CPU backend with x64 this is free and
         bit-stable, so it is the default. Accelerator backends require the
         GETDIST_TPU_DEVICE_OPS opt-in: these ops are tiny next to their
         host->device transfer (a 1M x 30 f64 chain costs tens of seconds
         through a remote-accelerator tunnel, vs ~0.1 s in numpy), and the
-        fused pipelines do their own single f32 upload regardless."""
+        fused pipelines do their own single f32 upload regardless.
+
+        ``_force_host_stats`` pins these to numpy regardless of backend:
+        the parity modes need the covariance/correlation inputs of their
+        bandwidth optimizers BIT-IDENTICAL across processes — scipy's
+        fsolve/TNC stopping points shift by their own ~1e-4 tolerance
+        under 1-ulp input wobbles (measured round 4 on the 'skew' zoo
+        shape: XLA-CPU vs numpy covariance differed by 1.8e-16 in one
+        correlation entry and moved the returned bandwidth by 1.5e-4)."""
+        if getattr(self, "_force_host_stats", False):
+            return False
         import jax
 
         if jax.default_backend() == "cpu":

@@ -1343,6 +1343,7 @@ class MCSamples(Chains):
 
         from getdist_tpu.ops.batched import all_2d_densities
 
+        self._pin_host_stats()
         if device:
             return self._parity_densities_device(params, contours, materialize=materialize)
         if not jax.config.jax_enable_x64:
@@ -1539,6 +1540,29 @@ class MCSamples(Chains):
                 dens2[(names[a], names[b])] = density
         return dens1, dens2
 
+    def _pin_host_stats(self):
+        """Pin the basic statistics (means/vars/cov/corr) to numpy and drop
+        any caches computed through another backend.
+
+        The parity modes need the bandwidth optimizers' inputs
+        BIT-IDENTICAL across backends and processes: scipy's fsolve/TNC
+        stopping points move by their own ~1e-4 tolerance under 1-ulp
+        input wobbles (measured round 4: an XLA-CPU-vs-numpy covariance
+        differing by 1.8e-16 in one correlation entry moved a returned
+        bandwidth by 1.5e-4 and a zoo grid by 1.2e-5). The caches may have
+        been populated at construction time, before this call — recompute
+        them on the host path."""
+        if getattr(self, "_force_host_stats", False):
+            return
+        self._force_host_stats = True
+        self.means = None
+        self.vars = None
+        self.fullcov = None
+        self.correlationMatrix = None
+        self._param_range_cache = {}
+        if not self.needs_update:
+            self.updateBaseStatistics()
+
     @staticmethod
     def _parity_winw_level(w, fine):
         # pairs with small kernels shouldn't pay the widest pair's FFT
@@ -1596,6 +1620,7 @@ class MCSamples(Chains):
             raise MCSamplesError("parity device mode needs float64 enabled (jax_enable_x64)")
         if float(self.smooth_scale_2D) >= 0 or float(self.smooth_scale_1D) >= 0:
             raise SettingError("parity mode supports the auto-bandwidth smooth_scale settings only")
+        self._pin_host_stats()
         if self.needs_update:
             self.updateBaseStatistics()
         idx = list(range(self.n)) if params is None else [self._parAndNumber(q)[0] for q in params]
@@ -1885,9 +1910,12 @@ class MCSamples(Chains):
                 enable_shear=False,  # bandwidths are host-exact overrides
                 exact_mult_bias=True,
                 hists_in=hists_in,
-                # split3's dropped lo x lo term costs ~3e-4 of the grid peak
-                # on sharp multimodal shapes; parity needs f32-exact products
-                dft_precision=None if conv_f64 else "highest",
+                # f32 DFT-matmul transforms floor at ~1e-5 of the grid peak
+                # (spectrum magnitudes ~ total mass); the f64 einsum chain is
+                # ~3.5x the f32 matmul cost on TPU and parity-grade
+                dft_precision=None
+                if conv_f64
+                else os.environ.get("GETDIST_TPU_PARITY_DFT", "f64"),
             )
             if not materialize:
                 out_groups.append(
@@ -1926,8 +1954,9 @@ class MCSamples(Chains):
         moves ~12 MB/s, so bytes are the cost, docs/performance.md)."""
         import jax.numpy as jnp_
 
-        max_v = float(jnp_.max(dev_hists)) if dev_hists.shape[0] else 0.0
-        if max_v < 65536 and float(jnp_.min(dev_hists)) >= 0:
+        if not dev_hists.shape[0]:
+            return np.zeros(dev_hists.shape, np.float64)
+        if float(jnp_.max(dev_hists)) < 65536 and float(jnp_.min(dev_hists)) >= 0:
             return np.asarray(dev_hists.astype(jnp_.uint16)).astype(np.float64)
         return np.asarray(dev_hists).astype(np.float64)
 

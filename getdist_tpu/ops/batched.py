@@ -1605,10 +1605,16 @@ def all_2d_densities(
             # VMEM budget; larger (extreme stretched-fine groups) falls back
             dft_on = dft_pad <= 1152
             dft_interp = False
-    # frames past the shared 384 pad fail to compile in the Pallas kernel on
-    # this Mosaic toolchain ('failed to legalize func.return' at pad 512,
-    # measured round 4); the plain-XLA einsum twins take those
-    xla_dft = dft_pad > dft_conv.DEFAULT_PAD
+    # the Pallas DFT kernel fails Mosaic compilation ('failed to legalize
+    # func.return') whenever x64 is enabled — i64 iteration/index types leak
+    # into the kernel — and x64 is exactly the parity device mode's
+    # configuration (measured round 4: all pad/precision combinations fail
+    # under x64, every one compiles without it). The plain-XLA einsum twins
+    # take the parity-mode convolutions instead; the f32 fused path keeps
+    # the VMEM kernel.
+    xla_dft = dft_pad > dft_conv.DEFAULT_PAD or (
+        jax.config.jax_enable_x64 and jax.default_backend() == "tpu"
+    )
 
     def _dft_spectrum(kern):
         if xla_dft:

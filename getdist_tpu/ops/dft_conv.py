@@ -223,14 +223,40 @@ def dft_conv2d(grids, ur, ui, out_size, offset, pad=DEFAULT_PAD, precision="high
     return jax.lax.slice(full, (0, offset, offset), (k, offset + out_size, offset + out_size))
 
 
+def _dft_mats_f64(pad, precision):
+    """DFT matrices at the precision the XLA twins run: full f64 entries
+    for the "f64" chain (the f32-rounded defaults would cap its accuracy),
+    the shared f32 ones otherwise."""
+    if precision != "f64":
+        return _dft_mats(pad)
+    j = np.arange(pad)
+    ang = -2.0 * np.pi * np.outer(j, j) / pad
+    fr = np.cos(ang)
+    fi = np.sin(ang)
+    return fr, fi, fr / pad, -fi / pad
+
+
+def _xla_prec(precision):
+    return _PRECISIONS["highest" if precision in ("split3", "f64") else precision]
+
+
 def _xla_lmm(m, x, precision):
     # (pad, pad) x (K, pad, pad) with explicit MXU precision
-    return jnp.einsum("ij,kjl->kil", m, x, precision=_PRECISIONS["highest" if precision == "split3" else precision])
+    return jnp.einsum("ij,kjl->kil", m, x, precision=_xla_prec(precision))
 
 
 def _xla_rmm(x, m, precision):
     # (K, pad, pad) x (pad, pad)
-    return jnp.einsum("kij,jl->kil", x, m, precision=_PRECISIONS["highest" if precision == "split3" else precision])
+    return jnp.einsum("kij,jl->kil", x, m, precision=_xla_prec(precision))
+
+
+def _xla_dtype(precision, fallback=jnp.float32):
+    # "f64": the whole transform chain runs in f64 — XLA:TPU emulates f64
+    # matmuls at only ~3.5x the f32 cost and 3e-15 accuracy (measured,
+    # docs/performance.md round 4). The f32 DFT-matmul floor is ~1e-5 of
+    # the grid peak on sharp shapes (spectrum magnitudes ~ total mass);
+    # f64 chains reach the host parity pipeline's own precision.
+    return jnp.float64 if precision == "f64" else fallback
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "precision"))
@@ -242,8 +268,9 @@ def dft_conv_spectrum_xla(kernels, pad=DEFAULT_PAD, precision="highest"):
     but any MXU-aligned pad compiles. split3 maps to HIGHEST (this path
     exists for the parity mode, which needs f32-exact products anyway)."""
     k, m, _ = kernels.shape
-    fr, fi, _, _ = (jnp.asarray(a) for a in _dft_mats(pad))
-    kp = jnp.pad(kernels.astype(jnp.float32), ((0, 0), (0, pad - m), (0, pad - m)))
+    dt = _xla_dtype(precision)
+    fr, fi, _, _ = (jnp.asarray(a, dt) for a in _dft_mats_f64(pad, precision))
+    kp = jnp.pad(kernels.astype(dt), ((0, 0), (0, pad - m), (0, pad - m)))
     tr = _xla_lmm(fr, kp, precision)
     ti = _xla_lmm(fi, kp, precision)
     ur = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
@@ -256,8 +283,9 @@ def dft_conv2d_xla(grids, ur, ui, out_size, offset, pad=DEFAULT_PAD, precision="
     """Plain-XLA twin of :func:`dft_conv2d` (see
     :func:`dft_conv_spectrum_xla`)."""
     k, in_size, _ = grids.shape
-    fr, fi, br, bi = (jnp.asarray(a) for a in _dft_mats(pad))
-    gp = jnp.pad(grids.astype(jnp.float32), ((0, 0), (0, pad - in_size), (0, pad - in_size)))
+    dt = _xla_dtype(precision)
+    fr, fi, br, bi = (jnp.asarray(a, dt) for a in _dft_mats_f64(pad, precision))
+    gp = jnp.pad(grids.astype(dt), ((0, 0), (0, pad - in_size), (0, pad - in_size)))
     tr = _xla_lmm(fr, gp, precision)
     ti = _xla_lmm(fi, gp, precision)
     uhr = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
@@ -267,7 +295,7 @@ def dft_conv2d_xla(grids, ur, ui, out_size, offset, pad=DEFAULT_PAD, precision="
     t2r = _xla_lmm(br, er, precision) - _xla_lmm(bi, ei, precision)
     t2i = _xla_lmm(br, ei, precision) + _xla_lmm(bi, er, precision)
     out = _xla_rmm(t2r, br, precision) - _xla_rmm(t2i, bi, precision)
-    return out[:, offset : offset + out_size, offset : offset + out_size]
+    return out[:, offset : offset + out_size, offset : offset + out_size].astype(grids.dtype)
 
 
 def dft_conv2d_ref(grids, kernels, out_size, offset, pad=DEFAULT_PAD):
