@@ -1630,46 +1630,20 @@ class MCSamples(Chains):
         names = [info.name for info in infos]
         on_tpu = jax.default_backend() != "cpu"
 
+        import time as _time
+
+        _prof_on = bool(os.environ.get("GETDIST_TPU_PARITY_PROFILE"))
+        _marks = [("start", _time.perf_counter())]
+
+        def _mark(label):
+            if _prof_on:
+                _marks.append((label, _time.perf_counter()))
+
         st = self._fast_chain_state()
         dev_s64, dev_w64 = st["native_samples"], st["native_weights"]
         parts = pdev.weight_parts(st["weights"])
+        _mark("chain_state")
 
-        # -- N_eff: batched adaptive-lag pair sums on device ------------------
-        norm = self.get_norm()
-        if self._independent_draws():
-            neff = np.full(len(idx), self._weight_based_neff())
-        else:
-            kstds, maxoffs = [], []
-            for j, info in zip(idx, infos):
-                if getattr(info, "N_eff_kde", None) is not None:
-                    kstds.append(None)  # cached; skip device work
-                    maxoffs.append(0)
-                    continue
-                acl = self.getCorrelationLength(j, weight_units=False)
-                maxoffs.append(min(4 + int(1.5 * acl), self.numrows // 10))
-                kstds.append(0.2 * info.sigma_range)
-            todo = [p for p, k in enumerate(kstds) if k is not None]
-            if todo:
-                n_den = pdev.kde_neff_batch(
-                    dev_s64,
-                    dev_w64,
-                    self.weights,
-                    [kstds[p] for p in todo],
-                    [maxoffs[p] for p in todo],
-                    self.numrows,
-                    col_ix=[idx[p] for p in todo],
-                )
-                for p, nd in zip(todo, n_den):
-                    infos[p].N_eff_kde = norm * norm / nd
-            neff = np.array([infos[p].N_eff_kde for p in range(len(idx))])
-
-        # 1D densities: the cheap byte-exact host path, reusing the primed
-        # N_eff cache (the expensive lag sums above)
-        self._force_host_densities = True
-        try:
-            dens1 = {info.name: self.get1DDensityGridData(j) for j, info in zip(idx, infos)}
-        finally:
-            self._force_host_densities = False
 
         # per-param fine ranges (the reference _binSamples convention)
         def grid_edge(par):
@@ -1716,6 +1690,51 @@ class MCSamples(Chains):
                 fine,
             )
             group_hists[fine] = hists
+        _mark("device_hists")
+
+        # -- plain-branch histogram readback, overlapped ----------------------
+        # mirror getAutoBandwidth2D's branch selection on the corr value the
+        # bandwidth loop below passes it (actual_corr): only the final
+        # KernelOptimizer2D branch consumes the histogram. The readback rides
+        # the ~12 MB/s tunnel in a background thread WHILE the host runs the
+        # sheared-branch optimizers below.
+        def _takes_plain_branch(actual_corr, parx, pary):
+            both_limited = parx.has_limits and pary.has_limits
+            if abs(actual_corr) > self.max_corr_2D or (both_limited and actual_corr > 0.8):
+                return False  # rule-of-thumb widths
+            if abs(actual_corr) > 0.2 and not both_limited:
+                return False  # sheared branch (device-assisted or host O(N) fallback)
+            return True
+
+        plain_sel = {}
+        for fine, members in pair_fine.items():
+            sel_rows = [
+                k
+                for k, (a, b, actual_corr) in enumerate(members)
+                if _takes_plain_branch(actual_corr, infos[a], infos[b])
+            ]
+            if sel_rows:
+                plain_sel[fine] = sel_rows
+
+        plain_hists = {}
+        plain_errs = []
+
+        def _fetch_plain():
+            try:
+                for fine, sel_rows in plain_sel.items():
+                    sel = jnp.take(
+                        group_hists[fine], jnp.asarray(np.asarray(sel_rows, np.int32)), axis=0
+                    )
+                    host = self._compact_readback(sel)
+                    for r, k in enumerate(sel_rows):
+                        plain_hists[(fine, k)] = host[r]
+            except BaseException as exc:  # re-raised on join
+                plain_errs.append(exc)
+
+        import threading
+
+        plain_thread = threading.Thread(target=_fetch_plain, name="parity-plain-readback")
+        plain_thread.start()
 
         # -- sheared bandwidths: device residual binning + host optimizer ----
         sheared_results = {}
@@ -1745,6 +1764,48 @@ class MCSamples(Chains):
                 jnp.asarray(r10),
                 jnp.asarray(r11),
             )
+        # host N_eff/ACL + 1D stage run here, OVERLAPPED with the device
+        # histogram/sheared-row programs dispatched above (the device
+        # queue drains while the host computes)
+        # -- N_eff: batched adaptive-lag pair sums on device ------------------
+        norm = self.get_norm()
+        if self._independent_draws():
+            neff = np.full(len(idx), self._weight_based_neff())
+        else:
+            kstds, maxoffs = [], []
+            for j, info in zip(idx, infos):
+                if getattr(info, "N_eff_kde", None) is not None:
+                    kstds.append(None)  # cached; skip device work
+                    maxoffs.append(0)
+                    continue
+                acl = self.getCorrelationLength(j, weight_units=False)
+                maxoffs.append(min(4 + int(1.5 * acl), self.numrows // 10))
+                kstds.append(0.2 * info.sigma_range)
+            todo = [p for p, k in enumerate(kstds) if k is not None]
+            if todo:
+                n_den = pdev.kde_neff_batch(
+                    dev_s64,
+                    dev_w64,
+                    self.weights,
+                    [kstds[p] for p in todo],
+                    [maxoffs[p] for p in todo],
+                    self.numrows,
+                    col_ix=[idx[p] for p in todo],
+                )
+                for p, nd in zip(todo, n_den):
+                    infos[p].N_eff_kde = norm * norm / nd
+            neff = np.array([infos[p].N_eff_kde for p in range(len(idx))])
+        _mark("neff")
+
+        # 1D densities: the cheap byte-exact host path, reusing the primed
+        # N_eff cache (the expensive lag sums above)
+        self._force_host_densities = True
+        try:
+            dens1 = {info.name: self.get1DDensityGridData(j) for j, info in zip(idx, infos)}
+        finally:
+            self._force_host_densities = False
+        _mark("1d_host")
+        if sheared_jobs:
             rlo, rhi = np.asarray(rlo), np.asarray(rhi)
             pad = (rhi - rlo) * 0.1
             rmin = rlo - pad
@@ -1777,18 +1838,35 @@ class MCSamples(Chains):
                 parts,
                 nbins,
             )
-            sh_hists = self._compact_readback(sh_hists_dev)
-            for i, (a, b, lead_par, lead_loc, unshear) in enumerate(metas):
+            # chunked readback in a producer thread: chunk k+1 rides the
+            # tunnel while the host optimizes chunk k
+            import queue as _queue
+
+            _chunk = 32
+            _q = _queue.Queue(maxsize=2)
+
+            def _fetch_sheared():
+                try:
+                    for s in range(0, len(metas), _chunk):
+                        _q.put((s, self._compact_readback(sh_hists_dev[s : s + _chunk])))
+                    _q.put(None)
+                except BaseException as exc:
+                    _q.put(exc)
+
+            threading.Thread(target=_fetch_sheared, name="parity-sheared-readback").start()
+
+            def _sheared_optimize(i, hist_i):
+                a, b, lead_par, lead_loc, unshear = metas[i]
                 parx, pary = infos[a], infos[b]
                 n_eff = min(neff[a], neff[b])
                 try:
                     opt = kde.KernelOptimizer2D(
-                        sh_hists[i], n_eff, 0, do_correlation=not (parx.has_limits or pary.has_limits)
+                        hist_i, n_eff, 0, do_correlation=not (parx.has_limits or pary.has_limits)
                     )
                     h1, h2, c12 = opt.get_h()
                 except ValueError as e:
                     sheared_results[(idx[a], idx[b])] = e
-                    continue
+                    return
                 h1 *= lead_width[lead_rank[lead_loc]]
                 h2 *= rwidth[i]
                 kernel_cov = unshear @ np.array([[h1 * h1, h1 * h2 * c12], [h1 * h2 * c12, h2 * h2]]) @ unshear.T
@@ -1799,30 +1877,22 @@ class MCSamples(Chains):
                 else:
                     sheared_results[(idx[a], idx[b])] = (widths[0], widths[1], c)
 
-        # -- plain-branch pairs: compact histogram readback -------------------
-        # mirror getAutoBandwidth2D's branch selection on the corr value the
-        # bandwidth loop below passes it (actual_corr): only the final
-        # KernelOptimizer2D branch consumes the histogram
-        def _takes_plain_branch(actual_corr, parx, pary):
-            both_limited = parx.has_limits and pary.has_limits
-            if abs(actual_corr) > self.max_corr_2D or (both_limited and actual_corr > 0.8):
-                return False  # rule-of-thumb widths
-            if abs(actual_corr) > 0.2 and not both_limited:
-                return False  # sheared branch (device-assisted or host O(N) fallback)
-            return True
+            while True:
+                item = _q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                s, block = item
+                for r in range(block.shape[0]):
+                    _sheared_optimize(s + r, block[r])
+        _mark("sheared")
 
-        plain_hists = {}
-        for fine, members in pair_fine.items():
-            sel_rows = [
-                k
-                for k, (a, b, actual_corr) in enumerate(members)
-                if _takes_plain_branch(actual_corr, infos[a], infos[b])
-            ]
-            if sel_rows:
-                sel = jnp.take(group_hists[fine], jnp.asarray(np.asarray(sel_rows, np.int32)), axis=0)
-                host = self._compact_readback(sel)
-                for r, k in enumerate(sel_rows):
-                    plain_hists[(fine, k)] = host[r]
+        # join the plain-branch readback started before the sheared section
+        plain_thread.join()
+        if plain_errs:
+            raise plain_errs[0]
+        _mark("plain_readback")
 
         # -- host-exact bandwidths + conv grouping ----------------------------
         groups = {}
@@ -1848,6 +1918,7 @@ class MCSamples(Chains):
                 ry = hy * scale_2d / fw[b]
                 winw = max(1, int(round(2.5 * max(rx, ry))))
                 groups.setdefault(fine, []).append((a, b, hx, hy, c, winw, k))
+        _mark("bandwidths")
 
         # -- fused convolution programs with host-bandwidth overrides --------
         active_lo = np.array([info.has_limits_bot for info in infos])
@@ -1910,12 +1981,14 @@ class MCSamples(Chains):
                 enable_shear=False,  # bandwidths are host-exact overrides
                 exact_mult_bias=True,
                 hists_in=hists_in,
-                # f32 DFT-matmul transforms floor at ~1e-5 of the grid peak
-                # (spectrum magnitudes ~ total mass); the f64 einsum chain is
-                # ~3.5x the f32 matmul cost on TPU and parity-grade
+                # f32-exact products keep the full zoo within ~5e-6 of the
+                # host pipeline (measured round 4 — the residual f32 DFT
+                # floor is benign once the optimizer inputs are pinned);
+                # GETDIST_TPU_PARITY_DFT=f64 selects the ~3e-15 einsum chain
+                # at ~8 s extra on the 30p x 1M bench
                 dft_precision=None
                 if conv_f64
-                else os.environ.get("GETDIST_TPU_PARITY_DFT", "f64"),
+                else os.environ.get("GETDIST_TPU_PARITY_DFT", "highest"),
             )
             if not materialize:
                 out_groups.append(
@@ -1945,6 +2018,15 @@ class MCSamples(Chains):
                 density.contours = density.getContourLevels(contours)
                 density.likes = None
                 dens2[(names[a], names[b])] = density
+        _mark("conv_dispatch" if not materialize else "conv_materialize")
+        if _prof_on:
+            import sys as _sys
+
+            total = _marks[-1][1] - _marks[0][1]
+            parts_s = " ".join(
+                f"{lab}={t1 - t0:.2f}s" for (_, t0), (lab, t1) in zip(_marks, _marks[1:])
+            )
+            print(f"# parity-device profile: total={total:.2f}s {parts_s}", file=_sys.stderr)
         return (dens1, dens2) if materialize else (dens1, out_groups)
 
     @staticmethod

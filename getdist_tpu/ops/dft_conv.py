@@ -259,6 +259,23 @@ def _xla_dtype(precision, fallback=jnp.float32):
     return jnp.float64 if precision == "f64" else fallback
 
 
+# the XLA twins hold ~10 live (K, pad, pad) intermediates; at parity-bench
+# scale in f64 that is tens of GB, so the batch axis is processed in fixed
+# chunks (67 MB per f64 array at pad 512) via lax.map
+_XLA_CHUNK = 32
+
+
+def _chunked_over_batch(fn, x, chunk=_XLA_CHUNK):
+    k = x.shape[0]
+    if k <= chunk:
+        return fn(x)
+    n_pad = (-k) % chunk
+    xp = jnp.pad(x, ((0, n_pad),) + ((0, 0),) * (x.ndim - 1))
+    blocks = xp.reshape((xp.shape[0] // chunk, chunk) + xp.shape[1:])
+    out = jax.lax.map(fn, blocks)
+    return out.reshape((-1,) + out.shape[2:])[:k]
+
+
 @functools.partial(jax.jit, static_argnames=("pad", "precision"))
 def dft_conv_spectrum_xla(kernels, pad=DEFAULT_PAD, precision="highest"):
     """Plain-XLA twin of :func:`dft_conv_spectrum` for frame sizes the
@@ -270,12 +287,17 @@ def dft_conv_spectrum_xla(kernels, pad=DEFAULT_PAD, precision="highest"):
     k, m, _ = kernels.shape
     dt = _xla_dtype(precision)
     fr, fi, _, _ = (jnp.asarray(a, dt) for a in _dft_mats_f64(pad, precision))
+
+    def spec_chunk(kp):
+        tr = _xla_lmm(fr, kp, precision)
+        ti = _xla_lmm(fi, kp, precision)
+        ur = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
+        ui = _xla_rmm(tr, fi, precision) + _xla_rmm(ti, fr, precision)
+        return jnp.stack([ur, ui], axis=1)
+
     kp = jnp.pad(kernels.astype(dt), ((0, 0), (0, pad - m), (0, pad - m)))
-    tr = _xla_lmm(fr, kp, precision)
-    ti = _xla_lmm(fi, kp, precision)
-    ur = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
-    ui = _xla_rmm(tr, fi, precision) + _xla_rmm(ti, fr, precision)
-    return ur, ui
+    out = _chunked_over_batch(spec_chunk, kp)
+    return out[:, 0], out[:, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "offset", "pad", "precision"))
@@ -285,17 +307,28 @@ def dft_conv2d_xla(grids, ur, ui, out_size, offset, pad=DEFAULT_PAD, precision="
     k, in_size, _ = grids.shape
     dt = _xla_dtype(precision)
     fr, fi, br, bi = (jnp.asarray(a, dt) for a in _dft_mats_f64(pad, precision))
+
+    def conv_chunk(args):
+        gp, ur_c, ui_c = args
+        tr = _xla_lmm(fr, gp, precision)
+        ti = _xla_lmm(fi, gp, precision)
+        uhr = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
+        uhi = _xla_rmm(tr, fi, precision) + _xla_rmm(ti, fr, precision)
+        er = uhr * ur_c - uhi * ui_c
+        ei = uhr * ui_c + uhi * ur_c
+        t2r = _xla_lmm(br, er, precision) - _xla_lmm(bi, ei, precision)
+        t2i = _xla_lmm(br, ei, precision) + _xla_lmm(bi, er, precision)
+        out = _xla_rmm(t2r, br, precision) - _xla_rmm(t2i, bi, precision)
+        return out[:, offset : offset + out_size, offset : offset + out_size]
+
     gp = jnp.pad(grids.astype(dt), ((0, 0), (0, pad - in_size), (0, pad - in_size)))
-    tr = _xla_lmm(fr, gp, precision)
-    ti = _xla_lmm(fi, gp, precision)
-    uhr = _xla_rmm(tr, fr, precision) - _xla_rmm(ti, fi, precision)
-    uhi = _xla_rmm(tr, fi, precision) + _xla_rmm(ti, fr, precision)
-    er = uhr * ur - uhi * ui
-    ei = uhr * ui + uhi * ur
-    t2r = _xla_lmm(br, er, precision) - _xla_lmm(bi, ei, precision)
-    t2i = _xla_lmm(br, ei, precision) + _xla_lmm(bi, er, precision)
-    out = _xla_rmm(t2r, br, precision) - _xla_rmm(t2i, bi, precision)
-    return out[:, offset : offset + out_size, offset : offset + out_size].astype(grids.dtype)
+    if k <= _XLA_CHUNK:
+        return conv_chunk((gp, ur.astype(dt), ui.astype(dt))).astype(grids.dtype)
+    n_pad = (-k) % _XLA_CHUNK
+    stacked = [jnp.pad(a, ((0, n_pad), (0, 0), (0, 0))) for a in (gp, ur.astype(dt), ui.astype(dt))]
+    blocks = [a.reshape((-1, _XLA_CHUNK) + a.shape[1:]) for a in stacked]
+    out = jax.lax.map(conv_chunk, tuple(blocks))
+    return out.reshape((-1,) + out.shape[2:])[:k].astype(grids.dtype)
 
 
 def dft_conv2d_ref(grids, kernels, out_size, offset, pad=DEFAULT_PAD):
