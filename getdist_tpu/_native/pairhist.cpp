@@ -34,9 +34,18 @@ int gdt_pair_hists(const int32_t* ixs, int64_t n, int64_t p, const double* w,
             const int32_t* ia = ixs + pair_a[j] * n;
             const int32_t* ib = ixs + pair_b[j] * n;
             double* h = out + j * cells;
-            // rows = b, cols = a (the _make2Dhist / _pair_hist_256 layout)
+            // rows = b, cols = a (the _make2Dhist / _pair_hist_256 layout).
+            // Indices are documented pre-clipped, but clamp defensively
+            // (branch-predictable, ~free): an out-of-range value from a
+            // caller-contract violation must not become a silent
+            // out-of-bounds heap write in multi-threaded code —
+            // gdt_bin_columns clips, so this matches its semantics.
             for (int64_t i = 0; i < n; ++i) {
-                h[(int64_t)ib[i] * nbins + ia[i]] += w[i];
+                int64_t a = ia[i];
+                int64_t b = ib[i];
+                a = a < 0 ? 0 : (a >= nbins ? nbins - 1 : a);
+                b = b < 0 ? 0 : (b >= nbins ? nbins - 1 : b);
+                h[b * nbins + a] += w[i];
             }
         }
     };

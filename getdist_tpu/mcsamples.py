@@ -1620,6 +1620,35 @@ class MCSamples(Chains):
             raise MCSamplesError("parity device mode needs float64 enabled (jax_enable_x64)")
         if float(self.smooth_scale_2D) >= 0 or float(self.smooth_scale_1D) >= 0:
             raise SettingError("parity mode supports the auto-bandwidth smooth_scale settings only")
+        # the device one-hot histograms are exact only for integral,
+        # f32-representable weights with bin sums below 2**24 (the bf16-split
+        # contraction's guarantee, ops/parity_device.py); fractional or
+        # f32-lossy weights would silently diverge from the host-exact
+        # pipeline this mode promises, so route those chains to the host path
+        w_all = np.asarray(self.weights)
+        weights_device_exact = bool(
+            w_all.size == 0
+            or (
+                np.all(np.float32(w_all) == w_all)
+                and np.all(w_all == np.round(w_all))
+                and w_all.min() >= 0
+                and float(w_all.sum()) < 2**24
+            )
+        )
+        if not weights_device_exact:
+            if not materialize:
+                raise MCSamplesError(
+                    "parity device mode with materialize=False needs integral f32-representable "
+                    "weights (sum < 2**24) for exact device histograms; this chain's weights are "
+                    "fractional or f32-lossy — use materialize=True (host fallback) or the host "
+                    "parity path"
+                )
+            logging.warning(
+                "parity device mode: weights are fractional or not exactly f32-representable; "
+                "device one-hot histograms would not be host-exact — falling back to the host "
+                "parity pipeline"
+            )
+            return self.fastParityDensities(params, contours, device=False)
         self._pin_host_stats()
         if self.needs_update:
             self.updateBaseStatistics()
@@ -1853,7 +1882,10 @@ class MCSamples(Chains):
                 except BaseException as exc:
                     _q.put(exc)
 
-            threading.Thread(target=_fetch_sheared, name="parity-sheared-readback").start()
+            sheared_thread = threading.Thread(
+                target=_fetch_sheared, name="parity-sheared-readback", daemon=True
+            )
+            sheared_thread.start()
 
             def _sheared_optimize(i, hist_i):
                 a, b, lead_par, lead_loc, unshear = metas[i]
@@ -1877,15 +1909,29 @@ class MCSamples(Chains):
                 else:
                     sheared_results[(idx[a], idx[b])] = (widths[0], widths[1], c)
 
-            while True:
-                item = _q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                s, block = item
-                for r in range(block.shape[0]):
-                    _sheared_optimize(s + r, block[r])
+            try:
+                while True:
+                    item = _q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    s, block = item
+                    for r in range(block.shape[0]):
+                        _sheared_optimize(s + r, block[r])
+            finally:
+                # if the consumer raised (re-raised readback error, or an
+                # exception escaping _sheared_optimize), the producer may be
+                # blocked on the bounded queue — drain it so the thread can
+                # finish, then join (it is daemonized as a last resort)
+                while True:
+                    sheared_thread.join(timeout=0.05)
+                    if not sheared_thread.is_alive():
+                        break
+                    try:
+                        _q.get_nowait()
+                    except _queue.Empty:
+                        pass
         _mark("sheared")
 
         # join the plain-branch readback started before the sheared section
@@ -2033,12 +2079,22 @@ class MCSamples(Chains):
     def _compact_readback(dev_hists):
         """Read a (K, n, n) device histogram batch back as float64 via the
         narrowest exact dtype (uint16 when every count fits — the tunnel
-        moves ~12 MB/s, so bytes are the cost, docs/performance.md)."""
+        moves ~12 MB/s, so bytes are the cost, docs/performance.md).
+
+        The uint16 path requires INTEGRAL cell values: fractional weighted
+        counts (non-integer chain weights) would truncate toward zero, so
+        the eligibility check includes integrality and falls back to the
+        full-width readback otherwise (one fused scalar probe — a single
+        tunnel round trip either way)."""
         import jax.numpy as jnp_
 
         if not dev_hists.shape[0]:
             return np.zeros(dev_hists.shape, np.float64)
-        if float(jnp_.max(dev_hists)) < 65536 and float(jnp_.min(dev_hists)) >= 0:
+        compact_ok = jnp_.logical_and(
+            jnp_.logical_and(jnp_.max(dev_hists) < 65536, jnp_.min(dev_hists) >= 0),
+            jnp_.all(dev_hists == jnp_.round(dev_hists)),
+        )
+        if bool(compact_ok):
             return np.asarray(dev_hists.astype(jnp_.uint16)).astype(np.float64)
         return np.asarray(dev_hists).astype(np.float64)
 

@@ -7,6 +7,7 @@ moments, P x fine_bins and K x 256^2 for histograms — so communication
 rides ICI and is negligible next to the local one-hot matmuls.
 """
 
+from collections import OrderedDict
 from functools import partial
 
 import jax
@@ -36,8 +37,11 @@ __all__ = [
 
 # cache of built shard_map callables keyed by (mesh, program, static config,
 # present-array set): rebuilding the shard_map + jit wrapper per call would
-# re-trace the full fused program every time
-_PROGRAM_CACHE = {}
+# re-trace the full fused program every time. LRU-bounded — each entry pins
+# a compiled program plus the Mesh/device objects it closes over, so an
+# unbounded dict would leak across varying configs/meshes.
+_PROGRAM_CACHE = OrderedDict()
+_PROGRAM_CACHE_MAX = 32
 
 
 def _spec_for(name):
@@ -57,6 +61,7 @@ def _build_sharded(mesh, program, static_cfg, arg_names):
     key = (mesh, program.__name__, static_cfg, arg_names)
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
+        _PROGRAM_CACHE.move_to_end(key)
         return fn
     specs = {name: _spec_for(name) for name in arg_names}
     static_kwargs = dict(static_cfg)
@@ -70,6 +75,8 @@ def _build_sharded(mesh, program, static_cfg, arg_names):
 
     fn = jax.jit(_run)
     _PROGRAM_CACHE[key] = fn
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.popitem(last=False)
     return fn
 
 

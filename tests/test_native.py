@@ -83,3 +83,23 @@ def test_native_faster_than_loadtxt(chain_file):
     # numpy 2.x has a fast C tokenizer; just require the native path is not
     # meaningfully slower (it is bit-identical and usually faster)
     assert t_native < t_numpy * 1.5, (t_native, t_numpy)
+
+
+def test_pair_histograms_clamps_out_of_range_indices():
+    """An index outside [0, nbins) is a caller-contract violation; the
+    kernel must clamp it (matching gdt_bin_columns' clip semantics)
+    rather than write out of bounds (round-4 advisor finding)."""
+    nbins = 8
+    ixs = np.array(
+        [[0, 3, 7, -2, 9, 4], [1, 1, 6, 5, -1, 12]], np.int32
+    )
+    w = np.array([1.0, 2.0, 0.5, 3.0, 4.0, 1.5])
+    pairs = np.array([[0, 1]], np.int64)
+    out = _native.pair_histograms(ixs, w, pairs, nbins)
+    if out is None:
+        pytest.skip("native pairhist unavailable")
+    clipped = np.clip(ixs, 0, nbins - 1)
+    expect = np.zeros((nbins, nbins))
+    for i in range(ixs.shape[1]):
+        expect[clipped[1, i], clipped[0, i]] += w[i]
+    np.testing.assert_array_equal(out[0], expect)

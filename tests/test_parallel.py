@@ -246,3 +246,35 @@ def test_sharded_public_path_full_features():
             np.asarray(d2u["regrid"][key]["P"]),
             atol=2e-5,
         )
+
+
+def test_program_cache_is_lru_bounded(mesh):
+    """_PROGRAM_CACHE pins compiled shard_map programs (and the meshes they
+    close over); it must evict least-recently-used entries instead of
+    growing without bound (round-4 advisor finding)."""
+    from getdist_tpu.parallel import reductions
+
+    def fake_program(**kwargs):  # never traced: jit is lazy
+        return None
+
+    fake_program.__name__ = "all_2d_densities"
+    saved = dict(reductions._PROGRAM_CACHE)
+    reductions._PROGRAM_CACHE.clear()
+    try:
+        for i in range(reductions._PROGRAM_CACHE_MAX + 5):
+            reductions._build_sharded(
+                mesh, fake_program, (("fine_bins", 64 + i),), ("samples", "weights")
+            )
+        assert len(reductions._PROGRAM_CACHE) == reductions._PROGRAM_CACHE_MAX
+        # oldest entries evicted, newest present
+        keys = list(reductions._PROGRAM_CACHE)
+        assert all(k[2] != (("fine_bins", 64),) for k in keys)
+        newest = (mesh, "all_2d_densities", (("fine_bins", 64 + reductions._PROGRAM_CACHE_MAX + 4),), ("samples", "weights"))
+        assert newest in reductions._PROGRAM_CACHE
+        # a cache hit refreshes recency
+        first_key = keys[0]
+        reductions._build_sharded(mesh, fake_program, first_key[2], first_key[3])
+        assert list(reductions._PROGRAM_CACHE)[-1] == first_key
+    finally:
+        reductions._PROGRAM_CACHE.clear()
+        reductions._PROGRAM_CACHE.update(saved)

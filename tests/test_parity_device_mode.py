@@ -71,6 +71,56 @@ def test_device_mode_multiparam_with_limits():
         assert np.abs(d1a[key].P - d1b[key].P).max() <= 1e-10
 
 
+def test_device_mode_fractional_weights_falls_back(caplog):
+    """Non-integer (or f32-lossy) weights cannot ride the exact device
+    one-hot histograms: device mode must warn and serve the host parity
+    results instead of silently truncating weighted counts (round-4
+    advisor finding on _compact_readback's uint16 path)."""
+    import logging
+
+    rng = np.random.RandomState(7)
+    n = 6000
+    base = rng.standard_normal((n, 2))
+    xy = np.column_stack([base[:, 0], 0.4 * base[:, 0] + base[:, 1]])
+    w = rng.uniform(0.5, 2.0, n)
+
+    from getdist_tpu.mcsamples import MCSamples, MCSamplesError
+
+    def make():
+        return MCSamples(samples=xy.copy(), weights=w.copy(), names=["x", "y"])
+
+    d1a, d2a = make().fastParityDensities()
+    with caplog.at_level(logging.WARNING):
+        d1b, d2b = make().fastParityDensities(device=True)
+    assert any("fractional" in rec.getMessage() for rec in caplog.records)
+    for key in d2a:
+        assert np.abs(d2a[key].P - d2b[key].P).max() == 0.0, key
+    for key in d1a:
+        assert np.abs(d1a[key].P - d1b[key].P).max() == 0.0, key
+    # materialize=False has no host-shaped return to fall back to: explicit error
+    with pytest.raises(MCSamplesError, match="integral"):
+        make().fastParityDensities(device=True, materialize=False)
+
+
+def test_compact_readback_preserves_fractional_counts():
+    """The narrow uint16 readback may only fire for integral histograms;
+    fractional weighted counts must come back bit-exact via full width."""
+    import jax.numpy as jnp
+
+    from getdist_tpu.mcsamples import MCSamples
+
+    frac = np.array([[[0.0, 2.5], [7.25, 3.0]]])
+    out = MCSamples._compact_readback(jnp.asarray(frac))
+    assert out.dtype == np.float64
+    np.testing.assert_array_equal(out, frac)
+    # integral-and-small still takes the compact path, losslessly
+    small = np.array([[[1.0, 2.0], [3.0, 65535.0]]])
+    np.testing.assert_array_equal(MCSamples._compact_readback(jnp.asarray(small)), small)
+    # integral but out of uint16 range: full width
+    big = np.array([[[0.0, 2.0], [70000.0, 3.0]]])
+    np.testing.assert_array_equal(MCSamples._compact_readback(jnp.asarray(big)), big)
+
+
 def test_device_mode_materialize_false_groups():
     shape = zoo.shapes_2d()["Gaussian"]
     mc = shape.MCSamples(6000, random_state=np.random.default_rng(4))
