@@ -263,11 +263,29 @@ class GuiSession:
             return []
         return sorted(getattr(self.grid, "base_dir_names", []) or getattr(self.grid, "roots", {}))
 
-    def roots_for_tag(self, paramtag):
-        """Grid navigation level 2: roots available under one param tag."""
+    def roots_for_tag(self, paramtag, datatag=None):
+        """Grid navigation level 2: roots available under one param tag,
+        optionally narrowed to one data tag (level 3)."""
         if not self.grid:
             return []
-        return sorted(self.grid.roots_for_dir(paramtag))
+        roots = sorted(self.grid.roots_for_dir(paramtag))
+        if datatag:
+            roots = [r for r in roots if self._data_tag(r, paramtag) == datatag]
+        return roots
+
+    @staticmethod
+    def _data_tag(root, paramtag):
+        """Data-combination tag of a root under a param tag (the root name
+        with the param tag stripped — the reference GUI's paramtag/datatag
+        two-level grid browsing, mainwindow.py:1477-1503)."""
+        base = root.split("/")[-1]
+        if base.startswith(paramtag + "_"):
+            return base[len(paramtag) + 1 :]
+        return base
+
+    def data_tags(self, paramtag):
+        """Distinct data tags available under one param tag."""
+        return sorted({self._data_tag(r, paramtag) for r in self.roots_for_tag(paramtag)})
 
     def available_roots(self):
         """All selectable root names at the current location."""
@@ -429,3 +447,27 @@ class GuiSession:
         if params:
             kwargs["paramList"] = list(params)
         return samples.getTable(columns=1, **kwargs).tableTex()
+
+    def param_table_tabs(self, root, params=None):
+        """[(limit label, LaTeX table)] for every confidence limit of the
+        root's marge stats — the reference's parameter-table dialog shows
+        one tab per limit (mainwindow.py:893-931, DialogParamTables)."""
+        samples = self.samples_for_root(root)
+        stats = samples.getMargeStats()
+        tabs = []
+        for i, lim in enumerate(stats.limits):
+            label = f"{round(lim * 100) if lim <= 1 else lim:g}%"
+            tabs.append((label, self.latex_table(root, params, limit=i + 1)))
+        return tabs
+
+    def changed_settings(self):
+        """Current non-default option state, for display in the GUIs (the
+        reference's changed-settings summaries, mainwindow.py:943-949)."""
+        out = {}
+        if self.analysis_settings:
+            out["analysis"] = dict(self.analysis_settings)
+        if self.custom_plot_settings:
+            out["plot"] = dict(self.custom_plot_settings)
+        if self.plot_module:
+            out["style"] = self.plot_module
+        return out

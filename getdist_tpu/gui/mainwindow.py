@@ -95,6 +95,83 @@ if _HAVE_QT:
             buttons.clicked.connect(self.accept)
             layout.addWidget(buttons)
 
+    class ParamTableDialog(QDialog):
+        """Parameter-table viewer: one tab per confidence limit, with
+        copy-to-clipboard and save-as-.tex actions (role of the reference's
+        DialogParamTables, mainwindow.py:893-931 + 2279-2313)."""
+
+        def __init__(self, parent, root, tabs):
+            super().__init__(parent)
+            self.setWindowTitle(f"Parameter tables: {root}")
+            self.resize(760, 560)
+            layout = QVBoxLayout(self)
+            self.tabs = QTabWidget()
+            self._texts = []
+            for label, tex in tabs:
+                view = QPlainTextEdit()
+                view.setReadOnly(True)
+                view.setPlainText(tex)
+                self.tabs.addTab(view, label)
+                self._texts.append(tex)
+            layout.addWidget(self.tabs)
+            row = QHBoxLayout()
+            copy_btn = QPushButton("Copy LaTeX")
+            copy_btn.clicked.connect(self.copy_latex)
+            save_btn = QPushButton("Save LaTeX...")
+            save_btn.clicked.connect(self.save_latex)
+            close_btn = QPushButton("Close")
+            close_btn.clicked.connect(self.accept)
+            for btn in (copy_btn, save_btn, close_btn):
+                row.addWidget(btn)
+            layout.addLayout(row)
+
+        def current_tex(self):
+            return self._texts[self.tabs.currentIndex()] if self._texts else ""
+
+        def copy_latex(self):
+            from PySide6.QtWidgets import QApplication
+
+            QApplication.clipboard().setText(self.current_tex())
+
+        def save_latex(self):
+            fname, _ = QFileDialog.getSaveFileName(self, "Save LaTeX table", "", "LaTeX (*.tex)")
+            if fname:
+                with open(fname, "w", encoding="utf-8") as handle:
+                    handle.write(self.current_tex())
+
+    class ConfigDialog(QDialog):
+        """GUI configuration: plot style module, preview DPI scale, and
+        default export format (role of the reference's showConfigSettings,
+        mainwindow.py:1092-1130)."""
+
+        STYLES = (
+            ("default", None),
+            ("planck", "getdist_tpu.styles.planck"),
+            ("tab10", "getdist_tpu.styles.tab10"),
+        )
+
+        def __init__(self, parent, plot_module, export_format="pdf"):
+            super().__init__(parent)
+            self.setWindowTitle("Configuration")
+            form = QFormLayout(self)
+            self.style_box = QComboBox()
+            for label, module in self.STYLES:
+                self.style_box.addItem(label, module)
+                if module == plot_module:
+                    self.style_box.setCurrentIndex(self.style_box.count() - 1)
+            form.addRow("Plot style module", self.style_box)
+            self.format_box = QComboBox()
+            self.format_box.addItems(["pdf", "png", "svg"])
+            self.format_box.setCurrentText(export_format)
+            form.addRow("Default export format", self.format_box)
+            buttons = QDialogButtonBox(QDialogButtonBox.Ok | QDialogButtonBox.Cancel)
+            buttons.accepted.connect(self.accept)
+            buttons.rejected.connect(self.reject)
+            form.addRow(buttons)
+
+        def values(self):
+            return self.style_box.currentData(), self.format_box.currentText()
+
     class SettingsDialog(QDialog):
         """Schema-driven settings editor used for BOTH the analysis settings
         (role of reference mainwindow.py:950-1050) and the plot-style
@@ -179,14 +256,30 @@ if _HAVE_QT:
                 self.restoreGeometry(geometry)
             else:
                 self.resize(1200, 800)
+            self.export_format = str(self.settings.value("export_format", "pdf"))
 
             self._build_menus()
             self._build_body()
+            self.statusBar().showMessage("Open a chain directory to begin", 5000)
             self.current_fig = None
-            self.canvas = None
+            self._plot_count = 0
+            self.setAcceptDrops(True)
             last_dir = self.settings.value("last_dir")
             if last_dir and os.path.isdir(str(last_dir)):
                 self._open_path(str(last_dir))
+
+        # -- drag & drop (reference mainwindow.py:125-130) --------------------
+
+        def dragEnterEvent(self, event):  # noqa: N802 - Qt naming
+            if event.mimeData().hasUrls():
+                event.acceptProposedAction()
+
+        def dropEvent(self, event):  # noqa: N802 - Qt naming
+            for url in event.mimeData().urls():
+                path = url.toLocalFile()
+                if os.path.isdir(path):
+                    self._open_path(path)
+                    return
 
         # -- construction ---------------------------------------------------
 
@@ -199,7 +292,11 @@ if _HAVE_QT:
             file_menu.addAction("Re-load files", self.reload_files)
             file_menu.addSeparator()
             file_menu.addAction("Export figure...", self.export_figure)
+            file_menu.addAction("Copy figure to clipboard", self.export_clipboard)
+            file_menu.addSeparator()
+            file_menu.addAction("Open script...", self.open_script)
             file_menu.addAction("Export script...", self.export_script)
+            file_menu.addAction("Clear script", self.clear_script)
             file_menu.addSeparator()
             file_menu.addAction("Quit", self.close)
 
@@ -208,12 +305,13 @@ if _HAVE_QT:
             data_menu.addAction("Like stats", lambda: self.show_stats("like"))
             data_menu.addAction("Converge stats", lambda: self.show_stats("converge"))
             data_menu.addAction("Parameter PCA", lambda: self.show_stats("pca"))
-            data_menu.addAction("Parameter table", lambda: self.show_stats("table"))
+            data_menu.addAction("Parameter tables (LaTeX)", lambda: self.show_stats("table"))
 
             options_menu = bar.addMenu("&Options")
             options_menu.addAction("Analysis settings...", self.edit_settings)
             options_menu.addAction("Plot settings...", self.edit_plot_settings)
             options_menu.addAction("Reset plot settings", lambda: self.session.reset_plot_settings())
+            options_menu.addAction("Configuration...", self.edit_config)
             self.style_menu = options_menu.addMenu("Plot style module")
             for label, module in (
                 ("default", None),
@@ -222,8 +320,20 @@ if _HAVE_QT:
             ):
                 self.style_menu.addAction(label, lambda m=module: self.set_style(m))
 
+            windows_menu = bar.addMenu("&Windows")
+            windows_menu.addAction("Close all plot tabs", self.close_plots)
+
             help_menu = bar.addMenu("&Help")
+            help_menu.addAction("Documentation", lambda: self._open_url("https://getdist.readthedocs.io/"))
+            help_menu.addAction("GetDist on GitHub", lambda: self._open_url("https://github.com/cmbant/getdist"))
             help_menu.addAction("About", self.show_about)
+
+        @staticmethod
+        def _open_url(url):
+            from PySide6.QtCore import QUrl
+            from PySide6.QtGui import QDesktopServices
+
+            QDesktopServices.openUrl(QUrl(url))
 
         def _build_body(self):
             central = QSplitter()
@@ -235,6 +345,12 @@ if _HAVE_QT:
             self.grid_tag.currentTextChanged.connect(self._grid_tag_changed)
             self.grid_tag.hide()
             controls_layout.addWidget(self.grid_tag)
+            # second grid-browsing level: data-combination tag under the
+            # selected param tag (reference setParamTag/setDataTag)
+            self.data_tag = QComboBox()
+            self.data_tag.currentTextChanged.connect(self._data_tag_changed)
+            self.data_tag.hide()
+            controls_layout.addWidget(self.data_tag)
             controls_layout.addWidget(QLabel("Available roots:"))
             self.root_list = QListWidget()
             self.root_list.itemDoubleClicked.connect(lambda item: self.add_root(item.text()))
@@ -259,7 +375,12 @@ if _HAVE_QT:
                 order_row.addWidget(btn)
             controls_layout.addLayout(order_row)
 
-            controls_layout.addWidget(QLabel("X parameters:"))
+            x_row = QHBoxLayout()
+            x_row.addWidget(QLabel("X parameters:"))
+            self.x_select_all = QCheckBox("all")
+            self.x_select_all.toggled.connect(self._toggle_all_x)
+            x_row.addWidget(self.x_select_all)
+            controls_layout.addLayout(x_row)
             self.param_list = QListWidget()
             self.param_list.setSelectionMode(QListWidget.ExtendedSelection)
             controls_layout.addWidget(self.param_list)
@@ -267,6 +388,10 @@ if _HAVE_QT:
             self.y_param_list = QListWidget()
             self.y_param_list.setSelectionMode(QListWidget.ExtendedSelection)
             controls_layout.addWidget(self.y_param_list)
+            controls_layout.addWidget(QLabel("Color parameter (3d):"))
+            self.z_param = QComboBox()
+            self.z_param.addItem("(none)")
+            controls_layout.addWidget(self.z_param)
 
             controls_layout.addWidget(QLabel("Plot type:"))
             self.plot_type = QComboBox()
@@ -285,10 +410,12 @@ if _HAVE_QT:
             controls_layout.addWidget(plot_btn)
             central.addWidget(controls)
 
+            # plot tabs: every Make plot opens a new closable tab (the
+            # reference keeps multiple plot outputs, mainwindow.py:1918-1968);
+            # the script tab is pinned and not closable
             self.tabs = QTabWidget()
-            self.canvas_holder = QWidget()
-            self.canvas_layout = QVBoxLayout(self.canvas_holder)
-            self.tabs.addTab(self.canvas_holder, "Plot")
+            self.tabs.setTabsClosable(True)
+            self.tabs.tabCloseRequested.connect(self._close_tab)
             # editable script pane: edits are re-executed for the preview
             # (the reference GUI's script-tab workflow, mainwindow.py:1637+)
             script_host = QWidget()
@@ -300,8 +427,29 @@ if _HAVE_QT:
             run_script_btn.clicked.connect(self.run_edited_script)
             script_layout.addWidget(run_script_btn)
             self.tabs.addTab(script_host, "Script")
+            if hasattr(self.tabs, "tabBar"):
+                bar = self.tabs.tabBar()
+                bar.setTabButton(0, bar.ButtonPosition.RightSide, None)
+                bar.setTabButton(0, bar.ButtonPosition.LeftSide, None)
             central.addWidget(self.tabs)
             central.setSizes([320, 880])
+
+        def _toggle_all_x(self, checked):
+            self.param_list.selectAll() if checked else self.param_list.clearSelection()
+
+        def _close_tab(self, index):
+            widget = self.tabs.widget(index)
+            if widget is None or self.tabs.tabText(index) == "Script":
+                return
+            self.tabs.removeTab(index)
+            widget.deleteLater()
+
+        def close_plots(self):
+            """Close every plot tab, keeping the pinned script tab."""
+            for index in reversed(range(self.tabs.count())):
+                if self.tabs.tabText(index) != "Script":
+                    self._close_tab(index)
+            self.current_fig = None
 
         # -- persistence -----------------------------------------------------
 
@@ -339,12 +487,29 @@ if _HAVE_QT:
                 self.grid_tag.addItems(["(all)"] + self.session.param_tags())
             else:
                 self.grid_tag.hide()
+                self.data_tag.hide()
             self._refresh_roots(self.session.available_roots())
+            self.statusBar().showMessage(f"Opened {directory}", 5000)
 
         def _grid_tag_changed(self, tag):
             if not self.session.is_grid() or not tag:
                 return
-            roots = self.session.available_roots() if tag == "(all)" else self.session.roots_for_tag(tag)
+            if tag == "(all)":
+                self.data_tag.hide()
+                self._refresh_roots(self.session.available_roots())
+                return
+            self.data_tag.blockSignals(True)
+            self.data_tag.clear()
+            self.data_tag.addItems(["(all data)"] + self.session.data_tags(tag))
+            self.data_tag.blockSignals(False)
+            self.data_tag.show()
+            self._refresh_roots(self.session.roots_for_tag(tag))
+
+        def _data_tag_changed(self, datatag):
+            tag = self.grid_tag.currentText()
+            if not self.session.is_grid() or not tag or tag == "(all)" or not datatag:
+                return
+            roots = self.session.roots_for_tag(tag, None if datatag == "(all data)" else datatag)
             self._refresh_roots(roots)
 
         def _refresh_roots(self, roots):
@@ -387,10 +552,13 @@ if _HAVE_QT:
         def update_params(self):
             self.param_list.clear()
             self.y_param_list.clear()
+            self.z_param.clear()
+            self.z_param.addItem("(none)")
             if self.session.root_order:
                 for name in self.session.param_list():
                     QListWidgetItem(name, self.param_list)
                     QListWidgetItem(name, self.y_param_list)
+                    self.z_param.addItem(name)
 
         def selected_params(self, which=None):
             host = self.y_param_list if which == "y" else self.param_list
@@ -399,10 +567,12 @@ if _HAVE_QT:
         # -- plotting --------------------------------------------------------------
 
         def _current_spec(self):
+            color = self.z_param.currentText()
             return PlotSpec(
                 plot_type=self.plot_type.currentText(),
                 x_params=self.selected_params(),
                 y_params=self.selected_params("y"),
+                color_param=None if color in ("", "(none)") else color,
                 filled=self.filled_box.isChecked(),
                 shaded=self.shaded_box.isChecked(),
                 normalized=self.normalized_box.isChecked(),
@@ -417,22 +587,27 @@ if _HAVE_QT:
             if issues:
                 QMessageBox.warning(self, "GetDist-TPU", "; ".join(issues))
                 return
+            self.statusBar().showMessage("Generating plot...")
             try:
                 fig, script = self.session.make_figure(spec)
             except Exception as e:
+                self.statusBar().clearMessage()
                 QMessageBox.critical(self, "Plot failed", str(e))
                 return
+            self.statusBar().showMessage("Done", 3000)
             self.script_edit.setPlainText(script)
             self._show_figure(fig)
 
-        def _show_figure(self, fig):
+        def _show_figure(self, fig, title=None):
+            """Show a figure in a NEW closable plot tab (the script tab is
+            pinned); the newest figure becomes the export target."""
             self.current_fig = fig
-            if self.canvas is not None:
-                self.canvas_layout.removeWidget(self.canvas)
-                self.canvas.deleteLater()
-            self.canvas = FigureCanvasQTAgg(self.current_fig)
-            self.canvas_layout.addWidget(self.canvas)
-            self.tabs.setCurrentIndex(0)
+            holder = QWidget()
+            layout = QVBoxLayout(holder)
+            layout.addWidget(FigureCanvasQTAgg(fig))
+            self._plot_count += 1
+            index = self.tabs.addTab(holder, title or f"Plot {self._plot_count}")
+            self.tabs.setCurrentIndex(index)
 
         # -- stats dialogs ------------------------------------------------------------
 
@@ -456,9 +631,7 @@ if _HAVE_QT:
                     TextDialog(self, f"PCA: {root}", self.session.pca_report(root, params)).exec()
                 elif which == "table":
                     params = self.selected_params() or None
-                    TextDialog(
-                        self, f"LaTeX table: {root}", self.session.latex_table(root, params), latex=True
-                    ).exec()
+                    ParamTableDialog(self, root, self.session.param_table_tabs(root, params)).exec()
             except Exception as e:
                 QMessageBox.critical(self, "Statistics failed", str(e))
 
@@ -526,6 +699,17 @@ if _HAVE_QT:
         def set_style(self, module):
             self.session.set_plot_module(module)
 
+        def edit_config(self):
+            """GUI configuration dialog (style module + default export
+            format), persisted via QSettings."""
+            dialog = ConfigDialog(self, self.session.plot_module, self.export_format)
+            if dialog.exec() != QDialog.Accepted:
+                return
+            module, export_format = dialog.values()
+            self.session.set_plot_module(module)
+            self.export_format = export_format
+            self.settings.setValue("export_format", export_format)
+
         def show_about(self):
             import getdist_tpu
 
@@ -540,9 +724,28 @@ if _HAVE_QT:
         def export_figure(self):
             if self.current_fig is None:
                 return
-            fname, _ = QFileDialog.getSaveFileName(self, "Export figure", "", "PDF (*.pdf);;PNG (*.png)")
+            filters = {"pdf": "PDF (*.pdf)", "png": "PNG (*.png)", "svg": "SVG (*.svg)"}
+            order = [filters.pop(self.export_format, "PDF (*.pdf)")] + list(filters.values())
+            fname, _ = QFileDialog.getSaveFileName(self, "Export figure", "", ";;".join(order))
             if fname:
                 self.current_fig.savefig(fname, bbox_inches="tight")
+                self.statusBar().showMessage(f"Saved {fname}", 5000)
+
+        def export_clipboard(self):
+            """Copy the current figure to the system clipboard as an image
+            (reference export_clipboard, mainwindow.py:775-781)."""
+            if self.current_fig is None:
+                return
+            import io
+
+            from PySide6.QtGui import QImage
+            from PySide6.QtWidgets import QApplication
+
+            buf = io.BytesIO()
+            self.current_fig.savefig(buf, format="png", dpi=150, bbox_inches="tight")
+            image = QImage.fromData(buf.getvalue(), "PNG")
+            QApplication.clipboard().setImage(image)
+            self.statusBar().showMessage("Figure copied to clipboard", 3000)
 
         def export_script(self):
             text = self.script_edit.toPlainText()
@@ -552,6 +755,20 @@ if _HAVE_QT:
             if fname:
                 with open(fname, "w", encoding="utf-8") as handle:
                     handle.write(text)
+                self.statusBar().showMessage(f"Saved {fname}", 5000)
+
+        def open_script(self):
+            """Load a plot script from disk into the editable script pane
+            (reference openScript, mainwindow.py:1970-1984)."""
+            fname, _ = QFileDialog.getOpenFileName(self, "Open script", "", "Python (*.py)")
+            if not fname:
+                return
+            with open(fname, encoding="utf-8") as handle:
+                self.script_edit.setPlainText(handle.read())
+            self.tabs.setCurrentWidget(self.script_edit.parentWidget())
+
+        def clear_script(self):
+            self.script_edit.clear()
 
 
 if __name__ == "__main__":

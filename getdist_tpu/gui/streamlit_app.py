@@ -77,7 +77,12 @@ def _sidebar_directory(st, state, session):
     if session.is_grid():
         st.caption(f"Grid: {session.chain_dir}")
         tag = st.selectbox("Parameter tag", ["(all)"] + session.param_tags())
-        return session.available_roots() if tag == "(all)" else session.roots_for_tag(tag)
+        if tag == "(all)":
+            return session.available_roots()
+        # second browsing level: data-combination tag (reference
+        # setParamTag/setDataTag grid navigation)
+        datatag = st.selectbox("Data tag", ["(all data)"] + session.data_tags(tag))
+        return session.roots_for_tag(tag, None if datatag == "(all data)" else datatag)
     return session.available_roots()
 
 
@@ -163,6 +168,17 @@ def _sidebar_settings(st, state, session):
     style = st.selectbox("Plot style module", list(STYLE_MODULES), index=0)
     if STYLE_MODULES[style] != session.plot_module:
         session.set_plot_module(STYLE_MODULES[style])
+    changed = session.changed_settings()
+    if changed:
+        # non-default option summary (reference changed_settings display)
+        parts = []
+        if "analysis" in changed:
+            parts.append(f"{len(changed['analysis'])} analysis")
+        if "plot" in changed:
+            parts.append(f"{len(changed['plot'])} plot")
+        if "style" in changed:
+            parts.append(f"style={changed['style'].rsplit('.', 1)[-1]}")
+        st.caption("Changed settings: " + ", ".join(parts))
 
 
 def _plot_controls(st, state, params):
@@ -295,9 +311,20 @@ def _render_stats_tab(st, state, session, params):
             else:
                 st.info("Pick two or more parameters for PCA.")
         else:
-            limit = st.selectbox("Limit", [1, 2, 3], index=1)
             table_params = st.multiselect("Table parameters (all if empty)", params, key="table_params")
-            st.code(session.latex_table(root, table_params or None, limit), language="latex")
+            # one tab per confidence limit (the reference's parameter-table
+            # dialog layout), each downloadable as .tex
+            tabs = session.param_table_tabs(root, table_params or None)
+            for tab, (label, tex) in zip(st.tabs([label for label, _ in tabs]), tabs):
+                with tab:
+                    st.code(tex, language="latex")
+                    st.download_button(
+                        f"Download {label} table (.tex)",
+                        tex,
+                        f"{root}_{label.rstrip('%')}.tex",
+                        "text/x-tex",
+                        key=f"textab_{label}",
+                    )
     except Exception as e:
         st.error(f"Statistics failed: {e}")
 

@@ -102,6 +102,57 @@ def test_session_grid_browsing(grid_dir):
     assert fig is not None
 
 
+@pytest.fixture(scope="module")
+def tagged_grid_dir(tmp_path_factory):
+    """Grid whose root names carry paramtag_datatag structure (the two-level
+    browsing layout of reference batch grids)."""
+    base = tmp_path_factory.mktemp("gui_grid_tagged")
+    for name, seed in (("base_plikTT", 6), ("base_lowl", 7)):
+        sub = base / "base" / "chains"
+        sub.mkdir(parents=True, exist_ok=True)
+        s = Gaussian2D([0, 0], (1, 0.7, 0.3)).MCSamples(2000, logLikes=True, random_state=seed)
+        s.saveChainsAsText(str(sub / name))
+    return str(base)
+
+
+def test_session_data_tag_browsing(tagged_grid_dir):
+    """Second-level grid navigation: param tag -> data tag -> roots
+    (reference mainwindow.py setParamTag/setDataTag)."""
+    session = GuiSession()
+    session.open_directory(tagged_grid_dir)
+    assert session.is_grid()
+    assert session.param_tags() == ["base"]
+    assert session.data_tags("base") == ["lowl", "plikTT"]
+    assert session.roots_for_tag("base", "plikTT") == ["base_plikTT"]
+    assert session.roots_for_tag("base", "lowl") == ["base_lowl"]
+    assert session.roots_for_tag("base") == ["base_lowl", "base_plikTT"]
+
+
+def test_param_table_tabs_and_changed_settings(chain_dir):
+    """Per-limit LaTeX parameter tables (reference DialogParamTables) and
+    the non-default settings summary."""
+    session = GuiSession()
+    session.open_directory(chain_dir)
+    session.add_root("sess_chain")
+    tabs = session.param_table_tabs("sess_chain")
+    assert len(tabs) >= 2
+    for label, tex in tabs:
+        assert label.endswith("%")
+        assert "\\begin{tabular}" in tex
+    assert tabs[0][0] == "68%" and tabs[1][0] == "95%"
+    # tables genuinely differ between limits
+    assert tabs[0][1] != tabs[1][1]
+
+    assert session.changed_settings() == {}
+    session.apply_analysis_settings({"fine_bins": 512})
+    session.apply_plot_settings({"linewidth": 2.0})
+    session.set_plot_module("getdist_tpu.styles.planck")
+    changed = session.changed_settings()
+    assert changed["analysis"] == {"fine_bins": 512}
+    assert changed["plot"] == {"linewidth": 2.0}
+    assert changed["style"] == "getdist_tpu.styles.planck"
+
+
 def test_rectangle_and_validation(chain_dir):
     session = GuiSession()
     session.open_directory(chain_dir)
@@ -312,6 +363,47 @@ def test_streamlit_stats_views(chain_dir, monkeypatch, tmp_path):
         )
         rec = _drive_app(fake, monkeypatch)
         assert any(needle in t for t in rec.texts), (view, rec.texts[:1])
+
+
+def test_streamlit_grid_data_tag_flow(tagged_grid_dir, monkeypatch, tmp_path):
+    """Drive the web GUI through two-level grid browsing down to a plot."""
+    monkeypatch.setattr("getdist_tpu.gui.app_logic.RECENT_FILE", str(tmp_path / "recent"))
+    fake = FakeStreamlit(
+        answers={
+            "Chain directory or grid path": tagged_grid_dir,
+            "Parameter tag": "base",
+            "Data tag": "plikTT",
+            "Roots": ["base_plikTT"],
+            "X parameters": ["x"],
+            "Plot type": "1d",
+            "Root": "base_plikTT",
+            "View": "Marginalized stats",
+        },
+        pressed={"Open directory", "Make plot"},
+    )
+    rec = _drive_app(fake, monkeypatch)
+    assert not [e for e in rec.errors if e[0] == "error"], rec.errors
+    assert rec.figures
+
+
+def test_streamlit_latex_table_tabs(chain_dir, monkeypatch, tmp_path):
+    """The LaTeX-table stats view renders one tab per confidence limit."""
+    monkeypatch.setattr("getdist_tpu.gui.app_logic.RECENT_FILE", str(tmp_path / "recent"))
+    fake = FakeStreamlit(
+        answers={
+            "Chain directory or grid path": chain_dir,
+            "Roots": ["sess_chain"],
+            "X parameters": ["x"],
+            "Plot type": "1d",
+            "Root": "sess_chain",
+            "View": "LaTeX table",
+        },
+        pressed={"Open directory"},
+    )
+    rec = _drive_app(fake, monkeypatch)
+    assert not [e for e in rec.errors if e[0] == "error"], rec.errors
+    tables = [c for c in rec.codes if "\\begin{tabular}" in c]
+    assert len(tables) >= 2, "one LaTeX table per confidence limit"
 
 
 def test_plot_settings_schema_and_parsing():
