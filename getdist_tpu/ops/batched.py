@@ -1022,6 +1022,24 @@ def _contour_levels_batch(grids, contours, iters=40):
 # ---------------------------------------------------------------------------
 
 
+def _tile_group_for(p):
+    """Tile group size for the v6 histogram kernel at ``p`` parameters.
+
+    Every candidate G yields ``ng*(ng-1)/2 * G^2 + ng * G*(G-1)/2`` dot
+    slots (ng = ceil(p/G)); pick the fewest slots, preferring LARGER G on
+    ties — off-tile W slab traffic scales with group revisits, and G=10
+    measured ~9 ms under G=6 at 30p x 1M (scripts/probe_v8_group.py).
+    Capped at 10 by the off-kernel's G^2*256^2 int32 VMEM out block
+    (26 MB at G=10 against the 100 MB scoped limit; G=15's 59 MB block
+    measured SLOWER from degraded pipelining)."""
+
+    def slots(g):
+        ng = -(-p // g)
+        return ng * (ng - 1) // 2 * g * g + ng * g * (g - 1) // 2
+
+    return -min((slots(g), -g) for g in (4, 5, 6, 8, 10) if g <= max(p, 4))[1]
+
+
 def prepare_chain(samples, weights, dtype=jnp.float32):
     """Move a chain to device: samples (N, P), weights (N,)."""
     return jnp.asarray(samples, dtype=dtype), jnp.asarray(weights, dtype=dtype)
@@ -1429,20 +1447,32 @@ def all_2d_densities(
             from getdist_tpu.ops.pallas_kernels import pair_histograms, pair_histograms_tiled, tile_plan
 
             if static_pairs is not None:
-                # v6 tiled kernel: one-hot stacks materialized per sample
-                # chunk sized to bound the transient HBM footprint (~2.5 GB)
-                chunk_cap = 262144 if exact_int8 else 131072
-                n_chunks = max(1, int(np.ceil(n / chunk_cap)))
+                # v6 tiled kernel. Group size: every candidate G yields
+                # ng*(ng-1)/2*G^2 + ng*G*(G-1)/2 dot slots; pick the fewest
+                # slots, preferring LARGER G on ties — the off-tile W slab
+                # traffic scales as ng*(ng-1) re-reads, and G=10 measured
+                # ~9 ms under G=6 at 30p x 1M (probe_v8_group). G is capped
+                # at 10 by the off-kernel's G^2*256^2 int32 VMEM out block
+                # (26 MB at G=10 against the 100 MB scoped limit).
+                group = _tile_group_for(p)
+                # sample chunking bounds the transient HBM one-hot stacks
+                # (p_pad * nc * 256 bytes int8, 2x for bf16): one chunk is
+                # fastest (probe_v8_group) and 1M x 30 fits comfortably, so
+                # chunk only when the stacks would exceed ~8 GB
+                ng = -(-p // group)
+                bytes_per_sample = ng * group * 256 * (1 if exact_int8 else 2)
+                n_chunks = max(1, int(np.ceil(n * bytes_per_sample / (8 * 1024**3))))
                 quantum = n_chunks * 16384  # lcm of builder/dot block sizes
                 n_pad = (-n) % quantum
                 ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)
                 w_pad = jnp.pad(w_in, (0, n_pad))
-                _, _, _, gather = tile_plan(p, static_pairs)
+                _, _, _, gather = tile_plan(p, static_pairs, group=group)
                 out = pair_histograms_tiled(
                     ix_pm,
                     w_pad,
                     p,
                     tuple(int(g) for g in gather),
+                    group=group,
                     n_chunks=n_chunks,
                     int8_weights=exact_int8,
                 )

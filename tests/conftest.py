@@ -48,3 +48,20 @@ def reference_getdist():
     import getdist as reference
 
     return reference
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bounded_jit_cache():
+    """Clear JAX's in-process jit/executable caches after every test module.
+
+    XLA:CPU becomes unstable in a single process that has accumulated many
+    hundreds of compiled executables on this host: the full suite crashed
+    reproducibly (SIGSEGV inside backend_compile_and_load, or SIGABRT
+    deserializing a cache entry) at the ~310th test, while the same test
+    passes in isolation. Bounding live executables per module avoids the
+    failure mode; the persistent disk cache keeps cross-module recompiles
+    cheap."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

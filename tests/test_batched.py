@@ -329,3 +329,23 @@ def test_prebinned_histogram_hook_matches_onehot(chain):
     # is dtype only (the one-hot dot accumulates f32, hists_in stays f64 —
     # strictly more exact).  A wrong orientation would be O(1) here.
     assert float(jnp.max(jnp.abs(hooked["P"] - base["P"]))) < 1e-6
+
+
+def test_tile_group_selection():
+    """Adaptive histogram tile group: fewest dot slots, larger group on
+    ties (less W slab traffic), capped at 10 (VMEM)."""
+    from getdist_tpu.ops.batched import _tile_group_for
+
+    def slots(p, g):
+        ng = -(-p // g)
+        return ng * (ng - 1) // 2 * g * g + ng * g * (g - 1) // 2
+
+    assert _tile_group_for(30) == 10  # 435 slots, ties 5/6/10 -> largest
+    assert _tile_group_for(100) == 10  # 4950 slots = zero padding
+    for p in range(2, 64):
+        g = _tile_group_for(p)
+        assert g <= 10
+        n_pairs = p * (p - 1) // 2
+        assert slots(p, g) >= n_pairs
+        # never worse than the old fixed G=6 plan
+        assert slots(p, g) <= slots(p, 6)
