@@ -1713,10 +1713,12 @@ class MCSamples(Chains):
             ix = pdev.bin_indices(sel, jnp.asarray(binmin[params_in]), jnp.asarray(fw))
             hists = pdev.group_pair_hists(
                 ix,
-                jnp.asarray(np.asarray([local[a] for a, b, _ in members], np.int32)),
-                jnp.asarray(np.asarray([local[b] for a, b, _ in members], np.int32)),
+                np.asarray([local[a] for a, b, _ in members], np.int32),
+                np.asarray([local[b] for a, b, _ in members], np.int32),
                 parts,
                 fine,
+                use_pallas=on_tpu,
+                int8_ok=st["int8"],
             )
             group_hists[fine] = hists
         _mark("device_hists")
@@ -1802,13 +1804,41 @@ class MCSamples(Chains):
             neff = np.full(len(idx), self._weight_based_neff())
         else:
             kstds, maxoffs = [], []
-            for j, info in zip(idx, infos):
+            need_acl = [
+                p
+                for p, (j, info) in enumerate(zip(idx, infos))
+                if getattr(info, "N_eff_kde", None) is None
+            ]
+            acl_by_pos = {}
+            if need_acl:
+                # batched device autocorrelation lengths (one f32 FFT pass)
+                # replace the per-param host FFT loop — measured the
+                # dominant parity-TPU stage (~4-6 s of single-core numpy at
+                # 30p x 1M). The acl only sets the integer lag horizon
+                # min(4 + int(1.5*acl), n//10); params whose horizon could
+                # flip under f32 rounding (knife-edge threshold comparisons
+                # or 1.5*acl near an integer) are recomputed with the exact
+                # host path, keeping results bit-identical to it.
+                means = self.getMeans()
+                variances = self.getVars()
+                acls, acl_safe = pdev.acl_batch(
+                    st["samples"],
+                    st["weights"],
+                    [means[idx[p]] for p in need_acl],
+                    [variances[idx[p]] for p in need_acl],
+                    [idx[p] for p in need_acl],
+                    self.numrows // 10 + 1,
+                )
+                for p, acl, ok in zip(need_acl, acls, acl_safe):
+                    acl_by_pos[p] = float(acl) if ok else self.getCorrelationLength(
+                        idx[p], weight_units=False
+                    )
+            for p, (j, info) in enumerate(zip(idx, infos)):
                 if getattr(info, "N_eff_kde", None) is not None:
                     kstds.append(None)  # cached; skip device work
                     maxoffs.append(0)
                     continue
-                acl = self.getCorrelationLength(j, weight_units=False)
-                maxoffs.append(min(4 + int(1.5 * acl), self.numrows // 10))
+                maxoffs.append(min(4 + int(1.5 * acl_by_pos[p]), self.numrows // 10))
                 kstds.append(0.2 * info.sigma_range)
             todo = [p for p, k in enumerate(kstds) if k is not None]
             if todo:
@@ -1862,10 +1892,12 @@ class MCSamples(Chains):
             stacked = jnp.concatenate([lead_ix, resid_ix], axis=0)
             sh_hists_dev = pdev.group_pair_hists(
                 stacked,
-                jnp.asarray(np.asarray([lead_rank[m[3]] for m in metas], np.int32)),
-                jnp.asarray(np.arange(len(metas), dtype=np.int32) + len(leads)),
+                np.asarray([lead_rank[m[3]] for m in metas], np.int32),
+                np.arange(len(metas), dtype=np.int32) + len(leads),
                 parts,
                 nbins,
+                use_pallas=on_tpu,
+                int8_ok=st["int8"],
             )
             # chunked readback in a producer thread: chunk k+1 rides the
             # tunnel while the host optimizes chunk k

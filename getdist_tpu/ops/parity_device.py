@@ -31,8 +31,10 @@ import jax
 import jax.numpy as jnp
 
 from getdist_tpu.ops.batched import _pair_hist_256, _split_weights_bf16
+from getdist_tpu.ops.fft import next_fast_len
 
 __all__ = [
+    "acl_batch",
     "bin_indices",
     "bin_rows",
     "sheared_rows_minmax",
@@ -123,18 +125,148 @@ def _hists_one_part(ix_a, ix_b, part, fine):
     return jax.lax.map(pair_hist, (ix_a, ix_b))
 
 
-def group_pair_hists(ix, pa, pb, parts, fine):
+def _pallas_group_hists(ix, pa, pb, parts, int8_ok):
+    """Exact 256-bin pair histograms through the fused-path Pallas kernels.
+
+    Integer bin sums below 2**24 are EXACT in every path here (one-hot
+    elements are 0/1; the weighted one-hots carry bf16-representable part
+    values; f32/int32 accumulation of integers is associative), so these
+    are bit-identical to the lax.map `_pair_hist_256` route — measured ~3 s
+    -> ~0.3 s at 435 pairs x 1M on v5e (the dominant parity-TPU device
+    stage, scripts/probe_neff_r5.py). Static param pairs ride the tiled
+    kernel; pair lists whose tile plan would mostly pad (the sheared
+    lead/residual stacks, where every b row is unique) ride the v1
+    VMEM-one-hot kernel instead."""
+    from getdist_tpu.ops.batched import _tile_group_for
+    from getdist_tpu.ops.pallas_kernels import pair_histograms, pair_histograms_tiled, tile_plan
+
+    r, n = ix.shape
+    k = len(pa)
+    pairs = list(zip((int(a) for a in pa), (int(b) for b in pb)))
+    group = _tile_group_for(r)
+    ng = -(-r // group)
+    slots = ng * (ng - 1) // 2 * group * group + ng * group * (group - 1) // 2
+    use_tiled = slots <= max(2 * k, k + 64)
+    ix8 = ix.astype(jnp.uint8)
+
+    def one_pass(w_in, int8_weights):
+        if use_tiled:
+            n_chunks = max(1, int(np.ceil(n * ng * group * 256 * (1 if int8_weights else 2) / (8 * 1024**3))))
+            quantum = n_chunks * 16384
+            n_pad = (-n) % quantum
+            _, _, _, gather = tile_plan(r, pairs, group=group)
+            return pair_histograms_tiled(
+                jnp.pad(ix8, ((0, 0), (0, n_pad))),
+                jnp.pad(w_in, (0, n_pad)),
+                r,
+                tuple(int(g) for g in gather),
+                group=group,
+                n_chunks=n_chunks,
+                int8_weights=int8_weights,
+            )
+        block = 4096
+        n_pad = (-n) % block
+        return pair_histograms(
+            jnp.pad(ix8, ((0, 0), (0, n_pad))),
+            jnp.pad(w_in, (0, n_pad)),
+            jnp.asarray(np.asarray(pa, np.int32)),
+            jnp.asarray(np.asarray(pb, np.int32)),
+            block=block,
+        )
+
+    # the Pallas kernels must trace in 32-bit mode: under the parity
+    # pipeline's jax_enable_x64, index-map constants trace as i64 and
+    # Mosaic fails to legalize the mixed-width index tuples. Inputs and
+    # outputs carry explicit dtypes, so the context only affects traced
+    # constants.
+    with jax.enable_x64(False):
+        if int8_ok:
+            return one_pass(parts[0] if len(parts) == 1 else sum(parts), True)
+        total = None
+        for part in parts:
+            h = one_pass(part, False)
+            total = h if total is None else total + h
+        return total
+
+
+def group_pair_hists(ix, pa, pb, parts, fine, use_pallas=False, int8_ok=False):
     """(K, fine, fine) f32 weighted pair histograms (rows = b, cols = a,
     the ``_make2Dhist`` convention), exact for f32 weights with bin sums
     below 2**24. ``ix``: (R, N) int32 index rows; ``pa``/``pb``: (K,)
-    int32 row positions; ``parts``: the :func:`weight_parts` tuple."""
-    ix_a = jnp.take(ix, pa, axis=0)
-    ix_b = jnp.take(ix, pb, axis=0)
+    int32 row positions (host arrays); ``parts``: the :func:`weight_parts`
+    tuple. ``use_pallas`` routes 256-bin groups through the fused-path
+    Pallas kernels (bit-identical for the integral weights the parity
+    device gate admits); ``int8_ok`` additionally selects the int8 MXU
+    path (integer weights in [0, 127])."""
+    pa = np.asarray(pa, np.int32)
+    pb = np.asarray(pb, np.int32)
+    if use_pallas and fine == 256 and len(pa):
+        return _pallas_group_hists(ix, pa, pb, parts, int8_ok)
+    ix_a = jnp.take(ix, jnp.asarray(pa), axis=0)
+    ix_b = jnp.take(ix, jnp.asarray(pb), axis=0)
     total = None
     for part in parts:
         h = _hists_one_part(ix_a, ix_b, part, fine)
         total = h if total is None else total + h
     return total
+
+
+@partial(jax.jit, static_argnames=("maxlag", "fft_size"))
+def _acl_curves(cols_f32, weights_f32, means, invvars, maxlag, fft_size, min_corr=0.05):
+    """(P,) autocorrelation lengths + knife-edge margins from one batched
+    f32 FFT pass (the acl itself is accumulated in f64 from the f32 curve).
+
+    Twin of the host chain ``getAutocorrelation(maxOff) -> acl_from_curve``
+    (reference ``chains.py:423-466``): curve[k] = sum_i d_i d_{i+k} /
+    overlap / var with d = (x - mean) * w, acl = curve[0] + 2 * sum of the
+    leading run above min_corr * curve[0]. ``margin`` is the smallest
+    distance of any lag to its threshold, in curve[0] units — the caller's
+    guard band for f32-vs-f64 comparison flips."""
+    d = (cols_f32 - means[:, None].astype(jnp.float32)) * weights_f32[None, :]
+    spec = jnp.fft.rfft(d, fft_size, axis=1)
+    lags = jnp.fft.irfft(spec * jnp.conj(spec), fft_size, axis=1)[:, :maxlag]
+    overlap = (d.shape[1] - jnp.arange(maxlag)).astype(jnp.float64)
+    corr = lags.astype(jnp.float64) / overlap[None, :] * invvars[:, None]
+    c0 = corr[:, :1]
+    t = min_corr * c0
+    above = corr > t
+    cut = jnp.argmin(above, axis=1)  # first below-threshold lag (0 if none)
+    k = jnp.arange(maxlag)[None, :]
+    tail = jnp.sum(jnp.where((k >= 1) & (k < cut[:, None]), corr, 0.0), axis=1)
+    acl = corr[:, 0] + 2.0 * tail
+    margin = jnp.min(jnp.abs(corr - t), axis=1) / jnp.abs(c0[:, 0])
+    return acl, margin
+
+
+def acl_batch(dev_samples_f32, dev_weights_f32, means, variances, col_ix, maxlag):
+    """Batched autocorrelation lengths for the parity pipeline.
+
+    One device dispatch replaces the per-param host FFT loop
+    (``getCorrelationLength``), which costs seconds of single-core numpy at
+    1M samples x 30 params (measured the dominant parity-TPU stage).
+    Returns (acl (P,) f64, safe (P,) bool): ``safe`` is False when an f32
+    rounding flip could change the integer lag horizon the caller derives
+    — threshold comparisons within the guard band, or 1.5*acl within it of
+    an integer — and the caller must recompute that parameter with the
+    exact host path."""
+    cols = jnp.take(dev_samples_f32, jnp.asarray(np.asarray(col_ix, np.int32)), axis=1).T
+    n = cols.shape[1]
+    fft_size = next_fast_len(2 * n)
+    acl, margin = _acl_curves(
+        cols,
+        dev_weights_f32,
+        jnp.asarray(np.asarray(means, np.float64)),
+        jnp.asarray(1.0 / np.asarray(variances, np.float64)),
+        maxlag,
+        fft_size,
+    )
+    acl = np.asarray(acl)
+    margin = np.asarray(margin)
+    # guard bands ~100x the observed f32-FFT error at 1M samples (~1e-6
+    # relative): comparison flips, and int(1.5 * acl) truncation flips
+    frac = np.mod(1.5 * acl, 1.0)
+    safe = (margin > 1e-4) & (frac > 1e-3) & (frac < 1.0 - 1e-3) & np.isfinite(acl)
+    return acl, safe
 
 
 def kde_neff_batch(dev_samples, dev_weights, host_weights, kernel_stds, maxoffs, numrows, min_corr=0.05, col_ix=None):

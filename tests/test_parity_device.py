@@ -121,3 +121,35 @@ def test_sheared_rows_minmax(chain):
     ref = (r[0, 0] * x[:, 2] - r[1, 0] * x[:, 1]) / r[1, 1]
     assert np.allclose(np.asarray(dev_rows)[0], ref, rtol=0, atol=1e-12)
     assert np.isclose(float(lo[0]), ref.min()) and np.isclose(float(hi[0]), ref.max())
+
+
+def test_acl_batch_matches_host(chain):
+    """The batched device autocorrelation lengths must reproduce the host
+    getCorrelationLength values (same curve, same threshold rule), and the
+    safe flags must admit the clean cases; where they don't, the parity
+    caller recomputes on host, so the guard only needs to be conservative."""
+    x, w = chain
+    from getdist_tpu.mcsamples import MCSamples
+
+    mc = MCSamples(samples=x.copy(), weights=w.copy(), names=[f"p{i}" for i in range(x.shape[1])])
+    host_acl = np.array(
+        [mc.getCorrelationLength(j, weight_units=False) for j in range(x.shape[1])]
+    )
+    means = mc.getMeans()
+    variances = mc.getVars()
+    dev_acl, safe = pdev.acl_batch(
+        jnp.asarray(mc.samples, jnp.float32),
+        jnp.asarray(mc.weights, jnp.float32),
+        means,
+        variances,
+        list(range(x.shape[1])),
+        mc.numrows // 10 + 1,
+    )
+    # the f32 curve reproduces the f64 acl to ~1e-5 relative
+    np.testing.assert_allclose(dev_acl, host_acl, rtol=1e-4)
+    # the integer horizon the parity caller derives must agree wherever the
+    # guard says the device value is usable
+    for p in range(x.shape[1]):
+        if safe[p]:
+            assert int(1.5 * dev_acl[p]) == int(1.5 * host_acl[p]), p
+    assert safe.any(), "guard should admit typical smooth-decay params"
