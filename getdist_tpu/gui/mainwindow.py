@@ -361,8 +361,12 @@ if _HAVE_QT:
             add_row.addWidget(add_btn)
             controls_layout.addLayout(add_row)
 
-            controls_layout.addWidget(QLabel("Selected roots (ordered):"))
+            controls_layout.addWidget(QLabel("Selected roots (ordered; drag to reorder):"))
             self.selected_list = QListWidget()
+            # drag-reorder (reference root list behavior): rows move inside
+            # the widget and the session order resyncs from the widget
+            self.selected_list.setDragDropMode(QListWidget.DragDropMode.InternalMove)
+            self.selected_list.model().rowsMoved.connect(self._roots_reordered)
             controls_layout.addWidget(self.selected_list)
             order_row = QHBoxLayout()
             for label, action in (
@@ -548,6 +552,11 @@ if _HAVE_QT:
             self.selected_list.clear()
             for root in self.session.root_order:
                 QListWidgetItem(root, self.selected_list)
+
+        def _roots_reordered(self, *args):
+            """After a drag-reorder, the widget order is the truth."""
+            order = [self.selected_list.item(i).text() for i in range(self.selected_list.count())]
+            self.session.root_order = [r for r in order if r in self.session.root_order]
 
         def update_params(self):
             self.param_list.clear()

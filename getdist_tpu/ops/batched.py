@@ -1635,28 +1635,31 @@ def all_2d_densities(
             # VMEM budget; larger (extreme stretched-fine groups) falls back
             dft_on = dft_pad <= 1152
             dft_interp = False
-    # the Pallas DFT kernel fails Mosaic compilation ('failed to legalize
-    # func.return') whenever x64 is enabled — i64 iteration/index types leak
-    # into the kernel — and x64 is exactly the parity device mode's
-    # configuration (measured round 4: all pad/precision combinations fail
-    # under x64, every one compiles without it). The plain-XLA einsum twins
-    # take the parity-mode convolutions instead; the f32 fused path keeps
-    # the VMEM kernel.
-    xla_dft = dft_pad > dft_conv.DEFAULT_PAD or (
-        jax.config.jax_enable_x64 and jax.default_backend() == "tpu"
+    # The Pallas DFT kernel must TRACE in 32-bit mode: under x64 (the
+    # parity device configuration) its index maps produce i64 constants
+    # Mosaic cannot legalize ('func.return (i64, i32)') — round 4 fell back
+    # to the HBM-round-tripping XLA einsum twins for ALL parity convs
+    # (~3 s of the parity-TPU wall); tracing the kernel inside
+    # jax.enable_x64(False) fixes the lowering, so only f64 chains and
+    # frames past the kernel's ~100 MB VMEM working set (pad > 1152) take
+    # the XLA twins now.
+    xla_dft = samples.dtype != jnp.float32 or dft_pad > 1152 or not (
+        jax.default_backend() == "tpu" or dft_interp
     )
 
     def _dft_spectrum(kern):
         if xla_dft:
             return dft_conv.dft_conv_spectrum_xla(kern, pad=dft_pad, precision=dft_prec)
-        return dft_conv.dft_conv_spectrum(kern, pad=dft_pad, precision=dft_prec, interpret=dft_interp)
+        with jax.enable_x64(False):
+            return dft_conv.dft_conv_spectrum(kern, pad=dft_pad, precision=dft_prec, interpret=dft_interp)
 
     def _dft_apply(grids, spec, out_size, offset):
         if xla_dft:
             return dft_conv.dft_conv2d_xla(grids, *spec, out_size, offset, pad=dft_pad, precision=dft_prec)
-        return dft_conv.dft_conv2d(
-            grids, *spec, out_size, offset, pad=dft_pad, precision=dft_prec, interpret=dft_interp
-        )
+        with jax.enable_x64(False):
+            return dft_conv.dft_conv2d(
+                grids, *spec, out_size, offset, pad=dft_pad, precision=dft_prec, interpret=dft_interp
+            )
 
     if dft_on:
         dft_spec = _dft_spectrum(kernels)
