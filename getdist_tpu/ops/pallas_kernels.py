@@ -303,7 +303,8 @@ def _tile_diag_kernel(group, oh_dtype, acc_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_params", "gather", "group", "n_chunks", "block", "build_block", "int8_weights")
+    jax.jit,
+    static_argnames=("n_params", "gather", "group", "n_chunks", "block", "build_block", "int8_weights", "interpret"),
 )
 def pair_histograms_tiled(
     ix_pm,
@@ -315,6 +316,7 @@ def pair_histograms_tiled(
     block=1024,
     build_block=4096,
     int8_weights=False,
+    interpret=False,
 ):
     """Tile-decomposed (K, 256, 256) pair histograms (the v6 kernel).
 
@@ -354,6 +356,7 @@ def pair_histograms_tiled(
             ),
             out_shape=jax.ShapeDtypeStruct((ng, group, nc, 256), oh_dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
         )(ixk, wk[:, None])
 
         if off_tiles:
@@ -382,6 +385,7 @@ def pair_histograms_tiled(
                     bytes_accessed=2 * group * nc * 256 * len(off_tiles),
                     transcendentals=0,
                 ),
+                interpret=interpret,
             )(a_tbl, b_tbl, W, W)
         else:
             off = jnp.zeros_like(off_acc)
@@ -395,6 +399,7 @@ def pair_histograms_tiled(
             out_specs=pl.BlockSpec((1, n_diag, 256, 256), lambda t, i: (t, 0, 0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ng, n_diag, 256, 256), acc_dtype),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
         )(W)
         return (off_acc + off, diag_acc + diag), None
 

@@ -125,7 +125,7 @@ def _hists_one_part(ix_a, ix_b, part, fine):
     return jax.lax.map(pair_hist, (ix_a, ix_b))
 
 
-def _pallas_group_hists(ix, pa, pb, parts, int8_ok):
+def _pallas_group_hists(ix, pa, pb, parts, int8_ok, interpret=False):
     """Exact 256-bin pair histograms through the fused-path Pallas kernels.
 
     Integer bin sums below 2**24 are EXACT in every path here (one-hot
@@ -163,6 +163,7 @@ def _pallas_group_hists(ix, pa, pb, parts, int8_ok):
                 group=group,
                 n_chunks=n_chunks,
                 int8_weights=int8_weights,
+                interpret=interpret,
             )
         block = 4096
         n_pad = (-n) % block
@@ -172,6 +173,7 @@ def _pallas_group_hists(ix, pa, pb, parts, int8_ok):
             jnp.asarray(np.asarray(pa, np.int32)),
             jnp.asarray(np.asarray(pb, np.int32)),
             block=block,
+            interpret=interpret,
         )
 
     # the Pallas kernels must trace in 32-bit mode: under the parity

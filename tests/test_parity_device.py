@@ -153,3 +153,44 @@ def test_acl_batch_matches_host(chain):
         if safe[p]:
             assert int(1.5 * dev_acl[p]) == int(1.5 * host_acl[p]), p
     assert safe.any(), "guard should admit typical smooth-decay params"
+
+
+def test_pallas_group_hists_interpret_bit_exact(chain):
+    """The Pallas-routed parity histograms (the TPU path) must be
+    BIT-identical to the lax.map route: integer bin sums below 2**24 are
+    exact in every kernel. Interpret mode covers the routing, the tile
+    plan/gather mapping, padding, and the orientation convention on CPU;
+    hardware exactness is measured by scripts/probe_parity_hists_r5.py."""
+    x, w = chain
+    import jax
+
+    lo = x.min(axis=0) - 0.1
+    width = (x.max(axis=0) + 0.1 - lo) / 255
+    ix = pdev.bin_indices(jnp.asarray(x), jnp.asarray(lo), jnp.asarray(width))
+    parts = pdev.weight_parts(jnp.asarray(w, jnp.float32))
+    p = x.shape[1]
+    pa = np.array([a for a in range(p) for b in range(a + 1, p)], np.int32)
+    pb = np.array([b for a in range(p) for b in range(a + 1, p)], np.int32)
+    ref = np.asarray(pdev.group_pair_hists(ix, pa, pb, parts, 256, use_pallas=False))
+    with jax.enable_x64(False):
+        # tiled route (static param pairs, few rows)
+        tiled = np.asarray(pdev._pallas_group_hists(ix, pa, pb, parts, int8_ok=True, interpret=True))
+        np.testing.assert_array_equal(ref, tiled)
+        tiled_bf16 = np.asarray(pdev._pallas_group_hists(ix, pa, pb, parts, int8_ok=False, interpret=True))
+        np.testing.assert_array_equal(ref, tiled_bf16)
+        # v1 route: unique-b pair list over MANY stacked rows (the sheared
+        # lead/residual shape, where the tile plan would mostly pad — check
+        # the routing really picks v1 for it)
+        stacked = jnp.concatenate([ix + k for k in range(10)], axis=0) % 256
+        r = int(stacked.shape[0])
+        pa2 = np.arange(r // 2, dtype=np.int32)
+        pb2 = np.arange(r // 2, r, dtype=np.int32)
+        from getdist_tpu.ops.batched import _tile_group_for
+
+        g = _tile_group_for(r)
+        ng = -(-r // g)
+        slots = ng * (ng - 1) // 2 * g * g + ng * g * (g - 1) // 2
+        assert slots > max(2 * len(pa2), len(pa2) + 64), "fixture must exercise the v1 route"
+        ref2 = np.asarray(pdev.group_pair_hists(stacked, pa2, pb2, parts, 256, use_pallas=False))
+        v1 = np.asarray(pdev._pallas_group_hists(stacked, pa2, pb2, parts, int8_ok=False, interpret=True))
+        np.testing.assert_array_equal(ref2, v1)
