@@ -46,6 +46,9 @@ MODULES = [
     "getdist_tpu.ops.batched",
     "getdist_tpu.ops.dft_conv",
     "getdist_tpu.ops.stats",
+    "getdist_tpu.ops.parity_device",
+    "getdist_tpu.ops.pallas_kernels",
+    "getdist_tpu.ops.binning",
     "getdist_tpu.parallel.mesh",
     "getdist_tpu.parallel.reductions",
     "getdist_tpu.models.fisher",
