@@ -191,12 +191,15 @@ def _plot_controls(st, state, params):
     with c3:
         y_params = st.multiselect("Y parameters (rectangle)", params)
 
-    o1, o2, o3, o4, o5 = st.columns(5)
+    o1, o2, o3, o4, o5, o6 = st.columns(6)
     filled = o1.checkbox("Filled", value=True)
     shaded = o2.checkbox("Shaded", value=False)
     normalized = o3.checkbox("Normalized", value=False)
     color_param = o4.selectbox("Color param (3d)", ["(none)"] + params)
     subplot_size = o5.number_input("Subplot size (inch)", value=2.5, min_value=1.0, max_value=8.0)
+    # overall figure width: the reference's size-for-N control
+    # (streamlit_app.py set_size_for_n); 0 = derive from subplot size
+    width_inch = o6.number_input("Figure width (inch, 0=auto)", value=0.0, min_value=0.0, max_value=30.0)
     plot_settings = {}
     with st.expander("Plot options"):
         for key, default, step in (
@@ -223,6 +226,7 @@ def _plot_controls(st, state, params):
         shaded=shaded,
         normalized=normalized,
         subplot_size=float(subplot_size),
+        width_inch=float(width_inch) or None,
         plot_settings=plot_settings,
     )
 

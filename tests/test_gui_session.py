@@ -376,6 +376,7 @@ def test_streamlit_grid_data_tag_flow(tagged_grid_dir, monkeypatch, tmp_path):
             "Roots": ["base_plikTT"],
             "X parameters": ["x"],
             "Plot type": "1d",
+            "Figure width (inch, 0=auto)": 8.0,
             "Root": "base_plikTT",
             "View": "Marginalized stats",
         },
@@ -384,6 +385,8 @@ def test_streamlit_grid_data_tag_flow(tagged_grid_dir, monkeypatch, tmp_path):
     rec = _drive_app(fake, monkeypatch)
     assert not [e for e in rec.errors if e[0] == "error"], rec.errors
     assert rec.figures
+    # the figure-width control reaches the generated single-plot script
+    assert any("width_inch=8.0" in c for c in rec.codes), rec.codes[:1]
 
 
 def test_streamlit_latex_table_tabs(chain_dir, monkeypatch, tmp_path):
