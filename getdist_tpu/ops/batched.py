@@ -1040,6 +1040,15 @@ def _tile_group_for(p):
     return -min((slots(g), -g) for g in (4, 5, 6, 8, 10) if g <= max(p, 4))[1]
 
 
+def _hist_chunks(n, p_pad, int8):
+    """Sample-chunk count for the tiled histogram kernel: its transient
+    HBM one-hot stacks cost ``p_pad * n * 256`` bytes int8 (2x bf16); one
+    chunk is fastest (scripts/probe_v8_group.py), so chunk only when the
+    stacks would exceed ~8 GB (v5e has 16 GB HBM; the rest of the fused
+    program holds ~1 GB)."""
+    return max(1, int(np.ceil(n * p_pad * 256 * (1 if int8 else 2) / (8 * 1024**3))))
+
+
 def prepare_chain(samples, weights, dtype=jnp.float32):
     """Move a chain to device: samples (N, P), weights (N,)."""
     return jnp.asarray(samples, dtype=dtype), jnp.asarray(weights, dtype=dtype)
@@ -1460,8 +1469,7 @@ def all_2d_densities(
                 # fastest (probe_v8_group) and 1M x 30 fits comfortably, so
                 # chunk only when the stacks would exceed ~8 GB
                 ng = -(-p // group)
-                bytes_per_sample = ng * group * 256 * (1 if exact_int8 else 2)
-                n_chunks = max(1, int(np.ceil(n * bytes_per_sample / (8 * 1024**3))))
+                n_chunks = _hist_chunks(n, ng * group, exact_int8)
                 quantum = n_chunks * 16384  # lcm of builder/dot block sizes
                 n_pad = (-n) % quantum
                 ix_pm = jnp.pad(ix_all, ((0, 0), (0, n_pad))).astype(jnp.uint8)

@@ -137,7 +137,7 @@ def _pallas_group_hists(ix, pa, pb, parts, int8_ok, interpret=False):
     kernel; pair lists whose tile plan would mostly pad (the sheared
     lead/residual stacks, where every b row is unique) ride the v1
     VMEM-one-hot kernel instead."""
-    from getdist_tpu.ops.batched import _tile_group_for
+    from getdist_tpu.ops.batched import _hist_chunks, _tile_group_for
     from getdist_tpu.ops.pallas_kernels import pair_histograms, pair_histograms_tiled, tile_plan
 
     r, n = ix.shape
@@ -151,7 +151,7 @@ def _pallas_group_hists(ix, pa, pb, parts, int8_ok, interpret=False):
 
     def one_pass(w_in, int8_weights):
         if use_tiled:
-            n_chunks = max(1, int(np.ceil(n * ng * group * 256 * (1 if int8_weights else 2) / (8 * 1024**3))))
+            n_chunks = _hist_chunks(n, ng * group, int8_weights)
             quantum = n_chunks * 16384
             n_pad = (-n) % quantum
             _, _, _, gather = tile_plan(r, pairs, group=group)

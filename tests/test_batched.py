@@ -349,3 +349,13 @@ def test_tile_group_selection():
         assert slots(p, g) >= n_pairs
         # never worse than the old fixed G=6 plan
         assert slots(p, g) <= slots(p, 6)
+
+
+def test_hist_chunk_heuristic():
+    """Transient one-hot stacks chunk only past the ~8 GB HBM budget."""
+    from getdist_tpu.ops.batched import _hist_chunks
+
+    assert _hist_chunks(1_000_000, 30, True) == 1  # 7.7 GB int8: one chunk
+    assert _hist_chunks(1_000_000, 30, False) == 2  # bf16 doubles the bytes
+    assert _hist_chunks(2_500_000, 30, True) == 3
+    assert _hist_chunks(10_000, 4, True) == 1
