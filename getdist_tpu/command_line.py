@@ -395,18 +395,38 @@ def getdist_gui():
     mainwindow.run_gui()
 
 
-def getdist_streamlit():
-    """Entry point launching the streamlit web GUI."""
+def getdist_streamlit(argv=None):
+    """Entry point launching the streamlit web GUI.
+
+    ``--port N`` / ``--server.*`` / ``--browser.*`` / ``--theme.*`` flags
+    route to the streamlit server (the reference launcher's --port
+    handling, reference streamlit_app.py:71-220); everything else (the
+    chain directory) passes through to the app."""
     import importlib.util
 
     if importlib.util.find_spec("streamlit") is None:
         print("Please pip install streamlit first")
-        return
+        return None
     from getdist_tpu import gui as gui_pkg
 
+    args = sys.argv[1:] if argv is None else list(argv)
+    server_args, app_args = [], []
+    it = iter(args)
+    for arg in it:
+        if arg == "--port":
+            server_args += ["--server.port", next(it, "")]
+        elif arg.startswith("--port="):
+            server_args += ["--server.port", arg.split("=", 1)[1]]
+        elif arg.startswith(("--server.", "--browser.", "--theme.", "--logger.")):
+            server_args.append(arg)
+            if "=" not in arg:
+                server_args.append(next(it, ""))
+        else:
+            app_args.append(arg)
+
     app = str(Path(gui_pkg.__file__).parent / "streamlit_app.py")
-    launch = ["streamlit", "run", app, "--"] + sys.argv[1:]
-    subprocess.Popen(launch, env=os.environ)
+    launch = ["streamlit", "run", app] + server_args + ["--"] + app_args
+    return subprocess.Popen(launch, env=os.environ)
 
 
 if __name__ == "__main__":

@@ -169,3 +169,26 @@ def test_emitted_plot_scripts_execute(tmp_path, monkeypatch):
     )
     assert proc.returncode == 0, proc.stderr[-800:]
     assert (tmp_path / "run_tri.pdf").exists()
+
+
+def test_streamlit_launcher_arg_routing(monkeypatch):
+    """--port / --server.* flags route to the streamlit server side of the
+    command line; the chain directory passes through to the app."""
+    import subprocess as sp
+
+    import getdist_tpu.command_line as cl
+
+    captured = {}
+    monkeypatch.setattr(sp, "Popen", lambda cmd, env=None: captured.setdefault("cmd", cmd))
+    monkeypatch.setattr(cl, "subprocess", sp)
+    import importlib.util as ilu
+
+    real_find = ilu.find_spec
+    monkeypatch.setattr(ilu, "find_spec", lambda name: object() if name == "streamlit" else real_find(name))
+
+    cl.getdist_streamlit(["--port", "8502", "/tmp/chains", "--server.headless=true"])
+    cmd = captured["cmd"]
+    sep = cmd.index("--")
+    assert "--server.port" in cmd[:sep] and "8502" in cmd[:sep]
+    assert "--server.headless=true" in cmd[:sep]
+    assert cmd[sep + 1 :] == ["/tmp/chains"]
