@@ -17,7 +17,7 @@ the reference's ``getdist/__init__.py:26-67``.
 import logging
 import os
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 __author__ = "getdist_tpu developers"
 
 # ---------------------------------------------------------------------------
